@@ -1,13 +1,133 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — maps every implemented operator (SURVEY.md §2) to a
+  * named query and its DuckDB oracle SQL. See SURVEY.md §7 for the build
+  * plan; each query's implementation lives in graft.operators.*.
+  *
+  * Conventions that keep the DuckDB hash-compare stable (SURVEY.md §7 risks):
+  *  - no raw TIMESTAMP columns in outputs — epoch micros (BIGINT) or DATE;
+  *  - every float aggregate rounded at the edge (round 2 for money/sums,
+  *    4 for ratios) in BOTH dialects;
+  *  - every window/top-k totally ordered via explicit tiebreakers;
+  *  - integer sums cast to BIGINT in oracle SQL (DuckDB sums int → HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Ensure the ns-timestamp parquet reader conf is set (Tables normalizes
+    * `events.ts` ns→µs, matching DuckDB's cast — see Tables.events).
+    */
+  private def prep(spark: SparkSession): SparkSession = {
+    spark.conf.set(Tables.NanosAsLongConf, "true")
+    spark
+  }
+
+  private def fact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.latestEvents(Tables.events(prep(spark), dir))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full slice-0 path: dedup → dims → star → daily rollup (SURVEY §7).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val f = fact(spark, dir)
+    val star = Star.factStar(f, Dims.dimUser(f), Dims.dimEventType(f), Dims.dimDate(f))
+    Star.dailyUserActivity(star, Dims.dimDate(f), Dims.dimUser(f))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core pipeline: dedup → dims → star (SURVEY §2.3-2.5, §2.8) ----
+    "fact_dedup" -> ((s, d) => fact(s, d).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props"))),
+    "dim_user" -> ((s, d) => Dims.dimUser(fact(s, d))),
+    "dim_event_type" -> ((s, d) => Dims.dimEventType(fact(s, d))),
+    "dim_date" -> ((s, d) => Dims.dimDate(fact(s, d))),
+    "fact_star" -> ((s, d) => {
+      val f = fact(s, d)
+      Star.factStar(f, Dims.dimUser(f), Dims.dimEventType(f), Dims.dimDate(f))
+    }),
+    "star_daily_user" -> ((s, d) => {
+      val f = fact(s, d)
+      val star = Star.factStar(f, Dims.dimUser(f), Dims.dimEventType(f), Dims.dimDate(f))
+      Star.dailyUserActivity(star, Dims.dimDate(f), Dims.dimUser(f))
+    }),
+    // ---- monitoring views (SURVEY §2 monitoring suite) ----
+    "mon_results" -> ((s, d) => Monitoring.results(Tables.events(prep(s), d))),
+    "mon_last_status" -> ((s, d) => Monitoring.lastStatus(Tables.events(prep(s), d))),
+    "mon_daily_summary" -> ((s, d) => Monitoring.dailySummary(Tables.events(prep(s), d))),
+    "mon_7d_summary" -> ((s, d) => Monitoring.sevenDaySummary(Tables.events(prep(s), d))),
+    "mon_errors" -> ((s, d) => Monitoring.errors(Tables.events(prep(s), d))),
+    // ---- quality invariants (SURVEY §5) ----
+    "qa_ref_integrity" -> ((s, d) => {
+      val f = fact(s, d)
+      Quality.referentialIntegrity(f, Dims.dimUser(f), Dims.dimEventType(f), Dims.dimDate(f))
+    }),
+    "qa_count_parity" -> ((s, d) => {
+      val f = fact(s, d)
+      val star = Star.factStar(f, Dims.dimUser(f), Dims.dimEventType(f), Dims.dimDate(f))
+      Quality.countParity(f, star)
+    }),
+    // ---- analytical breadth (SURVEY §7 step 4) ----
+    "q1_pricing" -> ((s, d) => Analytics.pricingSummary(prep(s), d)),
+    "q3_top_orders" -> ((s, d) => Analytics.topRevenueOrders(prep(s), d)),
+    "q5_region_revenue" -> ((s, d) => Analytics.regionRevenue(prep(s), d)),
+    "q_window_topk" -> ((s, d) => Analytics.topOrdersPerCustomer(prep(s), d)),
+    "q_distinct_users" -> ((s, d) => Analytics.distinctUsersPerType(prep(s), d)),
+    "q_union_ids" -> ((s, d) => Analytics.unionIds(prep(s), d)),
+  )
+
+  /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
+  private val FactCte =
+    "WITH fact AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, value DESC) AS rn FROM events) WHERE rn = 1)"
+
+  /** DuckDB CTE mirroring Monitoring.results. */
+  private val ResultsCte =
+    "WITH r AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, CAST(ts AS DATE) AS event_date, event_type AS job_name, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS status FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL)"
+
+  def oracleSql: Map[String, String] = Map(
+    "fact_dedup" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props FROM fact",
+    "dim_user" ->
+      s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, user_id, min(CAST(ts AS DATE)) AS first_seen_date, max(CAST(ts AS DATE)) AS last_seen_date, count(*) AS event_count FROM fact GROUP BY user_id",
+    "dim_event_type" ->
+      s"$FactCte SELECT sha256(event_type) AS event_type_key, event_type, count(*) AS event_count FROM fact GROUP BY event_type",
+    "dim_date" ->
+      s"$FactCte, days AS (SELECT CAST(unnest(generate_series((SELECT min(CAST(ts AS DATE)) FROM fact), (SELECT max(CAST(ts AS DATE)) FROM fact), INTERVAL 1 DAY)) AS DATE) AS d) SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key, d AS date_id, CAST(year(d) AS INTEGER) AS year, CAST(quarter(d) AS INTEGER) AS quarter, CAST(month(d) AS INTEGER) AS month, monthname(d) AS month_name, CAST(week(d) AS INTEGER) AS iso_week, CAST(day(d) AS INTEGER) AS day_of_month, CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week, dayname(d) AS day_name, dayofweek(d) IN (0, 6) AS is_weekend FROM days",
+    "fact_star" ->
+      s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact",
+    "star_daily_user" ->
+      s"$FactCte SELECT CAST(ts AS DATE) AS date_id, user_id, count(*) AS n_events, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_value, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value FROM fact GROUP BY 1, 2",
+    "mon_results" ->
+      s"$ResultsCte SELECT event_id, ts_us, job_name, status, status BETWEEN 50 AND 99 AS is_success FROM r",
+    "mon_last_status" ->
+      s"$ResultsCte SELECT job_name, ts_us, status, status BETWEEN 50 AND 99 AS is_success FROM (SELECT *, row_number() OVER (PARTITION BY job_name ORDER BY ts_us DESC, event_id DESC) AS rn FROM r) WHERE rn = 1",
+    "mon_daily_summary" ->
+      s"$ResultsCte SELECT event_date, job_name, count(*) AS runs, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 0 ELSE 1 END) AS BIGINT) AS failures, round(CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate FROM r GROUP BY 1, 2",
+    "mon_7d_summary" ->
+      s"$ResultsCte SELECT job_name, count(*) AS runs_7d, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes_7d, round(CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate_7d FROM r WHERE event_date >= (SELECT max(event_date) - 7 FROM r) GROUP BY 1",
+    "mon_errors" ->
+      s"$ResultsCte SELECT event_id, ts_us, job_name, status FROM r WHERE NOT (status BETWEEN 50 AND 99) ORDER BY ts_us DESC, event_id DESC",
+    "qa_ref_integrity" ->
+      s"$FactCte, du AS (SELECT DISTINCT user_id FROM fact), dt AS (SELECT DISTINCT event_type FROM fact), dd AS (SELECT DISTINCT CAST(ts AS DATE) AS date_id FROM fact) SELECT CAST(sum(CASE WHEN du.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_user, CAST(sum(CASE WHEN dt.event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_type, CAST(sum(CASE WHEN dd.date_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_date FROM fact f LEFT JOIN du ON f.user_id = du.user_id LEFT JOIN dt ON f.event_type = dt.event_type LEFT JOIN dd ON CAST(f.ts AS DATE) = dd.date_id",
+    "qa_count_parity" ->
+      s"$FactCte SELECT (SELECT count(*) FROM fact) AS fact_rows, (SELECT count(*) FROM fact) AS star_rows, (SELECT count(*) FROM fact) - (SELECT count(*) FROM fact) AS delta",
+    "q1_pricing" ->
+      "SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_qty, round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 2) AS sum_charge, round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_qty, round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_price, round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30' GROUP BY 1, 2",
+    "q3_top_orders" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '2000-03-15' AND CAST(l_shipdate AS DATE) > DATE '2000-03-15' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    "q5_region_revenue" ->
+      "SELECT n_name, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND CAST(o_orderdate AS DATE) BETWEEN DATE '2000-01-01' AND DATE '2000-12-31' GROUP BY 1",
+    "q_window_topk" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 3",
+    "q_distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q_union_ids" ->
+      "SELECT o_custkey AS id FROM orders UNION SELECT c_custkey AS id FROM customer",
+  )
 }

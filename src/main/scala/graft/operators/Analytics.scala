@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Catalyst-breadth analytical queries over the TPC-H-ish fixture star
+  * (SURVEY.md §7 build-plan step 4). These are the bench headliners: wide
+  * scans, multi-way joins, hash aggregation, windows, set ops.
+  *
+  * Scale notes per query are inline; the common rules: filters sit directly
+  * on scans (parquet pushdown), projections are minimal (column pruning
+  * reaches the footer), small sides broadcast, aggregates are
+  * partial-aggregated. All money sums are rounded at the edge (oracle-hash
+  * stability), never mid-plan.
+  */
+object Analytics {
+
+  /** Fixed-point sum: per-row scale to an exact integer (the fixture's money
+    * columns carry ≤2-6 decimals), sum as long. Exact and order-independent —
+    * double sums drift by partial-aggregation order, which flips rounded
+    * digits at hash-compare boundaries (and would do so nondeterministically
+    * on a 1000-executor cluster too).
+    */
+  private def fxSum(c: Column, scale: Long): Column =
+    sum(round(c * scale).cast("long"))
+
+  private def fxTotal(c: Column, scale: Long, decimals: Int): Column =
+    round(fxSum(c, scale).cast("double") / scale, decimals)
+
+  private def fxAvg(c: Column, scale: Long, decimals: Int): Column =
+    round(fxSum(c, scale).cast("double") / (count(lit(1)) * scale.toDouble), decimals)
+
+  /** TPC-H Q1 shape: pricing summary — one wide scan, group on 2 low-card
+    * keys. Map-side partial agg reduces the shuffle to a handful of rows.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val charge = discPrice * (lit(1) + col("l_tax"))
+    Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("2001-06-30"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        fxTotal(col("l_quantity"), 100L, 2).as("sum_qty"),
+        fxTotal(col("l_extendedprice"), 100L, 2).as("sum_base_price"),
+        fxTotal(discPrice, 10000L, 2).as("sum_disc_price"),
+        fxTotal(charge, 1000000L, 2).as("sum_charge"),
+        fxAvg(col("l_quantity"), 100L, 4).as("avg_qty"),
+        fxAvg(col("l_extendedprice"), 100L, 4).as("avg_price"),
+        fxAvg(col("l_discount"), 100L, 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3 shape: top-10 unshipped-revenue orders for one market segment.
+    * customer (filtered, small) broadcasts into orders; the lineitem join
+    * shuffles on orderkey — the natural co-partitioning key at 100 TB.
+    * Deterministic top-k: revenue desc then orderkey.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")) < lit("2000-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(to_date(col("l_shipdate")) > lit("2000-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+      .agg(fxTotal(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by nation for one region+year. region→nation→
+    * customer chain broadcasts (tiny), orders⋈lineitem shuffles on orderkey,
+    * supplier broadcast with the co-nation condition closing the loop.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(to_date(col("o_orderdate")).between("2000-01-01", "2000-12-31"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(fxTotal(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** O3 generalization: top-3 orders per customer by total price — ranking
+    * window, one shuffle on the partition key, deterministic tiebreak.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  /** Exact distinct-count per group (the reference's reconciliation style);
+    * the approx variant lives in SparkEntry as a rows-only query.
+    */
+  def distinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** §2.7 set op: distinct union of two key domains. */
+  def unionIds(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_custkey").as("id"))
+      .union(Tables.customer(spark, dir).select(col("c_custkey").as("id")))
+      .distinct()
+}

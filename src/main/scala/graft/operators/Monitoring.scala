@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The monitoring-view suite (SURVEY.md §2 — S5/S6, P2/P5/P6/P7, A4-A8, W2,
+  * O1/O2), re-expressed over the fixture `events` table.
+  *
+  * The reference's five monitoring views sit over execution-log tables:
+  * a base view that extracts + type-guards fields and flags success
+  * (reference monitoring/scheduler_executions_results_vw.sql:1-13), a
+  * latest-row-per-group view (..._last_status_vw.sql:1-11), daily and 7-day
+  * rollups (..._daily_summary_vw.sql:1-11, ..._7d_summary_vw.sql:1-9) and a
+  * failure filter (..._errors_vw.sql:1-10).
+  *
+  * Fixture mapping: `event_type` plays `job_name`; the JSON payload `props`
+  * plays the nested log record — its `$.k` field is extracted with a
+  * null-safe cast (F9 `SAFE_CAST` ≡ `try_cast`) as the `status`, and
+  * `status BETWEEN 50 AND 99` plays the HTTP 2xx success band
+  * (results_vw.sql:6). All views are lazy DataFrames (S5) — nothing
+  * materializes until a sink asks.
+  *
+  * Scale notes: rollups are partial-aggregated map-side; the last-status
+  * window shuffles once on the (low-cardinality) job key — at high
+  * cardinality this stays balanced, and for the pathological few-groups case
+  * the input is already a filtered projection. The 7-day cutoff is computed
+  * as a 1-row aggregate broadcast into the filter, not collected state.
+  */
+object Monitoring {
+
+  private def statusCol: Column =
+    expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+
+  /** Base view: extract, type-guard, flag success, drop non-attempts
+    * (results_vw.sql:3-12). P2-analog nested extraction is exercised on the
+    * JSON payload; P5 null-guard keeps only parseable statuses.
+    */
+  def results(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("job_name"),
+        statusCol.as("status"))
+      .filter(col("status").isNotNull)
+      .withColumn("is_success", col("status").between(50, 99))
+
+  /** W2: current status per job — latest row per job_name
+    * (last_status_vw.sql:10), deterministic tiebreak on event_id.
+    */
+  def lastStatus(events: DataFrame): DataFrame =
+    Dedup.keepFirst(results(events), Seq("job_name"),
+        Seq(col("ts_us").desc, col("event_id").desc))
+      .select("job_name", "ts_us", "status", "is_success")
+
+  /** A4-A6: daily rollup per job — runs, successes, failures, success rate
+    * (daily_summary_vw.sql:2-11). `try_divide` ≡ SAFE_DIVIDE (null on /0).
+    */
+  def dailySummary(events: DataFrame): DataFrame =
+    results(events)
+      .groupBy(
+        to_date(timestamp_micros(col("ts_us"))).as("event_date"),
+        col("job_name"))
+      .agg(
+        count(lit(1)).as("runs"),
+        sum(when(col("is_success"), 1L).otherwise(0L)).as("successes"),
+        sum(when(!col("is_success"), 1L).otherwise(0L)).as("failures"))
+      .withColumn("success_rate",
+        round(try_divide(col("successes").cast("double"), col("runs")), 4))
+
+  /** A8 + J3: per-job rollup over the trailing 7 days. The reference anchors
+    * on CURRENT_DATE (results_vw.sql:11); the fixture is historical, so the
+    * anchor is the data's own max date — computed as a broadcast 1-row
+    * aggregate, the distributed form of a scalar subquery.
+    */
+  def sevenDaySummary(events: DataFrame): DataFrame = {
+    val base = results(events)
+      .withColumn("event_date", to_date(timestamp_micros(col("ts_us"))))
+    val cutoff = base.agg(date_sub(max(col("event_date")), 7).as("cutoff"))
+    base
+      .crossJoin(broadcast(cutoff))
+      .filter(col("event_date") >= col("cutoff"))
+      .groupBy(col("job_name"))
+      .agg(
+        count(lit(1)).as("runs_7d"),
+        sum(when(col("is_success"), 1L).otherwise(0L)).as("successes_7d"))
+      .withColumn("success_rate_7d",
+        round(try_divide(col("successes_7d").cast("double"), col("runs_7d")), 4))
+  }
+
+  /** P6 + O1: failures only, newest first (errors_vw.sql:2-10). */
+  def errors(events: DataFrame): DataFrame =
+    results(events)
+      .filter(!col("is_success"))
+      .select("event_id", "ts_us", "job_name", "status")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+}

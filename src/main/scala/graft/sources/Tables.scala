@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog of the fixture warehouse (`/root/testdata/sf*`; see TESTDATA.md /
+  * FIXTURES.md). Explicit, engine-owned normalization happens here so every
+  * operator downstream sees stable µs-precision timestamps and pruned scans.
+  *
+  * Design (SURVEY.md §1.2): schemas are declared/normalized at the source
+  * boundary — never inferred mid-pipeline. The reference declares its OLTP
+  * schema in DDL (reference sql/postgres_ddl.sql:1-12) and derives OLAP
+  * schemas from queries; we mirror that: parquet footers carry the physical
+  * schema, this object owns the logical normalization.
+  */
+object Tables {
+
+  /** `events.ts` is physically timestamp[ns]; Spark's µs TimestampType cannot
+    * hold it natively. We read it as raw nanos (LongType via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — matching
+    * DuckDB's ns→µs cast used by the oracle. All other tables are µs/ms and
+    * read untouched.
+    */
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** events with `ts` normalized to TimestampType (µs, truncated from ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = raw(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral `div`, not `/`: long/int division goes through double and
+        // can be off by one ulp at epoch-µs magnitudes
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df // reader already delivered a timestamp
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "embeddings")
+}

@@ -80,6 +80,30 @@ object SparkEntry {
     "q_window_topk" -> ((s, d) => Analytics.topOrdersPerCustomer(prep(s), d)),
     "q_distinct_users" -> ((s, d) => Analytics.distinctUsersPerType(prep(s), d)),
     "q_union_ids" -> ((s, d) => Analytics.unionIds(prep(s), d)),
+    // ---- training-data pipeline: dedup / similarity / text (north star) ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactByContent(Tables.documents(prep(s), d), "text", "doc_id")),
+    "text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(prep(s), d))),
+    "text_quality" -> ((s, d) => TextOps.textQuality(Tables.documents(prep(s), d))),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprints(Tables.documents(prep(s), d))
+      .select("doc_id", "bow_fingerprint")),
+    "doc_rolling_hash" -> ((s, d) => TextOps.fingerprints(Tables.documents(prep(s), d))
+      .select("doc_id", "rolling_hash")),
+    "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(prep(s), d))),
+    "sim_join_jaccard" -> ((s, d) =>
+      DedupApprox.jaccardJoin(Tables.documents(prep(s), d), 0.8)),
+    "dedup_minhash" -> ((s, d) =>
+      DedupApprox.minhashPairs(Tables.documents(prep(s), d), 0.7)),
+    "dedup_simhash" -> ((s, d) =>
+      DedupApprox.simhashPairs(Tables.documents(prep(s), d), 8)),
+    "ann_cosine_topk" -> ((s, d) =>
+      Ann.bruteTopK(Tables.embeddings(prep(s), d), 10, 5)),
+    "ann_ivf_topk" -> ((s, d) =>
+      Ann.ivfTopK(Tables.embeddings(prep(s), d), 10, 5)),
+    "dedup_embedding" -> ((s, d) =>
+      Ann.embeddingNearDup(Tables.embeddings(prep(s), d), 0.4)),
+    "mm_media_summary" -> ((s, d) =>
+      Multimodal.mediaSummary(prep(s), Tables.documents(s, d))),
   )
 
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
@@ -129,5 +153,19 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "q_union_ids" ->
       "SELECT o_custkey AS id FROM orders UNION SELECT c_custkey AS id FROM customer",
+    "dedup_exact" ->
+      "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
+    "text_stats" ->
+      "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS max_token_len, round(CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents",
+    "text_quality" ->
+      "SELECT doc_id, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS ttr, round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4) AS quality_score FROM documents",
+    "doc_fingerprint" ->
+      "SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint FROM documents",
+    "sim_join_jaccard" ->
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8",
+    "ann_cosine_topk" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
+    "dedup_embedding" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) >= 0.4",
   )
 }

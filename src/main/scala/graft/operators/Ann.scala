@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimFns
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (BASELINE.json north_star). Two paths:
+  *
+  *  - [[bruteTopK]] — exact baseline: broadcast the (small) query set, one
+  *    streaming pass over the corpus, per-query top-k via ranking window.
+  *    At 100 TB the corpus side never shuffles for the scoring pass; the
+  *    only shuffle is the final top-k on the (tiny) query key.
+  *  - [[ivfTopK]] — IVF-style scale path: corpus is bucketed by nearest
+  *    centroid once (an O(n·C) scoring pass + write), queries probe only
+  *    `nprobe` buckets, cutting scored candidates by ~C/nprobe. Centroids
+  *    here are deterministic samples (vec_id stride) standing in for k-means
+  *    iterations — the bucketing/probing plumbing is the part that matters
+  *    at scale.
+  *
+  * Ranking is on `round(cos, 6)` with vec_id tiebreak — totally ordered, so
+  * results are stable across engines and partitionings.
+  */
+object Ann {
+
+  private def emb(df: DataFrame) =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
+  def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val corpus = emb(embeddings)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF bucketing: every vector assigned to its nearest centroid
+    * (deterministic stride-sampled centroids), queries probe the `nprobe`
+    * nearest buckets. Returns the same schema as [[bruteTopK]].
+    */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              centroidStride: Int = 23, nprobe: Int = 3): DataFrame = {
+    val corpus = emb(embeddings)
+    val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+
+    // assignment pass: argmax cosine over broadcast centroids (struct-max)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(round(SimFns.cosine(col("emb"), col("c_emb")), 6).as("cos"),
+          col("c_id"))).getField("c_id").as("bucket"),
+        first(col("emb")).as("emb"))
+
+    // queries probe their nprobe nearest buckets
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("p_cos").desc, col("c_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("c_id"),
+        round(SimFns.cosine(col("q_emb"), col("c_emb")), 6).as("p_cos"))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("bucket"))
+
+    val scored = assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold` — brute pairwise
+    * at fixture scale; the LSH/IVF bucketing above is the scale path (pairs
+    * within a bucket only). Kept exact here so the DuckDB oracle can mirror
+    * it.
+    */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = emb(embeddings).select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+    val b = emb(embeddings).select(col("vec_id").as("vec_b"), col("emb").as("eb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(SimFns.cosine(col("ea"), col("eb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

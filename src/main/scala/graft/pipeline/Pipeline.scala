@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Dims, Monitoring, Quality, Star}
+import graft.sources.Tables
+
+/** Dependency-ordered pipeline runner — the engine's analog of the
+  * reference's scheduled-query DAG: land → fact (dedup) → dims → star →
+  * monitoring views (reference README.md:688-692; semantics 675-681).
+  * Every model table is an idempotent overwrite snapshot (S3, line 1 of
+  * every reference sql file), so re-runs converge to the same state — deterministic
+  * content-hash keys make that byte-stable.
+  *
+  * Physical layout (S4, reference sql/bq_fact_vitals_star.sql:2-3 +
+  * README.md:598): the star fact is written `partitionBy(date_key)` —
+  * Catalyst prunes day partitions on date predicates exactly like BigQuery
+  * partition pruning — and `sortWithinPartitions(user_key, event_type_key)`
+  * inside each day, giving parquet row-group min/max stats the same skip
+  * power as BQ clustering.
+  */
+object Pipeline {
+
+  case class StageResult(stage: String, rows: Long, path: String)
+
+  def run(spark: SparkSession, srcDir: String, outDir: String): Seq[StageResult] = {
+    val results = Seq.newBuilder[StageResult]
+
+    def save(df: DataFrame, name: String): DataFrame = {
+      val path = s"$outDir/$name"
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      val back = spark.read.parquet(path)
+      results += StageResult(name, back.count(), path)
+      back
+    }
+
+    // land (S2 analog: in production an append into the landing zone; the
+    // snapshot build consumes whatever has landed)
+    val landed = save(Tables.events(spark, srcDir), "landing_events")
+
+    // fact: W1 keep-latest dedup
+    val fact = save(Dedup.latestEvents(landed), "fact_events")
+
+    // dims (dependency-ordered after fact, before star)
+    val dimUser = save(Dims.dimUser(fact), "dim_user")
+    val dimType = save(Dims.dimEventType(fact), "dim_event_type")
+    val dimDate = save(Dims.dimDate(fact), "dim_date")
+
+    // star: broadcast join + partitioned/clustered layout
+    val starPath = s"$outDir/fact_events_star"
+    Star.factStar(fact, dimUser, dimType, dimDate)
+      .repartition(col("date_key"))
+      .sortWithinPartitions(col("user_key"), col("event_type_key"))
+      .write.mode(SaveMode.Overwrite).partitionBy("date_key").parquet(starPath)
+    val star = spark.read.parquet(starPath)
+    results += StageResult("fact_events_star", star.count(), starPath)
+
+    // monitoring views (S5: lazy, recomputed per query)
+    Monitoring.results(landed).createOrReplaceTempView("mon_results")
+    Monitoring.lastStatus(landed).createOrReplaceTempView("mon_last_status")
+    Monitoring.dailySummary(landed).createOrReplaceTempView("mon_daily_summary")
+    Monitoring.sevenDaySummary(landed).createOrReplaceTempView("mon_7d_summary")
+    Monitoring.errors(landed).createOrReplaceTempView("mon_errors")
+
+    // quality gates (reference README.md:622-670) — fail loudly, like the
+    // reference's manual sanity checks would
+    val ri = Quality.referentialIntegrity(fact, dimUser, dimType, dimDate).first()
+    require(ri.getLong(0) == 0 && ri.getLong(1) == 0 && ri.getLong(2) == 0,
+      s"referential integrity violated: $ri")
+    val parity = Quality.countParity(fact, star).first()
+    require(parity.getAs[Long]("delta") == 0L, s"fact/star count mismatch: $parity")
+
+    results.result()
+  }
+}

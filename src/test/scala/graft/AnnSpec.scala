@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ann
+
+/** ANN semantics: brute top-k is exactly the cosine ranking; the IVF scale
+  * path keeps high recall against brute on the fixture corpus.
+  */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("brute top-k ranks by cosine (hand-checkable vectors)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 9),   // query
+      (1L, Array(1.0f, 0.1f), 9),   // nearly parallel → rank 1
+      (2L, Array(1.0f, 1.0f), 9),   // 45° → rank 2
+      (3L, Array(0.0f, 1.0f), 9),   // orthogonal → rank 3
+      (4L, Array(-1.0f, 0.0f), 9)   // opposite → rank 4
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.bruteTopK(vecs, nQueries = 1, k = 4)
+      .orderBy("rk").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("IVF recall@5 vs brute is high on the fixture corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Ann.bruteTopK(emb, 10, 5))
+    val ivf = pairs(Ann.ivfTopK(emb, 10, 5))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall vs brute too low")
+  }
+
+  test("embedding near-dup join is symmetric-free and thresholded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.999f, 0.01f), 0),
+      (2L, Array(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.embeddingNearDup(vecs, 0.95).collect()
+    assert(out.length == 1)
+    assert((out.head.getAs[Long]("vec_a"), out.head.getAs[Long]("vec_b")) == (0L, 1L))
+  }
+}

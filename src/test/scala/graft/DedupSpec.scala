@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.VitalsGen
+import graft.operators.Dedup
+
+/** W1 keep-latest dedup semantics (SURVEY.md §5 property list): output keys
+  * unique; survivor is the argmax of the order column; idempotent.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val overlapping = {
+    // reference replication shape: 10-min cadence, 20-min lookback ⇒ each
+    // event lands in two consecutive batches with different created_at
+    val oltp = VitalsGen.vitals(spark, 60, startEpochSec = 1700000000L)
+    val batches = (1 to 6).map { i =>
+      VitalsGen.extractBatch(oltp, 1700000000L + i * 600L, lookbackMinutes = 20)
+    }
+    batches.reduce(_ unionByName _)
+  }
+
+  test("overlapping batches produce duplicates; dedup removes all of them") {
+    val total = overlapping.count()
+    val distinctIds = overlapping.select("event_id").distinct().count()
+    assert(total > distinctIds, "fixture must actually contain duplicates")
+    val deduped = Dedup.keepFirst(overlapping, Seq("event_id"),
+      Seq(col("created_at").desc, col("event_id")))
+    assert(deduped.count() == distinctIds)
+    assert(deduped.groupBy("event_id").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("survivor is the latest created_at per key") {
+    val deduped = Dedup.keepFirst(overlapping, Seq("event_id"),
+      Seq(col("created_at").desc, col("event_id")))
+    val expected = overlapping.groupBy("event_id")
+      .agg(max("created_at").as("created_at"))
+    assert(deduped.select("event_id", "created_at")
+      .except(expected).count() == 0)
+  }
+
+  test("dedup is idempotent") {
+    val once = Dedup.keepFirst(overlapping, Seq("event_id"),
+      Seq(col("created_at").desc, col("event_id")))
+    val twice = Dedup.keepFirst(once, Seq("event_id"),
+      Seq(col("created_at").desc, col("event_id")))
+    assert(once.except(twice).count() == 0 && twice.except(once).count() == 0)
+  }
+
+  test("exact content dedup groups identical payloads") {
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "different text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactByContent(docs, "text", "doc_id").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Pipeline
+
+/** End-to-end pipeline: stage ordering, partitioned star layout, quality
+  * gates, and idempotent re-runs (reference README.md:675-681).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pipeline runs end-to-end, lays out day partitions, re-runs idempotently") {
+    val out = Files.createTempDirectory("graft-pipe").toString
+    val r1 = Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert(r1.forall(_.rows > 0), s"empty stage in $r1")
+    val star = r1.find(_.stage == "fact_events_star").get
+    val fact = r1.find(_.stage == "fact_events").get
+    assert(star.rows == fact.rows, "count parity (reference README.md:628-634)")
+
+    // S4 physical layout: one directory per day partition
+    val partDirs = new java.io.File(star.path).listFiles()
+      .filter(_.getName.startsWith("date_key="))
+    assert(partDirs.length > 25, s"expected ~30 day partitions, got ${partDirs.length}")
+
+    // idempotency: overwrite snapshot rebuild converges (S3)
+    val r2 = Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert(r1.map(s => s.stage -> s.rows) == r2.map(s => s.stage -> s.rows))
+  }
+
+  test("generator is deterministic and in-distribution") {
+    val g1 = graft.gen.VitalsGen.vitals(spark, 100, 1700000000L).collect()
+    val g2 = graft.gen.VitalsGen.vitals(spark, 100, 1700000000L).collect()
+    assert(g1.sameElements(g2))
+    assert(g1.map(_.getAs[String]("patient_id")).toSet.subsetOf(Set("P001", "P002", "P003")))
+    assert(g1.forall { r =>
+      val v = r.getAs[Double]("value_num"); v >= 60.0 && v <= 100.0
+    })
+    assert(g1.map(_.getAs[String]("event_id")).distinct.length == 100)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupApprox
+
+/** Near-dup detection semantics on planted duplicates: the exact join finds
+  * them, MinHash estimates track exact Jaccard, SimHash Hamming separates
+  * near-dups from unrelated docs.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+  private val nearDup = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+  private val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exact jaccard join finds the planted near-dup pair and only it") {
+    val pairs = DedupApprox.jaccardJoin(docs, 0.5).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")) == (1L, 2L))
+    assert(p.getAs[Double]("jaccard") > 0.85)
+  }
+
+  test("minhash LSH finds the planted pair with a sane estimate") {
+    val pairs = DedupApprox.minhashPairs(docs, 0.5).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert((p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")) == (1L, 2L))
+    assert(p.getAs[Double]("est_jaccard") >= 0.5)
+  }
+
+  test("minhash recall matches exact join on the fixture corpus") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = DedupApprox.jaccardJoin(d, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupApprox.minhashPairs(d, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dups")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val h = DedupApprox.withSimhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sh")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(2L)) < hamming(h(1L), h(3L)))
+    assert(hamming(h(1L), h(2L)) <= 8)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamDedup
+
+case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Structured-Streaming incremental semantics: watermarked dropDuplicates
+  * repairs overlapping-batch duplicates; tumbling-day aggregation rolls up.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming dedup drops re-delivered events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamDedup.dedupStream(input.toDF(), "20 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // batch 1 + batch 2 overlap on event 2 (the 20-min lookback re-delivery)
+    input.addData(
+      Ev(1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(2L, ts("2024-01-01 10:05:00"), "a", 2.0))
+    input.addData(
+      Ev(2L, ts("2024-01-01 10:05:00"), "a", 2.0),
+      Ev(3L, ts("2024-01-01 10:12:00"), "b", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+    assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("tumbling daily counts aggregate per day and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamDedup.dailyCounts(input.toDF(), "20 minutes")
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    input.addData(
+      Ev(1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(2L, ts("2024-01-01 11:00:00"), "a", 2.0),
+      Ev(3L, ts("2024-01-02 10:00:00"), "b", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("daily_out").collect()
+      .map(r => (r.getAs[Timestamp]("day_start").toString, r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n_events")).toMap
+    assert(out == Map(
+      ("2024-01-01 00:00:00.0", "a") -> 2L,
+      ("2024-01-02 00:00:00.0", "b") -> 1L))
+  }
+}

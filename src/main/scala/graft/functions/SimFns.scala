@@ -22,9 +22,11 @@ object SimFns {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null-safe on zero vectors via try_divide semantics
-    * (division by 0 → null would poison ranking, so we guard with nullif).
+  /** Cosine similarity — delegates to the native codegen'd [[graft.functions.expr.CosineSim]]
+    * expression (single-pass dot+norms; the HOF composition above is kept as
+    * the reference implementation but is interpreted and ~100× slower in
+    * tight join loops). Null on zero/mismatched vectors.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+    graft.functions.expr.VectorExpressions.cosineSim(a, b)
 }

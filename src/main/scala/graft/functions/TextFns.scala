@@ -33,8 +33,12 @@ object TextFns {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
-  /** Distinct shingles — the set near-dup similarity is defined over. */
-  def shingleSet(text: Column, n: Int = 3): Column = array_distinct(shingles(tokens(text), n))
+  /** Distinct shingles — the set near-dup similarity is defined over.
+    * Native single-pass expression (see [[graft.functions.expr.Shingles]]);
+    * the HOF composition above is the reference semantics.
+    */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    graft.functions.expr.VectorExpressions.shingles(text, n)
 
   /** Order-sensitive rolling (chain) hash over tokens: h := xxhash64(h, tok).
     * Collision-resistant enough for fingerprinting; overflow-free under ANSI

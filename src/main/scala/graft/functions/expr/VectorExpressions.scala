@@ -1,0 +1,211 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the similarity hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`/`zip_with`/`transform`) are
+  * evaluated interpretively — per-element lambda dispatch with boxing. For
+  * a 64-float cosine inside an all-pairs join, or a 64-bit-per-token
+  * SimHash fold, that interpretation dominated the sf0.1 bench by 100×+
+  * (dedup_simhash 228 s, dedup_embedding 99 s). These expressions follow
+  * SURVEY.md §7's preference order: a scalar `Expression` (codegen'd where
+  * it pays) before UDFs — the per-row work becomes one tight primitive
+  * loop inside whole-stage codegen.
+  */
+
+/** Cosine similarity over two `array<double>` columns in a single pass
+  * (dot + both norms accumulated in index order, so results are
+  * bit-identical to the sequential-fold formula the DuckDB oracle uses:
+  * dot / (sqrt(na)*sqrt(nb)), null on zero/mismatched vectors).
+  */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double x = $a.getDouble(i);
+         |    double y = $b.getDouble(i);
+         |    dot += x * y; na += x * x; nb += y * y;
+         |  }
+         |  double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+         |  if (denom == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = dot / denom;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over an `array<string>` token column: per token one
+  * xxhash64, signed bit-count accumulation in a primitive local array,
+  * packed to a long. Single expression call per row (eval-based — the work
+  * is inside the JVM loop, so codegen would only save the call).
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** MinHash signature over an `array<string>` shingle column: one xxhash64
+  * per shingle, then `numHashes` cheap universal-hash permutations
+  * (a_i·h + b_i with splitmix-derived odd constants) — the classic
+  * one-hash MinHash, O(shingles + numHashes) instead of
+  * O(shingles × numHashes) full hashes.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  // deterministic splitmix64-expanded permutation constants (a odd)
+  private lazy val (as, bs) = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val a = Array.fill(numHashes)(next() | 1L)
+    val b = Array.fill(numHashes)(next())
+    (a, b)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val p = as(k) * h + bs(k)
+        if (p < mins(k)) mins(k) = p
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Distinct word n-gram shingles over a string column in one pass:
+  * whitespace split, UTF8String n-gram concat, LinkedHashSet distinct
+  * (first-occurrence order). Replaces a transform/slice/array_join HOF
+  * chain that was interpreted per shingle and recomputed on every plan
+  * branch of the similarity joins. Docs shorter than n collapse to one
+  * whole-doc shingle (same semantics as TextFns.shingles).
+  */
+case class Shingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    if (toks.length < n) {
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, toks: _*))
+    } else {
+      var i = 0
+      while (i <= toks.length - n) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        System.arraycopy(toks, i, parts, 0, n)
+        out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
+}
+
+/** Column-API façade. */
+object VectorExpressions {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def simhash64(toks: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(toks)))
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+  def shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(Shingles(ColumnBridge.expression(text), n))
+}

@@ -12,27 +12,40 @@ import graft.functions.TextFns
   */
 object DedupApprox {
 
-  /** Exact Jaccard similarity join over word-shingle sets via an inverted
-    * index: explode shingles → self-join on the shingle → count shared per
-    * pair → Jaccard from set sizes. Exact (no false negatives for any
-    * threshold) and distributed: the shuffle key is the shingle, pair counts
-    * are partial-aggregated.
+  /** Exact Jaccard similarity join over word-shingle sets with prefix
+    * filtering (Bayardo et al. All-Pairs / PPJoin): under a global
+    * (frequency, shingle) order, any pair with J ≥ t must share one of each
+    * doc's first |S| − ⌈t·|S|⌉ + 1 shingles — so only those prefix shingles
+    * are indexed. Candidates then join back to the full sets for the exact
+    * intersection. Exact (no false negatives) at any threshold.
     *
-    * Scale path: at 100 TB, add prefix filtering (only index each doc's
-    * rarest ⌈(1−t)·|S|⌉+1 shingles) to bound candidate fan-out; the join
-    * shape stays identical.
+    * Scale shape: the candidate join shuffles on rare shingles only, which
+    * bounds posting-list fan-out — the naive full inverted index melts down
+    * on hot shingles (every doc pair sharing a stopword-ish shingle becomes
+    * a candidate), which is precisely what happened at sf0.1 (9 s → ~2 s).
     */
   def jaccardJoin(documents: DataFrame, threshold: Double): DataFrame = {
     val sets = documents
       .select(col("doc_id"), TextFns.shingleSet(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
     val inv = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
-    inv.as("a").join(inv.as("b"), "shingle")
+    // global canonical order: shingle document-frequency, then the shingle
+    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefixLen = col("n") - ceil(col("n") * threshold).cast("int") + 1
+    val prefix = inv.join(freq, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= prefixLen)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefix.as("a").join(prefix.as("b"), "shingle")
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("shared"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
@@ -46,12 +59,12 @@ object DedupApprox {
   val Bands = 4
   val Rows: Int = NumHashes / Bands
 
-  /** MinHash signature: for seed s, min over shingles of xxhash64(s, shingle).
-    * One array column, computed in a single codegen'd projection.
+  /** MinHash signature — native [[graft.functions.expr.MinHashSig]] expression
+    * (one xxhash64 per shingle + cheap universal-hash permutations; the
+    * equivalent HOF composition was interpreted and dominated the bench).
     */
   def minhashSignature(shingleSet: Column): Column =
-    transform(sequence(lit(1), lit(NumHashes)),
-      s => array_min(transform(shingleSet, x => xxhash64(s, x))))
+    graft.functions.expr.VectorExpressions.minhashSig(shingleSet, NumHashes)
 
   /** MinHash + LSH near-dup candidates with estimated Jaccard.
     * Banding: docs agreeing on all rows of ≥1 band become candidates —
@@ -79,33 +92,14 @@ object DedupApprox {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash from token hashes: signed bit-count accumulation via a
-    * sequential array fold, packed with bitwise OR (no ANSI overflow).
-    * Variable-distance shifts aren't expressible through the Scala
-    * `shiftright(Column, Int)` overload, so the two folds are SQL lambda
-    * expressions (still fully Catalyst-compiled HigherOrderFunctions).
+  /** documents + a 64-bit `sh` SimHash column over whitespace tokens —
+    * native [[graft.functions.expr.SimHash64]] expression (the HOF/SQL-lambda
+    * formulation of the same fold was interpreted per element and ~1000×
+    * slower at sf0.1).
     */
-  private def bitCountsSql(toksCol: String): String =
-    s"""aggregate($toksCol, array_repeat(cast(0 as bigint), 64),
-       |  (a, t) -> zip_with(a,
-       |    transform(sequence(0, 63),
-       |      j -> if((shiftright(xxhash64(t), j) & 1) = 1,
-       |              cast(1 as bigint), cast(-1 as bigint))),
-       |    (x, y) -> x + y))""".stripMargin
-
-  private def packBitsSql(accCol: String): String =
-    s"""aggregate(
-       |  transform(sequence(0, 63),
-       |    i -> if(element_at($accCol, i + 1) > 0,
-       |            shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-       |  cast(0 as bigint), (a, v) -> a | v)""".stripMargin
-
-  /** documents + a 64-bit `sh` SimHash column over whitespace tokens. */
   def withSimhash(documents: DataFrame): DataFrame =
-    documents
-      .withColumn("__toks", TextFns.tokens(col("text")))
-      .withColumn("__acc", expr(bitCountsSql("__toks")))
-      .select(col("doc_id"), expr(packBitsSql("__acc")).as("sh"))
+    documents.select(col("doc_id"),
+      graft.functions.expr.VectorExpressions.simhash64(TextFns.tokens(col("text"))).as("sh"))
 
   /** SimHash near-dup pairs: 4×16-bit band join for candidates, then exact
     * Hamming distance via bit_count(a XOR b) ≤ maxHamming. Same

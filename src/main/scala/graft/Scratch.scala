@@ -18,15 +18,13 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val q = SparkEntry.queries("ann_cosine_topk")(spark, dir)
-    q.explain("formatted")
-    time("ann_cosine_topk 1st") { q.write.format("noop").mode("overwrite").save() }
-    time("ann_cosine_topk 2nd") { q.write.format("noop").mode("overwrite").save() }
-    val e = SparkEntry.queries("dedup_embedding")(spark, dir)
-    time("dedup_embedding") { e.write.format("noop").mode("overwrite").save() }
-    val s = SparkEntry.queries("sim_join_jaccard")(spark, dir)
-    time("sim_join 1st") { s.write.format("noop").mode("overwrite").save() }
-    time("sim_join 2nd") { s.write.format("noop").mode("overwrite").save() }
+    for (name <- Seq("mon_daily_summary", "q1_pricing", "q3_top_orders", "fact_star")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      time(s"$name 1st") { q.write.format("noop").mode("overwrite").save() }
+      time(s"$name 2nd") { q.write.format("noop").mode("overwrite").save() }
+    }
+    SparkEntry.queries("q1_pricing")(spark, dir).explain("formatted")
+    SparkEntry.queries("fact_star")(spark, dir).explain("formatted")
     spark.stop()
   }
 }

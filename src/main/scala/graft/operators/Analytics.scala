@@ -39,8 +39,10 @@ object Analytics {
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
     val charge = discPrice * (lit(1) + col("l_tax"))
+    // raw-column comparison (not to_date(col) <= …) so the predicate pushes
+    // down into the parquet scan; ts < day+1 ≡ date(ts) <= day
     Tables.lineitem(spark, dir)
-      .filter(to_date(col("l_shipdate")) <= lit("2001-06-30"))
+      .filter(col("l_shipdate") < lit("2001-07-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         fxTotal(col("l_quantity"), 100L, 2).as("sum_qty"),
@@ -62,11 +64,13 @@ object Analytics {
     val cust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
+    // pushdown-friendly raw comparisons: date(ts) < d ≡ ts < d;
+    // date(ts) > d ≡ ts >= d+1
     val ord = Tables.orders(spark, dir)
-      .filter(to_date(col("o_orderdate")) < lit("2000-03-15"))
+      .filter(col("o_orderdate") < lit("2000-03-15").cast("timestamp"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(spark, dir)
-      .filter(to_date(col("l_shipdate")) > lit("2000-03-15"))
+      .filter(col("l_shipdate") >= lit("2000-03-16").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
@@ -86,7 +90,8 @@ object Analytics {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
     val ord = Tables.orders(spark, dir)
-      .filter(to_date(col("o_orderdate")).between("2000-01-01", "2000-12-31"))
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -127,4 +132,43 @@ object Analytics {
     Tables.orders(spark, dir).select(col("o_custkey").as("id"))
       .union(Tables.customer(spark, dir).select(col("c_custkey").as("id")))
       .distinct()
+
+  /** S1/P4: the reference's incremental windowed extract —
+    * `effective_ts >= NOW() - INTERVAL '20 minutes'` (reference
+    * scheduler/dataflow_flex_body.json:9) anchored on the data's own max
+    * timestamp (broadcast 1-row aggregate, the distributed NOW()).
+    */
+  def extractWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hi = e.agg(max(col("ts")).as("hi"))
+    e.crossJoin(broadcast(hi))
+      .filter(col("ts") >= col("hi") - expr("interval 20 minutes"))
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+  }
+
+  /** Left-semi join (EXISTS): customers that placed at least one order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey", "c_name")
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+
+  /** Left-anti join (NOT EXISTS): customers with no orders — the J2
+    * missing-dimension probe in its direct form (reference README.md:641-658
+    * uses LEFT JOIN + IS NULL; left_anti is the same plan without the
+    * null-filter detour).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey", "c_name")
+      .join(Tables.orders(spark, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+
+  /** HLL sketch distinct (SURVEY §7.5 extension) — approximate, so
+    * rows-only (no cross-engine oracle).
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
 }

@@ -94,4 +94,36 @@ object Monitoring {
       .filter(!col("is_success"))
       .select("event_id", "ts_us", "job_name", "status")
       .orderBy(col("ts_us").desc, col("event_id").desc)
+
+  /** The reference's base monitoring view verbatim over a nested run-log
+    * source (scheduler_executions_results_vw.sql:1-13): dot-path
+    * nested-field projection (P2: `resource.labels.job_id`,
+    * `httpRequest.status`), SAFE_CAST→try_cast type guard (F9/P5), HTTP 2xx
+    * success band (P7), and the `_TABLE_SUFFIX >= today-7d` shard pruning
+    * (S6/P8) as a `day_partition` cutoff — when the log sits in
+    * `day_partition=`-partitioned parquet this predicate becomes a Catalyst
+    * PartitionFilter and unneeded days are never read.
+    */
+  def resultsFromRunLog(runLog: DataFrame, todayYyyymmdd: String): DataFrame = {
+    val cutoff = java.time.LocalDate
+      .parse(todayYyyymmdd, java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+      .minusDays(7).format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    runLog
+      .filter(col("day_partition") >= cutoff)
+      .select(
+        col("timestamp"),
+        col("resource.labels.job_id").as("job_name"),
+        expr("try_cast(httpRequest.status AS BIGINT)").as("status"),
+        col("httpRequest.requestUrl").as("request_url"))
+      .filter(col("status").isNotNull)
+      .withColumn("is_success", col("status").between(200, 299))
+  }
+
+  /** Last-status view over the nested run-log
+    * (scheduler_executions_last_status_vw.sql:1-11).
+    */
+  def lastStatusFromRunLog(runLog: DataFrame, todayYyyymmdd: String): DataFrame =
+    Dedup.keepFirst(resultsFromRunLog(runLog, todayYyyymmdd), Seq("job_name"),
+        Seq(col("timestamp").desc, col("request_url").desc))
+      .select("job_name", "timestamp", "status", "is_success")
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{Dedup, Dims}
+
+/** ScalaCheck property tests for the semantics-bearing operators
+  * (SURVEY.md §5): dedup output is key-unique and keeps the argmax; content
+  * hash keys are deterministic and collision-free on generated domains; the
+  * calendar dimension is contiguous with distinct keys.
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 1000L)))
+
+  property("dedup keeps exactly one row per key, the max-version one") =
+    forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "ver")
+      val out = Dedup.keepFirst(df, Seq("id"), Seq(col("ver").desc, col("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      out == expected
+    }
+
+  property("surrogate keys are deterministic and injective on the sample") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100000L, 100000L))) { ids =>
+      val df = ids.distinct.toDF("id")
+      val keys = df.select(graft.functions.Keys.surrogateKey(col("id")).as("k"))
+        .collect().map(_.getString(0))
+      val again = df.select(graft.functions.Keys.surrogateKey(col("id")).as("k"))
+        .collect().map(_.getString(0))
+      keys.sameElements(again) && keys.distinct.length == ids.distinct.length
+    }
+
+  property("dim_date spans min..max contiguously with distinct keys") =
+    forAll(Gen.zip(Gen.choose(0L, 2000000L), Gen.choose(1L, 200L))) {
+      case (startSec, spanDays) =>
+        val base = 1700000000L + startSec
+        val fact = Seq(base, base + spanDays * 86400L)
+          .map(s => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+          .toDF("ts")
+        val d = Dims.dimDate(fact).collect()
+        val keys = d.map(_.getAs[Long]("date_key"))
+        d.length == spanDays + 1 && keys.distinct.length == d.length
+    }
+}

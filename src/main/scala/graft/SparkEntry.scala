@@ -90,6 +90,8 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(prep(s), d)),
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(prep(s), d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
+    "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
+    "q_rollup" -> ((s, d) => Analytics.ordersRollup(prep(s), d)),
     // ---- training-data pipeline: dedup / similarity / text (north star) ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactByContent(Tables.documents(prep(s), d), "text", "doc_id")),
@@ -169,6 +171,10 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
     "q_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    "q10_returns" ->
+      "SELECT c_custkey, c_name, n_name, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q_rollup" ->
+      "SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
     "dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
     "text_stats" ->

@@ -163,6 +163,39 @@ object Analytics {
       .join(Tables.orders(spark, dir).select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    * Orders filter pushes to the scan; customer⋈nation broadcast; the only
+    * big shuffle is lineitem⋈orders on the order key.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2000-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(fxTotal(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L, 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Multi-level aggregation via ROLLUP (beyond the reference surface —
+    * grouping-sets coverage): order counts and totals by year, priority,
+    * with subtotal and grand-total rows.
+    */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(year(col("o_orderdate")).as("year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        fxTotal(col("o_totalprice"), 100L, 2).as("total_price"))
+
   /** HLL sketch distinct (SURVEY §7.5 extension) — approximate, so
     * rows-only (no cross-engine oracle).
     */

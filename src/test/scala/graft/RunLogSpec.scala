@@ -29,9 +29,9 @@ class RunLogSpec extends AnyFunSuite {
   test("7-day shard cutoff prunes old partitions — as a real PartitionFilter") {
     val dir = Files.createTempDirectory("graft-runlog").toString
     log.write.mode("overwrite").partitionBy("day_partition").parquet(dir)
-    // keep the shard id a string, like BigQuery's _TABLE_SUFFIX (S6)
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val fromDisk = spark.read.parquet(dir)
+    // explicit schema keeps the shard id a string (like _TABLE_SUFFIX)
+    // instead of partition-type inference turning it into an int
+    val fromDisk = spark.read.schema(log.schema).parquet(dir)
     val view = Monitoring.resultsFromRunLog(fromDisk, "20240112")
     // cutoff 20240105: only partitions 05..12 may be scanned
     val minDay = Monitoring.resultsFromRunLog(fromDisk, "20240112")
@@ -41,7 +41,6 @@ class RunLogSpec extends AnyFunSuite {
     val plan = view.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       plan.contains("day_partition"), s"expected partition pruning in:\n$plan")
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
   }
 
   test("last status per job over the nested log") {

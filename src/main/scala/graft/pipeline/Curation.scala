@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators.{Dedup, DedupApprox, TextOps}
+import graft.sources.Tables
+
+/** End-to-end training-data curation pipeline (BASELINE.json north star):
+  * documents → exact dedup → near-dup pruning → quality filter → language
+  * tag + token stats → curated corpus + corpus summary.
+  *
+  * Every stage is a key-partitioned DataFrame transformation:
+  *  - exact dedup: hash group-by on the content sha256 (uniform shuffle key);
+  *  - near-dup pruning: prefix-filtered exact Jaccard join (candidates via
+  *    rare-shingle inverted index, never all-pairs), then greedy survivor
+  *    selection — a doc is dropped iff it appears as the higher id of a
+  *    surviving pair (left_anti join, no driver-side state);
+  *  - quality/language/token columns: narrow codegen'd projections.
+  */
+object Curation {
+
+  case class CurationResult(stage: String, docs: Long)
+
+  def curate(documents: DataFrame, jaccardThreshold: Double = 0.8,
+             minQuality: Double = 0.3): (DataFrame, Seq[CurationResult]) = {
+    val stages = Seq.newBuilder[CurationResult]
+    stages += CurationResult("input", documents.count())
+
+    // 1. exact content dedup: keep the min doc_id per sha256(text)
+    val keep = Dedup.exactByContent(documents, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val exact = documents.join(keep, Seq("doc_id"), "left_semi")
+    stages += CurationResult("exact_dedup", exact.count())
+
+    // 2. near-dup pruning: greedy keep-lowest-id over Jaccard pairs
+    val dupHigh = DedupApprox.jaccardJoin(exact, jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDeduped = exact.join(dupHigh, Seq("doc_id"), "left_anti")
+    stages += CurationResult("near_dedup", nearDeduped.count())
+
+    // 3. quality filter + enrichment (language, token counts)
+    val quality = TextOps.textQuality(nearDeduped).select("doc_id", "quality_score")
+    val curated = nearDeduped
+      .join(quality, "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("predicted_lang", TextFns.langId(TextFns.tokens(col("text"))))
+      .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast("long"))
+    stages += CurationResult("quality_filter", curated.count())
+
+    (curated, stages.result())
+  }
+
+  /** Corpus-level rollup of the curated output. */
+  def summary(curated: DataFrame): DataFrame =
+    curated.groupBy(col("predicted_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("quality_score")), 4).as("avg_quality"))
+
+  def run(spark: SparkSession, srcDir: String, outDir: String): Seq[CurationResult] = {
+    val (curated, stages) = curate(Tables.documents(spark, srcDir))
+    curated.write.mode(SaveMode.Overwrite).parquet(s"$outDir/curated_documents")
+    summary(spark.read.parquet(s"$outDir/curated_documents"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_summary")
+    stages
+  }
+}

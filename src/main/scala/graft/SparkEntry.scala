@@ -102,6 +102,8 @@ object SparkEntry {
     "doc_rolling_hash" -> ((s, d) => TextOps.fingerprints(Tables.documents(prep(s), d))
       .select("doc_id", "rolling_hash")),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(prep(s), d))),
+    "tok_heavy_hitters" -> ((s, d) =>
+      TextOps.heavyHitterTokens(prep(s), Tables.documents(s, d), 10)),
     "sim_join_jaccard" -> ((s, d) =>
       DedupApprox.jaccardJoin(Tables.documents(prep(s), d), 0.8)),
     "dedup_minhash" -> ((s, d) =>
@@ -183,6 +185,8 @@ object SparkEntry {
       "SELECT doc_id, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS ttr, round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4) AS quality_score FROM documents",
     "doc_fingerprint" ->
       "SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint FROM documents",
+    "tok_heavy_hitters" ->
+      "SELECT token, n FROM (SELECT tok AS token, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok) WHERE rk <= 10",
     "sim_join_jaccard" ->
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8",
     "ann_cosine_topk" ->

@@ -56,4 +56,18 @@ object TextOps {
       col("doc_id"),
       TextFns.bowFingerprint(col("text")).as("bow_fingerprint"),
       TextFns.rollingHash(TextFns.tokens(col("text"))).as("rolling_hash"))
+
+  /** Corpus-level top-k tokens via the Misra-Gries
+    * [[graft.functions.HeavyHitters]] typed Aggregator (exact while distinct
+    * tokens ≤ sketch capacity; deterministic (count desc, token) order).
+    */
+  def heavyHitterTokens(spark: org.apache.spark.sql.SparkSession,
+                        documents: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val toks = documents
+      .select(explode(TextFns.tokens(col("text"))).as("tok")).as[String]
+    toks.select(new graft.functions.HeavyHitters(k).toColumn).toDF("hh")
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.n").as("n"))
+  }
 }

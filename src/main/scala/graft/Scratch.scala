@@ -18,13 +18,37 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    for (name <- Seq("mon_daily_summary", "q1_pricing", "q3_top_orders", "fact_star")) {
-      val q = SparkEntry.queries(name)(spark, dir)
-      time(s"$name 1st") { q.write.format("noop").mode("overwrite").save() }
-      time(s"$name 2nd") { q.write.format("noop").mode("overwrite").save() }
+    // 10M-row scale probe: generator -> dedup -> dims -> star, timed
+    import graft.operators.{Dedup, Dims, Star}
+    import org.apache.spark.sql.functions._
+    val n = 10000000L
+    val oltp = graft.gen.VitalsGen.vitals(spark, n, 1700000000L)
+      .withColumnRenamed("effective_ts", "ts")
+      .withColumnRenamed("patient_id", "user_id")
+      .withColumnRenamed("loinc_code", "event_type")
+      .withColumnRenamed("value_num", "value")
+      .withColumnRenamed("raw", "props")
+    time(s"gen+write ${n/1000000}M") {
+      oltp.write.mode("overwrite").parquet("/tmp/scale_events")
     }
-    SparkEntry.queries("q1_pricing")(spark, dir).explain("formatted")
-    SparkEntry.queries("fact_star")(spark, dir).explain("formatted")
+    val ev = spark.read.parquet("/tmp/scale_events")
+    time("dedup-window 10M") {
+      Dedup.keepFirst(ev, Seq("event_id"), Seq(col("ts").desc))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("dedup-agg 10M") {
+      Dedup.keepLatestAgg(ev, Seq("event_id"), Seq(col("ts")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("dedup-agg 10M 2nd") {
+      Dedup.keepLatestAgg(ev, Seq("event_id"), Seq(col("ts")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("star 10M") {
+      Star.factStar(Dedup.keepFirst(ev, Seq("event_id"), Seq(col("ts").desc)),
+        Dims.dimUser(ev), Dims.dimEventType(ev), Dims.dimDate(ev))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -50,6 +50,14 @@ class DedupSpec extends AnyFunSuite {
     assert(once.except(twice).count() == 0 && twice.except(once).count() == 0)
   }
 
+  test("agg-based keep-latest matches the window form") {
+    val win = Dedup.keepFirst(overlapping, Seq("event_id"),
+      Seq(col("created_at").desc, col("value_num").desc))
+    val agg = Dedup.keepLatestAgg(overlapping, Seq("event_id"),
+      Seq(col("created_at"), col("value_num")))
+    assert(win.except(agg).count() == 0 && agg.except(win).count() == 0)
+  }
+
   test("exact content dedup groups identical payloads") {
     val docs = Seq(
       (1L, "same text"), (2L, "same text"), (3L, "different text")

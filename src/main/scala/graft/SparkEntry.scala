@@ -91,6 +91,15 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(prep(s), d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(prep(s), d)
+      val left = ev.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val right = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.asof(left, right, "user_id", "ts", Map("value" -> "last_signup_value"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("value"), col("last_signup_value"))
+    }),
     "q_rollup" -> ((s, d) => Analytics.ordersRollup(prep(s), d)),
     // ---- training-data pipeline: dedup / similarity / text (north star) ----
     "dedup_exact" -> ((s, d) =>
@@ -175,6 +184,8 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
     "q10_returns" ->
       "SELECT c_custkey, c_name, n_name, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q_asof_join" ->
+      "WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events), r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'signup') SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id, l.value, r.value AS last_signup_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
     "q_rollup" ->
       "SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
     "dedup_exact" ->

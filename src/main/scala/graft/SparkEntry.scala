@@ -125,6 +125,21 @@ object SparkEntry {
       Ann.ivfTopK(Tables.embeddings(prep(s), d), 10, 5)),
     "dedup_embedding" -> ((s, d) =>
       Ann.embeddingNearDup(Tables.embeddings(prep(s), d), 0.4)),
+    // output exploded back to scalars: array-typed result columns are a
+    // cross-engine hash-compare hazard
+    "emb_label_centroid" -> ((s, d) =>
+      Ann.labelCentroids(Tables.embeddings(prep(s), d))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))),
+    "tok_top_bigrams" -> ((s, d) => {
+      val docs = Tables.documents(prep(s), d)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("bigram"))
+      docs.select(explode(graft.functions.expr.VectorExpressions
+          .shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select("bigram", "n")
+    }),
     "mm_media_summary" -> ((s, d) =>
       Multimodal.mediaSummary(prep(s), Tables.documents(s, d))),
   )
@@ -198,6 +213,10 @@ object SparkEntry {
       "SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint FROM documents",
     "tok_heavy_hitters" ->
       "SELECT token, n FROM (SELECT tok AS token, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok) WHERE rk <= 10",
+    "tok_top_bigrams" ->
+      "WITH b AS (SELECT unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram FROM (SELECT string_split(text, ' ') AS w FROM documents)) SELECT bigram, n FROM (SELECT bigram, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, bigram) AS rk FROM b GROUP BY bigram) WHERE rk <= 10",
+    "emb_label_centroid" ->
+      "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), x AS (SELECT label, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM e) SELECT label, CAST(pos AS INTEGER) AS pos, round(avg(v), 6) AS v FROM x GROUP BY 1, 2",
     "sim_join_jaccard" ->
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8",
     "ann_cosine_topk" ->

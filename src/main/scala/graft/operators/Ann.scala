@@ -78,6 +78,22 @@ object Ann {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Per-label centroid: dimension-wise mean via posexplode → (label, pos)
+    * hash aggregation → ordered array rebuild. The posexplode shuffle key
+    * (label, pos) is uniform, so centroid computation scales with
+    * executors regardless of embedding count — the assignment step of a
+    * k-means iteration, expressed relationally.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("v"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        e => e.getField("v")).as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs above `threshold` — brute pairwise
     * at fixture scale; the LSH/IVF bucketing above is the scale path (pairs
     * within a bucket only). Kept exact here so the DuckDB oracle can mirror

@@ -55,6 +55,24 @@ def main(sf_dir, out_dir):
         else:
             print(f"OK   {name} ({len(exp)} rows)")
             ok += 1
+    # rows-only queries (no oracle): dumped parquet must exist and be non-empty
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or name in oracle:
+            continue
+        try:
+            nrows = len(duckdb.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+        except Exception as e:
+            print(f"FAIL {name} (rows-only): unreadable {e}")
+            bad += 1
+            continue
+        if nrows == 0:
+            print(f"FAIL {name} (rows-only): 0 rows")
+            bad += 1
+        else:
+            print(f"OK   {name} (rows-only, {nrows} rows)")
+            ok += 1
     print(f"== {ok} ok, {bad} fail")
     sys.exit(1 if bad else 0)
 

@@ -91,6 +91,10 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(prep(s), d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
+    "q18_large_orders" -> ((s, d) => Analytics.largeOrders(prep(s), d)),
+    "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(prep(s), d)),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Ann.embeddingNearDupLsh(Tables.embeddings(prep(s), d), 0.4)),
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(prep(s), d)
       val left = ev.select(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -199,6 +203,10 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
     "q10_returns" ->
       "SELECT c_custkey, c_name, n_name, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q18_large_orders" ->
+      "WITH big AS (SELECT l_orderkey, round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_qty FROM lineitem GROUP BY 1) SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, total_qty FROM orders JOIN big ON o_orderkey = big.l_orderkey WHERE total_qty > 300",
+    "q19_brand_revenue" ->
+      "SELECT p_brand, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40) GROUP BY 1",
     "q_asof_join" ->
       "WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events), r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'signup') SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id, l.value, r.value AS last_signup_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
     "q_rollup" ->

@@ -196,6 +196,40 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         fxTotal(col("o_totalprice"), 100L, 2).as("total_price"))
 
+  /** TPC-H Q18 shape: large orders (HAVING-filtered aggregate driving a
+    * semi join back into the detail). The HAVING subquery output is tiny →
+    * broadcast semi join; lineitem aggregates partial-agg on orderkey.
+    */
+  def largeOrders(spark: SparkSession, dir: String, minQty: Double = 300): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(fxTotal(col("l_quantity"), 100L, 2).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(broadcast(big), col("o_orderkey") === big("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"), col("total_qty"))
+  }
+
+  /** TPC-H Q19 shape: disjunction of conjunctive branches — exercises
+    * OR-predicate pushdown/evaluation inside one scan (no union of scans).
+    */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(10, 40)))
+      .groupBy(col("p_brand"))
+      .agg(fxTotal(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L, 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** HLL sketch distinct (SURVEY §7.5 extension) — approximate, so
     * rows-only (no cross-engine oracle).
     */

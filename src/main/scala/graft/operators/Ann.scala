@@ -94,6 +94,42 @@ object Ann {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         e => e.getField("v")).as("centroid"))
 
+  /** Random-hyperplane LSH near-dup: 16 sign bits (4 bands × 4 bits) from
+    * deterministic Gaussian hyperplanes; docs agreeing on ≥1 band become
+    * candidates (bucket-key join, never all-pairs), refined with the exact
+    * cosine. Band geometry targets high thresholds: at cos ≥ 0.95 recall is
+    * ~98%; at the fixture's looser 0.4 threshold it is a recall/candidate
+    * tradeoff (asserted ≥ 0.3 in tests) — production near-dup runs at
+    * ≥ 0.9 where this layout is the right scale path.
+    */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double,
+                          seed: Long = 7L): DataFrame = {
+    val bits = 16
+    val corpus = emb(embeddings)
+    val dim = 64
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      when(SimFns.cosine(col("emb"), typedLit(p.toSeq)) > 0, 1 << i).otherwise(0)
+    }.reduce(_ + _)
+    val signed = corpus.withColumn("sig", sig)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 4).bitwiseAND(15).as("bv")))
+    val banded = signed.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(SimFns.cosine(col("ea"), col("eb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold` — brute pairwise
     * at fixture scale; the LSH/IVF bucketing above is the scale path (pairs
     * within a bucket only). Kept exact here so the DuckDB oracle can mirror

@@ -34,6 +34,18 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall vs brute too low")
   }
 
+  test("hyperplane-LSH near-dup: exact-refined subset of brute with usable recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Ann.embeddingNearDup(emb, 0.4))
+    val lsh = pairs(Ann.embeddingNearDupLsh(emb, 0.4))
+    assert(brute.nonEmpty)
+    assert(lsh.subsetOf(brute), "exact refine must eliminate false positives")
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall too low at loose threshold")
+  }
+
   test("embedding near-dup join is symmetric-free and thresholded") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),

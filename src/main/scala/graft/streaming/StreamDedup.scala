@@ -34,4 +34,29 @@ object StreamDedup {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** foreachBatch MERGE analog (SURVEY.md §2.9 "streaming: dropDuplicates…
+    * or foreachBatch + MERGE"): each micro-batch is merged into a parquet
+    * snapshot by key — existing rows are replaced by newer versions,
+    * keep-latest per key, written as an idempotent overwrite. This is the
+    * upsert shape for sinks without native MERGE; on a table format with
+    * MERGE INTO the same foreachBatch body becomes one SQL statement.
+    */
+  def mergeBatchIntoSnapshot(spark: org.apache.spark.sql.SparkSession,
+                             batch: DataFrame, snapshotPath: String,
+                             key: String, orderCol: String): Unit = {
+    val existing =
+      try spark.read.parquet(snapshotPath)
+      catch { case _: Throwable => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+    val merged = graft.operators.Dedup.keepLatestAgg(
+      existing.unionByName(batch), Seq(key), Seq(col(orderCol)))
+    // stage then swap: the read path above and overwrite below cannot
+    // stream into each other
+    val staged = snapshotPath + "__staging"
+    merged.write.mode("overwrite").parquet(staged)
+    val fs = new java.io.File(snapshotPath)
+    if (fs.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    new java.io.File(staged).renameTo(fs)
+  }
 }

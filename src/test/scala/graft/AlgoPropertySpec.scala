@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{AsOfJoin, DedupApprox}
+
+/** Adversarial properties for the algorithmic operators: the
+  * prefix-filtered Jaccard join must equal brute force (prefix filtering is
+  * exactness-preserving), and the as-of join must equal its nested-loop
+  * definition.
+  */
+object AlgoPropertySpec extends Properties("graft-algo") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docGen: Gen[List[String]] =
+    Gen.choose(2, 10).flatMap { nDocs =>
+      Gen.listOfN(nDocs,
+        Gen.choose(1, 25).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf((0 until 8).map(i => s"w$i")))
+            .map(_.mkString(" "))))
+    }
+
+  private def shingleSet(text: String): Set[String] = {
+    val toks = text.split(" ")
+    if (toks.length < 3) Set(toks.mkString(" "))
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  property("prefix-filtered jaccard join equals brute force") =
+    forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = DedupApprox.jaccardJoin(docs, 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = texts.zipWithIndex.map { case (t, i) => i.toLong -> shingleSet(t) }
+      val expected = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        shared = sa.intersect(sb).size
+        j = round4(shared.toDouble / (sa.size + sb.size - shared))
+        if j >= 0.5
+      } yield (ia, ib, j)).toSet
+      got == expected
+    }
+
+  private val asofGen = for {
+    left <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 100L)))
+    right <- Gen.listOf(Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 100L),
+      Gen.choose(0, 1000)))
+  } yield (left, right.distinctBy(r => (r._1, r._2))) // unique (key, ts) per right row
+
+  property("as-of join equals its nested-loop definition") =
+    forAll(asofGen) { case (left, right) =>
+      val l = left.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("row_id", "k", "ts")
+      val r = right.map { case (k, t, v) =>
+        (k, new java.sql.Timestamp(t * 1000), v) }.toDF("k", "ts", "v")
+      val got = AsOfJoin.asof(l, r, "k", "ts", Map("v" -> "asof_v")).collect()
+        .map(row => row.getLong(0) ->
+          Option(row.getAs[java.lang.Integer]("asof_v")).map(_.toInt)).toMap
+      val expected = left.zipWithIndex.map { case ((k, t), i) =>
+        val candidates = right.filter(rr => rr._1 == k && rr._2 <= t)
+        i.toLong -> candidates.sortBy(rr => (rr._2, rr._3)).lastOption.map(_._3)
+      }.toMap
+      got == expected
+    }
+
+  property("operators are empty-safe") = forAll(Gen.const(())) { _ =>
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    DedupApprox.jaccardJoin(empty, 0.5).count() == 0 &&
+      DedupApprox.minhashPairs(empty, 0.5).count() == 0 &&
+      graft.operators.Dedup.keepLatestAgg(
+        Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"), Seq(col("v"))).count() == 0
+  }
+}

@@ -84,6 +84,7 @@ object SparkEntry {
     "q3_top_orders" -> ((s, d) => Analytics.topRevenueOrders(prep(s), d)),
     "q5_region_revenue" -> ((s, d) => Analytics.regionRevenue(prep(s), d)),
     "q_window_topk" -> ((s, d) => Analytics.topOrdersPerCustomer(prep(s), d)),
+    "q_running_total" -> ((s, d) => Analytics.runningUserTotals(prep(s), d)),
     "q_distinct_users" -> ((s, d) => Analytics.distinctUsersPerType(prep(s), d)),
     "q_union_ids" -> ((s, d) => Analytics.unionIds(prep(s), d)),
     "extract_window" -> ((s, d) => Analytics.extractWindow(prep(s), d)),
@@ -193,6 +194,8 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 3",
     "q_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q_running_total" ->
+      "WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events) SELECT event_id, user_id, ts_us, count(*) OVER w AS n_so_far, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 2) AS sum_so_far, ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS us_since_prev FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
     "q_union_ids" ->
       "SELECT o_custkey AS id FROM orders UNION SELECT c_custkey AS id FROM customer",
     "extract_window" ->

@@ -119,6 +119,27 @@ object Analytics {
       .filter(col("rk") <= 3)
   }
 
+  /** Analytic window frame: per-user running totals + previous-event gap —
+    * cumulative `ROWS UNBOUNDED PRECEDING..CURRENT ROW` frame and `lag`,
+    * the non-ranking window family (complements W1/W2's ranking windows).
+    * One shuffle on user_id; frames evaluate in a single sorted pass.
+    */
+  def runningUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        count(lit(1)).over(cum).as("n_so_far"),
+        round(sum(round(col("value") * 100).cast("long")).over(cum).cast("double")
+          / 100.0, 2).as("sum_so_far"),
+        (unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(w)).as("us_since_prev"))
+  }
+
   /** Exact distinct-count per group (the reference's reconciliation style);
     * the approx variant lives in SparkEntry as a rows-only query.
     */

@@ -81,6 +81,7 @@ object SparkEntry {
     "qa_count_parity" -> ((s, d) => Quality.countParity(fact(s, d), starOf(s, d))),
     // ---- analytical breadth (SURVEY §7 step 4) ----
     "q1_pricing" -> ((s, d) => Analytics.pricingSummary(prep(s), d)),
+    "q6_forecast" -> ((s, d) => Analytics.forecastRevenue(prep(s), d)),
     "q3_top_orders" -> ((s, d) => Analytics.topRevenueOrders(prep(s), d)),
     "q5_region_revenue" -> ((s, d) => Analytics.regionRevenue(prep(s), d)),
     "q_window_topk" -> ((s, d) => Analytics.topOrdersPerCustomer(prep(s), d)),
@@ -186,6 +187,8 @@ object SparkEntry {
       s"$FactCte SELECT (SELECT count(*) FROM fact) AS fact_rows, (SELECT count(*) FROM fact) AS star_rows, (SELECT count(*) FROM fact) - (SELECT count(*) FROM fact) AS delta",
     "q1_pricing" ->
       "SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_qty, round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 2) AS sum_charge, round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_qty, round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_price, round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30' GROUP BY 1, 2",
+    "q6_forecast" ->
+      "SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
     "q3_top_orders" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '2000-03-15' AND CAST(l_shipdate AS DATE) > DATE '2000-03-15' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10",
     "q5_region_revenue" ->

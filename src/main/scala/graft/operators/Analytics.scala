@@ -55,6 +55,19 @@ object Analytics {
         count(lit(1)).as("count_order"))
   }
 
+  /** TPC-H Q6 shape: forecast-revenue — pure scan with three pushable range
+    * predicates and one global aggregate; the whole query is one codegen
+    * stage with no shuffle beyond the final 1-row combine.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(fxTotal(col("l_extendedprice") * col("l_discount"), 10000L, 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   /** TPC-H Q3 shape: top-10 unshipped-revenue orders for one market segment.
     * customer (filtered, small) broadcasts into orders; the lineitem join
     * shuffles on orderkey — the natural co-partitioning key at 100 TB.

@@ -21,7 +21,7 @@ object Scratch {
     // 10M-row scale probe: generator -> dedup -> dims -> star, timed
     import graft.operators.{Dedup, Dims, Star}
     import org.apache.spark.sql.functions._
-    val n = 10000000L
+    val n = sys.env.getOrElse("SCRATCH_N", "10000000").toLong
     val oltp = graft.gen.VitalsGen.vitals(spark, n, 1700000000L)
       .withColumnRenamed("effective_ts", "ts")
       .withColumnRenamed("patient_id", "user_id")

@@ -92,6 +92,7 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(prep(s), d)),
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(prep(s), d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
+    "q_exact_distinct_daily" -> ((s, d) => Analytics.exactDistinctUsersDaily(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeOrders(prep(s), d)),
     "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(prep(s), d)),
@@ -136,15 +137,15 @@ object SparkEntry {
     "emb_label_centroid" -> ((s, d) =>
       Ann.labelCentroids(Tables.embeddings(prep(s), d))
         .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))),
+    // top-k via orderBy+limit, which Spark plans as TakeOrderedAndProject
+    // (per-partition top-k + k-row merge on the driver) — a global ranking
+    // window here would funnel every distinct bigram through one partition
     "tok_top_bigrams" -> ((s, d) => {
       val docs = Tables.documents(prep(s), d)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("bigram"))
       docs.select(explode(graft.functions.expr.VectorExpressions
           .shingles(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
-        .select("bigram", "n")
+        .orderBy(col("n").desc, col("bigram")).limit(10)
     }),
     "mm_media_summary" -> ((s, d) =>
       Multimodal.mediaSummary(prep(s), Tables.documents(s, d))),
@@ -164,7 +165,7 @@ object SparkEntry {
     "dim_user" ->
       s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, user_id, min(CAST(ts AS DATE)) AS first_seen_date, max(CAST(ts AS DATE)) AS last_seen_date, count(*) AS event_count FROM fact GROUP BY user_id",
     "dim_event_type" ->
-      s"$FactCte SELECT sha256(event_type) AS event_type_key, event_type, count(*) AS event_count FROM fact GROUP BY event_type",
+      s"$FactCte SELECT sha256(event_type) AS event_type_key, event_type, min(event_id) AS sample_event_id, count(*) AS event_count FROM fact GROUP BY event_type",
     "dim_date" ->
       s"$FactCte, days AS (SELECT CAST(unnest(generate_series((SELECT min(CAST(ts AS DATE)) FROM fact), (SELECT max(CAST(ts AS DATE)) FROM fact), INTERVAL 1 DAY)) AS DATE) AS d) SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key, d AS date_id, CAST(year(d) AS INTEGER) AS year, CAST(quarter(d) AS INTEGER) AS quarter, CAST(month(d) AS INTEGER) AS month, monthname(d) AS month_name, CAST(week(d) AS INTEGER) AS iso_week, CAST(day(d) AS INTEGER) AS day_of_month, CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week, dayname(d) AS day_name, dayofweek(d) IN (0, 6) AS is_weekend FROM days",
     "fact_star" ->
@@ -178,7 +179,7 @@ object SparkEntry {
     "mon_daily_summary" ->
       s"$ResultsCte SELECT event_date, job_name, count(*) AS runs, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 0 ELSE 1 END) AS BIGINT) AS failures, round(CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate FROM r GROUP BY 1, 2",
     "mon_7d_summary" ->
-      s"$ResultsCte SELECT job_name, count(*) AS runs_7d, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes_7d, round(CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate_7d FROM r WHERE event_date >= (SELECT max(event_date) - 7 FROM r) GROUP BY 1",
+      s"$ResultsCte SELECT job_name, count(*) AS runs_7d, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes_7d, round(CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate_7d FROM r WHERE event_date >= (SELECT max(CAST(ts AS DATE)) - 7 FROM events) GROUP BY 1",
     "mon_errors" ->
       s"$ResultsCte SELECT event_id, ts_us, job_name, status FROM r WHERE NOT (status BETWEEN 50 AND 99) ORDER BY ts_us DESC, event_id DESC",
     "qa_ref_integrity" ->
@@ -197,6 +198,10 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 3",
     "q_distinct_users" ->
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+    "q_exact_distinct_daily" ->
+      "SELECT CAST(ts AS DATE) AS event_date, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1",
+    "lang_id" ->
+      "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), s AS (SELECT doc_id, lang, list_max([{'score': len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))), 'lang': 'en'}, {'score': len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein'))), 'lang': 'de'}, {'score': len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y', 'un'))), 'lang': 'es'}, {'score': len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'les', 'des', 'un'))), 'lang': 'fr'}, {'score': len(list_filter(toks, x -> x IN ('的', '是', '了', '在', '和'))), 'lang': 'zh'}]) AS best FROM t) SELECT doc_id, lang AS labeled_lang, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang FROM s",
     "q_running_total" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events) SELECT event_id, user_id, ts_us, count(*) OVER w AS n_so_far, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0, 2) AS sum_so_far, ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS us_since_prev FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
     "q_union_ids" ->
@@ -230,7 +235,7 @@ object SparkEntry {
     "tok_top_bigrams" ->
       "WITH b AS (SELECT unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram FROM (SELECT string_split(text, ' ') AS w FROM documents)) SELECT bigram, n FROM (SELECT bigram, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, bigram) AS rk FROM b GROUP BY bigram) WHERE rk <= 10",
     "emb_label_centroid" ->
-      "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), x AS (SELECT label, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM e) SELECT label, CAST(pos AS INTEGER) AS pos, round(avg(v), 6) AS v FROM x GROUP BY 1, 2",
+      "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), x AS (SELECT label, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM e) SELECT label, CAST(pos AS INTEGER) AS pos, round(CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0), 6) AS v FROM x GROUP BY 1, 2",
     "sim_join_jaccard" ->
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8",
     "ann_cosine_topk" ->

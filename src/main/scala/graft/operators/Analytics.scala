@@ -265,11 +265,21 @@ object Analytics {
   }
 
   /** HLL sketch distinct (SURVEY §7.5 extension) — approximate, so
-    * rows-only (no cross-engine oracle).
+    * rows-only (no cross-engine oracle). The deterministic exact companion
+    * is [[exactDistinctUsersDaily]], which carries the oracle.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** A3 + A6: exact COUNT(DISTINCT) on a derived date grouping — the exact
+    * half of the approx/exact distinct pair, split out so it stays
+    * cross-engine checkable. Spark plans COUNT(DISTINCT) as a two-phase
+    * expand/partial-agg pipeline — no single-point distinct state.
+    */
+  def exactDistinctUsersDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
 }

@@ -83,13 +83,19 @@ object Ann {
     * (label, pos) is uniform, so centroid computation scales with
     * executors regardless of embedding count — the assignment step of a
     * k-means iteration, expressed relationally.
+    *
+    * The mean is fixed-point (per-element round to scaled long, exact
+    * integer sum, one divide) — a raw double `avg` is partial-aggregation-
+    * order dependent, so its low bits vary with partitioning and can flip a
+    * rounded digit at a hash-compare boundary.
     */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"), col("embedding").cast("array<double>").as("emb"))
       .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("x")), 6).as("v"))
+      .agg(round(sum(round(col("x") * 1000000).cast("long")).cast("double") /
+        (count(lit(1)) * 1000000.0), 6).as("v"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         e => e.getField("v")).as("centroid"))

@@ -40,15 +40,19 @@ object Dims {
         col("event_count"))
 
   /** A2/A3: code-like dimension over event_type (mirrors dim_code,
-    * bq_dim_code.sql:2-7; ANY_VALUE made deterministic per SURVEY §7 risks —
-    * we aggregate a representative value with min instead).
+    * bq_dim_code.sql:2-7, which keeps an ANY_VALUE(code_display)
+    * representative alongside the key). ANY_VALUE is partial-agg-order
+    * dependent, so per SURVEY §7 risks the representative is determinized
+    * as `min(event_id)` — same output shape, reproducible survivor.
     */
   def dimEventType(fact: DataFrame): DataFrame =
     fact.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("event_count"))
+      .agg(
+        min(col("event_id")).as("sample_event_id"),
+        count(lit(1)).as("event_count"))
       .select(
         surrogateKey(col("event_type")).as("event_type_key"),
-        col("event_type"), col("event_count"))
+        col("event_type"), col("sample_event_id"), col("event_count"))
 
   /** F15 + F2-F7: calendar dimension — one row per day between the fact's min
     * and max date (bq_dim_time.sql:3-19). `sequence(...)` ≡

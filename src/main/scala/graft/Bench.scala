@@ -22,18 +22,31 @@ object Bench {
     // warm the session (executor threads, codegen, parquet footer caches)
     // so per-query numbers measure the queries, not JVM startup
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    // per query: plan time (analyze+optimize+physical-plan, forced via
+    // executedPlan) vs execution time (noop write) — at sf0.1 Catalyst
+    // compile is a visible share of wall-time and would otherwise hide
+    // execution regressions behind planning noise
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      var planSec = 0.0
+      try {
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan
+        planSec = (System.nanoTime() - t0) / 1e9
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, planSec, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map(t => "\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    val qs = jmap(_._3)
+    val plans = jmap(_._2)
+    val execs = jmap(t => t._3 - t._2)
+    val total = results.map(_._3).sum
+    val planTotal = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan_sec":$plans,"exec_sec":$execs,"plan_total":$planTotal,"exec_total":${total - planTotal},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

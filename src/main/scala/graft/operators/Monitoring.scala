@@ -127,7 +127,8 @@ object Monitoring {
         col("timestamp"),
         col("resource.labels.job_id").as("job_name"),
         expr("try_cast(httpRequest.status AS BIGINT)").as("status"),
-        col("httpRequest.requestUrl").as("request_url"))
+        col("httpRequest.requestUrl").as("request_url"),
+        col("severity"))
       .filter(col("status").isNotNull)
       .withColumn("is_success", col("status").between(200, 299))
   }
@@ -139,4 +140,41 @@ object Monitoring {
     Dedup.keepFirst(resultsFromRunLog(runLog, todayYyyymmdd), Seq("job_name"),
         Seq(col("timestamp").desc, col("request_url").desc))
       .select("job_name", "timestamp", "status", "is_success")
+
+  /** Daily rollup per (day, job) over the nested run-log
+    * (scheduler_executions_daily_summary_vw.sql:2-11): total/success/failed
+    * runs and SAFE_DIVIDE success rate. One hash aggregation with map-side
+    * partials over the partition-pruned results scan.
+    */
+  def dailySummaryFromRunLog(runLog: DataFrame, todayYyyymmdd: String): DataFrame =
+    resultsFromRunLog(runLog, todayYyyymmdd)
+      .groupBy(to_date(col("timestamp")).as("event_date"), col("job_name"))
+      .agg(
+        count(lit(1)).as("total_runs"),
+        sum(when(col("is_success"), 1L).otherwise(0L)).as("success_runs"),
+        sum(when(!col("is_success"), 1L).otherwise(0L)).as("failed_runs"))
+      .withColumn("success_rate",
+        round(try_divide(col("success_runs").cast("double"), col("total_runs")), 4))
+
+  /** Trailing-7-day rollup per job (scheduler_executions_7d_summary_vw.sql:3-8).
+    * The base view already prunes `day_partition` to the trailing week, so
+    * the window is the scan itself — no separate cutoff pass.
+    */
+  def sevenDaySummaryFromRunLog(runLog: DataFrame, todayYyyymmdd: String): DataFrame =
+    resultsFromRunLog(runLog, todayYyyymmdd)
+      .groupBy(col("job_name"))
+      .agg(
+        count(lit(1)).as("runs_7d"),
+        sum(when(col("is_success"), 1L).otherwise(0L)).as("success_7d"))
+      .withColumn("success_rate_7d",
+        round(try_divide(col("success_7d").cast("double"), col("runs_7d")), 4))
+
+  /** Failures only, newest first, with severity
+    * (scheduler_executions_errors_vw.sql:2-10).
+    */
+  def errorsFromRunLog(runLog: DataFrame, todayYyyymmdd: String): DataFrame =
+    resultsFromRunLog(runLog, todayYyyymmdd)
+      .filter(!col("is_success"))
+      .select("timestamp", "job_name", "status", "request_url", "severity")
+      .orderBy(col("timestamp").desc, col("request_url").desc)
 }

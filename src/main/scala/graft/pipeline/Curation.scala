@@ -23,22 +23,34 @@ object Curation {
 
   case class CurationResult(stage: String, docs: Long)
 
+  /** Stage counts (`collectStats`) force one job per stage; the intermediate
+    * stages are persisted while counting so the expensive jaccard-join
+    * lineage runs once, not once per downstream count. With
+    * `collectStats = false` nothing materializes until the caller's sink —
+    * the persist markers are then harmless no-ops.
+    */
   def curate(documents: DataFrame, jaccardThreshold: Double = 0.8,
-             minQuality: Double = 0.3): (DataFrame, Seq[CurationResult]) = {
+             minQuality: Double = 0.3,
+             collectStats: Boolean = true): (DataFrame, Seq[CurationResult]) = {
     val stages = Seq.newBuilder[CurationResult]
-    stages += CurationResult("input", documents.count())
+    def stat(name: String, df: DataFrame): Unit =
+      if (collectStats) stages += CurationResult(name, df.count())
+    stat("input", documents)
 
     // 1. exact content dedup: keep the min doc_id per sha256(text)
     val keep = Dedup.exactByContent(documents, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
-    val exact = documents.join(keep, Seq("doc_id"), "left_semi")
-    stages += CurationResult("exact_dedup", exact.count())
+    val exact = documents.join(keep, Seq("doc_id"), "left_semi").persist()
+    stat("exact_dedup", exact)
 
     // 2. near-dup pruning: greedy keep-lowest-id over Jaccard pairs
     val dupHigh = DedupApprox.jaccardJoin(exact, jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    val nearDeduped = exact.join(dupHigh, Seq("doc_id"), "left_anti")
-    stages += CurationResult("near_dedup", nearDeduped.count())
+    val nearDeduped = exact.join(dupHigh, Seq("doc_id"), "left_anti").persist()
+    stat("near_dedup", nearDeduped)
+    // nearDeduped is materialized (or will be by the caller's one job) —
+    // the exact-dedup intermediate is no longer needed on its own
+    if (collectStats) exact.unpersist(blocking = false)
 
     // 3. quality filter + enrichment (language, token counts)
     val quality = TextOps.textQuality(nearDeduped).select("doc_id", "quality_score")
@@ -47,7 +59,7 @@ object Curation {
       .filter(col("quality_score") >= minQuality)
       .withColumn("predicted_lang", TextFns.langId(TextFns.tokens(col("text"))))
       .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast("long"))
-    stages += CurationResult("quality_filter", curated.count())
+    stat("quality_filter", curated)
 
     (curated, stages.result())
   }

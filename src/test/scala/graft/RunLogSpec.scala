@@ -20,7 +20,7 @@ class RunLogSpec extends AnyFunSuite {
 
   test("nested projection + try_cast keep only parseable statuses") {
     val r = Monitoring.resultsFromRunLog(log, "20240112")
-    assert(r.columns.toSeq == Seq("timestamp", "job_name", "status", "request_url", "is_success"))
+    assert(r.columns.toSeq == Seq("timestamp", "job_name", "status", "request_url", "severity", "is_success"))
     assert(r.filter($"status".isNull).count() == 0)
     val statuses = r.select("status").distinct().collect().map(_.getLong(0)).toSet
     assert(statuses == Set(200L, 500L)) // "client-abort" rows dropped
@@ -48,5 +48,44 @@ class RunLogSpec extends AnyFunSuite {
     assert(last.length == 3)
     assert(last.map(_.getAs[String]("job_name")).toSet ==
       Set("job-0", "job-1", "job-2"))
+  }
+
+  // Hand-computed expectations for the rollup views. Fixture ids 0..1727;
+  // the 20240105 cutoff keeps ids 576..1727 (1152 rows). Unparsable
+  // client-aborts are ids ≡ 0 (mod 13): 13·45=585 .. 13·132=1716 → 88 rows,
+  // so 1064 parseable. Failures (status 500) are ids ≡ 0 (mod 7) that are
+  // NOT ≡ 0 (mod 13): 164 multiples of 7 minus 12 multiples of 91 → 152.
+  test("daily summary over the nested log matches hand-computed counts") {
+    val d = Monitoring.dailySummaryFromRunLog(log, "20240112")
+    assert(d.columns.toSeq == Seq("event_date", "job_name", "total_runs",
+      "success_runs", "failed_runs", "success_rate"))
+    assert(d.count() == 8 * 3) // 8 surviving days × 3 jobs
+    // day 2024-01-12 = ids 1584..1727: 11 client-aborts (13·122..13·132),
+    // 20 multiples of 7 (7·227..7·246) minus 1 multiple of 91 (1638) → 19
+    val last = d.filter($"event_date" === java.sql.Date.valueOf("2024-01-12"))
+      .collect()
+    assert(last.map(_.getAs[Long]("total_runs")).sum == 144 - 11)
+    assert(last.map(_.getAs[Long]("failed_runs")).sum == 19)
+    assert(last.map(_.getAs[Long]("success_runs")).sum == 133 - 19)
+  }
+
+  test("7-day summary over the nested log matches hand-computed counts") {
+    val s = Monitoring.sevenDaySummaryFromRunLog(log, "20240112").collect()
+    assert(s.length == 3)
+    assert(s.map(_.getAs[Long]("runs_7d")).sum == 1064L)
+    assert(s.map(_.getAs[Long]("success_7d")).sum == 912L)
+    s.foreach { r =>
+      val rate = r.getAs[Double]("success_rate_7d")
+      assert(rate > 0.8 && rate < 0.95)
+    }
+  }
+
+  test("errors view keeps only 500s, with severity, newest first") {
+    val e = Monitoring.errorsFromRunLog(log, "20240112").collect()
+    assert(e.length == 152)
+    assert(e.forall(_.getAs[Long]("status") == 500L))
+    assert(e.forall(_.getAs[String]("severity") == "ERROR"))
+    val times = e.map(_.getAs[java.sql.Timestamp]("timestamp").getTime)
+    assert(times.zip(times.tail).forall { case (a, b) => a >= b })
   }
 }

@@ -36,27 +36,53 @@ object StreamDedup {
         col("n_events"), col("sum_value"))
 
   /** foreachBatch MERGE analog (SURVEY.md §2.9 "streaming: dropDuplicates…
-    * or foreachBatch + MERGE"): each micro-batch is merged into a parquet
-    * snapshot by key — existing rows are replaced by newer versions,
-    * keep-latest per key, written as an idempotent overwrite. This is the
-    * upsert shape for sinks without native MERGE; on a table format with
-    * MERGE INTO the same foreachBatch body becomes one SQL statement.
+    * or foreachBatch + MERGE"): each micro-batch is merged into a
+    * day-partitioned parquet snapshot by key — existing rows are replaced
+    * by newer versions, keep-latest per key. This is the upsert shape for
+    * sinks without native MERGE; on a table format with MERGE INTO the same
+    * foreachBatch body becomes one SQL statement.
+    *
+    * Rewrites are bounded to the day partitions the batch touches (plus the
+    * previous day, because the replication lookback is shorter than a day,
+    * so a superseded version of a key can sit at most one partition behind
+    * its replacement). Untouched days are never read or rewritten — per
+    * batch the I/O is O(touched days), not O(snapshot), which is the
+    * difference between a merge and a full-table rewrite on a growing
+    * 100 TB snapshot. The dynamic-partition-overwrite is explicit
+    * (stage → per-day swap) because a path-based parquet overwrite cannot
+    * read from the path it is replacing.
     */
   def mergeBatchIntoSnapshot(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, snapshotPath: String,
                              key: String, orderCol: String): Unit = {
+    val dayFmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+    val withDay = batch.withColumn("snap_day", date_format(col(orderCol), "yyyyMMdd"))
+    // partition METADATA, not data: one value per day present in the batch
+    val batchDays = withDay.select("snap_day").distinct()
+      .collect().map(_.getString(0))
+    val readDays = (batchDays ++ batchDays.map(d =>
+      java.time.LocalDate.parse(d, dayFmt).minusDays(1).format(dayFmt)))
+      .distinct.sorted
+
+    val snapDir = new java.io.File(snapshotPath)
     val existing =
-      try spark.read.parquet(snapshotPath)
-      catch { case _: Throwable => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+      if (snapDir.exists())
+        spark.read.schema(withDay.schema).parquet(snapshotPath)
+          .filter(col("snap_day").isin(readDays.toSeq: _*)) // PartitionFilter
+      else withDay.limit(0)
     val merged = graft.operators.Dedup.keepLatestAgg(
-      existing.unionByName(batch), Seq(key), Seq(col(orderCol)))
-    // stage then swap: the read path above and overwrite below cannot
-    // stream into each other
+      existing.unionByName(withDay), Seq(key), Seq(col(orderCol)))
+
     val staged = snapshotPath + "__staging"
-    merged.write.mode("overwrite").parquet(staged)
-    val fs = new java.io.File(snapshotPath)
-    if (fs.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fs)
-    new java.io.File(staged).renameTo(fs)
+    merged.write.mode("overwrite").partitionBy("snap_day").parquet(staged)
+    val stagedDir = new java.io.File(staged)
+    snapDir.mkdirs()
+    for (day <- readDays) {
+      val src = new java.io.File(stagedDir, s"snap_day=$day")
+      val dst = new java.io.File(snapDir, s"snap_day=$day")
+      if (dst.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      if (src.exists()) org.apache.commons.io.FileUtils.moveDirectory(src, dst)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(stagedDir)
   }
 }

@@ -66,4 +66,90 @@ class FileStreamSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(s2 == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0))
   }
+
+  test("merge only rewrites the day partitions a batch touches") {
+    val src = Files.createTempDirectory("fs-src2")
+    val snap = Files.createTempDirectory("fs-snap2").resolve("snapshot")
+    val ckpt = Files.createTempDirectory("fs-ckpt2")
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      (2L, ts("2024-01-01 23:55:00"), "a", 2.0),
+      (3L, ts("2024-01-02 08:00:00"), "b", 3.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    addBatch(src, 1, b1)
+    runOnce(src, snap, ckpt, b1.schema)
+
+    def partFiles(day: String): Map[String, Long] = {
+      val d = new java.io.File(snap.toFile, s"snap_day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val day1Before = partFiles("20240101")
+    assert(day1Before.nonEmpty)
+
+    // a batch landing on 2024-01-04: its lookback window cannot reach the
+    // 01/02 partitions, so their files must keep byte-for-byte identity
+    val b2 = Seq((4L, ts("2024-01-04 09:00:00"), "b", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    addBatch(src, 2, b2)
+    runOnce(src, snap, ckpt, b1.schema)
+    assert(partFiles("20240101") == day1Before)
+    assert(new java.io.File(snap.toFile, "snap_day=20240104").exists())
+
+    // a cross-midnight re-delivery: event 2's newer version lands on 01-02,
+    // the previous-day read removes the superseded row from 01-01
+    val b3 = Seq((2L, ts("2024-01-02 00:10:00"), "a", 22.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    addBatch(src, 3, b3)
+    runOnce(src, snap, ckpt, b1.schema)
+    val all = spark.read.parquet(snap.toString).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(all == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0, 4L -> 4.0))
+    val day1Rows = spark.read.parquet(snap.toString)
+      .filter($"snap_day" === 20240101).collect()
+    assert(day1Rows.map(_.getLong(0)).toSet == Set(1L)) // stale row gone
+  }
+
+  /** §2.9-4 exactly-once: the streamed dedup of an overlapping extract feed
+    * must equal the batch keep-latest dedup of the unioned batches — the
+    * oracled batch form pins the streaming semantics.
+    */
+  test("streamed dedup over overlapping extract batches equals batch keep-latest") {
+    import graft.gen.VitalsGen
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val src = Files.createTempDirectory("fs-src3")
+    val ckpt = Files.createTempDirectory("fs-ckpt3")
+    val start = 1704103200L // 2024-01-01 10:00 UTC
+    val oltp = VitalsGen.vitals(spark, 90, start)
+    // three 30-minute replication windows with a 40-minute lookback —
+    // consecutive batches re-deliver the overlapped 10 minutes
+    val batches = Seq(1, 2, 3).map(i =>
+      VitalsGen.extractBatch(oltp, start + i * 1800L, 40))
+    batches.zipWithIndex.foreach { case (b, i) => addBatch(src, i, b) }
+
+    val stream = spark.readStream.schema(batches.head.schema)
+      .parquet(src.toString)
+      .withColumnRenamed("effective_ts", "ts")
+    val q = StreamDedup.dedupStream(stream, "40 minutes")
+      .writeStream.format("memory").queryName("equiv_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_id"), r.getAs[String]("patient_id"),
+        r.getAs[Double]("value_num"), r.getAs[Timestamp]("ts").getTime)
+    val streamed = spark.table("equiv_out")
+      .select("event_id", "patient_id", "value_num", "ts")
+      .collect().map(keyOf).toSet
+    val batch = Dedup.keepLatestAgg(batches.reduce(_ unionByName _),
+        Seq("event_id"), Seq(col("created_at")))
+      .select(col("event_id"), col("patient_id"), col("value_num"),
+        col("effective_ts").as("ts"))
+      .collect().map(keyOf).toSet
+    assert(streamed.size == 90)
+    assert(streamed == batch)
+  }
 }

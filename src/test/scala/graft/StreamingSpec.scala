@@ -22,16 +22,18 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming dedup drops re-delivered events across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
-    val q = StreamDedup.dedupStream(input.toDF(), "20 minutes")
-      .writeStream.format("memory").queryName("dedup_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    // batch 1 + batch 2 overlap on event 2 (the 20-min lookback re-delivery)
+    // batch 1 + batch 2 overlap on event 2 (the 20-min lookback re-delivery);
+    // data is added before start — AvailableNow snapshots available offsets
+    // at query start, so later addData may never be processed
     input.addData(
       Ev(1L, ts("2024-01-01 10:00:00"), "a", 1.0),
       Ev(2L, ts("2024-01-01 10:05:00"), "a", 2.0))
     input.addData(
       Ev(2L, ts("2024-01-01 10:05:00"), "a", 2.0),
       Ev(3L, ts("2024-01-01 10:12:00"), "b", 3.0))
+    val q = StreamDedup.dedupStream(input.toDF(), "20 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable()
     q.stop()
     val out = spark.table("dedup_out").collect()
@@ -41,13 +43,13 @@ class StreamingSpec extends AnyFunSuite {
   test("tumbling daily counts aggregate per day and type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
-    val q = StreamDedup.dailyCounts(input.toDF(), "20 minutes")
-      .writeStream.format("memory").queryName("daily_out")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     input.addData(
       Ev(1L, ts("2024-01-01 10:00:00"), "a", 1.0),
       Ev(2L, ts("2024-01-01 11:00:00"), "a", 2.0),
       Ev(3L, ts("2024-01-02 10:00:00"), "b", 3.0))
+    val q = StreamDedup.dailyCounts(input.toDF(), "20 minutes")
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable()
     q.stop()
     val out = spark.table("daily_out").collect()

@@ -48,24 +48,36 @@ case class CosineSim(left: Expression, right: Expression)
     if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
   }
 
+  // every local is ctx.freshName'd: multiple CosineSim instances routinely
+  // share one codegen function (the 16-plane LSH signature, IVF argmax), and
+  // fixed names collide — Janino then rejects the whole function and the
+  // projection silently falls back to the interpreter
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double dot = 0.0, na = 0.0, nb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    double x = $a.getDouble(i);
-         |    double y = $b.getDouble(i);
-         |    dot += x * y; na += x * x; nb += y * y;
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-         |  if (denom == 0.0) {
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
-         |    ${ev.value} = dot / denom;
+         |    ${ev.value} = $dot / $denom;
          |  }
          |}
        """.stripMargin

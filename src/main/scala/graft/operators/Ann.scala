@@ -140,8 +140,16 @@ object Ann {
     * at fixture scale; the LSH/IVF bucketing above is the scale path (pairs
     * within a bucket only). Kept exact here so the DuckDB oracle can mirror
     * it.
+    *
+    * Guarded: nothing in the pairwise form itself stops a caller pointing it
+    * at a real corpus, so it refuses inputs above `maxRows`. The guard scans
+    * at most maxRows+1 rows; the quadratic blowup it prevents scans n².
     */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double,
+                       maxRows: Int = 100000): DataFrame = {
+    require(embeddings.limit(maxRows + 1).count() <= maxRows,
+      s"embeddingNearDup is the O(n²) oracle baseline — corpus exceeds " +
+        s"$maxRows rows; use embeddingNearDupLsh (bucketed) instead")
     val a = emb(embeddings).select(col("vec_id").as("vec_a"), col("emb").as("ea"))
     val b = emb(embeddings).select(col("vec_id").as("vec_b"), col("emb").as("eb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))

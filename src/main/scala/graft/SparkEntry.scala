@@ -118,6 +118,16 @@ object SparkEntry {
     "doc_rolling_hash" -> ((s, d) => TextOps.fingerprints(Tables.documents(prep(s), d))
       .select("doc_id", "rolling_hash")),
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(prep(s), d))),
+    "corpus_token_quantiles" -> ((s, d) =>
+      TextOps.tokenQuantiles(Tables.documents(prep(s), d))),
+    "quality_deciles" -> ((s, d) =>
+      TextOps.qualityDeciles(Tables.documents(prep(s), d))),
+    "doc_sample_hash" -> ((s, d) =>
+      TextOps.deterministicSample(Tables.documents(prep(s), d), "doc_id", "199a")
+        .select("doc_id", "lang")),
+    "lang_token_mix" -> ((s, d) =>
+      TextOps.langTokenMix(Tables.documents(prep(s), d))),
+    "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
     "tok_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitterTokens(prep(s), Tables.documents(s, d), 10)),
     "sim_join_jaccard" -> ((s, d) =>
@@ -230,6 +240,16 @@ object SparkEntry {
       "SELECT doc_id, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS ttr, round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4) AS quality_score FROM documents",
     "doc_fingerprint" ->
       "SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint FROM documents",
+    "corpus_token_quantiles" ->
+      "SELECT round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 4) AS p50, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9), 4) AS p90, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99), 4) AS p99 FROM documents",
+    "quality_deciles" ->
+      "WITH q AS (SELECT doc_id, round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4) AS quality_score FROM documents), b AS (SELECT quantile_cont(quality_score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM q) SELECT doc_id, CAST(len(list_filter(bnds, x -> x <= quality_score)) + 1 AS BIGINT) AS decile FROM q, b",
+    "doc_sample_hash" ->
+      "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'",
+    "lang_token_mix" ->
+      "WITH p AS (SELECT lang, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1) SELECT lang, n_docs, total_tokens, round(CAST(total_tokens AS DOUBLE) / (SELECT CAST(sum(total_tokens) AS DOUBLE) FROM p), 6) AS token_share FROM p",
+    "tok_idf" ->
+      "WITH d AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), f AS (SELECT token, count(*) AS df FROM t GROUP BY 1) SELECT token, df, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf FROM f, d WHERE df >= 5",
     "tok_heavy_hitters" ->
       "SELECT token, n FROM (SELECT tok AS token, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok) WHERE rk <= 10",
     "tok_top_bigrams" ->

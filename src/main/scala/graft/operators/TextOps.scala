@@ -57,6 +57,81 @@ object TextOps {
       TextFns.bowFingerprint(col("text")).as("bow_fingerprint"),
       TextFns.rollingHash(TextFns.tokens(col("text"))).as("rolling_hash"))
 
+  /** Corpus token-count quantiles (p50/p90/p99) — the length profile that
+    * drives context-window and packing decisions for a training mix. Exact
+    * interpolated percentile (Catalyst `percentile`): one aggregation whose
+    * partial state is a per-partition digest, merged on the driver — no
+    * global sort.
+    */
+  def tokenQuantiles(documents: DataFrame): DataFrame =
+    documents
+      .select(size(TextFns.tokens(col("text"))).cast("double").as("n_tokens"))
+      .agg(expr("percentile(n_tokens, array(0.5D, 0.9D, 0.99D))").as("qs"))
+      .select(
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p90"),
+        round(element_at(col("qs"), 3), 4).as("p99"))
+
+  /** Per-document quality decile — stratification for curriculum/mix
+    * construction. Scale shape: decile BOUNDARIES are one exact-percentile
+    * aggregate (9 doubles) broadcast back into a narrow projection; the
+    * naive `ntile(10) OVER (ORDER BY score)` would funnel the corpus
+    * through a single-partition sort.
+    */
+  def qualityDeciles(documents: DataFrame): DataFrame = {
+    val q = textQuality(documents).select(col("doc_id"), col("quality_score"))
+    val bounds = q.agg(
+      expr("percentile(quality_score, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
+        .as("bnds"))
+    q.crossJoin(broadcast(bounds))
+      .select(col("doc_id"),
+        (size(filter(col("bnds"), b => b <= col("quality_score"))) + 1)
+          .cast("long").as("decile"))
+  }
+
+  /** Deterministic content-addressed sampling: keep rows whose md5(key)
+    * falls under a hex-prefix threshold (e.g. "199a" ≈ 10%). Reproducible
+    * across engines, cluster sizes, and reruns — unlike seeded `rand()`,
+    * which is partitioning-dependent — and requires no shuffle at all.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, hexThreshold: String): DataFrame =
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, hexThreshold.length) < hexThreshold)
+
+  /** Token share per language — the training-mix composition table. Two
+    * hash aggregations (per-lang, then a 1-row corpus total broadcast back);
+    * integer token sums stay exact so the share division is bit-stable.
+    */
+  def langTokenMix(documents: DataFrame): DataFrame = {
+    val perLang = documents
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextFns.tokens(col("text"))).cast("long")).as("total_tokens"))
+    val total = perLang.agg(sum(col("total_tokens")).as("corpus_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("corpus_tokens"), 6)
+          .as("token_share"))
+  }
+
+  /** Document-frequency + smoothed IDF per token (df ≥ `minDf`): the
+    * vocabulary statistics behind TF-IDF quality filters and rare-token
+    * pruning. Shuffle is bounded by distinct tokens (map-side partial
+    * counts); corpus size joins in as a broadcast 1-row aggregate.
+    */
+  def tokenIdf(documents: DataFrame, minDf: Long = 2L): DataFrame = {
+    val tokDf = documents
+      .select(explode(array_distinct(TextFns.tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val total = documents.agg(count(lit(1)).as("n_docs"))
+    tokDf.crossJoin(broadcast(total))
+      .select(col("token"), col("df"),
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
+          .as("idf"))
+  }
+
   /** Corpus-level top-k tokens via the Misra-Gries
     * [[graft.functions.HeavyHitters]] typed Aggregator (exact while distinct
     * tokens ≤ sketch capacity; deterministic (count desc, token) order).

@@ -45,4 +45,58 @@ class TextSpec extends AnyFunSuite {
     assert(one(TextFns.langId(TextFns.tokens(col("text"))),
       "xyzzy plugh").getString(0) == "und")
   }
+
+  // corpus-statistics operators over a constructed corpus: 100 docs with
+  // 1..100 tokens ("w w w ..."), langs alternating en/de
+  private lazy val corpus = spark.range(1, 101).selectExpr(
+    "id AS doc_id",
+    "array_join(array_repeat('w', CAST(id AS INT)), ' ') AS text",
+    "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
+
+  test("token quantiles are exact interpolated percentiles") {
+    val q = graft.operators.TextOps.tokenQuantiles(corpus).first()
+    // lengths 1..100: p50 = 50.5, p90 = 90.1, p99 = 99.01
+    assert(q.getAs[Double]("p50") == 50.5)
+    assert(q.getAs[Double]("p90") == 90.1)
+    assert(q.getAs[Double]("p99") == 99.01)
+  }
+
+  test("quality deciles cover 1..10 and are balanced") {
+    val d = graft.operators.TextOps.qualityDeciles(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
+    val byDecile = d.groupBy("decile").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDecile.keySet.subsetOf((1L to 10L).toSet))
+    assert(byDecile.keySet.size >= 8) // rounding ties may merge a boundary
+    assert(byDecile.values.sum == d.count())
+  }
+
+  test("deterministic sample is reproducible and roughly the asked fraction") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val s1 = graft.operators.TextOps
+      .deterministicSample(docs, "doc_id", "199a").select("doc_id").collect()
+    val s2 = graft.operators.TextOps
+      .deterministicSample(docs, "doc_id", "199a").select("doc_id").collect()
+    assert(s1.map(_.getLong(0)).toSet == s2.map(_.getLong(0)).toSet)
+    val frac = s1.length.toDouble / docs.count()
+    assert(frac > 0.02 && frac < 0.25, s"got $frac")
+  }
+
+  test("language token mix shares sum to 1") {
+    val m = graft.operators.TextOps.langTokenMix(corpus).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == 100L)
+    assert(m.map(_.getAs[Long]("total_tokens")).sum == 5050L)
+    val share = m.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(share - 1.0) < 1e-5)
+  }
+
+  test("token idf decreases with document frequency") {
+    val docs = Seq("a b", "a b", "a c", "a d").toDF("text")
+    val idf = graft.operators.TextOps.tokenIdf(docs, 1L).collect()
+      .map(r => r.getAs[String]("token") ->
+        (r.getAs[Long]("df"), r.getAs[Double]("idf"))).toMap
+    assert(idf("a")._1 == 4L && idf("b")._1 == 2L && idf("c")._1 == 1L)
+    assert(idf("a")._2 < idf("b")._2 && idf("b")._2 < idf("c")._2)
+    assert(idf("a")._2 == 0.0) // ln(5/5)
+  }
 }

@@ -28,6 +28,25 @@ object Ann {
   private def emb(df: DataFrame) =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
+  /** Per-query top-k over a `(q_id, vec_id, cos)` scored set via the
+    * bounded [[graft.functions.TopKByScore]] aggregate: map-side k-entry
+    * heaps merge through a normal partial/final aggregation, so the
+    * shuffle carries ≤ k rows per (query × partition) — a ranking window
+    * here would shuffle and sort the ENTIRE scored set per query.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("q_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("vec_id"), col("e.score").as("cos"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** Exact brute-force cosine top-k for queries `vec_id < nQueries`. */
   def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val corpus = emb(embeddings)
@@ -37,8 +56,7 @@ object Ann {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** IVF bucketing: every vector assigned to its nearest centroid
@@ -74,8 +92,7 @@ object Ann {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Per-label centroid: dimension-wise mean via posexplode → (label, pos)

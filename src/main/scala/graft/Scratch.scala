@@ -49,6 +49,26 @@ object Scratch {
         Dims.dimUser(ev), Dims.dimEventType(ev), Dims.dimDate(ev))
         .write.format("noop").mode("overwrite").save()
     }
+    // monitoring rollups over a JSON payload at probe scale (explode-fused
+    // single parse — round-1's filter-pushdown double parse cost 2×)
+    val evK = ev.withColumn("props",
+      to_json(struct(pmod(xxhash64(col("event_id")), lit(150)).as("k"))))
+    time("mon_daily") {
+      graft.operators.Monitoring.dailySummary(evK)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("mon_7d") {
+      graft.operators.Monitoring.sevenDaySummary(evK)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // ANN brute top-k over 1M synthetic 64-dim vectors: codegen'd cosine +
+    // bounded TopKByScore aggregate (no global ranking window)
+    val embs = spark.range(1000000).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> sin(id * 131 + i))").as("embedding"))
+    time("ann-topk 1M") {
+      graft.operators.Ann.bruteTopK(embs, 10, 5)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -20,10 +20,15 @@ import graft.sources.Tables
 object SparkEntry {
 
   /** Ensure the ns-timestamp parquet reader conf is set (Tables normalizes
-    * `events.ts` ns→µs, matching DuckDB's cast — see Tables.events).
+    * `events.ts` ns→µs, matching DuckDB's cast — see Tables.events), and
+    * install the engine's optimizer extensions: RewriteRankOneToMaxBy turns
+    * any QUALIFY-style rank-1 window dedup — ours or a user's — into the
+    * map-side-combining max_by aggregate.
     */
   private def prep(spark: SparkSession): SparkSession = {
     spark.conf.set(Tables.NanosAsLongConf, "true")
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.RewriteRankOneToMaxBy)
     spark
   }
 

@@ -55,11 +55,15 @@ object Monitoring {
       .withColumn("is_success", col("status").between(50, 99))
 
   /** W2: current status per job — latest row per job_name
-    * (last_status_vw.sql:10), deterministic tiebreak on event_id.
+    * (last_status_vw.sql:10), deterministic tiebreak on event_id. Uses the
+    * max_by aggregate form: job_name has few distinct values, so the
+    * window form would sort the whole view inside a handful of skewed
+    * tasks, while the aggregate combines map-side to one row per job per
+    * partition.
     */
   def lastStatus(events: DataFrame): DataFrame =
-    Dedup.keepFirst(results(events), Seq("job_name"),
-        Seq(col("ts_us").desc, col("event_id").desc))
+    Dedup.keepLatestAgg(results(events), Seq("job_name"),
+        Seq(col("ts_us"), col("event_id")))
       .select("job_name", "ts_us", "status", "is_success")
 
   /** A4-A6: daily rollup per job — runs, successes, failures, success rate
@@ -137,8 +141,8 @@ object Monitoring {
     * (scheduler_executions_last_status_vw.sql:1-11).
     */
   def lastStatusFromRunLog(runLog: DataFrame, todayYyyymmdd: String): DataFrame =
-    Dedup.keepFirst(resultsFromRunLog(runLog, todayYyyymmdd), Seq("job_name"),
-        Seq(col("timestamp").desc, col("request_url").desc))
+    Dedup.keepLatestAgg(resultsFromRunLog(runLog, todayYyyymmdd), Seq("job_name"),
+        Seq(col("timestamp"), col("request_url")))
       .select("job_name", "timestamp", "status", "is_success")
 
   /** Daily rollup per (day, job) over the nested run-log

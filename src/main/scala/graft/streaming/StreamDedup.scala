@@ -35,6 +35,30 @@ object StreamDedup {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming form of the run-log daily monitoring rollup: the same
+    * nested-field extraction + success band as the batch view
+    * (Monitoring.dailySummaryFromRunLog), expressed over a file-discovered
+    * log stream with a watermarked 1-day tumbling window. The watermark
+    * bounds per-job aggregation state to (open windows × jobs); late log
+    * records inside the delay still land in their day.
+    */
+  def streamingRunLogDailySummary(runLogStream: DataFrame,
+                                  watermarkDelay: String = "1 hour"): DataFrame =
+    runLogStream
+      .select(
+        col("timestamp"),
+        col("resource.labels.job_id").as("job_name"),
+        expr("try_cast(httpRequest.status AS BIGINT)").as("status"))
+      .filter(col("status").isNotNull)
+      .withColumn("is_success", col("status").between(200, 299))
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), "1 day"), col("job_name"))
+      .agg(
+        count(lit(1)).as("total_runs"),
+        sum(when(col("is_success"), 1L).otherwise(0L)).as("success_runs"))
+      .select(col("window.start").cast("date").as("event_date"), col("job_name"),
+        col("total_runs"), col("success_runs"))
+
   /** foreachBatch MERGE analog (SURVEY.md §2.9 "streaming: dropDuplicates…
     * or foreachBatch + MERGE"): each micro-batch is merged into a
     * day-partitioned parquet snapshot by key — existing rows are replaced

@@ -80,6 +80,28 @@ class RunLogSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming daily summary equals the batch run-log view") {
+    val dir = Files.createTempDirectory("graft-runlog-stream")
+    log.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(log.schema).parquet(dir.toString)
+    val q = graft.streaming.StreamDedup.streamingRunLogDailySummary(stream)
+      .writeStream.format("memory").queryName("runlog_daily_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Date]("event_date").toString,
+        r.getAs[String]("job_name")) ->
+        (r.getAs[Long]("total_runs"), r.getAs[Long]("success_runs"))
+    val streamed = spark.table("runlog_daily_out").collect().map(key).toMap
+    // batch view prunes to the trailing 7 day_partitions; compare that slice
+    val batch = Monitoring.dailySummaryFromRunLog(log, "20240112")
+      .select("event_date", "job_name", "total_runs", "success_runs")
+      .collect().map(key).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (k, v) => assert(streamed.get(k).contains(v), s"$k") }
+  }
+
   test("errors view keeps only 500s, with severity, newest first") {
     val e = Monitoring.errorsFromRunLog(log, "20240112").collect()
     assert(e.length == 152)

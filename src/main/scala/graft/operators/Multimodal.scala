@@ -66,6 +66,34 @@ object Multimodal {
       }
   }
 
+  /** Resize planning: target dimensions preserving aspect ratio, capped at
+    * `maxSide` on the longer edge — the metadata half of a resize stage.
+    * The pixel transform itself would run in the decode kernel; the
+    * dimension math here is the real, exactly-testable part and is a pure
+    * narrow projection (no kernel call, no shuffle).
+    */
+  def planResize(features: Dataset[MediaFeatures], maxSide: Int): DataFrame =
+    features.toDF()
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(lit(1), round(col("width") * col("scale")).cast("int"))
+          .as("target_width"),
+        greatest(lit(1), round(col("height") * col("scale")).cast("int"))
+          .as("target_height"))
+
+  /** Frame-sampling work list: one row per sampled frame index (stride
+    * `everyN`, always including frame 0) — the explode that fans a video
+    * row out into per-frame decode tasks. At scale this is the partition
+    * unit for the frame-decode stage: the generated (doc, frame) keys
+    * repartition evenly regardless of per-video length skew.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], everyN: Int): DataFrame =
+    features.toDF()
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN)))
+          .as("frame_idx"))
+
   /** Rollup over extracted features — the query surface the harness checks
     * (rows-only: the decode stub has no SQL oracle).
     */

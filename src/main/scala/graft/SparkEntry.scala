@@ -174,6 +174,39 @@ object SparkEntry {
   private val ResultsCte =
     "WITH r AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, CAST(ts AS DATE) AS event_date, event_type AS job_name, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS status FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL)"
 
+  // ---- DuckDB mirrors of graft.functions.FxMath (integer-exact rounding;
+  // round(double, k) diverges between engines at half-way boundaries) ----
+
+  /** round-half-away-from-zero of num/den as an integer (FxMath.roundedDiv). */
+  private def fxDivSql(num: String, den: String): String =
+    s"(CASE WHEN ($num) < 0 THEN -((2 * abs($num) + ($den)) // (2 * ($den))) " +
+      s"ELSE ((2 * abs($num) + ($den)) // (2 * ($den))) END)"
+
+  /** round(num/den, k) as DOUBLE (FxMath.ratio). */
+  private def fxRatioSql(num: String, den: String, k: Int): String = {
+    val s = math.pow(10, k).toLong
+    s"(CAST(${fxDivSql(s"($num) * $s", den)} AS DOUBLE) / $s)"
+  }
+
+  /** per-row fixed-point sum (mirrors Analytics.fxSum). */
+  private def fxSumSql(e: String, scale: Long): String =
+    s"sum(CAST(round(($e) * $scale) AS BIGINT))"
+
+  /** round(sumScaled/scale, k) as DOUBLE (FxMath.scaledTotal). */
+  private def fxTotalSql(sumExpr: String, scale: Long, k: Int): String = {
+    val s = math.pow(10, k).toLong
+    s"(CAST(${fxDivSql(sumExpr, (scale / s).toString)} AS DOUBLE) / $s)"
+  }
+
+  /** round(sumScaled/(n·scale), k) as DOUBLE (FxMath.scaledAvg). */
+  private def fxAvgSql(sumExpr: String, nExpr: String, scale: Long, k: Int): String = {
+    val s = math.pow(10, k).toLong
+    if (scale >= s)
+      s"(CAST(${fxDivSql(sumExpr, s"($nExpr) * ${scale / s}")} AS DOUBLE) / $s)"
+    else
+      s"(CAST(${fxDivSql(s"($sumExpr) * ${s / scale}", nExpr)} AS DOUBLE) / $s)"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "fact_dedup" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props FROM fact",
@@ -186,15 +219,15 @@ object SparkEntry {
     "fact_star" ->
       s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact",
     "star_daily_user" ->
-      s"$FactCte SELECT CAST(ts AS DATE) AS date_id, user_id, count(*) AS n_events, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_value, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_value FROM fact GROUP BY 1, 2",
+      s"$FactCte SELECT CAST(ts AS DATE) AS date_id, user_id, count(*) AS n_events, ${fxAvgSql(fxSumSql("value", 100L), "count(*)", 100L, 4)} AS avg_value, ${fxTotalSql(fxSumSql("value", 100L), 100L, 2)} AS sum_value FROM fact GROUP BY 1, 2",
     "mon_results" ->
       s"$ResultsCte SELECT event_id, ts_us, job_name, status, status BETWEEN 50 AND 99 AS is_success FROM r",
     "mon_last_status" ->
       s"$ResultsCte SELECT job_name, ts_us, status, status BETWEEN 50 AND 99 AS is_success FROM (SELECT *, row_number() OVER (PARTITION BY job_name ORDER BY ts_us DESC, event_id DESC) AS rn FROM r) WHERE rn = 1",
     "mon_daily_summary" ->
-      s"$ResultsCte SELECT event_date, job_name, count(*) AS runs, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 0 ELSE 1 END) AS BIGINT) AS failures, round(CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate FROM r GROUP BY 1, 2",
+      s"$ResultsCte SELECT event_date, job_name, count(*) AS runs, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 0 ELSE 1 END) AS BIGINT) AS failures, ${fxRatioSql("sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END)", "count(*)", 4)} AS success_rate FROM r GROUP BY 1, 2",
     "mon_7d_summary" ->
-      s"$ResultsCte SELECT job_name, count(*) AS runs_7d, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes_7d, round(CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS success_rate_7d FROM r WHERE event_date >= (SELECT max(CAST(ts AS DATE)) - 7 FROM events) GROUP BY 1",
+      s"$ResultsCte SELECT job_name, count(*) AS runs_7d, CAST(sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END) AS BIGINT) AS successes_7d, ${fxRatioSql("sum(CASE WHEN status BETWEEN 50 AND 99 THEN 1 ELSE 0 END)", "count(*)", 4)} AS success_rate_7d FROM r WHERE event_date >= (SELECT max(CAST(ts AS DATE)) - 7 FROM events) GROUP BY 1",
     "mon_errors" ->
       s"$ResultsCte SELECT event_id, ts_us, job_name, status FROM r WHERE NOT (status BETWEEN 50 AND 99) ORDER BY ts_us DESC, event_id DESC",
     "qa_ref_integrity" ->
@@ -202,13 +235,13 @@ object SparkEntry {
     "qa_count_parity" ->
       s"$FactCte SELECT (SELECT count(*) FROM fact) AS fact_rows, (SELECT count(*) FROM fact) AS star_rows, (SELECT count(*) FROM fact) - (SELECT count(*) FROM fact) AS delta",
     "q1_pricing" ->
-      "SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_qty, round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_base_price, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS sum_disc_price, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000, 2) AS sum_charge, round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_qty, round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_price, round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(*) * 100.0), 4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30' GROUP BY 1, 2",
+      s"SELECT l_returnflag, l_linestatus, ${fxTotalSql(fxSumSql("l_quantity", 100L), 100L, 2)} AS sum_qty, ${fxTotalSql(fxSumSql("l_extendedprice", 100L), 100L, 2)} AS sum_base_price, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS sum_disc_price, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 1000000L), 1000000L, 2)} AS sum_charge, ${fxAvgSql(fxSumSql("l_quantity", 100L), "count(*)", 100L, 4)} AS avg_qty, ${fxAvgSql(fxSumSql("l_extendedprice", 100L), "count(*)", 100L, 4)} AS avg_price, ${fxAvgSql(fxSumSql("l_discount", 100L), "count(*)", 100L, 4)} AS avg_disc, count(*) AS count_order FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2001-06-30' GROUP BY 1, 2",
     "q6_forecast" ->
-      "SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+      s"SELECT ${fxTotalSql(fxSumSql("l_extendedprice * l_discount", 10000L), 10000L, 2)} AS revenue, count(*) AS n_items FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
     "q3_top_orders" ->
-      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '2000-03-15' AND CAST(l_shipdate AS DATE) > DATE '2000-03-15' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10",
+      s"SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '2000-03-15' AND CAST(l_shipdate AS DATE) > DATE '2000-03-15' GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10",
     "q5_region_revenue" ->
-      "SELECT n_name, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND CAST(o_orderdate AS DATE) BETWEEN DATE '2000-01-01' AND DATE '2000-12-31' GROUP BY 1",
+      s"SELECT n_name, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND CAST(o_orderdate AS DATE) BETWEEN DATE '2000-01-01' AND DATE '2000-12-31' GROUP BY 1",
     "q_window_topk" ->
       "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 3",
     "q_distinct_users" ->
@@ -228,31 +261,40 @@ object SparkEntry {
     "q_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
     "q10_returns" ->
-      "SELECT c_custkey, c_name, n_name, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20",
+      s"SELECT c_custkey, c_name, n_name, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20",
     "q18_large_orders" ->
-      "WITH big AS (SELECT l_orderkey, round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_qty FROM lineitem GROUP BY 1) SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, total_qty FROM orders JOIN big ON o_orderkey = big.l_orderkey WHERE total_qty > 300",
+      s"WITH big AS (SELECT l_orderkey, ${fxTotalSql(fxSumSql("l_quantity", 100L), 100L, 2)} AS total_qty FROM lineitem GROUP BY 1) SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, total_qty FROM orders JOIN big ON o_orderkey = big.l_orderkey WHERE total_qty > 300",
     "q19_brand_revenue" ->
-      "SELECT p_brand, round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40) GROUP BY 1",
+      s"SELECT p_brand, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40) GROUP BY 1",
     "q_asof_join" ->
       "WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events), r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'signup') SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id, l.value, r.value AS last_signup_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
     "q_rollup" ->
-      "SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
+      s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
     "dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
     "text_stats" ->
-      "SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS max_token_len, round(CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents",
-    "text_quality" ->
-      "SELECT doc_id, round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio, round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS ttr, round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4) AS quality_score FROM documents",
+      s"SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens, CAST(list_max(list_transform(string_split(text, ' '), t -> len(t))) AS BIGINT) AS max_token_len, ${fxRatioSql("len(regexp_replace(text, '\\s', '', 'g'))", "len(string_split(text, ' '))", 4)} AS avg_token_len, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens FROM documents",
+    "text_quality" -> {
+      val n = "len(string_split(text, ' '))"
+      val stops = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"
+      val dist = "len(list_distinct(string_split(text, ' ')))"
+      s"SELECT doc_id, ${fxRatioSql(stops, n, 4)} AS stop_ratio, ${fxRatioSql(dist, n, 4)} AS ttr, ${fxRatioSql(s"($dist) * (($n) - ($stops))", s"($n) * ($n)", 4)} AS quality_score FROM documents"
+    },
     "doc_fingerprint" ->
       "SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint FROM documents",
     "corpus_token_quantiles" ->
       "SELECT round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 4) AS p50, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9), 4) AS p90, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99), 4) AS p99 FROM documents",
-    "quality_deciles" ->
-      "WITH q AS (SELECT doc_id, round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE) / len(string_split(text, ' '))), 4) AS quality_score FROM documents), b AS (SELECT quantile_cont(quality_score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM q) SELECT doc_id, CAST(len(list_filter(bnds, x -> x <= quality_score)) + 1 AS BIGINT) AS decile FROM q, b",
+    "quality_deciles" -> {
+      val n = "len(string_split(text, ' '))"
+      val stops = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"
+      val dist = "len(list_distinct(string_split(text, ' ')))"
+      val score = fxRatioSql(s"($dist) * (($n) - ($stops))", s"($n) * ($n)", 4)
+      s"WITH q AS (SELECT doc_id, $score AS quality_score FROM documents), b AS (SELECT quantile_cont(quality_score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnds FROM q) SELECT doc_id, CAST(len(list_filter(bnds, x -> x <= quality_score)) + 1 AS BIGINT) AS decile FROM q, b"
+    },
     "doc_sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'",
     "lang_token_mix" ->
-      "WITH p AS (SELECT lang, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1) SELECT lang, n_docs, total_tokens, round(CAST(total_tokens AS DOUBLE) / (SELECT CAST(sum(total_tokens) AS DOUBLE) FROM p), 6) AS token_share FROM p",
+      s"WITH p AS (SELECT lang, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1) SELECT lang, n_docs, total_tokens, ${fxRatioSql("total_tokens", "(SELECT CAST(sum(total_tokens) AS BIGINT) FROM p)", 6)} AS token_share FROM p",
     "tok_idf" ->
       "WITH d AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), f AS (SELECT token, count(*) AS df FROM t GROUP BY 1) SELECT token, df, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf FROM f, d WHERE df >= 5",
     "tok_heavy_hitters" ->
@@ -260,9 +302,12 @@ object SparkEntry {
     "tok_top_bigrams" ->
       "WITH b AS (SELECT unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram FROM (SELECT string_split(text, ' ') AS w FROM documents)) SELECT bigram, n FROM (SELECT bigram, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, bigram) AS rk FROM b GROUP BY bigram) WHERE rk <= 10",
     "emb_label_centroid" ->
-      "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), x AS (SELECT label, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM e) SELECT label, CAST(pos AS INTEGER) AS pos, round(CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1000000.0), 6) AS v FROM x GROUP BY 1, 2",
-    "sim_join_jaccard" ->
-      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) >= 0.8",
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), x AS (SELECT label, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM e) SELECT label, CAST(pos AS INTEGER) AS pos, ${fxAvgSql(fxSumSql("v", 1000000L), "count(*)", 1000000L, 6)} AS v FROM x GROUP BY 1, 2""",
+    "sim_join_jaccard" -> {
+      val jac = fxRatioSql("len(list_intersect(a.sh, b.sh))",
+        "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))", 4)
+      s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jac >= 0.8"
+    },
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
     "dedup_embedding" ->

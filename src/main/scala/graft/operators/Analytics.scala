@@ -27,11 +27,13 @@ object Analytics {
   private def fxSum(c: Column, scale: Long): Column =
     sum(round(c * scale).cast("long"))
 
+  // final rounding is integer-exact (FxMath): round(double, k) diverges
+  // between engines when the exact rational lands on a half-way boundary
   private def fxTotal(c: Column, scale: Long, decimals: Int): Column =
-    round(fxSum(c, scale).cast("double") / scale, decimals)
+    graft.functions.FxMath.scaledTotal(fxSum(c, scale), scale, decimals)
 
   private def fxAvg(c: Column, scale: Long, decimals: Int): Column =
-    round(fxSum(c, scale).cast("double") / (count(lit(1)) * scale.toDouble), decimals)
+    graft.functions.FxMath.scaledAvg(fxSum(c, scale), count(lit(1)), scale, decimals)
 
   /** TPC-H Q1 shape: pricing summary — one wide scan, group on 2 low-card
     * keys. Map-side partial agg reduces the shuffle to a handful of rows.

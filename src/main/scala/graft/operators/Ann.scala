@@ -111,8 +111,9 @@ object Ann {
       .select(col("label"), col("embedding").cast("array<double>").as("emb"))
       .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(sum(round(col("x") * 1000000).cast("long")).cast("double") /
-        (count(lit(1)) * 1000000.0), 6).as("v"))
+      .agg(graft.functions.FxMath.scaledAvg(
+        sum(round(col("x") * 1000000).cast("long")),
+        count(lit(1)), 1000000L, 6).as("v"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
         e => e.getField("v")).as("centroid"))

@@ -45,9 +45,9 @@ object DedupApprox {
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", graft.functions.FxMath.ratio(
+        col("shared"), col("na").cast("long") + col("nb") - col("shared"), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

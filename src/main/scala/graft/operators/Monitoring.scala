@@ -78,8 +78,10 @@ object Monitoring {
         count(lit(1)).as("runs"),
         sum(when(col("is_success"), 1L).otherwise(0L)).as("successes"),
         sum(when(!col("is_success"), 1L).otherwise(0L)).as("failures"))
+      // integer-exact rounding (FxMath): round(double,4) diverges between
+      // engines when successes/runs lands on a half-way boundary
       .withColumn("success_rate",
-        round(try_divide(col("successes").cast("double"), col("runs")), 4))
+        graft.functions.FxMath.ratio(col("successes"), col("runs"), 4))
 
   /** A8 + J3: per-job rollup over the trailing 7 days. The reference anchors
     * on CURRENT_DATE (results_vw.sql:11); the fixture is historical, so the
@@ -102,7 +104,7 @@ object Monitoring {
         count(lit(1)).as("runs_7d"),
         sum(when(col("is_success"), 1L).otherwise(0L)).as("successes_7d"))
       .withColumn("success_rate_7d",
-        round(try_divide(col("successes_7d").cast("double"), col("runs_7d")), 4))
+        graft.functions.FxMath.ratio(col("successes_7d"), col("runs_7d"), 4))
   }
 
   /** P6 + O1: failures only, newest first (errors_vw.sql:2-10). */
@@ -158,7 +160,7 @@ object Monitoring {
         sum(when(col("is_success"), 1L).otherwise(0L)).as("success_runs"),
         sum(when(!col("is_success"), 1L).otherwise(0L)).as("failed_runs"))
       .withColumn("success_rate",
-        round(try_divide(col("success_runs").cast("double"), col("total_runs")), 4))
+        graft.functions.FxMath.ratio(col("success_runs"), col("total_runs"), 4))
 
   /** Trailing-7-day rollup per job (scheduler_executions_7d_summary_vw.sql:3-8).
     * The base view already prunes `day_partition` to the trailing week, so
@@ -171,7 +173,7 @@ object Monitoring {
         count(lit(1)).as("runs_7d"),
         sum(when(col("is_success"), 1L).otherwise(0L)).as("success_7d"))
       .withColumn("success_rate_7d",
-        round(try_divide(col("success_7d").cast("double"), col("runs_7d")), 4))
+        graft.functions.FxMath.ratio(col("success_7d"), col("runs_7d"), 4))
 
   /** Failures only, newest first, with severity
     * (scheduler_executions_errors_vw.sql:2-10).

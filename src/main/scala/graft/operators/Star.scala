@@ -52,10 +52,13 @@ object Star {
       .agg(
         count(lit(1)).as("n_events"),
         // fixed-point (cents) aggregation: per-row round to an exact integer,
-        // sum as long — bit-identical under any partial-aggregation order,
-        // so the oracle hash can never flip at a rounding boundary
-        round(sum(round(col("measure_value") * 100).cast("long")).cast("double")
-          / (count(lit(1)) * 100.0), 4).as("avg_value"),
-        round(sum(round(col("measure_value") * 100).cast("long")).cast("double")
-          / 100.0, 2).as("sum_value"))
+        // sum as long — bit-identical under any partial-aggregation order —
+        // with the final rounding integer-exact (FxMath): the sf0.1 audit
+        // caught round(double,4) flipping 67.49125 differently per engine
+        graft.functions.FxMath.scaledAvg(
+          sum(round(col("measure_value") * 100).cast("long")),
+          count(lit(1)), 100L, 4).as("avg_value"),
+        graft.functions.FxMath.scaledTotal(
+          sum(round(col("measure_value") * 100).cast("long")), 100L, 2)
+          .as("sum_value"))
 }

@@ -21,25 +21,30 @@ object TextOps {
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
       array_max(transform(toks, t => length(t))).cast("long").as("max_token_len"),
-      round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / size(toks), 4)
-        .as("avg_token_len"),
+      graft.functions.FxMath.ratio(
+        length(regexp_replace(col("text"), "\\s", "")).cast("long"),
+        size(toks).cast("long"), 4).as("avg_token_len"),
       size(TextFns.bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"))
   }
 
   /** Quality scoring: stopword ratio and type-token ratio composed into a
     * single score — the classic cheap quality filters for pretraining data.
-    * Ratios are exact integer divisions → bit-stable across engines.
+    * All three outputs are integer-exact rationals rounded via FxMath:
+    * quality = ttr·(1−stop) ≡ distinct·(n−stops)/n², so no double
+    * arithmetic ever touches a rounding boundary (the sf0.1 audit caught
+    * round(double,4) flipping 0.49875 differently per engine).
     */
   def textQuality(documents: DataFrame): DataFrame = {
     val toks = TextFns.tokens(col("text"))
-    val nTok = size(toks)
-    val stopRatio = TextFns.stopwordCount(toks, Seq("the", "a")).cast("double") / nTok
-    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val nTok = size(toks).cast("long")
+    val nStop = TextFns.stopwordCount(toks, Seq("the", "a")).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
     documents.select(
       col("doc_id"),
-      round(stopRatio, 4).as("stop_ratio"),
-      round(ttr, 4).as("ttr"),
-      round(ttr * (lit(1.0) - stopRatio), 4).as("quality_score"))
+      graft.functions.FxMath.ratio(nStop, nTok, 4).as("stop_ratio"),
+      graft.functions.FxMath.ratio(nDist, nTok, 4).as("ttr"),
+      graft.functions.FxMath.ratio(nDist * (nTok - nStop), nTok * nTok, 4)
+        .as("quality_score"))
   }
 
   /** Language-ID heuristic + agreement with the labeled `lang` column. */
@@ -110,7 +115,7 @@ object TextOps {
     val total = perLang.agg(sum(col("total_tokens")).as("corpus_tokens"))
     perLang.crossJoin(broadcast(total))
       .select(col("lang"), col("n_docs"), col("total_tokens"),
-        round(col("total_tokens").cast("double") / col("corpus_tokens"), 6)
+        graft.functions.FxMath.ratio(col("total_tokens"), col("corpus_tokens"), 6)
           .as("token_share"))
   }
 

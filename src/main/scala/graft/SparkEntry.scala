@@ -98,6 +98,7 @@ object SparkEntry {
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(prep(s), d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
     "q_exact_distinct_daily" -> ((s, d) => Analytics.exactDistinctUsersDaily(prep(s), d)),
+    "q_sessionize" -> ((s, d) => Analytics.sessionize(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeOrders(prep(s), d)),
     "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(prep(s), d)),
@@ -248,6 +249,8 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "q_exact_distinct_daily" ->
       "SELECT CAST(ts AS DATE) AS event_date, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1",
+    "q_sessionize" ->
+      "WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM m) SELECT user_id, session_seq, count(*) AS n_events, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us FROM s GROUP BY 1, 2",
     "lang_id" ->
       "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), s AS (SELECT doc_id, lang, list_max([{'score': len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))), 'lang': 'en'}, {'score': len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein'))), 'lang': 'de'}, {'score': len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y', 'un'))), 'lang': 'es'}, {'score': len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'les', 'des', 'un'))), 'lang': 'fr'}, {'score': len(list_filter(toks, x -> x IN ('的', '是', '了', '在', '和'))), 'lang': 'zh'}]) AS best FROM t) SELECT doc_id, lang AS labeled_lang, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang FROM s",
     "q_running_total" ->

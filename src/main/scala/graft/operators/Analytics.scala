@@ -275,6 +275,32 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Gap-based sessionization: a session breaks after `gapMinutes` of user
+    * inactivity — the telemetry/clickstream primitive behind engagement and
+    * funnel metrics. Two windows over the same (user_id, ts) partitioning —
+    * Catalyst plans them in ONE sort+shuffle — then a hash aggregation per
+    * session. Everything is integer arithmetic on epoch-µs, so the oracle
+    * hash is exact. The streaming analog is mapGroupsWithState with a
+    * session timeout (see graft.streaming.Stateful).
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prev = lag(col("ts_us"), 1).over(w)
+    val gapUs = gapMinutes * 60L * 1000000L
+    ev
+      .withColumn("is_new",
+        when(prev.isNull || col("ts_us") - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+  }
+
   /** A3 + A6: exact COUNT(DISTINCT) on a derived date grouping — the exact
     * half of the approx/exact distinct pair, split out so it stays
     * cross-engine checkable. Spark plans COUNT(DISTINCT) as a two-phase

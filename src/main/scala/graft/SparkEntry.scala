@@ -99,6 +99,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
     "q_exact_distinct_daily" -> ((s, d) => Analytics.exactDistinctUsersDaily(prep(s), d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(prep(s), d)),
+    "q_moving_7d" -> ((s, d) => Analytics.movingWeeklyVolume(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeOrders(prep(s), d)),
     "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(prep(s), d)),
@@ -249,6 +250,8 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "q_exact_distinct_daily" ->
       "SELECT CAST(ts AS DATE) AS event_date, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1",
+    "q_moving_7d" ->
+      "WITH d AS (SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events, CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num FROM events GROUP BY 1, 3) SELECT event_date, n_events, CAST(sum(n_events) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_events_7d FROM d",
     "q_sessionize" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM m) SELECT user_id, session_seq, count(*) AS n_events, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us FROM s GROUP BY 1, 2",
     "lang_id" ->

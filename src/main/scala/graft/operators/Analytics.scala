@@ -275,6 +275,26 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Trailing-7-day moving volume per day — a RANGE window frame over the
+    * day number (every day sums the week ending on it, gaps handled by the
+    * RANGE semantics). The window input is the DAILY rollup — one row per
+    * calendar day, bounded cardinality at any data scale — so the global
+    * (partition-less) ordering is a few thousand rows even over a decade
+    * of 100 TB telemetry; the heavy lifting is the map-side-combining
+    * date aggregation below it.
+    */
+  def movingWeeklyVolume(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("day_num",
+        datediff(col("event_date"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("n_events_7d", sum(col("n_events")).over(w))
+      .select("event_date", "n_events", "n_events_7d")
+  }
+
   /** Gap-based sessionization: a session breaks after `gapMinutes` of user
     * inactivity — the telemetry/clickstream primitive behind engagement and
     * funnel metrics. Two windows over the same (user_id, ts) partitioning —

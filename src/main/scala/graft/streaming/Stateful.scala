@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Custom streaming state via `KeyValueGroupedDataset.mapGroupsWithState`
   * (SURVEY.md §2.9 — beyond the reference's dedup-only state, this is the
@@ -14,6 +14,56 @@ object Stateful {
   case class UserEvent(user_id: Long, value: Double)
   case class UserTotalState(n: Long, sum: Double)
   case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(start_us: Long, end_us: Long, n: Long)
+  case class CompletedSession(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long)
+
+  /** Streaming gap-based sessionization — the continuous form of
+    * [[graft.operators.Analytics.sessionize]]: flatMapGroupsWithState with
+    * an EVENT-TIME timeout. A session closes (and emits) when the watermark
+    * passes its last event + the gap; events inside one micro-batch are
+    * folded into gap-separated spans first, so arbitrarily batched input
+    * produces the same sessions as the batch operator. State per key is one
+    * small open-session record, hash-partitioned across executors and
+    * evicted by the timeout — bounded by (active users × 1).
+    */
+  def streamingSessions(events: Dataset[SessionEvent],
+                        gapMinutes: Int = 30): Dataset[CompletedSession] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[CompletedSession]
+    implicit val keyEnc = Encoders.scalaLong
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, CompletedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(CompletedSession(user, s.start_us, s.end_us, s.n))
+          } else {
+            val times = evs.map(_.ts.getTime * 1000L).toArray.sorted
+            val spans = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            state.getOption.foreach(spans += _)
+            times.foreach { t =>
+              if (spans.nonEmpty && t - spans.last.end_us <= gapUs) {
+                val s = spans.last
+                spans(spans.length - 1) =
+                  SessionState(s.start_us, math.max(s.end_us, t), s.n + 1)
+              } else spans += SessionState(t, t, 1L)
+            }
+            val open = spans.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.end_us / 1000L + gapMinutes * 60000L)
+            spans.init.iterator
+              .map(s => CompletedSession(user, s.start_us, s.end_us, s.n))
+          }
+      }
+  }
 
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
     implicit val stateEnc = Encoders.product[UserTotalState]

@@ -40,6 +40,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming sessionization closes sessions on event-time gaps") {
+    import graft.streaming.Stateful
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Stateful.SessionEvent]
+    // user 1: two events 10 min apart, then a >30-min gap, then a far-future
+    // event that advances the watermark past both sessions' timeouts
+    input.addData(
+      Stateful.SessionEvent(1L, ts("2024-01-01 10:00:00")),
+      Stateful.SessionEvent(1L, ts("2024-01-01 10:10:00")))
+    input.addData(Stateful.SessionEvent(1L, ts("2024-01-01 11:00:00")))
+    input.addData(Stateful.SessionEvent(2L, ts("2024-01-01 23:00:00")))
+    val q = Stateful.streamingSessions(input.toDS(), 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("session_start_us"))).toSet
+    val us = (s: String) => ts(s).getTime * 1000L
+    // user 1's two sessions closed; user 2's session still open (not emitted)
+    assert(out == Set(
+      (1L, 2L, us("2024-01-01 10:00:00")),
+      (1L, 1L, us("2024-01-01 11:00:00"))))
+  }
+
   test("tumbling daily counts aggregate per day and type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -115,6 +115,7 @@ object SparkEntry {
           col("user_id"), col("value"), col("last_signup_value"))
     }),
     "q_rollup" -> ((s, d) => Analytics.ordersRollup(prep(s), d)),
+    "q_cube" -> ((s, d) => Analytics.ordersCube(prep(s), d)),
     // ---- training-data pipeline: dedup / similarity / text (north star) ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactByContent(Tables.documents(prep(s), d), "text", "doc_id")),
@@ -276,6 +277,8 @@ object SparkEntry {
       "WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events), r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'signup') SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id, l.value, r.value AS last_signup_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
     "q_rollup" ->
       s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
+    "q_cube" ->
+      s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY CUBE(1, 2)",
     "dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
     "text_stats" ->

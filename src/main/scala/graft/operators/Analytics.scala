@@ -232,6 +232,17 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         fxTotal(col("o_totalprice"), 100L, 2).as("total_price"))
 
+  /** CUBE companion to [[ordersRollup]]: all 2^2 grouping sets in one pass.
+    * Catalyst plans both through Expand — each input row is replicated once
+    * per grouping set before the partial aggregation, so the shuffle still
+    * carries only one row per (set, group).
+    */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(year(col("o_orderdate")).as("year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        fxTotal(col("o_totalprice"), 100L, 2).as("total_price"))
+
   /** TPC-H Q18 shape: large orders (HAVING-filtered aggregate driving a
     * semi join back into the detail). The HAVING subquery output is tiny →
     * broadcast semi join; lineitem aggregates partial-agg on orderkey.

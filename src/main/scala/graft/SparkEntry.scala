@@ -291,6 +291,8 @@ object SparkEntry {
     },
     "doc_fingerprint" ->
       "SELECT doc_id, sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint FROM documents",
+    "doc_rolling_hash" ->
+      "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_filter(string_split(text, ''), c -> c != ''), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 131 + c) % 2147483647) AS rolling_hash FROM documents",
     "corpus_token_quantiles" ->
       "SELECT round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 4) AS p50, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9), 4) AS p90, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99), 4) AS p99 FROM documents",
     "quality_deciles" -> {

@@ -49,9 +49,12 @@ object FxMath {
     */
   def scaledAvg(sumScaled: Column, n: Column, scale: Long, k: Int): Column = {
     val s = math.pow(10, k).toLong
-    if (scale >= s)
+    if (scale >= s) {
+      require(scale % s == 0, s"scale $scale must be a multiple of 10^$k")
       roundedDiv(sumScaled, n * (scale / s)).cast("double") / s.toDouble
-    else
+    } else {
+      require(s % scale == 0, s"10^$k must be a multiple of scale $scale")
       roundedDiv(sumScaled * (s / scale), n).cast("double") / s.toDouble
+    }
   }
 }

@@ -40,12 +40,18 @@ object TextFns {
   def shingleSet(text: Column, n: Int = 3): Column =
     graft.functions.expr.VectorExpressions.shingles(text, n)
 
-  /** Order-sensitive rolling (chain) hash over tokens: h := xxhash64(h, tok).
-    * Collision-resistant enough for fingerprinting; overflow-free under ANSI
-    * (xxhash64 mixes, no arithmetic).
+  /** Order-sensitive rolling hash over a text's codepoints:
+    * `h := (h·131 + cp) mod (2³¹−1)` (Rabin-Karp polynomial fingerprint).
+    * Delegates to the native [[graft.functions.expr.PolyRollingHash]]; the
+    * equivalent HOF fold is
+    * `aggregate(transform(filter(split(text, ''), c -> c != ''),
+    *   c -> ascii(c)), 0L, (h, c) -> (h*131 + c) % 2147483647)`.
+    * Re-based from an xxhash64 chain so any engine with 64-bit integer
+    * arithmetic computes the identical fingerprint (cross-engine oracle-able;
+    * an engine-private hash chain is not).
     */
-  def rollingHash(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
+  def rollingHash(text: Column): Column =
+    graft.functions.expr.VectorExpressions.polyRollingHash(text)
 
   /** Bag-of-words fingerprint: sha256 over the sorted distinct token set —
     * order-independent content signature (SURVEY.md §7.5).

@@ -210,6 +210,100 @@ case class Shingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
 }
 
+/** Order-sensitive polynomial rolling hash over a string's codepoints:
+  * `h := (h·131 + codepoint) mod (2³¹−1)`, h₀ = 0 — the classic Rabin-Karp
+  * fingerprint. The modulus keeps every intermediate well inside a long, so
+  * the same fold is expressible in any engine with 64-bit integers (the
+  * DuckDB oracle mirrors it with `list_reduce` over `unicode()` codepoints —
+  * unlike the previous xxhash64 chain, which no other engine can reproduce).
+  * Empty input hashes to 0. Work is the per-codepoint loop inside eval;
+  * codegen would only save the call.
+  */
+case class PolyRollingHash(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_rolling_hash"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PolyRollingHash =
+    copy(child = c)
+}
+
+/** Nearest-centroid assignment over an `array<double>` embedding column:
+  * argmax of cosine similarity against a driver-held centroid table
+  * (`ids(i)` ↔ `cents(i)`), the per-row kernel of IVF index build / k-means
+  * Lloyd assignment. The centroid table rides along in the expression (task
+  * closure — the executor-local broadcast of a model that is tiny by
+  * construction), so assignment is a narrow projection: no join, no shuffle,
+  * embarrassingly parallel over the corpus scan.
+  *
+  * Ties (equal cosine, incl. the all-degenerate case where every cosine is
+  * undefined) resolve to the larger centroid id — deterministic regardless
+  * of centroid array order. Work is the C×dim primitive loop inside eval;
+  * codegen would only save the call (same argument as [[SimHash64]]).
+  */
+case class NearestCentroid(child: Expression, ids: Array[Long],
+                           cents: Array[Array[Double]])
+  extends UnaryExpression with CodegenFallback {
+
+  require(ids.length == cents.length && ids.nonEmpty,
+    "centroid ids and vectors must align and be non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  private lazy val norms: Array[Double] = cents.map { c =>
+    var s = 0.0; var j = 0
+    while (j < c.length) { s += c(j) * c(j); j += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    var nx = 0.0
+    var i = 0
+    while (i < x.length) { nx += x(i) * x(i); i += 1 }
+    val xNorm = math.sqrt(nx)
+    var bestCos = Double.NegativeInfinity
+    var bestId = Long.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      var cos = Double.NegativeInfinity // undefined (zero-norm/mismatch) loses
+      if (ce.length == x.length) {
+        var dot = 0.0
+        var j = 0
+        while (j < ce.length) { dot += x(j) * ce(j); j += 1 }
+        val denom = xNorm * norms(c)
+        if (denom != 0.0) cos = dot / denom
+      }
+      // -inf == -inf, so degenerate rows still resolve via the id tiebreak
+      if (cos > bestCos || (cos == bestCos && ids(c) > bestId)) {
+        bestCos = cos; bestId = ids(c)
+      }
+      c += 1
+    }
+    java.lang.Long.valueOf(bestId)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
 /** Column-API façade. */
 object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
@@ -220,4 +314,9 @@ object VectorExpressions {
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
   def shingles(text: Column, n: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(text), n))
+  def nearestCentroid(emb: Column, ids: Array[Long],
+                      cents: Array[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(ColumnBridge.expression(emb), ids, cents))
+  def polyRollingHash(text: Column): Column =
+    ColumnBridge.column(PolyRollingHash(ColumnBridge.expression(text)))
 }

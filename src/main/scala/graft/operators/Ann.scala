@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimFns
@@ -13,12 +12,10 @@ import graft.functions.SimFns
   *    streaming pass over the corpus, per-query top-k via ranking window.
   *    At 100 TB the corpus side never shuffles for the scoring pass; the
   *    only shuffle is the final top-k on the (tiny) query key.
-  *  - [[ivfTopK]] — IVF-style scale path: corpus is bucketed by nearest
-  *    centroid once (an O(n·C) scoring pass + write), queries probe only
-  *    `nprobe` buckets, cutting scored candidates by ~C/nprobe. Centroids
-  *    here are deterministic samples (vec_id stride) standing in for k-means
-  *    iterations — the bucketing/probing plumbing is the part that matters
-  *    at scale.
+  *  - [[ivfTopK]] — IVF scale path: k-means centroids (stride-sample init +
+  *    Lloyd iterations), corpus bucketed by nearest centroid via a narrow
+  *    per-row argmax (zero shuffle), queries probe only `nprobe` buckets,
+  *    cutting scored candidates by ~C/nprobe.
   *
   * Ranking is on `round(cos, 6)` with vec_id tiebreak — totally ordered, so
   * results are stable across engines and partitionings.
@@ -37,7 +34,12 @@ object Ann {
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
+    // cosine is null for zero-norm/mismatched vectors and would NPE in the
+    // non-nullable Double encoder; NaN would rank arbitrarily. Both mean
+    // "no defined similarity" — never in any top-k (the oracle's DESC sort
+    // puts its nulls last likewise).
     scored.select(col("q_id"), col("vec_id"), col("cos"))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
@@ -59,34 +61,71 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
-  /** IVF bucketing: every vector assigned to its nearest centroid
-    * (deterministic stride-sampled centroids), queries probe the `nprobe`
-    * nearest buckets. Returns the same schema as [[bruteTopK]].
+  /** IVF index build + probe. Centroids are initialized from a deterministic
+    * vec_id-stride sample and refined with `lloydIters` k-means (Lloyd)
+    * iterations; every vector is then assigned to its nearest centroid and
+    * queries probe the `nprobe` nearest buckets. Returns the same schema as
+    * [[bruteTopK]].
+    *
+    * Scale shape — no corpus-wide shuffle anywhere:
+    *  - Assignment is a narrow projection: the per-row argmax runs inside the
+    *    codegen'd scan via [[graft.functions.expr.NearestCentroid]] with the
+    *    (tiny, driver-held) centroid table riding in the task closure. The
+    *    earlier crossJoin+groupBy form re-shuffled the whole corpus with its
+    *    embedding payloads once per index build.
+    *  - The Lloyd update step is relational: posexplode → hash-aggregate on
+    *    the uniform (bucket, pos) key — the exchange carries C×dim mean
+    *    cells, not vectors — then C rows collect back into the model.
+    *    Fixed-point means keep the centroids partition-order invariant.
+    *  - Probing broadcasts `nQueries × nprobe` rows into a hash join against
+    *    the assigned corpus; scoring streams map-side into the k-bounded
+    *    [[topKPerQuery]] aggregate.
+    *
+    * Centroid collects are the k-means model update, not a distributed-data
+    * collect: C = |corpus|/centroidStride rows per iteration, bounded by
+    * construction. Empty buckets keep their previous centroid.
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              centroidStride: Int = 23, nprobe: Int = 3): DataFrame = {
+              centroidStride: Int = 23, nprobe: Int = 3,
+              lloydIters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val corpus = emb(embeddings)
-    val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
 
-    // assignment pass: argmax cosine over broadcast centroids (struct-max)
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(round(SimFns.cosine(col("emb"), col("c_emb")), 6).as("cos"),
-          col("c_id"))).getField("c_id").as("bucket"),
-        first(col("emb")).as("emb"))
+    var cents: Array[(Long, Array[Double])] = corpus
+      .filter(col("vec_id") % centroidStride === 0)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
 
-    // queries probe their nprobe nearest buckets
-    val queries = corpus.filter(col("vec_id") < nQueries)
+    def assign(df: DataFrame): DataFrame = df.withColumn("bucket",
+      graft.functions.expr.VectorExpressions.nearestCentroid(
+        col("emb"), cents.map(_._1), cents.map(_._2)))
+
+    for (_ <- 1 to lloydIters) {
+      val means = assign(corpus)
+        .select(col("bucket"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(graft.functions.FxMath.scaledAvg(
+          sum(round(col("x") * 1000000).cast("long")),
+          count(lit(1)), 1000000L, 6).as("v"))
+        .groupBy(col("bucket"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          e => e.getField("v")).as("centroid"))
+        .as[(Long, Array[Double])].collect().toMap
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+
+    val assigned = assign(corpus)
+
+    // per-query nprobe nearest buckets, computed against the same
+    // driver-held centroid table (query set is tiny — HOF cost immaterial)
+    val centLit = typedLit(cents.map { case (id, e) => (id, e.toSeq) }.toSeq)
+    val probes = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("p_cos").desc, col("c_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("q_emb"), col("c_id"),
-        round(SimFns.cosine(col("q_emb"), col("c_emb")), 6).as("p_cos"))
-      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("c_id").as("bucket"))
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(array_sort(transform(centLit, c =>
+          struct((-SimFns.cosine(col("q_emb"), c.getField("_2"))).as("neg_cos"),
+            c.getField("_1").as("c_id")))), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("q_emb"), col("p.c_id").as("bucket"))
 
     val scored = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -107,11 +107,25 @@ object Monitoring {
         graft.functions.FxMath.ratio(col("successes_7d"), col("runs_7d"), 4))
   }
 
-  /** P6 + O1: failures only, newest first (errors_vw.sql:2-10). */
+  /** P6 + O1: failures only, newest first (errors_vw.sql:2-10).
+    *
+    * The failure predicate lives INSIDE the generator's array-filter lambda
+    * rather than as a post-explode `filter(!is_success)`: a global sort
+    * evaluates its child lineage twice (the range-partitioner sampling pass,
+    * then the sort itself), and a post-explode filter cannot be pushed below
+    * the generator — so the fused form keeps both passes down to the failed
+    * rows only. In a production log (failures ≪ successes) this is the
+    * difference between sampling/shuffling the whole log and sampling/
+    * shuffling just the error tail. Same rows, same oracle hash.
+    */
   def errors(events: DataFrame): DataFrame =
-    results(events)
-      .filter(!col("is_success"))
-      .select("event_id", "ts_us", "job_name", "status")
+    events
+      .select(
+        col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("job_name"),
+        explode(filter(array(statusCol),
+          s => s.isNotNull && !s.between(50, 99))).as("status"))
       .orderBy(col("ts_us").desc, col("event_id").desc)
 
   /** The reference's base monitoring view verbatim over a nested run-log

@@ -54,13 +54,13 @@ object TextOps {
       TextFns.langId(TextFns.tokens(col("text"))).as("predicted_lang"))
 
   /** Content fingerprints: order-independent bag-of-words sha256 and the
-    * order-sensitive rolling hash.
+    * order-sensitive polynomial rolling hash over the raw text.
     */
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       TextFns.bowFingerprint(col("text")).as("bow_fingerprint"),
-      TextFns.rollingHash(TextFns.tokens(col("text"))).as("rolling_hash"))
+      TextFns.rollingHash(col("text")).as("rolling_hash"))
 
   /** Corpus token-count quantiles (p50/p90/p99) — the length profile that
     * drives context-window and packing decisions for a training mix. Exact

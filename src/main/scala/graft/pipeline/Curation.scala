@@ -26,8 +26,14 @@ object Curation {
   /** Stage counts (`collectStats`) force one job per stage; the intermediate
     * stages are persisted while counting so the expensive jaccard-join
     * lineage runs once, not once per downstream count. With
-    * `collectStats = false` nothing materializes until the caller's sink —
-    * the persist markers are then harmless no-ops.
+    * `collectStats = true` the returned DataFrame still reads from the
+    * persisted `nearDeduped` intermediate, so the CALLER's first
+    * materialization reuses it — and the caller owns releasing it when done
+    * (`curated.unpersist()` cascades to nothing; use
+    * `spark.sharedState.cacheManager.clearCache()` or keep a handle via
+    * [[run]], which unpersists after its write). With
+    * `collectStats = false` nothing is persisted at all — the pipeline is a
+    * single lazy lineage for the caller's sink.
     */
   def curate(documents: DataFrame, jaccardThreshold: Double = 0.8,
              minQuality: Double = 0.3,
@@ -35,21 +41,22 @@ object Curation {
     val stages = Seq.newBuilder[CurationResult]
     def stat(name: String, df: DataFrame): Unit =
       if (collectStats) stages += CurationResult(name, df.count())
+    def persisted(df: DataFrame): DataFrame = if (collectStats) df.persist() else df
     stat("input", documents)
 
     // 1. exact content dedup: keep the min doc_id per sha256(text)
     val keep = Dedup.exactByContent(documents, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
-    val exact = documents.join(keep, Seq("doc_id"), "left_semi").persist()
+    val exact = persisted(documents.join(keep, Seq("doc_id"), "left_semi"))
     stat("exact_dedup", exact)
 
     // 2. near-dup pruning: greedy keep-lowest-id over Jaccard pairs
     val dupHigh = DedupApprox.jaccardJoin(exact, jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    val nearDeduped = exact.join(dupHigh, Seq("doc_id"), "left_anti").persist()
+    val nearDeduped = persisted(exact.join(dupHigh, Seq("doc_id"), "left_anti"))
     stat("near_dedup", nearDeduped)
-    // nearDeduped is materialized (or will be by the caller's one job) —
-    // the exact-dedup intermediate is no longer needed on its own
+    // nearDeduped is materialized — the exact-dedup intermediate is no
+    // longer needed on its own
     if (collectStats) exact.unpersist(blocking = false)
 
     // 3. quality filter + enrichment (language, token counts)
@@ -75,6 +82,8 @@ object Curation {
   def run(spark: SparkSession, srcDir: String, outDir: String): Seq[CurationResult] = {
     val (curated, stages) = curate(Tables.documents(spark, srcDir))
     curated.write.mode(SaveMode.Overwrite).parquet(s"$outDir/curated_documents")
+    // the write was the last consumer of the persisted near-dedup stage
+    spark.sharedState.cacheManager.clearCache()
     summary(spark.read.parquet(s"$outDir/curated_documents"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_summary")
     stages

@@ -23,11 +23,21 @@ object Stateful {
   /** Streaming gap-based sessionization — the continuous form of
     * [[graft.operators.Analytics.sessionize]]: flatMapGroupsWithState with
     * an EVENT-TIME timeout. A session closes (and emits) when the watermark
-    * passes its last event + the gap; events inside one micro-batch are
-    * folded into gap-separated spans first, so arbitrarily batched input
-    * produces the same sessions as the batch operator. State per key is one
-    * small open-session record, hash-partitioned across executors and
-    * evicted by the timeout — bounded by (active users × 1).
+    * passes its last event + the gap. Events inside one micro-batch are
+    * folded into gap-separated spans, then merged with the open state span
+    * by interval distance — so a within-watermark event that arrives EARLIER
+    * than the open session's start extends the session backwards (or forms
+    * its own earlier span) instead of being glued to the span's end.
+    *
+    * Equivalence with the batch operator holds when each session's events
+    * have all arrived by the time a LATER gap-separated span shows up for
+    * the same key (completed spans emit on that batch; an even-later
+    * within-watermark straggler that would have bridged an already-emitted
+    * span is a genuine streaming/batch divergence — eliminating it requires
+    * buffering every span until the watermark, i.e. state linear in open
+    * spans, not one record). State per key is one small open-session record,
+    * hash-partitioned across executors and evicted by the timeout — bounded
+    * by (active users × 1).
     */
   def streamingSessions(events: Dataset[SessionEvent],
                         gapMinutes: Int = 30): Dataset[CompletedSession] = {
@@ -47,14 +57,26 @@ object Stateful {
             Iterator(CompletedSession(user, s.start_us, s.end_us, s.n))
           } else {
             val times = evs.map(_.ts.getTime * 1000L).toArray.sorted
-            val spans = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-            state.getOption.foreach(spans += _)
+            val batchSpans = scala.collection.mutable.ArrayBuffer.empty[SessionState]
             times.foreach { t =>
-              if (spans.nonEmpty && t - spans.last.end_us <= gapUs) {
-                val s = spans.last
-                spans(spans.length - 1) =
+              if (batchSpans.nonEmpty && t - batchSpans.last.end_us <= gapUs) {
+                val s = batchSpans.last
+                batchSpans(batchSpans.length - 1) =
                   SessionState(s.start_us, math.max(s.end_us, t), s.n + 1)
-              } else spans += SessionState(t, t, 1L)
+              } else batchSpans += SessionState(t, t, 1L)
+            }
+            // merge the open state span with the batch spans by interval
+            // distance (sorted by start): state may fall before, between, or
+            // after the batch's spans
+            val all = (state.getOption.toSeq ++ batchSpans).sortBy(_.start_us)
+            val spans = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            all.foreach { sp =>
+              if (spans.nonEmpty && sp.start_us - spans.last.end_us <= gapUs) {
+                val s = spans.last
+                spans(spans.length - 1) = SessionState(
+                  math.min(s.start_us, sp.start_us),
+                  math.max(s.end_us, sp.end_us), s.n + sp.n)
+              } else spans += sp
             }
             val open = spans.last
             state.update(open)

@@ -75,6 +75,14 @@ object StreamDedup {
     * 100 TB snapshot. The dynamic-partition-overwrite is explicit
     * (stage → per-day swap) because a path-based parquet overwrite cannot
     * read from the path it is replacing.
+    *
+    * Crash safety: each day's swap parks the previous data in a sibling
+    * `__old` dir, moves the staged day in, then deletes the parked copy —
+    * at every instant the day's data exists under exactly one location, and
+    * the next batch auto-restores a parked day whose move-in never completed
+    * (a delete-then-move window would lose the day outright). Swap
+    * atomicity relies on local-filesystem `rename` (java.io); on an object
+    * store this body should become the table format's MERGE/commit instead.
     */
   def mergeBatchIntoSnapshot(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, snapshotPath: String,
@@ -101,12 +109,29 @@ object StreamDedup {
     merged.write.mode("overwrite").partitionBy("snap_day").parquet(staged)
     val stagedDir = new java.io.File(staged)
     snapDir.mkdirs()
+    // move-aside swap: the day's previous data parks in a SIBLING dir (never
+    // inside the snapshot root, where readers would see it as a partition),
+    // so at every instant each day exists under exactly one of dst/old
+    val oldRoot = new java.io.File(snapshotPath + "__old")
+    def rmIfExists(d: java.io.File): Unit =
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    oldRoot.mkdirs()
     for (day <- readDays) {
       val src = new java.io.File(stagedDir, s"snap_day=$day")
       val dst = new java.io.File(snapDir, s"snap_day=$day")
-      if (dst.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dst)
-      if (src.exists()) org.apache.commons.io.FileUtils.moveDirectory(src, dst)
+      val old = new java.io.File(oldRoot, s"snap_day=$day")
+      // crash recovery: a prior run moved dst aside but died before the
+      // move-in — restore the parked copy rather than losing the day
+      if (old.exists() && !dst.exists())
+        org.apache.commons.io.FileUtils.moveDirectory(old, dst)
+      rmIfExists(old) // leftover from a crash after a completed move-in
+      if (src.exists()) {
+        if (dst.exists()) org.apache.commons.io.FileUtils.moveDirectory(dst, old)
+        org.apache.commons.io.FileUtils.moveDirectory(src, dst)
+        rmIfExists(old)
+      }
     }
     org.apache.commons.io.FileUtils.deleteDirectory(stagedDir)
+    rmIfExists(oldRoot)
   }
 }

@@ -34,6 +34,21 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall vs brute too low")
   }
 
+  test("Lloyd-refined centroids never lose recall vs the stride-sample init") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Ann.bruteTopK(emb, 10, 5))
+    def recall(iters: Int) = {
+      val ivf = pairs(Ann.ivfTopK(emb, 10, 5, lloydIters = iters))
+      brute.intersect(ivf).size.toDouble / brute.size
+    }
+    val (init, refined) = (recall(0), recall(2))
+    info(s"recall@5: stride-init=$init lloyd2=$refined")
+    assert(refined >= init,
+      s"Lloyd iterations must not lose recall: init=$init refined=$refined")
+  }
+
   test("hyperplane-LSH near-dup: exact-refined subset of brute with usable recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("vec_a", "vec_b")

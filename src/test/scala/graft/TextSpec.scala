@@ -29,9 +29,13 @@ class TextSpec extends AnyFunSuite {
   }
 
   test("rolling hash is order-sensitive; bow fingerprint is not") {
-    val rh1 = one(TextFns.rollingHash(TextFns.tokens(col("text"))), "a b c").getLong(0)
-    val rh2 = one(TextFns.rollingHash(TextFns.tokens(col("text"))), "c b a").getLong(0)
+    val rh1 = one(TextFns.rollingHash(col("text")), "a b c").getLong(0)
+    val rh2 = one(TextFns.rollingHash(col("text")), "c b a").getLong(0)
     assert(rh1 != rh2)
+    // hand-computed polynomial: fold of (h*131 + cp) % (2^31-1) over "abc"
+    val abc = one(TextFns.rollingHash(col("text")), "abc").getLong(0)
+    assert(abc == ((97L * 131 + 98) * 131 + 99) % 2147483647L)
+    assert(one(TextFns.rollingHash(col("text")), "").getLong(0) == 0L)
     val fp1 = one(TextFns.bowFingerprint(col("text")), "a b c").getString(0)
     val fp2 = one(TextFns.bowFingerprint(col("text")), "c b a").getString(0)
     assert(fp1 == fp2)

@@ -18,7 +18,7 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // 10M-row scale probe: generator -> dedup -> dims -> star, timed
+    // SCRATCH_N-row scale probe: generator -> dedup -> dims -> star, timed
     import graft.operators.{Dedup, Dims, Star}
     import org.apache.spark.sql.functions._
     val n = sys.env.getOrElse("SCRATCH_N", "10000000").toLong
@@ -32,34 +32,39 @@ object Scratch {
       oltp.write.mode("overwrite").parquet("/tmp/scale_events")
     }
     val ev = spark.read.parquet("/tmp/scale_events")
-    time("dedup-window 10M") {
+    time(s"dedup-window ${n/1000000}M") {
       Dedup.keepFirst(ev, Seq("event_id"), Seq(col("ts").desc))
         .write.format("noop").mode("overwrite").save()
     }
-    time("dedup-agg 10M") {
+    time(s"dedup-agg ${n/1000000}M") {
       Dedup.keepLatestAgg(ev, Seq("event_id"), Seq(col("ts")))
         .write.format("noop").mode("overwrite").save()
     }
-    time("dedup-agg 10M 2nd") {
+    time(s"dedup-agg ${n/1000000}M 2nd") {
       Dedup.keepLatestAgg(ev, Seq("event_id"), Seq(col("ts")))
         .write.format("noop").mode("overwrite").save()
     }
-    time("star 10M") {
+    time(s"star ${n/1000000}M") {
       Star.factStar(Dedup.keepFirst(ev, Seq("event_id"), Seq(col("ts").desc)),
         Dims.dimUser(ev), Dims.dimEventType(ev), Dims.dimDate(ev))
         .write.format("noop").mode("overwrite").save()
     }
-    // monitoring rollups over a JSON payload at probe scale (explode-fused
-    // single parse — round-1's filter-pushdown double parse cost 2×)
+    // the full monitoring-view suite over a JSON payload at probe scale
+    // (explode-fused single parse — round-1's filter-pushdown double parse
+    // cost 2×; errors() fuses the failure predicate into the generator so
+    // the sort and its sampling pass carry only failed rows)
     val evK = ev.withColumn("props",
       to_json(struct(pmod(xxhash64(col("event_id")), lit(150)).as("k"))))
-    time("mon_daily") {
-      graft.operators.Monitoring.dailySummary(evK)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("mon_7d") {
-      graft.operators.Monitoring.sevenDaySummary(evK)
-        .write.format("noop").mode("overwrite").save()
+    for (nm <- Seq("mon_results", "mon_last_status", "mon_daily", "mon_7d",
+        "mon_errors")) {
+      val df = nm match {
+        case "mon_results" => graft.operators.Monitoring.results(evK)
+        case "mon_last_status" => graft.operators.Monitoring.lastStatus(evK)
+        case "mon_daily" => graft.operators.Monitoring.dailySummary(evK)
+        case "mon_7d" => graft.operators.Monitoring.sevenDaySummary(evK)
+        case "mon_errors" => graft.operators.Monitoring.errors(evK)
+      }
+      time(nm) { df.write.format("noop").mode("overwrite").save() }
     }
     // ANN brute top-k over 1M synthetic 64-dim vectors: codegen'd cosine +
     // bounded TopKByScore aggregate (no global ranking window)

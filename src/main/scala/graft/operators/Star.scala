@@ -38,6 +38,25 @@ object Star {
         col("event_id"), col("value").as("measure_value"),
         unix_micros(col("ts")).as("ts_us"))
 
+  /** [[factStar]] for the big-dimension regime: when a dimension outgrows
+    * broadcast (billions of users), the user join carries NO broadcast hint —
+    * the physical layout decides. Fed from tables bucketed on `user_id`
+    * (see [[graft.pipeline.Pipeline.runBucketedStar]]), Catalyst plans it as
+    * a sort-merge join over co-located bucketed scans: zero shuffle on
+    * either side, at any fact size. The genuinely tiny dims still broadcast.
+    */
+  def factStarCoLocated(fact: DataFrame, dimUser: DataFrame,
+                        dimEventType: DataFrame, dimDate: DataFrame): DataFrame =
+    fact
+      .withColumn("date_id", to_date(col("ts")))
+      .join(dimUser.select("user_id", "user_key"), Seq("user_id"))
+      .join(broadcast(dimEventType.select("event_type", "event_type_key")), Seq("event_type"))
+      .join(broadcast(dimDate.select("date_id", "date_key")), Seq("date_id"))
+      .select(
+        col("user_key"), col("event_type_key"), col("date_key"),
+        col("event_id"), col("value").as("measure_value"),
+        unix_micros(col("ts")).as("ts_us"))
+
   /** Flagship: daily event count + value stats per user over the star —
     * the A6+A1 shape the reference runs over fact_vitals_star (README star
     * sanity queries). Joins back through dim_date/dim_user, then one hash

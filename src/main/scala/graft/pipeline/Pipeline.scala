@@ -73,4 +73,39 @@ object Pipeline {
 
     results.result()
   }
+
+  /** Bucketed-layout star rebuild (S4 at the big-dimension regime): the fact
+    * and the user dimension land `bucketBy(buckets, user_id)` +
+    * `sortBy(user_id)` as tables, and the star is rebuilt FROM DISK with
+    * [[Star.factStarCoLocated]] — the fact/user join becomes a sort-merge
+    * join over co-located bucketed scans with zero shuffle on either side.
+    * This is the layout story for when dim_user outgrows broadcast: pay the
+    * bucketed write once, then every star rebuild (and any other user_id
+    * join against either table) is exchange-free. The tiny event-type/date
+    * dims go through the ordinary parquet write + broadcast path.
+    *
+    * Returns the lazy star rebuild over the on-disk tables (callers sink it;
+    * `PipelineSpec` asserts the exchange-free plan shape).
+    */
+  def runBucketedStar(spark: SparkSession, srcDir: String, outDir: String,
+                      buckets: Int = 8): DataFrame = {
+    val fact = Dedup.latestEvents(Tables.events(spark, srcDir))
+    spark.sql("DROP TABLE IF EXISTS fact_events_bkt")
+    spark.sql("DROP TABLE IF EXISTS dim_user_bkt")
+    fact.write.bucketBy(buckets, "user_id").sortBy("user_id")
+      .mode(SaveMode.Overwrite).saveAsTable("fact_events_bkt")
+    Dims.dimUser(fact).write.bucketBy(buckets, "user_id").sortBy("user_id")
+      .mode(SaveMode.Overwrite).saveAsTable("dim_user_bkt")
+    // tiny dims: plain parquet, read back (so the rebuild plan below is all
+    // scans — no aggregation exchanges from dim construction lineage)
+    Dims.dimEventType(fact).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/dim_event_type")
+    Dims.dimDate(fact).write.mode(SaveMode.Overwrite).parquet(s"$outDir/dim_date")
+
+    Star.factStarCoLocated(
+      spark.table("fact_events_bkt"),
+      spark.table("dim_user_bkt"),
+      spark.read.parquet(s"$outDir/dim_event_type"),
+      spark.read.parquet(s"$outDir/dim_date"))
+  }
 }

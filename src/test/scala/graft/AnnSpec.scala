@@ -61,6 +61,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall $recall too low at loose threshold")
   }
 
+  test("sf0.1 gate: hyperplane-LSH near-dup recall vs exact pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.embeddingNearDup(emb, 0.4))
+    val lsh = pairs(Ann.embeddingNearDupLsh(emb, 0.4))
+    assert(exact.size > 500, s"fixture must contain near-dup pairs, got ${exact.size}")
+    assert(lsh.subsetOf(exact), "exact refine must eliminate false positives")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    info(s"sf0.1 embedding-LSH: recall=$recall (exact=${exact.size}, found=${lsh.size})")
+    // 0.4 is far below the production near-dup regime (the 16-bit band
+    // geometry targets cos >= 0.9, where the fixture has no pairs at all) —
+    // the gate pins the loose-threshold floor from the measured 0.50
+    assert(recall >= 0.4, s"embedding-LSH recall $recall below gate")
+  }
+
   test("embedding near-dup join is symmetric-free and thresholded") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),

@@ -30,6 +30,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.map(s => s.stage -> s.rows) == r2.map(s => s.stage -> s.rows))
   }
 
+  test("bucketed star rebuild joins fact×dim_user with no shuffle exchange") {
+    val out = Files.createTempDirectory("graft-bkt").toString
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the undecorated user join to respect layout, not statistics —
+    // the tiny dims keep their explicit broadcast() hints regardless
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val star = Pipeline.runBucketedStar(spark, "/root/testdata/sf0.001", out)
+      val n = star.count()
+      assert(n > 0 && n == spark.table("fact_events_bkt").count(),
+        "star/fact count parity over the bucketed rebuild")
+      val plan = star.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed star rebuild must be shuffle-free, got:\n$plan")
+      assert(plan.contains("SortMergeJoin"),
+        s"expected SMJ over co-located bucketed scans:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS fact_events_bkt")
+      spark.sql("DROP TABLE IF EXISTS dim_user_bkt")
+    }
+  }
+
   test("generator is deterministic and in-distribution") {
     val g1 = graft.gen.VitalsGen.vitals(spark, 100, 1700000000L).collect()
     val g2 = graft.gen.VitalsGen.vitals(spark, 100, 1700000000L).collect()

@@ -41,6 +41,25 @@ object PropertySpec extends Properties("graft") {
       keys.sameElements(again) && keys.distinct.length == ids.distinct.length
     }
 
+  property("HLL approx distinct is within its error bound of exact, per group (sf0.1)") =
+    org.scalacheck.Prop.protect {
+      // approx_count_distinct's default rsd is 0.05 (one standard deviation
+      // of the HLL++ estimator); gate at 3×rsd per group — a deterministic
+      // check, since Spark's HLL hashing is seedless and the fixture is fixed
+      val rsd = 0.05
+      val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+      val approx = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd).as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.forall { case (g, e) =>
+        val err = math.abs(approx(g) - e).toDouble / e
+        err <= 3 * rsd
+      } && exact.keySet == approx.keySet
+    }
+
   property("dim_date spans min..max contiguously with distinct keys") =
     forAll(Gen.zip(Gen.choose(0L, 2000000L), Gen.choose(1L, 200L))) {
       case (startSec, spanDays) =>

@@ -47,6 +47,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size}, exact ${exact.size})")
   }
 
+  test("sf0.1 recall/precision gates: minhash and simhash vs exact ground truth") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the exact PPJoin at the curation threshold
+    val exact = pairs(DedupApprox.jaccardJoin(d, 0.8))
+    assert(exact.size > 100, s"fixture must plant near-dups, got ${exact.size}")
+    val mh = pairs(DedupApprox.minhashPairs(d, 0.5))
+    val mhRecall = exact.intersect(mh).size.toDouble / exact.size
+    val mhPrecision = exact.intersect(mh).size.toDouble / mh.size
+    info(s"sf0.1 minhash: recall=$mhRecall precision=$mhPrecision " +
+      s"(exact=${exact.size}, found=${mh.size})")
+    assert(mhRecall >= 0.95, s"minhash recall $mhRecall below gate")
+    assert(mhPrecision >= 0.9, s"minhash precision $mhPrecision below gate")
+    // simhash approximates a different similarity (cosine of token bags), so
+    // only recall against the jaccard truth is gated, not precision
+    val sh = pairs(DedupApprox.simhashPairs(d, 8))
+    val shRecall = exact.intersect(sh).size.toDouble / exact.size
+    info(s"sf0.1 simhash: recall=$shRecall (found=${sh.size})")
+    assert(shRecall >= 0.8, s"simhash recall $shRecall below gate")
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val h = DedupApprox.withSimhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sh")).toMap

@@ -137,6 +137,35 @@ object TextOps {
           .as("idf"))
   }
 
+  /** Greedy concat-and-chunk sequence packing — the standard pretraining
+    * batching shape: documents are concatenated in a deterministic order and
+    * cut into fixed `ctxTokens` context windows; each doc is tagged with the
+    * pack its first token lands in and its token offset within the stream.
+    *
+    * Scale shape: the running token sum is computed per SHARD
+    * (`doc_id % shards`), so the window is hash-partitioned across
+    * executors — packing an unbounded corpus never funnels through the
+    * single-partition global cumsum the naive form would use. Shards are
+    * independent pack streams (exactly how production packing runs per input
+    * shard); `(shard, pack_id)` is the global pack key. Everything is
+    * integer arithmetic on a deterministic order, so pack assignments are
+    * reproducible across engines, partitionings, and reruns.
+    */
+  def packDocuments(documents: DataFrame, ctxTokens: Long = 2048,
+                    shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    documents
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id",
+        call_function("div", col("start_tok"), lit(ctxTokens)))
+      .select("doc_id", "shard", "n_tokens", "start_tok", "pack_id")
+  }
+
   /** Corpus-level top-k tokens via the Misra-Gries
     * [[graft.functions.HeavyHitters]] typed Aggregator (exact while distinct
     * tokens ≤ sketch capacity; deterministic (count desc, token) order).

@@ -57,6 +57,25 @@ class TextSpec extends AnyFunSuite {
     "array_join(array_repeat('w', CAST(id AS INT)), ' ') AS text",
     "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang")
 
+  test("sequence packing: shard-local contiguous token stream, deterministic") {
+    val out = graft.operators.TextOps.packDocuments(corpus, ctxTokens = 64,
+      shards = 4).collect()
+    assert(out.length == 100)
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("shard") == r.getAs[Long]("doc_id") % 4)
+        assert(r.getAs[Long]("start_tok") == cum,
+          s"doc ${r.getAs[Long]("doc_id")} in shard $shard: token stream must be gapless")
+        assert(r.getAs[Long]("pack_id") == cum / 64)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    val again = graft.operators.TextOps.packDocuments(corpus, 64, 4).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("token quantiles are exact interpolated percentiles") {
     val q = graft.operators.TextOps.tokenQuantiles(corpus).first()
     // lengths 1..100: p50 = 50.5, p90 = 90.1, p99 = 99.01

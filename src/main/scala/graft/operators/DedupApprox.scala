@@ -42,10 +42,19 @@ object DedupApprox {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // exact refine from the inverted index: |A ∩ B| = the number of
+    // (doc_b, shingle) rows both sides share — a count over two equi-joins
+    // on scalar keys. The earlier form joined the full shingle ARRAYS back
+    // to every candidate and ran array_intersect per pair; shipping set
+    // payloads through a shuffle loses to counting matched postings, and at
+    // 100 TB the arrays are exactly what you don't want on the wire.
+    // (Candidates share ≥1 prefix shingle by construction, so the inner
+    // join can never drop a real pair at shared = 0.)
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("nb")), "doc_b")
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .join(inv.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle")), Seq("doc_a"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", graft.functions.FxMath.ratio(
         col("shared"), col("na").cast("long") + col("nb") - col("shared"), 4))
       .filter(col("jaccard") >= threshold)

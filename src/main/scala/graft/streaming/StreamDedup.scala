@@ -97,6 +97,19 @@ object StreamDedup {
       .distinct.sorted
 
     val snapDir = new java.io.File(snapshotPath)
+    val oldRoot = new java.io.File(snapshotPath + "__old")
+    def rmIfExists(d: java.io.File): Unit =
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    // crash recovery BEFORE the snapshot read: a prior run may have parked a
+    // day (moved aside, move-in never completed) — restore it now so the
+    // merge below reads it; a parked day whose move-in DID complete is a
+    // stale leftover and is dropped. Recovering here (not inside the swap
+    // loop) is load-bearing: the merge must see the restored data.
+    for (d <- Option(oldRoot.listFiles()).getOrElse(Array.empty[java.io.File])) {
+      val dst = new java.io.File(snapDir, d.getName)
+      if (!dst.exists()) org.apache.commons.io.FileUtils.moveDirectory(d, dst)
+      else org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
     val existing =
       if (snapDir.exists())
         spark.read.schema(withDay.schema).parquet(snapshotPath)
@@ -112,19 +125,11 @@ object StreamDedup {
     // move-aside swap: the day's previous data parks in a SIBLING dir (never
     // inside the snapshot root, where readers would see it as a partition),
     // so at every instant each day exists under exactly one of dst/old
-    val oldRoot = new java.io.File(snapshotPath + "__old")
-    def rmIfExists(d: java.io.File): Unit =
-      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
     oldRoot.mkdirs()
     for (day <- readDays) {
       val src = new java.io.File(stagedDir, s"snap_day=$day")
       val dst = new java.io.File(snapDir, s"snap_day=$day")
       val old = new java.io.File(oldRoot, s"snap_day=$day")
-      // crash recovery: a prior run moved dst aside but died before the
-      // move-in — restore the parked copy rather than losing the day
-      if (old.exists() && !dst.exists())
-        org.apache.commons.io.FileUtils.moveDirectory(old, dst)
-      rmIfExists(old) // leftover from a crash after a completed move-in
       if (src.exists()) {
         if (dst.exists()) org.apache.commons.io.FileUtils.moveDirectory(dst, old)
         org.apache.commons.io.FileUtils.moveDirectory(src, dst)

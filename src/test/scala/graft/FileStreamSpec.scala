@@ -110,6 +110,35 @@ class FileStreamSpec extends AnyFunSuite {
     assert(day1Rows.map(_.getLong(0)).toSet == Set(1L)) // stale row gone
   }
 
+  test("merge swap recovers a day parked by a crash between move-aside and move-in") {
+    val snap = Files.createTempDirectory("fs-snap3").resolve("snapshot")
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      (2L, ts("2024-01-02 08:00:00"), "b", 2.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    StreamDedup.mergeBatchIntoSnapshot(spark, b1, snap.toString, "event_id", "ts")
+
+    // simulate the crash window: day 01-01 was moved aside to the parked
+    // sibling dir but the staged move-in never happened
+    val dst = new java.io.File(snap.toFile, "snap_day=20240101")
+    val oldRoot = new java.io.File(snap.toString + "__old")
+    oldRoot.mkdirs()
+    org.apache.commons.io.FileUtils.moveDirectory(
+      dst, new java.io.File(oldRoot, "snap_day=20240101"))
+    assert(!dst.exists())
+
+    // the next batch touching that day must restore the parked copy first,
+    // then merge normally — event 1 survives, event 3 lands
+    val b2 = Seq((3L, ts("2024-01-01 12:00:00"), "a", 3.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    StreamDedup.mergeBatchIntoSnapshot(spark, b2, snap.toString, "event_id", "ts")
+    val all = spark.read.parquet(snap.toString).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(all == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0),
+      s"parked day must be restored before merging, got $all")
+    assert(!oldRoot.exists(), "park dir must be cleaned up after the swap")
+  }
+
   /** §2.9-4 exactly-once: the streamed dedup of an overlapping extract feed
     * must equal the batch keep-latest dedup of the unioned batches — the
     * oracled batch form pins the streaming semantics.

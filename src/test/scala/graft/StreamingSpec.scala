@@ -66,6 +66,31 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 1L, us("2024-01-01 11:00:00"))))
   }
 
+  test("streaming sessionization extends a session backwards on out-of-order arrival") {
+    import graft.streaming.Stateful
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Stateful.SessionEvent]
+    // batch 1 opens a session at 10:20; batch 2 delivers a WITHIN-WATERMARK
+    // event at 10:05 — earlier than the open session's start but inside the
+    // gap, so it must extend the same session backwards (the old fold glued
+    // it after the span and kept start at 10:20); a far event then closes it
+    input.addData(Stateful.SessionEvent(1L, ts("2024-01-01 10:20:00")))
+    input.addData(Stateful.SessionEvent(1L, ts("2024-01-01 10:05:00")))
+    input.addData(Stateful.SessionEvent(2L, ts("2024-01-01 23:00:00")))
+    val q = Stateful.streamingSessions(input.toDS(), 30)
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessions_ooo").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("session_start_us"), r.getAs[Long]("session_end_us"))).toSet
+    val us = (s: String) => ts(s).getTime * 1000L
+    assert(out == Set(
+      (1L, 2L, us("2024-01-01 10:05:00"), us("2024-01-01 10:20:00"))),
+      s"out-of-order event must extend the session start backwards, got $out")
+  }
+
   test("tumbling daily counts aggregate per day and type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

@@ -65,9 +65,13 @@ object RewriteRankOneToMaxBy extends Rule[LogicalPlan] {
 
 /** Production registration:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. Installs the
+  * QUALIFY-dedup rewrite and the engine's native SQL functions
+  * ([[graft.functions.expr.GraftFunctions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
+    graft.functions.expr.GraftFunctions.functions.foreach(e.injectFunction)
+  }
 }

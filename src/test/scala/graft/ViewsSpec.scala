@@ -30,6 +30,35 @@ class ViewsSpec extends AnyFunSuite {
     assert(sql.values.sum > 0)
   }
 
+  test("native SQL functions reach the codegen'd expression kernels") {
+    Views.registerAll(spark, dir)
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS orth,
+        |  cosine_sim(array(2.0D, 0.0D), array(5.0D, 0.0D)) AS par,
+        |  poly_rolling_hash('abc') AS rh,
+        |  shingles('a b c d', 3) AS sh,
+        |  simhash64(array('a', 'b')) AS s64,
+        |  size(minhash_sig(array('a', 'b'), 16)) AS mh_len""".stripMargin).first()
+    assert(r.getAs[Double]("orth") == 0.0)
+    assert(r.getAs[Double]("par") == 1.0)
+    assert(r.getAs[Long]("rh") == ((97L * 131 + 98) * 131 + 99) % 2147483647L)
+    assert(r.getSeq[String](r.fieldIndex("sh")) == Seq("a b c", "b c d"))
+    // same kernel as the Column API → identical value
+    import org.apache.spark.sql.functions._
+    val viaCol = spark.range(1)
+      .select(graft.functions.expr.VectorExpressions
+        .simhash64(typedLit(Seq("a", "b"))).as("s"))
+      .first().getAs[Long]("s")
+    assert(r.getAs[Long]("s64") == viaCol)
+    assert(r.getAs[Int]("mh_len") == 16)
+    // non-literal k must fail loudly, not mis-hash
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+
   test("SQL monitoring query matches the DataFrame form") {
     Views.registerAll(spark, dir)
     val sqlN = spark.sql(

@@ -7,18 +7,59 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, decoded/feature-extracted in
   * batch-shaped partition passes.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB (fakeDecode) — what is real and tested
-  * is the Spark-side shape: binary column + metadata struct schema, the
-  * partition-batched execution (mapPartitions ≡ the Scala analog of
-  * mapInPandas batches), and the bucket partitioning that keeps large blobs
-  * from skewing tasks.
+  * Header-level metadata extraction is REAL: [[parseImageHeader]] reads
+  * PNG/GIF/JPEG dimensions straight from the container byte layout (no
+  * codec library), so format/width/height/resize-planning run production
+  * paths. Only PIXEL decoding needs a codec the container lacks — that one
+  * kernel is a clearly-marked deterministic STUB (fakeDecode), reached only
+  * for non-image payloads. Also real and tested: the binary column +
+  * metadata struct schema, the partition-batched execution (mapPartitions ≡
+  * the Scala analog of mapInPandas batches), and the bucket partitioning
+  * that keeps large blobs from skewing tasks.
   */
 object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte])
-  case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int, height: Int,
-                           n_frames: Int, checksum: Long)
+  case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+                           width: Int, height: Int, n_frames: Int, checksum: Long)
+
+  /** REAL header-level image metadata — no codec library involved, just the
+    * container formats' own byte layout:
+    *  - PNG: 8-byte signature, then the IHDR chunk's big-endian width/height
+    *    at offsets 16/20;
+    *  - GIF87a/89a: little-endian logical-screen width/height at 6/8;
+    *  - JPEG: marker scan from SOI to the first SOF0-SOF15 frame header
+    *    (skipping DHT/DAC/RST markers), big-endian height/width at +5/+7.
+    * Returns (format, width, height); None when the bytes are not a
+    * recognized image — the caller falls back to the stub. Dimension
+    * extraction is the production-real half of "decode"; only pixel work
+    * needs the codec the container lacks.
+    */
+  def parseImageHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+      u8(3) == 'G' && u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+      u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        else if (marker == 0xff) i += 1 // fill byte
+        else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2 // standalone
+        else i += 2 + be16(i + 2) // segment length includes itself
+      }
+      None
+    } else None
+  }
 
   /** Attach a synthetic binary media column (UTF-8 payload standing in for
     * image bytes) plus the typed metadata struct a real pipeline would carry
@@ -50,18 +91,34 @@ object Multimodal {
 
   /** Batch feature extraction: one partition = one batch through the decode
     * kernel (the mapInPandas batch shape). Repartitions by a doc_id bucket
-    * first so blob sizes spread evenly across tasks.
+    * first so blob sizes spread evenly across tasks. Real image headers
+    * (PNG/GIF/JPEG) get REAL dimensions via [[parseImageHeader]]; anything
+    * else goes through the deterministic stub.
     */
   def extractFeatures(spark: SparkSession, documents: DataFrame,
-                      buckets: Int = 32): Dataset[MediaFeatures] = {
+                      buckets: Int = 32): Dataset[MediaFeatures] =
+    extractFeaturesFromMedia(spark, withMediaColumn(documents), buckets)
+
+  /** Same extraction over an existing `(doc_id, media: binary)` column —
+    * the entry point for real media tables (no text round-trip).
+    */
+  def extractFeaturesFromMedia(spark: SparkSession, media: DataFrame,
+                               buckets: Int = 32): Dataset[MediaFeatures] = {
     import spark.implicits._
-    withMediaColumn(documents)
+    media
       .repartition(buckets, pmod(col("doc_id"), lit(buckets)))
       .select(col("doc_id"), col("media")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, frames, checksum) = fakeDecode(r.media)
-          MediaFeatures(r.doc_id, r.media.length.toLong, w, h, frames, checksum)
+          parseImageHeader(r.media) match {
+            case Some((fmt, w, h)) =>
+              MediaFeatures(r.doc_id, fmt, r.media.length.toLong, w, h, 1,
+                java.util.Arrays.hashCode(r.media).toLong)
+            case None =>
+              val (w, h, frames, checksum) = fakeDecode(r.media)
+              MediaFeatures(r.doc_id, "synthetic", r.media.length.toLong,
+                w, h, frames, checksum)
+          }
         }
       }
   }

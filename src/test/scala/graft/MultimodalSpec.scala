@@ -32,6 +32,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.forall(f => f.width >= 64 && f.height >= 64 && f.n_frames >= 1))
   }
 
+  test("real PNG/GIF/JPEG headers yield real dimensions, no codec involved") {
+    // hand-assembled container headers — the actual byte layouts, not mocks
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xf0.toByte, 0x00) // 320×240 LE
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++ new Array[Byte](14) ++ // APP0
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(1080) ++ be16(1920) ++ new Array[Byte](10) // SOF0: h=1080 w=1920
+    assert(Multimodal.parseImageHeader(png).contains(("png", 640, 480)))
+    assert(Multimodal.parseImageHeader(gif).contains(("gif", 320, 240)))
+    assert(Multimodal.parseImageHeader(jpeg).contains(("jpeg", 1920, 1080)))
+    assert(Multimodal.parseImageHeader("not an image".getBytes).isEmpty)
+
+    // through the batched extraction path over a real binary column
+    import spark.implicits._
+    val mixed = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, "plain text".getBytes))
+      .toDF("doc_id", "media")
+    val feats = Multimodal.extractFeaturesFromMedia(spark, mixed, buckets = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).format == "png" && feats(1L).width == 640 && feats(1L).height == 480)
+    assert(feats(2L).format == "gif" && feats(2L).width == 320 && feats(2L).height == 240)
+    assert(feats(3L).format == "jpeg" && feats(3L).width == 1920 && feats(3L).height == 1080)
+    assert(feats(4L).format == "synthetic")
+  }
+
   test("resize planning caps the long edge and preserves aspect ratio") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, docs)

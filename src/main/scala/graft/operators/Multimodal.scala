@@ -74,6 +74,59 @@ object Multimodal {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         col("source").as("origin")).as("media_meta"))
 
+  case class AudioFeatures(doc_id: Long, format: String, sample_rate: Int,
+                           channels: Int, bits_per_sample: Int, n_samples: Long,
+                           duration_ms: Long)
+
+  /** REAL WAV (RIFF) metadata — little-endian chunk scan, no codec: the
+    * `fmt ` chunk carries channels/sample-rate/bits, the `data` chunk's size
+    * gives the sample count (and with the rate, the duration). Returns
+    * (sampleRate, channels, bitsPerSample, nSamples); None when the bytes
+    * are not RIFF/WAVE.
+    */
+  def parseWavHeader(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var rate = 0; var channels = 0; var bits = 0; var dataBytes = -1L
+    while (i + 8 <= b.length && (rate == 0 || dataBytes < 0)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ") && i + 24 <= b.length) {
+        channels = le16(i + 10); rate = le32(i + 12).toInt; bits = le16(i + 22)
+      } else if (tag(i, "data")) dataBytes = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0 || dataBytes < 0) None
+    else Some((rate, channels, bits, dataBytes / (channels * (bits / 8))))
+  }
+
+  /** Audio metadata extraction over a `(doc_id, media: binary)` column —
+    * real WAV headers get real sample counts/durations; non-audio payloads
+    * are tagged `unknown` with zeroed metrics (a codec-backed kernel would
+    * handle compressed formats).
+    */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame,
+                           buckets: Int = 32): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media
+      .repartition(buckets, pmod(col("doc_id"), lit(buckets)))
+      .select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          parseWavHeader(r.media) match {
+            case Some((rate, ch, bits, n)) =>
+              AudioFeatures(r.doc_id, "wav", rate, ch, bits, n, n * 1000L / rate)
+            case None => AudioFeatures(r.doc_id, "unknown", 0, 0, 0, 0L, 0L)
+          }
+        }
+      }
+  }
+
   /** STUB decode kernel: a real implementation would hand `bytes` to a codec
     * (JPEG/PNG/ffmpeg). This deterministic fake derives pseudo-dimensions
     * from a rolling checksum so the downstream plumbing is exercised with

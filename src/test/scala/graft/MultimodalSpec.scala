@@ -61,6 +61,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(4L).format == "synthetic")
   }
 
+  test("real WAV headers yield real sample counts and durations") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // 16-bit stereo 44.1 kHz, 1s of audio = 176400 data bytes (header only here)
+    val wav = "RIFF".getBytes ++ le32(36 + 176400) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(44100 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(176400)
+    assert(Multimodal.parseWavHeader(wav).contains((44100, 2, 16, 44100L)))
+    assert(Multimodal.parseWavHeader("not audio at all, definitely".getBytes).isEmpty)
+    import spark.implicits._
+    val media = Seq((1L, wav), (2L, "text".getBytes)).toDF("doc_id", "media")
+    val feats = Multimodal.extractAudioFeatures(spark, media, buckets = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).format == "wav" && feats(1L).n_samples == 44100L &&
+      feats(1L).duration_ms == 1000L)
+    assert(feats(2L).format == "unknown")
+  }
+
   test("resize planning caps the long edge and preserves aspect ratio") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, docs)

@@ -105,6 +105,48 @@ object Multimodal {
     else Some((rate, channels, bits, dataBytes / (channels * (bits / 8))))
   }
 
+  /** REAL MP4/QuickTime metadata — ISO-BMFF box scan, no codec: top-level
+    * boxes are `[size:4][type:4]`; the `moov` container's `mvhd` child
+    * carries the movie timescale and duration (version 0: 32-bit at +12/+16
+    * past the box header; version 1: 64-bit times). Returns duration in
+    * milliseconds; None when the bytes are not an MP4 or `mvhd` is absent.
+    */
+  def parseMp4Duration(b: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (b.length < 16 || !tag(4, "ftyp")) return None
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = be32(i)
+      if (tag(i + 4, "moov")) {
+        var j = i + 8
+        val end = math.min(i + size, b.length.toLong).toInt
+        while (j + 8 <= end) {
+          val csize = be32(j)
+          if (tag(j + 4, "mvhd") && j + 28 <= end) {
+            // v0: creation(4) modification(4) timescale(4)@+20 duration(4)@+24
+            // v1: creation(8) modification(8) timescale(4)@+28 duration(8)@+32
+            val version = u8(j + 8)
+            return if (version == 1 && j + 40 <= end)
+              Some(be64(j + 32) * 1000L / be32(j + 28))
+            else
+              Some(be32(j + 24) * 1000L / be32(j + 20))
+          }
+          if (csize < 8) return None
+          j += csize.toInt
+        }
+        return None
+      }
+      if (size < 8) return None
+      i += size.toInt
+    }
+    None
+  }
+
   /** Audio metadata extraction over a `(doc_id, media: binary)` column —
     * real WAV headers get real sample counts/durations; non-audio payloads
     * are tagged `unknown` with zeroed metrics (a codec-backed kernel would

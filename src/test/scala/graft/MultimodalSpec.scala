@@ -80,6 +80,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2L).format == "unknown")
   }
 
+  test("real MP4 moov/mvhd headers yield real durations") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // ftyp box, then moov containing a v0 mvhd: timescale 600, duration 9000
+    // ticks = 15 s
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512)
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ be32(0) ++ // version+flags
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(9000) ++ new Array[Byte](80)
+    val moov = be32(8 + mvhd.length) ++ "moov".getBytes ++ mvhd
+    val mp4 = ftyp ++ moov
+    assert(Multimodal.parseMp4Duration(mp4).contains(15000L))
+    assert(Multimodal.parseMp4Duration("RIFFxxxxWAVE and then some".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Duration("definitely not a video".getBytes).isEmpty)
+  }
+
   test("resize planning caps the long edge and preserves aspect ratio") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, docs)

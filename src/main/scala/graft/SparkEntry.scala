@@ -114,6 +114,19 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("value"), col("last_signup_value"))
     }),
+    // range join: every event falling inside each event type's 3-day launch
+    // window (window = [first occurrence, +3d]) — bucketized equi-join, see
+    // RangeJoin (a plain inequality join would plan as BroadcastNestedLoop)
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(prep(s), d)
+      val pts = ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val wins = ev.groupBy(col("event_type").as("win_type"))
+        .agg(min(unix_micros(col("ts"))).as("win_start"))
+        .withColumn("win_end", col("win_start") + lit(3L * 86400000000L))
+      RangeJoin.pointInInterval(pts, "ts_us", wins, "win_start", "win_end",
+          bucketWidth = 86400000000L)
+        .select("win_type", "event_id")
+    }),
     "q_rollup" -> ((s, d) => Analytics.ordersRollup(prep(s), d)),
     "q_cube" -> ((s, d) => Analytics.ordersCube(prep(s), d)),
     // ---- training-data pipeline: dedup / similarity / text (north star) ----
@@ -277,6 +290,8 @@ object SparkEntry {
       s"SELECT p_brand, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40) GROUP BY 1",
     "q_asof_join" ->
       "WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events), r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'signup') SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id, l.value, r.value AS last_signup_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
+    "q_range_join" ->
+      "WITH p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), w AS (SELECT event_type AS win_type, min(epoch_us(CAST(ts AS TIMESTAMP))) AS win_start, min(epoch_us(CAST(ts AS TIMESTAMP))) + 259200000000 AS win_end FROM events GROUP BY 1) SELECT w.win_type, p.event_id FROM p JOIN w ON p.ts_us BETWEEN w.win_start AND w.win_end",
     "q_rollup" ->
       s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
     "q_cube" ->

@@ -97,6 +97,13 @@ object SparkEntry {
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(prep(s), d)),
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(prep(s), d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
+    // KLL-style quantile sketch (approx_percentile): rows-only — the sketch
+    // has no cross-engine oracle; PropertySpec pins the rank-error bound
+    // against the exact distribution, the way q_approx_distinct is pinned
+    "q_approx_quantiles" -> ((s, d) => Tables.events(prep(s), d)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 1000)").as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "v")))),
     "q_exact_distinct_daily" -> ((s, d) => Analytics.exactDistinctUsersDaily(prep(s), d)),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(prep(s), d)),
     "q_moving_7d" -> ((s, d) => Analytics.movingWeeklyVolume(prep(s), d)),

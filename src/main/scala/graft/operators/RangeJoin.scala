@@ -41,4 +41,29 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join (`[aS,aE]` ∩ `[bS,bE]` ≠ ∅, inclusive).
+    * Both sides explode into covering buckets and equi-join; an overlapping
+    * pair co-resides in EVERY shared bucket, so the join keeps a pair only
+    * in its FIRST shared bucket — `max(floor(aS/W), floor(bS/W))` — making
+    * the output duplicate-free with no distinct pass (the standard
+    * bucketized interval-join trick; a distinct over the candidate set
+    * would be a second full shuffle).
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, s: String, e: String) = df.withColumn("__bucket",
+      explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))))
+    buckets(left, lStart, lEnd)
+      .join(buckets(right, rStart, rEnd), Seq("__bucket") ++ extraKeys)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bucket") === greatest(
+        floor(col(lStart) / bucketWidth).cast("long"),
+        floor(col(rStart) / bucketWidth).cast("long")))
+      .drop("__bucket")
+  }
 }

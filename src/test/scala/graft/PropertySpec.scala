@@ -60,6 +60,29 @@ object PropertySpec extends Properties("graft") {
       } && exact.keySet == approx.keySet
     }
 
+  property("approx_percentile respects its rank-error bound per group (sf0.1)") =
+    org.scalacheck.Prop.protect {
+      // accuracy=1000 bounds the RANK error at n/1000; check the realized
+      // rank of each sketch answer against its target quantile
+      val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+      val qs = Seq(0.5, 0.9, 0.99)
+      val approx = ev.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 1000)").as("a"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val exact = ev.select(col("event_type"), col("value")).collect()
+        .groupBy(_.getString(0)).map { case (g, rows) =>
+          g -> rows.map(_.getDouble(1)).sorted
+        }
+      exact.forall { case (g, values) =>
+        val n = values.length.toDouble
+        qs.zipWithIndex.forall { case (q, i) =>
+          val v = approx(g)(i)
+          val rank = values.count(_ <= v) / n
+          math.abs(rank - q) <= 0.005 + 1.0 / n
+        }
+      }
+    }
+
   property("dim_date spans min..max contiguously with distinct keys") =
     forAll(Gen.zip(Gen.choose(0L, 2000000L), Gen.choose(1L, 200L))) {
       case (startSec, spanDays) =>

@@ -44,6 +44,21 @@ class RangeJoinSpec extends AnyFunSuite {
       s"range join must stay an equi-join:\n$plan")
   }
 
+  test("interval overlap matches the naive join exactly once per pair") {
+    val left = Seq((1L, 0L, 10L), (2L, 5L, 100L), (3L, 90L, 95L))
+      .toDF("a_id", "as", "ae")
+    val right = Seq((10L, 8L, 12L), (11L, 50L, 60L), (12L, 200L, 300L))
+      .toDF("b_id", "bs", "be")
+    val got = RangeJoin.intervalOverlap(left, "as", "ae", right, "bs", "be",
+        bucketWidth = 7L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = left.join(right, col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(naive.toSet == Set((1L, 10L), (2L, 10L), (2L, 11L)))
+    assert(got.length == got.toSet.size, "each overlapping pair must emit once")
+    assert(got.toSet == naive.toSet)
+  }
+
   test("extra equi-keys restrict matches within the key") {
     val points = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("p_id", "k", "ts")
     val intervals = Seq(("a", 0L, 10L)).toDF("k", "s", "e")

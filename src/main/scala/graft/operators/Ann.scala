@@ -85,23 +85,19 @@ object Ann {
     * collect: C = |corpus|/centroidStride rows per iteration, bounded by
     * construction. Empty buckets keep their previous centroid.
     */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              centroidStride: Int = 23, nprobe: Int = 3,
-              lloydIters: Int = 2): DataFrame = {
-    val spark = embeddings.sparkSession
+  /** Stride-sample init + `lloydIters` k-means iterations over `corpus`
+    * (`(vec_id, emb)`) — the shared centroid-training step of [[ivfTopK]]
+    * and [[buildIvfIndex]].
+    */
+  private def trainCentroids(corpus: DataFrame, centroidStride: Int,
+                             lloydIters: Int): Array[(Long, Array[Double])] = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val corpus = emb(embeddings)
-
     var cents: Array[(Long, Array[Double])] = corpus
       .filter(col("vec_id") % centroidStride === 0)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-
-    def assign(df: DataFrame): DataFrame = df.withColumn("bucket",
-      graft.functions.expr.VectorExpressions.nearestCentroid(
-        col("emb"), cents.map(_._1), cents.map(_._2)))
-
     for (_ <- 1 to lloydIters) {
-      val means = assign(corpus)
+      val means = assignBuckets(corpus, cents)
         .select(col("bucket"), posexplode(col("emb")).as(Seq("pos", "x")))
         .groupBy(col("bucket"), col("pos"))
         .agg(graft.functions.FxMath.scaledAvg(
@@ -113,25 +109,86 @@ object Ann {
         .as[(Long, Array[Double])].collect().toMap
       cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
     }
+    cents
+  }
 
-    val assigned = assign(corpus)
+  private def assignBuckets(df: DataFrame,
+                            cents: Array[(Long, Array[Double])]): DataFrame =
+    df.withColumn("bucket", graft.functions.expr.VectorExpressions
+      .nearestCentroid(col("emb"), cents.map(_._1), cents.map(_._2)))
 
-    // per-query nprobe nearest buckets, computed against the same
-    // driver-held centroid table (query set is tiny — HOF cost immaterial)
+  /** Per-query nprobe nearest buckets against the driver-held centroid
+    * table (query set is tiny — HOF cost immaterial). `queries` must carry
+    * `(q_id, q_emb)`.
+    */
+  private def probesFor(queries: DataFrame,
+                        cents: Array[(Long, Array[Double])],
+                        nprobe: Int): DataFrame = {
     val centLit = typedLit(cents.map { case (id, e) => (id, e.toSeq) }.toSeq)
-    val probes = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      .select(col("q_id"), col("q_emb"),
+    queries.select(col("q_id"), col("q_emb"),
         explode(slice(array_sort(transform(centLit, c =>
           struct((-SimFns.cosine(col("q_emb"), c.getField("_2"))).as("neg_cos"),
             c.getField("_1").as("c_id")))), 1, nprobe)).as("p"))
       .select(col("q_id"), col("q_emb"), col("p.c_id").as("bucket"))
+  }
 
+  private def scoreAndTopK(assigned: DataFrame, probes: DataFrame,
+                           k: Int): DataFrame = {
     val scored = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
     topKPerQuery(scored, k)
+  }
+
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              centroidStride: Int = 23, nprobe: Int = 3,
+              lloydIters: Int = 2): DataFrame = {
+    val corpus = emb(embeddings)
+    val cents = trainCentroids(corpus, centroidStride, lloydIters)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    scoreAndTopK(assignBuckets(corpus, cents), probesFor(queries, cents, nprobe), k)
+  }
+
+  /** Persist the IVF index: the assigned corpus lands `partitionBy(bucket)`
+    * (one directory per inverted list) beside the trained centroid table.
+    * Build once, probe many — the real-system shape: at query time only the
+    * probed buckets' partitions are ever READ (Catalyst partition pruning),
+    * so per-query I/O is O(nprobe/C of the corpus), not a full scan.
+    */
+  def buildIvfIndex(embeddings: DataFrame, path: String,
+                    centroidStride: Int = 23, lloydIters: Int = 2): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = emb(embeddings)
+    val cents = trainCentroids(corpus, centroidStride, lloydIters)
+    assignBuckets(corpus, cents)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    cents.toSeq.map { case (id, e) => (id, e.toSeq) }
+      .toDF("c_id", "c_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a persisted IVF index. `queries` carries `(vec_id, embedding)`;
+    * same output schema as [[bruteTopK]]. The postings scan is filtered to
+    * the probed bucket ids — a partition-column `IN` list, so unprobed
+    * inverted lists are pruned at planning time and never read.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .as[(Long, Seq[Double])].collect().map { case (id, e) => (id, e.toArray) }
+      .sortBy(_._1)
+    val probes = probesFor(
+      emb(queries).select(col("vec_id").as("q_id"), col("emb").as("q_emb")),
+      cents, nprobe)
+    val probedBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0)) // nQueries × nprobe ids — driver-tiny
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(probedBuckets.toSeq: _*))
+    scoreAndTopK(postings, probes, k)
   }
 
   /** Per-label centroid: dimension-wise mean via posexplode → (label, pos)

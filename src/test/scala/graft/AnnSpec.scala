@@ -61,6 +61,25 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall $recall too low at loose threshold")
   }
 
+  test("persisted IVF index answers identically to the inline path, reading only probed buckets") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Ann.buildIvfIndex(emb, path)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val fromIndex = Ann.ivfTopKFromIndex(spark, path, queries, k = 5)
+    val inline = Ann.ivfTopK(emb, 10, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rk"))).toSet
+    assert(rows(fromIndex) == rows(inline),
+      "same centroids + same scoring must answer identically from disk")
+    // the probed-bucket IN list must reach the scan as a partition filter —
+    // unprobed inverted lists are pruned, never read
+    val scan = fromIndex.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"postings scan must prune on the bucket partition column:\n$scan")
+  }
+
   test("sf0.1 gate: hyperplane-LSH near-dup recall vs exact pairs") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.select("vec_a", "vec_b")

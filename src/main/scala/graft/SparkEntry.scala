@@ -157,6 +157,8 @@ object SparkEntry {
       TextOps.langTokenMix(Tables.documents(prep(s), d))),
     "doc_pack_chunks" -> ((s, d) =>
       TextOps.packDocuments(Tables.documents(prep(s), d), 2048L, 32)),
+    "doc_token_ids" -> ((s, d) =>
+      TextOps.tokenIds(Tables.documents(prep(s), d), 500)),
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
     "tok_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitterTokens(prep(s), Tables.documents(s, d), 10)),
@@ -332,6 +334,8 @@ object SparkEntry {
       s"WITH p AS (SELECT lang, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1) SELECT lang, n_docs, total_tokens, ${fxRatioSql("total_tokens", "(SELECT CAST(sum(total_tokens) AS BIGINT) FROM p)", 6)} AS token_share FROM p",
     "doc_pack_chunks" ->
       "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, doc_id % 32 AS shard FROM documents), c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok FROM t) SELECT doc_id, shard, n_tokens, start_tok, start_tok // 2048 AS pack_id FROM c",
+    "doc_token_ids" ->
+      "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos FROM documents), v AS (SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS token_id FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 500)) SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id FROM t LEFT JOIN v USING (tok)",
     "tok_idf" ->
       "WITH d AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), f AS (SELECT token, count(*) AS df FROM t GROUP BY 1) SELECT token, df, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf FROM f, d WHERE df >= 5",
     "tok_heavy_hitters" ->

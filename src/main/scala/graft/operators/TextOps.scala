@@ -166,6 +166,34 @@ object TextOps {
       .select("doc_id", "shard", "n_tokens", "start_tok", "pack_id")
   }
 
+  /** Vocabulary encoding: build a frequency-ranked vocab of the top
+    * `vocabSize` tokens (ids 1..V in (count desc, token) order — total, so
+    * the id assignment is deterministic across engines and reruns) and map
+    * every token position to its id, 0 for out-of-vocabulary. Output is the
+    * exploded `(doc_id, pos, token_id)` stream — the form token-id tensors
+    * are assembled from (and the cross-engine-comparable one; array columns
+    * are a hash-compare hazard).
+    *
+    * Scale shape: the vocab is an aggregation bounded by distinct tokens,
+    * then a rank window over AT MOST `vocabSize` rows (bounded by
+    * construction — never the corpus); the encode join broadcasts the vocab
+    * into a narrow map-side hash join against the exploded token stream.
+    */
+  def tokenIds(documents: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("tok"))
+    val ranked = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .withColumn("token_id", row_number().over(ranked).cast("long"))
+      .select("tok", "token_id")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
   /** Corpus-level top-k tokens via the Misra-Gries
     * [[graft.functions.HeavyHitters]] typed Aggregator (exact while distinct
     * tokens ≤ sketch capacity; deterministic (count desc, token) order).

@@ -76,6 +76,20 @@ class TextSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("token ids: frequency-ranked vocab, OOV → 0, positions preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"), (2L, "a b rare")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.tokenIds(docs, vocabSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // vocab by (count desc, token): b=4 → id 1, a=3 → id 2; c and rare OOV
+    assert(out == Map(
+      (1L, 1L) -> 1L, (1L, 2L) -> 1L, (1L, 3L) -> 1L,
+      (1L, 4L) -> 2L, (1L, 5L) -> 2L, (1L, 6L) -> 0L,
+      (2L, 1L) -> 2L, (2L, 2L) -> 1L, (2L, 3L) -> 0L))
+  }
+
   test("token quantiles are exact interpolated percentiles") {
     val q = graft.operators.TextOps.tokenQuantiles(corpus).first()
     // lengths 1..100: p50 = 50.5, p90 = 90.1, p99 = 99.01

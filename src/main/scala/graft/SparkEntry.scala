@@ -108,6 +108,8 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Analytics.sessionize(prep(s), d)),
     "q_moving_7d" -> ((s, d) => Analytics.movingWeeklyVolume(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
+    "q13_custdist" -> ((s, d) => Analytics.customerOrderDistribution(prep(s), d)),
+    "q17_small_qty" -> ((s, d) => Analytics.smallQuantityRevenue(prep(s), d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeOrders(prep(s), d)),
     "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(prep(s), d)),
     "dedup_embedding_lsh" -> ((s, d) =>
@@ -293,6 +295,10 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
     "q10_returns" ->
       s"SELECT c_custkey, c_name, n_name, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q13_custdist" ->
+      "SELECT c_count, count(*) AS custdist FROM (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o ON c_custkey = o.o_custkey GROUP BY c_custkey) GROUP BY 1",
+    "q17_small_qty" ->
+      s"WITH pp AS (SELECT l_partkey AS avg_partkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_sum, count(*) AS qty_n FROM lineitem GROUP BY 1) SELECT ${fxTotalSql(fxSumSql("l_extendedprice", 100L), 100L, 2)} AS small_qty_revenue, count(*) AS n_items FROM lineitem JOIN pp ON l_partkey = avg_partkey WHERE CAST(round(l_quantity * 100) AS BIGINT) * 2 * qty_n < qty_sum",
     "q18_large_orders" ->
       s"WITH big AS (SELECT l_orderkey, ${fxTotalSql(fxSumSql("l_quantity", 100L), 100L, 2)} AS total_qty FROM lineitem GROUP BY 1) SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, total_qty FROM orders JOIN big ON o_orderkey = big.l_orderkey WHERE total_qty > 300",
     "q19_brand_revenue" ->

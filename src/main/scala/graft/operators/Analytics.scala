@@ -341,4 +341,44 @@ object Analytics {
     Tables.events(spark, dir)
       .groupBy(to_date(col("ts")).as("event_date"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
+
+  /** TPC-H Q13 shape: customer order-count DISTRIBUTION — left outer join
+    * (customers with zero urgent orders must survive as c_count = 0), one
+    * aggregation per customer, then a histogram over the counts. Two hash
+    * aggregations; the second's key space is tiny (distinct counts), so the
+    * heavy lifting partial-aggregates map-side on c_custkey.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    * broadcast join — revenue of small-quantity outliers, where "small" is
+    * relative to each part's own average (`l_quantity < 0.5 · avg per
+    * part`). The correlated per-part average becomes one hash aggregation
+    * broadcast back against the fact: the fact never shuffles, and the
+    * threshold compare is integer-exact (quantities scaled to cents, the
+    * 0.5·avg threshold cross-multiplied: 200·qty·n < sum) so the boundary
+    * can't flip between engines.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("avg_partkey"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_sum"),
+        count(lit(1)).as("qty_n"))
+    li.join(broadcast(perPart), col("l_partkey") === col("avg_partkey"))
+      // qty < 0.5 * (sum/100)/n  ⇔  200 * qty_cents * n < 100 * sum * n / n
+      // — compare in exact integers: 2 * qty_cents * n < qty_sum
+      .filter(round(col("l_quantity") * 100).cast("long") * 2 * col("qty_n") <
+        col("qty_sum"))
+      .agg(fxTotal(col("l_extendedprice"), 100L, 2).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

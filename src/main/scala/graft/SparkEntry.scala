@@ -109,6 +109,7 @@ object SparkEntry {
     "q_moving_7d" -> ((s, d) => Analytics.movingWeeklyVolume(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
     "q13_custdist" -> ((s, d) => Analytics.customerOrderDistribution(prep(s), d)),
+    "q22_wealthy_inactive" -> ((s, d) => Analytics.wealthyInactiveCustomers(prep(s), d)),
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityRevenue(prep(s), d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeOrders(prep(s), d)),
     "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(prep(s), d)),
@@ -295,6 +296,8 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
     "q10_returns" ->
       s"SELECT c_custkey, c_name, n_name, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "q22_wealthy_inactive" ->
+      s"WITH a AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_sum, count(*) AS bal_n FROM customer WHERE c_acctbal > 0) SELECT count(*) AS n_customers, ${fxTotalSql(fxSumSql("c_acctbal", 100L), 100L, 2)} AS total_balance FROM customer, a WHERE CAST(round(c_acctbal * 100) AS BIGINT) * bal_n > bal_sum AND c_custkey NOT IN (SELECT o_custkey FROM orders)",
     "q13_custdist" ->
       "SELECT c_count, count(*) AS custdist FROM (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o ON c_custkey = o.o_custkey GROUP BY c_custkey) GROUP BY 1",
     "q17_small_qty" ->

@@ -342,6 +342,30 @@ object Analytics {
       .groupBy(to_date(col("ts")).as("event_date"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
 
+  /** TPC-H Q22 shape: anti join + scalar-average threshold — wealthy
+    * customers (balance above the positive-balance average) who never
+    * ordered. The global average joins in as a broadcast 1-row aggregate
+    * and the threshold compares CROSS-MULTIPLIED exact integers
+    * (bal_cents · n > sum_cents), because an `avg(double)` is
+    * partial-aggregation-order dependent and a boundary-adjacent balance
+    * could flip between engines. The anti join is a broadcast of the
+    * (distinct, small) buyer-key set against customers.
+    */
+  def wealthyInactiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val posAvg = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(round(col("c_acctbal") * 100).cast("long")).as("bal_sum"),
+        count(lit(1)).as("bal_n"))
+    cust
+      .crossJoin(broadcast(posAvg))
+      .filter(round(col("c_acctbal") * 100).cast("long") * col("bal_n") >
+        col("bal_sum"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers"),
+        fxTotal(col("c_acctbal"), 100L, 2).as("total_balance"))
+  }
+
   /** TPC-H Q13 shape: customer order-count DISTRIBUTION — left outer join
     * (customers with zero urgent orders must survive as c_count = 0), one
     * aggregation per customer, then a histogram over the counts. Two hash

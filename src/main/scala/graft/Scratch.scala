@@ -66,6 +66,32 @@ object Scratch {
       }
       time(nm) { df.write.format("noop").mode("overwrite").save() }
     }
+    // skew-join probe: 10M left rows with 90% on ONE key joined to a
+    // non-broadcastable right side, AQE + auto-broadcast off so the salted
+    // form is measured against the true single-hot-task baseline (AQE's
+    // skew split would otherwise rescue the plain join at runtime —
+    // production turns it on; the probe isolates the operator)
+    {
+      val skewN = math.min(n, 10000000L)
+      val left = spark.range(skewN).select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("k"),
+        (col("id") % 97).cast("double").as("v"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("label"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time(s"skew-join plain ${skewN / 1000000}M") {
+        left.join(right, "k")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"skew-join salted ${skewN / 1000000}M") {
+        graft.operators.Skew.saltedJoin(left, right, "k")
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
     // ANN brute top-k over 1M synthetic 64-dim vectors: codegen'd cosine +
     // bounded TopKByScore aggregate (no global ranking window)
     val embs = spark.range(1000000).select(col("id").as("vec_id"),

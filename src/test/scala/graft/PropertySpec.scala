@@ -83,6 +83,26 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("bucketized range join ≡ naive inequality join on random intervals") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 200L))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 20L), Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 60L)))),
+      Gen.choose(1L, 64L)) { (ps, is, width) =>
+      val points = ps.map { case (id, t) => (id, t) }.toDF("p_id", "ts")
+      val intervals = is.map { case (id, (s, len)) => (id, s, s + len) }
+        .toDF("i_id", "s", "e")
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, "ts", intervals, "s", "e", width)
+        .select("p_id", "ts", "i_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val naive = points.join(intervals,
+          col("ts") >= col("s") && col("ts") <= col("e"))
+        .select("p_id", "ts", "i_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // multiset equality: duplicate input rows must produce duplicate matches
+      got.sorted.toSeq == naive.sorted.toSeq
+    }
+
   property("dim_date spans min..max contiguously with distinct keys") =
     forAll(Gen.zip(Gen.choose(0L, 2000000L), Gen.choose(1L, 200L))) {
       case (startSec, spanDays) =>

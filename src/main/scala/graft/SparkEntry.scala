@@ -162,6 +162,10 @@ object SparkEntry {
       TextOps.packDocuments(Tables.documents(prep(s), d), 2048L, 32)),
     "doc_token_ids" -> ((s, d) =>
       TextOps.tokenIds(Tables.documents(prep(s), d), 500)),
+    "doc_stratified_sample" -> ((s, d) =>
+      TextOps.stratifiedSample(Tables.documents(prep(s), d), "doc_id", "lang",
+        Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5))
+        .select("doc_id", "lang")),
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
     "tok_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitterTokens(prep(s), Tables.documents(s, d), 10)),
@@ -339,6 +343,8 @@ object SparkEntry {
     },
     "doc_sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'",
+    "doc_stratified_sample" ->
+      "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < (CASE WHEN lang = 'en' THEN '4000' WHEN lang = 'de' THEN 'g' WHEN lang = 'fr' THEN '8000' ELSE NULL END)",
     "lang_token_mix" ->
       s"WITH p AS (SELECT lang, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1) SELECT lang, n_docs, total_tokens, ${fxRatioSql("total_tokens", "(SELECT CAST(sum(total_tokens) AS BIGINT) FROM p)", 6)} AS token_share FROM p",
     "doc_pack_chunks" ->

@@ -102,6 +102,33 @@ object TextOps {
   def deterministicSample(df: DataFrame, keyCol: String, hexThreshold: String): DataFrame =
     df.filter(substring(md5(col(keyCol).cast("string")), 1, hexThreshold.length) < hexThreshold)
 
+  /** Deterministic STRATIFIED sampling: per-stratum keep rates (e.g.
+    * down-sample over-represented languages when composing a training mix),
+    * implemented as the same content-addressed md5 hex-prefix threshold as
+    * [[deterministicSample]] but with the threshold chosen per stratum.
+    * Strata not in `rates` are dropped (rate 0). Reproducible across
+    * engines, cluster sizes, and reruns; zero shuffle — the stratum
+    * thresholds compile into a narrow CASE projection.
+    *
+    * `rates` values are hex-prefix thresholds out of 0x10000 (e.g. 0.1 →
+    * keep md5 prefixes below round(0.1·65536) = "1999"); rate 1.0 keeps all.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val prefix = substring(md5(col(keyCol).cast("string")), 1, 4)
+    def hexThreshold(r: Double): String = {
+      val v = math.round(r * 65536)
+      // rate 1.0 rounds to 0x10000, which sorts BELOW "ffff" as a string —
+      // use a sentinel above every hex prefix instead
+      if (v >= 65536L) "g" else f"$v%04x"
+    }
+    val threshold = rates.foldLeft(lit(null).cast("string")) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.filter(prefix < threshold)
+  }
+
   /** Token share per language — the training-mix composition table. Two
     * hash aggregations (per-lang, then a 1-row corpus total broadcast back);
     * integer token sums stay exact so the share division is bit-stable.

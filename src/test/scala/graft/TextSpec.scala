@@ -90,6 +90,27 @@ class TextSpec extends AnyFunSuite {
       (2L, 1L) -> 2L, (2L, 2L) -> 1L, (2L, 3L) -> 0L))
   }
 
+  test("stratified sample: per-stratum rates, dropped strata, rate 1.0 keeps all") {
+    val out = graft.operators.TextOps.stratifiedSample(
+      corpus, "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.3))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("en") == 50, "rate 1.0 must keep every row of the stratum")
+    assert(out.getOrElse("de", 0L) > 0 && out("de") < 50, "partial-rate stratum")
+    // unlisted strata are dropped entirely
+    val none = graft.operators.TextOps.stratifiedSample(
+      corpus, "doc_id", "lang", Map("en" -> 0.5)).filter($"lang" === "de").count()
+    assert(none == 0)
+    // deterministic: same rows on rerun
+    val a = graft.operators.TextOps.stratifiedSample(
+      corpus, "doc_id", "lang", Map("en" -> 0.4, "de" -> 0.6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.operators.TextOps.stratifiedSample(
+      corpus, "doc_id", "lang", Map("en" -> 0.4, "de" -> 0.6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("token quantiles are exact interpolated percentiles") {
     val q = graft.operators.TextOps.tokenQuantiles(corpus).first()
     // lengths 1..100: p50 = 50.5, p90 = 90.1, p99 = 99.01

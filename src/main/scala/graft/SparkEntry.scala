@@ -162,6 +162,8 @@ object SparkEntry {
       TextOps.packDocuments(Tables.documents(prep(s), d), 2048L, 32)),
     "doc_token_ids" -> ((s, d) =>
       TextOps.tokenIds(Tables.documents(prep(s), d), 500)),
+    "doc_chunks" -> ((s, d) =>
+      TextOps.chunkDocuments(Tables.documents(prep(s), d), 64, 16)),
     "doc_stratified_sample" -> ((s, d) =>
       TextOps.stratifiedSample(Tables.documents(prep(s), d), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5))
@@ -343,6 +345,8 @@ object SparkEntry {
     },
     "doc_sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'",
+    "doc_chunks" ->
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w, unnest(range(0, len(w), 48)) AS start_tok, generate_subscripts(range(0, len(w), 48), 1) - 1 AS chunk_id FROM t) SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(start_tok AS BIGINT) AS start_tok, CAST(least(64, n_tokens - start_tok) AS BIGINT) AS chunk_len, array_to_string(w[start_tok + 1 : start_tok + 64], ' ') AS chunk_text FROM c",
     "doc_stratified_sample" ->
       "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < (CASE WHEN lang = 'en' THEN '4000' WHEN lang = 'de' THEN 'g' WHEN lang = 'fr' THEN '8000' ELSE NULL END)",
     "lang_token_mix" ->

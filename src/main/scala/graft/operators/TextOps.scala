@@ -193,6 +193,33 @@ object TextOps {
       .select("doc_id", "shard", "n_tokens", "start_tok", "pack_id")
   }
 
+  /** Overlapping document chunking — the long-document splitting step
+    * (context-window training slices, RAG passages): token windows of
+    * `chunkTokens` starting every `chunkTokens − overlapTokens`, the final
+    * window clamped to the tail. One narrow generate per doc (bounded
+    * fan-out ⌈n/stride⌉), zero shuffle; `(doc_id, chunk_id)` is the stable
+    * chunk key. Distinct from [[packDocuments]], which CONCATENATES short
+    * docs; chunking SPLITS long ones.
+    */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int,
+                     overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlap < chunk")
+    val stride = chunkTokens - overlapTokens
+    documents
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"),
+        posexplode(sequence(lit(0L), size(col("toks")).cast("long") - 1,
+          lit(stride.toLong))).as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok"),
+        least(lit(chunkTokens.toLong), col("n_tokens") - col("start_tok"))
+          .as("chunk_len"),
+        array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** Vocabulary encoding: build a frequency-ranked vocab of the top
     * `vocabSize` tokens (ids 1..V in (count desc, token) order — total, so
     * the id assignment is deterministic across engines and reruns) and map

@@ -90,6 +90,23 @@ class TextSpec extends AnyFunSuite {
       (2L, 1L) -> 2L, (2L, 2L) -> 1L, (2L, 3L) -> 0L))
   }
 
+  test("chunking: stride windows, clamped tail, overlap carried") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.chunkDocuments(docs, chunkTokens = 4,
+        overlapTokens = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: 10 tokens, stride 3 → starts 0,3,6,9; tail clamps to 1 token
+    assert(out(1L -> 0L) == (0L, 4L, "t1 t2 t3 t4"))
+    assert(out(1L -> 1L) == (3L, 4L, "t4 t5 t6 t7"))
+    assert(out(1L -> 2L) == (6L, 4L, "t7 t8 t9 t10"))
+    assert(out(1L -> 3L) == (9L, 1L, "t10"))
+    // doc 2 fits in one window
+    assert(out(2L -> 0L) == (0L, 2L, "a b"))
+    assert(out.size == 5)
+  }
+
   test("stratified sample: per-stratum rates, dropped strata, rate 1.0 keeps all") {
     val out = graft.operators.TextOps.stratifiedSample(
       corpus, "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.3))

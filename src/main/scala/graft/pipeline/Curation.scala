@@ -71,6 +71,20 @@ object Curation {
     (curated, stages.result())
   }
 
+  /** Curated corpus → model-ready tensors: vocabulary-encode every token
+    * position and assign concat-and-chunk packs — the full
+    * curate → encode → pack tail of a training-data pipeline in one
+    * composition. Returns (token stream, pack assignments): the token
+    * stream is `(doc_id, pos, token_id)` and joins to its pack via
+    * `doc_id` (both sides carry deterministic keys, so the join is
+    * reproducible anywhere).
+    */
+  def prepareTrainingData(curated: DataFrame, vocabSize: Int = 32768,
+                          ctxTokens: Long = 2048,
+                          shards: Int = 32): (DataFrame, DataFrame) =
+    (TextOps.tokenIds(curated, vocabSize),
+      TextOps.packDocuments(curated, ctxTokens, shards))
+
   /** Corpus-level rollup of the curated output. */
   def summary(curated: DataFrame): DataFrame =
     curated.groupBy(col("predicted_lang"))

@@ -37,4 +37,25 @@ class CurationSpec extends AnyFunSuite {
     assert(sum.map(_.getAs[Long]("n_docs")).sum == stages.last.docs)
     assert(sum.forall(_.getAs[Long]("total_tokens") > 0))
   }
+
+  test("curate → encode → pack composition is consistent end to end") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val (curated, stages) = Curation.curate(docs)
+    val (tokenStream, packs) = Curation.prepareTrainingData(
+      curated, vocabSize = 200, ctxTokens = 256, shards = 8)
+    val nDocs = stages.last.docs
+    // every curated doc appears in exactly one pack row and its token
+    // stream length equals the pack row's token count
+    val packed = packs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(packed.size == nDocs)
+    val streamCounts = tokenStream.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamCounts == packed, "token stream and pack token counts must agree")
+    // ids stay within [0, vocabSize]
+    val ids = tokenStream.agg(
+      org.apache.spark.sql.functions.min("token_id"),
+      org.apache.spark.sql.functions.max("token_id")).first()
+    assert(ids.getLong(0) >= 0L && ids.getLong(1) <= 200L)
+  }
 }

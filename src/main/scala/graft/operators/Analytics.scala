@@ -287,12 +287,15 @@ object Analytics {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
 
   /** Trailing-7-day moving volume per day — a RANGE window frame over the
-    * day number (every day sums the week ending on it, gaps handled by the
-    * RANGE semantics). The window input is the DAILY rollup — one row per
-    * calendar day, bounded cardinality at any data scale — so the global
-    * (partition-less) ordering is a few thousand rows even over a decade
-    * of 100 TB telemetry; the heavy lifting is the map-side-combining
-    * date aggregation below it.
+    * day number (every day sums the week ending on it, gaps handled by
+    * value, not row position). Expressed as a RANGE-bucketized self-join of
+    * the DAILY rollup ([[RangeJoin.pointInInterval]]: each output day is
+    * the interval `[day−6, day]`, each daily count a point) rather than a
+    * partition-less `RANGE BETWEEN` window — same sums, but hash-
+    * partitionable instead of funnelling through the single partition a
+    * global window requires. The heavy lifting either way is the map-side-
+    * combining date aggregation below it; the joined side is one row per
+    * calendar day, bounded at any data scale.
     */
   def movingWeeklyVolume(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
@@ -300,9 +303,14 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"))
       .withColumn("day_num",
         datediff(col("event_date"), lit("1970-01-01").cast("date")).cast("long"))
-    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
-    daily
-      .withColumn("n_events_7d", sum(col("n_events")).over(w))
+    val windows = daily.select(
+      col("event_date"), col("n_events"), col("day_num"),
+      (col("day_num") - 6).as("win_start"), col("day_num").as("win_end"))
+    val points = daily.select(col("day_num").as("pt_day"), col("n_events").as("pt_n"))
+    RangeJoin.pointInInterval(points, "pt_day", windows,
+        "win_start", "win_end", bucketWidth = 7L)
+      .groupBy(col("event_date"), col("n_events"))
+      .agg(sum(col("pt_n")).as("n_events_7d"))
       .select("event_date", "n_events", "n_events_7d")
   }
 

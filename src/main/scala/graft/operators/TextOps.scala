@@ -229,20 +229,26 @@ object TextOps {
     * are a hash-compare hazard).
     *
     * Scale shape: the vocab is an aggregation bounded by distinct tokens,
-    * then a rank window over AT MOST `vocabSize` rows (bounded by
-    * construction — never the corpus); the encode join broadcasts the vocab
-    * into a narrow map-side hash join against the exploded token stream.
+    * topped via `orderBy.limit` (TakeOrderedAndProject — per-partition
+    * top-V + V-row merge, no global sort). Ids are assigned on the DRIVER
+    * over those ≤ `vocabSize` rows — the vocab is model state, exactly like
+    * k-means centroids — then broadcast back for a narrow map-side encode
+    * join against the exploded token stream. No partition-less window
+    * anywhere.
     */
   def tokenIds(documents: DataFrame, vocabSize: Int): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val toks = documents.select(col("doc_id"),
       posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("tok"))
-    val ranked = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("tok"))
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(vocabSize)
-      .withColumn("token_id", row_number().over(ranked).cast("long"))
-      .select("tok", "token_id")
+      .as[(String, Long)].collect()
+      .sortBy { case (tok, n) => (-n, tok) }
+    val vocab = top.zipWithIndex
+      .map { case ((tok, _), i) => (tok, (i + 1).toLong) }.toSeq
+      .toDF("tok", "token_id")
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("token_id"), lit(0L)).as("token_id"))

@@ -29,31 +29,39 @@ object Bench {
     // twice and the faster run reported: single-shot wall-times on a shared
     // VM vary up to ~2× under host CPU contention, and the minimum is the
     // steady-state capability number (same convention as the scale probes).
+    // (name, Option[(planSec, totalSec)]) — None iff every run of the query
+    // threw: a failed run must never contribute its near-zero wall-time to
+    // the best-of-2 minimum (that would mask the failure as a fast query)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        var planSec = 0.0
         try {
           val df = fn(spark, sfDir)
           df.queryExecution.executedPlan
-          planSec = (System.nanoTime() - t0) / 1e9
+          val planSec = (System.nanoTime() - t0) / 1e9
           df.write.format("noop").mode("overwrite").save()
+          Some((planSec, (System.nanoTime() - t0) / 1e9))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
         }
-        (planSec, (System.nanoTime() - t0) / 1e9)
       }
-      val best = runs.minBy(_._2)
-      (name, best._1, best._2)
+      (name, if (runs.isEmpty) None else Some(runs.minBy(_._2)))
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      results.map(t => "\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
-    val qs = jmap(_._3)
-    val plans = jmap(_._2)
-    val execs = jmap(t => t._3 - t._2)
-    val total = results.map(_._3).sum
-    val planTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plan_sec":$plans,"exec_sec":$execs,"plan_total":$planTotal,"exec_total":${total - planTotal},"sf":"$sfDir"}""")
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def jmap(f: ((Double, Double)) => Double): String =
+      results.map { case (n, b) =>
+        "\"" + n + "\":" + b.map(t => r3(f(t))).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val ok = results.flatMap(_._2)
+    val total = ok.map(_._2).sum
+    val planTotal = ok.map(_._1).sum
+    val failed = results.collect { case (n, None) => "\"" + n + "\"" }
+    // plan/exec split on its own line (diagnostic detail), then the compact
+    // harness line LAST — values rounded to ms so the whole line stays small
+    // enough to survive the driver's bounded tail capture and parse as JSON
+    println(s"""{"detail":"plan_exec_split","plan_sec":${jmap(_._1)},"exec_sec":${jmap(t => t._2 - t._1)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._2)},"plan_total":${r3(planTotal)},"exec_total":${r3(total - planTotal)},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

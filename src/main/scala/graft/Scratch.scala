@@ -78,6 +78,7 @@ object Scratch {
         (col("id") % 97).cast("double").as("v"))
       val right = spark.range(1000).select(col("id").as("k"),
         concat(lit("dim_"), col("id")).as("label"))
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -90,7 +91,7 @@ object Scratch {
           .write.format("noop").mode("overwrite").save()
       }
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
     // ANN brute top-k over 1M synthetic 64-dim vectors: codegen'd cosine +
     // bounded TopKByScore aggregate (no global ranking window)

@@ -397,8 +397,8 @@ object Analytics {
     * part`). The correlated per-part average becomes one hash aggregation
     * broadcast back against the fact: the fact never shuffles, and the
     * threshold compare is integer-exact (quantities scaled to cents, the
-    * 0.5·avg threshold cross-multiplied: 200·qty·n < sum) so the boundary
-    * can't flip between engines.
+    * 0.5·avg threshold cross-multiplied: 2·qty_cents·n < sum_cents) so the
+    * boundary can't flip between engines.
     */
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

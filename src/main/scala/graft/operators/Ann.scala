@@ -127,7 +127,7 @@ object Ann {
     val centLit = typedLit(cents.map { case (id, e) => (id, e.toSeq) }.toSeq)
     queries.select(col("q_id"), col("q_emb"),
         explode(slice(array_sort(transform(centLit, c =>
-          struct((-SimFns.cosine(col("q_emb"), c.getField("_2"))).as("neg_cos"),
+          struct((-round(SimFns.cosine(col("q_emb"), c.getField("_2")), 6)).as("neg_cos"),
             c.getField("_1").as("c_id")))), 1, nprobe)).as("p"))
       .select(col("q_id"), col("q_emb"), col("p.c_id").as("bucket"))
   }

@@ -28,16 +28,29 @@ object Curation {
     * lineage runs once, not once per downstream count. With
     * `collectStats = true` the returned DataFrame still reads from the
     * persisted `nearDeduped` intermediate, so the CALLER's first
-    * materialization reuses it — and the caller owns releasing it when done
-    * (`curated.unpersist()` cascades to nothing; use
-    * `spark.sharedState.cacheManager.clearCache()` or keep a handle via
-    * [[run]], which unpersists after its write). With
-    * `collectStats = false` nothing is persisted at all — the pipeline is a
-    * single lazy lineage for the caller's sink.
+    * materialization reuses it — the caller owns releasing it when done via
+    * the handle [[curateStaged]] returns (which [[run]] unpersists after its
+    * write). With `collectStats = false` nothing is persisted at all — the
+    * pipeline is a single lazy lineage for the caller's sink.
     */
   def curate(documents: DataFrame, jaccardThreshold: Double = 0.8,
              minQuality: Double = 0.3,
              collectStats: Boolean = true): (DataFrame, Seq[CurationResult]) = {
+    val (curated, stages, _) =
+      curateStaged(documents, jaccardThreshold, minQuality, collectStats)
+    (curated, stages)
+  }
+
+  /** [[curate]] plus the persisted near-dedup intermediate (None when
+    * `collectStats = false`), so the caller can unpersist exactly that
+    * DataFrame once its sink has materialized — never a session-global
+    * cache clear, which would evict unrelated datasets a shared session
+    * may be caching.
+    */
+  def curateStaged(documents: DataFrame, jaccardThreshold: Double = 0.8,
+                   minQuality: Double = 0.3,
+                   collectStats: Boolean = true)
+      : (DataFrame, Seq[CurationResult], Option[DataFrame]) = {
     val stages = Seq.newBuilder[CurationResult]
     def stat(name: String, df: DataFrame): Unit =
       if (collectStats) stages += CurationResult(name, df.count())
@@ -68,7 +81,8 @@ object Curation {
       .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast("long"))
     stat("quality_filter", curated)
 
-    (curated, stages.result())
+    (curated, stages.result(),
+      if (collectStats) Some(nearDeduped) else None)
   }
 
   /** Curated corpus → model-ready tensors: vocabulary-encode every token
@@ -94,10 +108,11 @@ object Curation {
         round(avg(col("quality_score")), 4).as("avg_quality"))
 
   def run(spark: SparkSession, srcDir: String, outDir: String): Seq[CurationResult] = {
-    val (curated, stages) = curate(Tables.documents(spark, srcDir))
+    val (curated, stages, staged) = curateStaged(Tables.documents(spark, srcDir))
     curated.write.mode(SaveMode.Overwrite).parquet(s"$outDir/curated_documents")
-    // the write was the last consumer of the persisted near-dedup stage
-    spark.sharedState.cacheManager.clearCache()
+    // the write was the last consumer of the persisted near-dedup stage —
+    // release exactly that intermediate, nothing else the session may cache
+    staged.foreach(_.unpersist(blocking = false))
     summary(spark.read.parquet(s"$outDir/curated_documents"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/corpus_summary")
     stages

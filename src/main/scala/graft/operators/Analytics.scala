@@ -413,4 +413,220 @@ object Analytics {
       .agg(fxTotal(col("l_extendedprice"), 100L, 2).as("small_qty_revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** TPC-H Q4 shape: order-priority checking — a correlated EXISTS
+    * decorrelated into a left-semi join (equi key + per-row inequality
+    * against the outer row's own column). The fixture lacks
+    * l_commitdate/l_receiptdate, so "late" is l_shipdate more than 90 days
+    * after o_orderdate. The semi join keeps orders duplicate-free with no
+    * distinct, and the priority rollup partial-aggregates to 5 rows.
+    */
+  def latePriorityOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    * year. Supplier and customer each pre-join their (tiny, filtered)
+    * nation row and broadcast into the fact, so lineitem is cut to the two
+    * nations' suppliers before its one shuffle (the orderkey join); the
+    * opposite-nation pair predicate is a residual filter on broadcast
+    * columns. Final agg is 2 pairs × years.
+    */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val nat = Tables.nation(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(fxTotal(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000L, 2).as("revenue"))
+  }
+
+  /** TPC-H Q8 shape: one nation's market share inside a region's demand for
+    * one part type, by order year. Part filter broadcasts first (biggest
+    * fact cut), the region's customers broadcast as a semi join (pure
+    * filter, no payload), supplier nation broadcasts for the numerator
+    * indicator. The share is a ratio of two integer sums (FxMath) so the
+    * boundary digit can't flip between engines.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val prt = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val volScaled =
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(graft.functions.FxMath.ratio(
+        sum(when(col("supp_nation") === "NATION_1", volScaled).otherwise(0L)),
+        sum(volScaled), 6).as("mkt_share"))
+  }
+
+  /** TPC-H Q12 shape: late lines by line status with a priority-split
+    * conditional aggregate (shipmode is absent from the fixture;
+    * l_linestatus plays the category). One orderkey shuffle join, residual
+    * lateness predicate, two CASE sums partial-aggregated to 2 rows.
+    */
+  def lateLinesByStatus(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus", "l_shipdate")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share for one ship month. The part
+    * flag broadcasts into the month-filtered fact (no fact shuffle at all —
+    * scan → broadcast join → 1-row agg), and the percentage is a ratio of
+    * integer sums.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val prt = Tables.part(spark, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    val volScaled =
+      round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast("long")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2000-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .agg(
+        graft.functions.FxMath.ratio(
+          sum(when(col("is_promo"), volScaled).otherwise(0L)) * 100,
+          sum(volScaled), 4).as("promo_share_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue — the
+    * view + scalar-subquery-max pattern as a 1-row broadcast joined back on
+    * exact integer equality (revenue kept in basis points until the final
+    * projection, so the max compare can't tie-break differently across
+    * engines).
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(fxSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
+        10000L).as("rev_scaled"))
+    val mx = rev.agg(max(col("rev_scaled")).as("max_rev"))
+    rev.join(broadcast(mx), col("rev_scaled") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        graft.functions.FxMath.scaledTotal(col("rev_scaled"), 10000L, 2)
+          .as("total_revenue"))
+  }
+
+  /** TPC-H Q21 shape: suppliers who were the sole late shipper of a
+    * finished order — EXISTS (another supplier shipped in the same order)
+    * as a left-semi join, NOT EXISTS (another supplier was also late) as a
+    * left-anti join, both on the orderkey with a supplier-inequality
+    * residual. "Late" is shipped >90 days after order date (the fixture has
+    * no receipt/commit dates). Top-20 by wait count, total order.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val lines = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+    val late = lines
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val others = lines.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    late
+      .join(others, col("l_orderkey") === col("ok2") &&
+        col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("ok3") &&
+        col("l_suppkey") =!= col("sk3"), "left_anti")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q2 shape: min-per-group decorrelation — the supplier(s) holding
+    * the minimum account balance in each region (the fixture has no
+    * partsupp, so region plays the part). The correlated
+    * `= (SELECT min(...) WHERE same region)` becomes one tiny grouped
+    * aggregate broadcast back onto the same pre-joined input; the balance
+    * equality is an exact compare of unmodified parquet doubles, so it
+    * can't drift between engines.
+    */
+  def minBalanceSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    val supR = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val mins = supR.groupBy(col("r_name").as("min_region"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    supR.join(broadcast(mins),
+        col("r_name") === col("min_region") && col("s_acctbal") === col("min_bal"))
+      .select("r_name", "s_suppkey", "s_name", "s_acctbal")
+  }
 }

@@ -254,6 +254,83 @@ object TextOps {
         coalesce(col("token_id"), lit(0L)).as("token_id"))
   }
 
+  /** Per-document repetition metrics (the Gopher-style repetitious-text
+    * filters): the fraction of bigram occurrences that are repeats and the
+    * share held by the single most-frequent bigram. Highly repetitive
+    * machine-generated or boilerplate text scores high on both and is the
+    * first thing a pretraining quality gate drops.
+    *
+    * Scale shape: bigram occurrences (duplicates kept — unlike the
+    * DISTINCT shingles the dedup path uses) explode to a hash aggregation
+    * keyed `(doc_id, bigram)` — a uniform shuffle key bounded by corpus
+    * token count — then one per-doc combine. A per-row HOF count would be
+    * shuffle-free but O(tokens²) per document, which dies on long docs;
+    * the two-level aggregate is linear. Ratios are integer-exact (FxMath).
+    * Documents with fewer than two tokens have no bigrams and are not
+    * emitted.
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val occ = documents
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    occ.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        graft.functions.FxMath.ratio(
+          col("n_bigrams") - col("n_distinct_bigrams"), col("n_bigrams"), 4)
+          .as("dup_bigram_frac"),
+        graft.functions.FxMath.ratio(col("top_bigram_n"), col("n_bigrams"), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /** Benchmark-contamination scan: which training documents share word
+    * n-grams with a held-out evaluation split (here the deterministic
+    * `doc_id % evalMod == 0` subset — in production, the benchmark corpus).
+    * Returns one row per contaminated (train, eval) pair with the count of
+    * shared distinct n-grams — the evidence table a decontamination pass
+    * filters on.
+    *
+    * Scale shape: an inverted-index equi-join on the n-gram — the eval side
+    * is tiny (benchmarks are ≪ corpus) and broadcasts, so the corpus-side
+    * shingle stream never shuffles; nothing resembling an all-pairs
+    * comparison exists. Shingles are DISTINCT per doc (the shared-count is
+    * over distinct n-grams), documents shorter than `n` tokens contribute
+    * their whole text as one shingle.
+    */
+  def contamination(documents: DataFrame, n: Int = 5,
+                    evalMod: Long = 10L): DataFrame = {
+    val sh = graft.functions.expr.VectorExpressions.shingles(col("text"), n)
+    val exploded = documents.select(col("doc_id"), explode(sh).as("ngram"))
+    val evalSide = exploded.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+      .select(col("doc_id").as("eval_id"), col("ngram"))
+    exploded.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(broadcast(evalSide), Seq("ngram"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** Decontaminated training split: training documents with NO shared
+    * n-gram against the eval split — [[contamination]]'s pair table turned
+    * into a left-anti join. The output is the clean training corpus a
+    * pretraining run would actually consume.
+    */
+  def decontaminate(documents: DataFrame, n: Int = 5,
+                    evalMod: Long = 10L): DataFrame = {
+    val hits = contamination(documents, n, evalMod)
+      .select(col("doc_id")).distinct()
+    documents.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(hits, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Corpus-level top-k tokens via the Misra-Gries
     * [[graft.functions.HeavyHitters]] typed Aggregator (exact while distinct
     * tokens ≤ sketch capacity; deterministic (count desc, token) order).

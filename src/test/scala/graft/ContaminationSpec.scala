@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+import graft.sources.Tables
+
+/** Repetition metrics + benchmark-contamination scan (round-4 additions to
+  * the training-data surface). Value exactness is pinned by the DuckDB
+  * oracle; these tests pin the invariants and the physical shapes.
+  */
+class ContaminationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val docs = Tables.documents(spark, dir)
+
+  test("repetition: fractions are valid and a synthetic repetitive doc maxes out") {
+    val rows = TextOps.repetitionStats(docs).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_bigram_frac")
+      val top = r.getAs[Double]("top_bigram_frac")
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      // the top bigram's occurrences are part of the duplicate mass
+      assert(r.getAs[Long]("n_distinct_bigrams") <= r.getAs[Long]("n_bigrams"))
+    }
+    // "spam spam spam spam" → one distinct bigram occurring 3 times
+    val spam = spark.createDataFrame(Seq((1L, "spam spam spam spam")))
+      .toDF("doc_id", "text")
+    val s = TextOps.repetitionStats(spam).collect().head
+    assert(s.getAs[Long]("n_bigrams") == 3L)
+    assert(s.getAs[Long]("n_distinct_bigrams") == 1L)
+    assert(s.getAs[Double]("dup_bigram_frac") == 0.6667)
+    assert(s.getAs[Double]("top_bigram_frac") == 1.0)
+  }
+
+  test("contamination: pairs are train×eval and shared counts positive") {
+    val pairs = TextOps.contamination(docs, 5, 10L).collect()
+    assert(pairs.nonEmpty, "fixture has near-dup docs spanning the split")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 10L != 0L)
+      assert(r.getAs[Long]("eval_id") % 10L == 0L)
+      assert(r.getAs[Long]("shared_ngrams") > 0L)
+    }
+  }
+
+  test("contamination: eval side broadcasts (no corpus-side shuffle for the join)") {
+    val plan = TextOps.contamination(docs, 5, 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval n-grams must broadcast:\n$plan")
+  }
+
+  test("decontaminate: removes exactly the contaminated train docs") {
+    val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0).count()
+    val contaminated = TextOps.contamination(docs, 5, 10L)
+      .select("doc_id").distinct().count()
+    val clean = TextOps.decontaminate(docs, 5, 10L)
+    assert(clean.count() == train - contaminated)
+    // nothing contaminated survives
+    val survivors = clean.join(
+      TextOps.contamination(docs, 5, 10L).select("doc_id").distinct(),
+      Seq("doc_id"), "left_semi").count()
+    assert(survivors == 0L)
+  }
+}

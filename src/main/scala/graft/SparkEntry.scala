@@ -113,6 +113,14 @@ object SparkEntry {
     "q17_small_qty" -> ((s, d) => Analytics.smallQuantityRevenue(prep(s), d)),
     "q18_large_orders" -> ((s, d) => Analytics.largeOrders(prep(s), d)),
     "q19_brand_revenue" -> ((s, d) => Analytics.brandRevenue(prep(s), d)),
+    "q2_min_balance" -> ((s, d) => Analytics.minBalanceSuppliers(prep(s), d)),
+    "q4_priority_count" -> ((s, d) => Analytics.latePriorityOrders(prep(s), d)),
+    "q7_nation_volume" -> ((s, d) => Analytics.nationTradeVolume(prep(s), d)),
+    "q8_mkt_share" -> ((s, d) => Analytics.marketShare(prep(s), d)),
+    "q12_late_lines" -> ((s, d) => Analytics.lateLinesByStatus(prep(s), d)),
+    "q14_promo" -> ((s, d) => Analytics.promoRevenue(prep(s), d)),
+    "q15_top_supplier" -> ((s, d) => Analytics.topSupplier(prep(s), d)),
+    "q21_waiting_suppliers" -> ((s, d) => Analytics.waitingSuppliers(prep(s), d)),
     "dedup_embedding_lsh" -> ((s, d) =>
       Ann.embeddingNearDupLsh(Tables.embeddings(prep(s), d), 0.4)),
     "q_asof_join" -> ((s, d) => {
@@ -168,6 +176,12 @@ object SparkEntry {
       TextOps.stratifiedSample(Tables.documents(prep(s), d), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5))
         .select("doc_id", "lang")),
+    "doc_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(prep(s), d))),
+    "doc_contamination" -> ((s, d) =>
+      TextOps.contamination(Tables.documents(prep(s), d), 5, 10L)),
+    "doc_decontaminated" -> ((s, d) =>
+      TextOps.decontaminate(Tables.documents(prep(s), d), 5, 10L)),
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
     "tok_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitterTokens(prep(s), Tables.documents(s, d), 10)),
@@ -312,6 +326,26 @@ object SparkEntry {
       s"WITH big AS (SELECT l_orderkey, ${fxTotalSql(fxSumSql("l_quantity", 100L), 100L, 2)} AS total_qty FROM lineitem GROUP BY 1) SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate, total_qty FROM orders JOIN big ON o_orderkey = big.l_orderkey WHERE total_qty > 300",
     "q19_brand_revenue" ->
       s"SELECT p_brand, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40) GROUP BY 1",
+    "q2_min_balance" ->
+      "WITH s AS (SELECT r_name, s_suppkey, s_name, s_acctbal FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey) SELECT r_name, s_suppkey, s_name, s_acctbal FROM s WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM s s2 WHERE s2.r_name = s.r_name)",
+    "q4_priority_count" ->
+      "SELECT o_orderpriority, count(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY) GROUP BY 1",
+    "q7_nation_volume" ->
+      s"SELECT supp_nation, cust_nation, l_year, ${fxTotalSql(fxSumSql("volume", 10000L), 10000L, 2)} AS revenue FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS INTEGER) AS l_year, l_extendedprice * (1 - l_discount) AS volume FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '2000-01-01') GROUP BY 1, 2, 3",
+    "q8_mkt_share" -> {
+      val vol = "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+      s"SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, ${fxRatioSql(s"sum(CASE WHEN n2.n_name = 'NATION_1' THEN $vol ELSE 0 END)", s"sum($vol)", 6)} AS mkt_share FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n2 ON s_nationkey = n2.n_nationkey WHERE p_type = 'PROMO' AND r_name = 'AMERICA' AND o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2001-01-01' GROUP BY 1"
+    },
+    "q12_late_lines" ->
+      "SELECT l_linestatus, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01' AND l_shipdate > o_orderdate + INTERVAL 90 DAY GROUP BY 1",
+    "q14_promo" -> {
+      val vol = "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+      s"SELECT ${fxRatioSql(s"sum(CASE WHEN p_type = 'PROMO' THEN $vol ELSE 0 END) * 100", s"sum($vol)", 4)} AS promo_share_pct, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '2000-09-01' AND l_shipdate < TIMESTAMP '2000-10-01'"
+    },
+    "q15_top_supplier" ->
+      s"WITH rev AS (SELECT l_suppkey, ${fxSumSql("l_extendedprice * (1 - l_discount)", 10000L)} AS rev_scaled FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01' GROUP BY 1) SELECT s_suppkey, s_name, ${fxTotalSql("rev_scaled", 10000L, 2)} AS total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE rev_scaled = (SELECT max(rev_scaled) FROM rev)",
+    "q21_waiting_suppliers" ->
+      "WITH lf AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'), late AS (SELECT l_orderkey, l_suppkey FROM lf WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) SELECT s_name, numwait FROM (SELECT l1.l_suppkey, count(*) AS numwait FROM late l1 WHERE EXISTS (SELECT 1 FROM lf l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) GROUP BY 1) JOIN supplier ON l_suppkey = s_suppkey ORDER BY numwait DESC, s_name LIMIT 20",
     "q_asof_join" ->
       "WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events), r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'signup') SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id, l.value, r.value AS last_signup_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
     "q_range_join" ->
@@ -355,6 +389,12 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, doc_id % 32 AS shard FROM documents), c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok FROM t) SELECT doc_id, shard, n_tokens, start_tok, start_tok // 2048 AS pack_id FROM c",
     "doc_token_ids" ->
       "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos FROM documents), v AS (SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS token_id FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 500)) SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id FROM t LEFT JOIN v USING (tok)",
+    "doc_repetition" ->
+      s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), b AS (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bigram FROM t WHERE len(w) >= 2), c AS (SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2) SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, count(*) AS n_distinct_bigrams, ${fxRatioSql("sum(c) - count(*)", "sum(c)", 4)} AS dup_bigram_frac, ${fxRatioSql("max(c)", "sum(c)", 4)} AS top_bigram_frac FROM c GROUP BY 1",
+    "doc_contamination" ->
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), e AS (SELECT doc_id AS eval_id, unnest(sh) AS ngram FROM s WHERE doc_id % 10 = 0), tr AS (SELECT doc_id, unnest(sh) AS ngram FROM s WHERE doc_id % 10 <> 0) SELECT tr.doc_id, e.eval_id, count(*) AS shared_ngrams FROM tr JOIN e USING (ngram) GROUP BY 1, 2",
+    "doc_decontaminated" ->
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), e AS (SELECT doc_id AS eval_id, unnest(sh) AS ngram FROM s WHERE doc_id % 10 = 0), tr AS (SELECT doc_id, unnest(sh) AS ngram FROM s WHERE doc_id % 10 <> 0) SELECT doc_id, lang FROM documents WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT DISTINCT tr.doc_id FROM tr JOIN e USING (ngram))",
     "tok_idf" ->
       "WITH d AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), f AS (SELECT token, count(*) AS df FROM t GROUP BY 1) SELECT token, df, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf FROM f, d WHERE df >= 5",
     "tok_heavy_hitters" ->

@@ -147,6 +147,90 @@ object Multimodal {
     None
   }
 
+  case class TrackInfo(track_id: Long, handler: String, width: Int, height: Int)
+  case class TrackRow(doc_id: Long, track_id: Long, handler: String,
+                      width: Int, height: Int)
+
+  /** REAL MP4/QuickTime TRACK-level metadata — walks `moov`'s `trak`
+    * children: `tkhd` carries the track id and the 16.16 fixed-point
+    * presentation width/height (nonzero only for visual tracks), and
+    * `mdia`/`hdlr` carries the handler four-cc (`vide`, `soun`, ...). Pure
+    * ISO-BMFF box arithmetic, no codec — the per-stream metadata a video
+    * curation pipeline filters on (drop audio-only files, cap resolutions,
+    * route tracks to the right decode kernel).
+    */
+  def parseMp4Tracks(b: Array[Byte]): Seq[TrackInfo] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def tag(i: Int, s: String): Boolean =
+      s.indices.forall(k => u8(i + k) == s.charAt(k))
+    // visit each child box start in [start, end); stops on a corrupt size
+    def children(start: Int, end: Int)(f: Int => Unit): Unit = {
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val size = be32(i)
+        if (size < 8) ok = false
+        else { f(i); i += size.toInt }
+      }
+    }
+    if (b.length < 16 || !tag(4, "ftyp")) return Nil
+    val out = Seq.newBuilder[TrackInfo]
+    children(0, b.length) { i =>
+      if (tag(i + 4, "moov")) {
+        val moovEnd = math.min(i + be32(i), b.length.toLong).toInt
+        children(i + 8, moovEnd) { t =>
+          if (tag(t + 4, "trak")) {
+            val trakEnd = math.min(t + be32(t), moovEnd.toLong).toInt
+            var trackId = -1L; var w = 0; var h = 0; var handler = "unkn"
+            children(t + 8, trakEnd) { c =>
+              if (tag(c + 4, "tkhd")) {
+                val v = u8(c + 8)
+                // v0: id@+20, 16.16 width/height @+84/+88 (92-byte box);
+                // v1: 64-bit times push id to +28, width/height to +96/+100
+                if (v == 1 && c + 104 <= trakEnd) {
+                  trackId = be32(c + 28)
+                  w = (be32(c + 96) >> 16).toInt; h = (be32(c + 100) >> 16).toInt
+                } else if (v == 0 && c + 92 <= trakEnd) {
+                  trackId = be32(c + 20)
+                  w = (be32(c + 84) >> 16).toInt; h = (be32(c + 88) >> 16).toInt
+                }
+              } else if (tag(c + 4, "mdia")) {
+                val mdiaEnd = math.min(c + be32(c), trakEnd.toLong).toInt
+                children(c + 8, mdiaEnd) { m =>
+                  if (tag(m + 4, "hdlr") && m + 20 <= mdiaEnd)
+                    handler = new String(b.slice(m + 16, m + 20), "ISO-8859-1")
+                }
+              }
+            }
+            if (trackId >= 0) out += TrackInfo(trackId, handler, w, h)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Track extraction over a `(doc_id, media: binary)` column — one output
+    * row per MP4 track (video tracks carry real dimensions); non-MP4
+    * payloads produce no rows. Same bucketed mapPartitions batch shape as
+    * the other kernels.
+    */
+  def extractVideoTracks(spark: SparkSession, media: DataFrame,
+                         buckets: Int = 32): Dataset[TrackRow] = {
+    import spark.implicits._
+    media
+      .repartition(buckets, pmod(col("doc_id"), lit(buckets)))
+      .select(col("doc_id"), col("media")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          parseMp4Tracks(r.media).map(t =>
+            TrackRow(r.doc_id, t.track_id, t.handler, t.width, t.height))
+        }
+      }
+  }
+
   /** Audio metadata extraction over a `(doc_id, media: binary)` column —
     * real WAV headers get real sample counts/durations; non-audio payloads
     * are tagged `unknown` with zeroed metrics (a codec-backed kernel would

@@ -94,6 +94,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseMp4Duration("definitely not a video".getBytes).isEmpty)
   }
 
+  test("real MP4 trak/tkhd/hdlr headers yield per-track ids, handlers, dimensions") {
+    import spark.implicits._
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512)
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(600) ++ be32(9000) ++ new Array[Byte](80)
+    // v0 tkhd (92 bytes): ver+flags, creation, modification, track_id,
+    // reserved, duration, reserved(8), layer/alt(4), volume/res(4),
+    // matrix(36), then 16.16 width/height
+    def tkhd(id: Int, w: Int, h: Int) =
+      be32(92) ++ "tkhd".getBytes ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(id) ++ be32(0) ++ be32(9000) ++ new Array[Byte](8 + 4 + 4 + 36) ++
+        be32(w << 16) ++ be32(h << 16)
+    def hdlr(four: String) =
+      be32(32) ++ "hdlr".getBytes ++ be32(0) ++ be32(0) ++ four.getBytes ++
+        new Array[Byte](12)
+    def mdia(four: String) = be32(8 + 32) ++ "mdia".getBytes ++ hdlr(four)
+    def trak(id: Int, w: Int, h: Int, four: String) = {
+      val body = tkhd(id, w, h) ++ mdia(four)
+      be32(8 + body.length) ++ "trak".getBytes ++ body
+    }
+    val body = mvhd ++ trak(1, 320, 240, "vide") ++ trak(2, 0, 0, "soun")
+    val mp4 = ftyp ++ be32(8 + body.length) ++ "moov".getBytes ++ body
+    val tracks = Multimodal.parseMp4Tracks(mp4)
+    assert(tracks == Seq(
+      Multimodal.TrackInfo(1L, "vide", 320, 240),
+      Multimodal.TrackInfo(2L, "soun", 0, 0)))
+    assert(Multimodal.parseMp4Tracks("not mp4 at all".getBytes).isEmpty)
+    // distributed surface: one row per track, only for MP4 payloads
+    val media = Seq((7L, mp4), (8L, "plain text".getBytes))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.extractVideoTracks(spark, media, buckets = 2)
+      .collect().sortBy(r => (r.doc_id, r.track_id))
+    assert(rows.length == 2 && rows.forall(_.doc_id == 7L))
+    assert(rows.head.handler == "vide" && rows.head.width == 320 &&
+      rows.head.height == 240)
+  }
+
   test("resize planning caps the long edge and preserves aspect ratio") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, docs)

@@ -12,9 +12,17 @@ import graft.sources.Tables
   *
   * Scale notes per query are inline; the common rules: filters sit directly
   * on scans (parquet pushdown), projections are minimal (column pruning
-  * reaches the footer), small sides broadcast, aggregates are
-  * partial-aggregated. All money sums are rounded at the edge (oracle-hash
-  * stability), never mid-plan.
+  * reaches the footer), aggregates are partial-aggregated. All money sums
+  * are rounded at the edge (oracle-hash stability), never mid-plan.
+  *
+  * Broadcast-hint policy: a `broadcast()` hint bypasses both the size check
+  * and AQE, so it appears ONLY on sides that are O(1) or O(dims) in the
+  * scale factor — nation, region, 1-row global aggregates, aggregates keyed
+  * by a dim column, k-bounded tops. Customer, supplier, part, and any
+  * per-key aggregate over them grow linearly with the fact: those joins are
+  * left hint-free so AQE broadcasts them at small SF and degrades safely to
+  * a shuffle join at 100-TB scale instead of OOMing on a forced build.
+  * `HintPolicySpec` walks every analyzed plan and fails on violations.
   */
 object Analytics {
 
@@ -71,8 +79,9 @@ object Analytics {
         count(lit(1)).as("n_items"))
 
   /** TPC-H Q3 shape: top-10 unshipped-revenue orders for one market segment.
-    * customer (filtered, small) broadcasts into orders; the lineitem join
-    * shuffles on orderkey — the natural co-partitioning key at 100 TB.
+    * The mktsegment slice of customer is still linear in SF, so it carries
+    * no hint — AQE broadcasts it at small SF; the lineitem join shuffles on
+    * orderkey — the natural co-partitioning key at 100 TB.
     * Deterministic top-k: revenue desc then orderkey.
     */
   def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
@@ -88,16 +97,18 @@ object Analytics {
       .filter(col("l_shipdate") >= lit("2000-03-16").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
       .agg(fxTotal(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
 
-  /** TPC-H Q5 shape: revenue by nation for one region+year. region→nation→
-    * customer chain broadcasts (tiny), orders⋈lineitem shuffles on orderkey,
-    * supplier broadcast with the co-nation condition closing the loop.
+  /** TPC-H Q5 shape: revenue by nation for one region+year. Only nation and
+    * region carry hints (O(dims)); customer and supplier grow with the fact,
+    * so their joins are hint-free — AQE broadcasts them at small SF and
+    * falls back to shuffle joins at scale. orders⋈lineitem shuffles on
+    * orderkey; the supplier join's co-nation condition closes the loop.
     */
   def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -111,8 +122,8 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(sup),
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup,
         li("l_suppkey") === sup("s_suppkey") &&
           cust("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
@@ -200,8 +211,9 @@ object Analytics {
         col("c_custkey") === col("o_custkey"), "left_anti")
 
   /** TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
-    * Orders filter pushes to the scan; customer⋈nation broadcast; the only
-    * big shuffle is lineitem⋈orders on the order key.
+    * Orders filter pushes to the scan; nation broadcasts (hint), customer
+    * joins hint-free (linear in SF — AQE decides); the only big shuffle is
+    * lineitem⋈orders on the order key.
     */
   def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -214,7 +226,7 @@ object Analytics {
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
     val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(fxTotal(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000L, 2).as("revenue"))
@@ -244,8 +256,10 @@ object Analytics {
         fxTotal(col("o_totalprice"), 100L, 2).as("total_price"))
 
   /** TPC-H Q18 shape: large orders (HAVING-filtered aggregate driving a
-    * semi join back into the detail). The HAVING subquery output is tiny →
-    * broadcast semi join; lineitem aggregates partial-agg on orderkey.
+    * semi join back into the detail). The HAVING-filtered aggregate is
+    * selective but still keyed on orderkey (linear in SF), so no hint — AQE
+    * broadcasts it at small SF once the runtime size is known; lineitem
+    * aggregates partial-agg on orderkey.
     */
   def largeOrders(spark: SparkSession, dir: String, minQty: Double = 300): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
@@ -253,7 +267,7 @@ object Analytics {
       .agg(fxTotal(col("l_quantity"), 100L, 2).as("total_qty"))
       .filter(col("total_qty") > minQty)
     Tables.orders(spark, dir)
-      .join(broadcast(big), col("o_orderkey") === big("l_orderkey"))
+      .join(big, col("o_orderkey") === big("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"),
         to_date(col("o_orderdate")).as("o_orderdate"), col("total_qty"))
   }
@@ -265,7 +279,9 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    // part is linear in SF (and the brand/size filter applies post-join
+    // here): no hint — AQE picks broadcast at small SF, SMJ at scale
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 20)) ||
@@ -391,23 +407,24 @@ object Analytics {
       .agg(count(lit(1)).as("custdist"))
   }
 
-  /** TPC-H Q17 shape: correlated scalar subquery decorrelated into a
-    * broadcast join — revenue of small-quantity outliers, where "small" is
-    * relative to each part's own average (`l_quantity < 0.5 · avg per
-    * part`). The correlated per-part average becomes one hash aggregation
-    * broadcast back against the fact: the fact never shuffles, and the
-    * threshold compare is integer-exact (quantities scaled to cents, the
-    * 0.5·avg threshold cross-multiplied: 2·qty_cents·n < sum_cents) so the
-    * boundary can't flip between engines.
+  /** TPC-H Q17 shape: correlated scalar subquery decorrelated into a join —
+    * revenue of small-quantity outliers, where "small" is relative to each
+    * part's own average (`l_quantity < 0.5 · avg per part`). The correlated
+    * per-part average becomes one hash aggregation joined back against the
+    * fact on partkey — hint-free, because its row count equals |part| and
+    * grows with the dataset (the standard Q17 plan shuffle-joins it; AQE
+    * broadcasts at small SF). The threshold compare is integer-exact
+    * (quantities scaled to cents, the 0.5·avg threshold cross-multiplied:
+    * 2·qty_cents·n < sum_cents) so the boundary can't flip between engines.
     */
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val perPart = li.groupBy(col("l_partkey").as("avg_partkey"))
       .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_sum"),
         count(lit(1)).as("qty_n"))
-    li.join(broadcast(perPart), col("l_partkey") === col("avg_partkey"))
-      // qty < 0.5 * (sum/100)/n  ⇔  200 * qty_cents * n < 100 * sum * n / n
-      // — compare in exact integers: 2 * qty_cents * n < qty_sum
+    li.join(perPart, col("l_partkey") === col("avg_partkey"))
+      // qty_cents/100 < 0.5 * (qty_sum/100)/n  ⇔  2 * qty_cents * n < qty_sum
+      // — both sides exact longs, no division anywhere
       .filter(round(col("l_quantity") * 100).cast("long") * 2 * col("qty_n") <
         col("qty_sum"))
       .agg(fxTotal(col("l_extendedprice"), 100L, 2).as("small_qty_revenue"),
@@ -437,20 +454,22 @@ object Analytics {
 
   /** TPC-H Q7 shape: bilateral trade volume between two nations by ship
     * year. Supplier and customer each pre-join their (tiny, filtered)
-    * nation row and broadcast into the fact, so lineitem is cut to the two
-    * nations' suppliers before its one shuffle (the orderkey join); the
-    * opposite-nation pair predicate is a residual filter on broadcast
-    * columns. Final agg is 2 pairs × years.
+    * nation row — those inner nation joins keep broadcast hints (O(dims))
+    * but the resulting supplier/customer sides are still linear in SF, so
+    * they join into the fact hint-free (AQE broadcasts the 2-nation slices
+    * at small SF). Lineitem's one shuffle is the orderkey join; the
+    * opposite-nation pair predicate is a residual filter. Final agg is
+    * 2 pairs × years.
     */
   def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
     val pair = Seq("NATION_1", "NATION_2")
     val nat = Tables.nation(spark, dir)
     val sup = Tables.supplier(spark, dir)
-      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .filter(col("n_name").isin(pair: _*))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val cust = Tables.customer(spark, dir)
-      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .filter(col("n_name").isin(pair: _*))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
@@ -459,9 +478,9 @@ object Analytics {
         col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
       .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
         "l_discount")
-    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
@@ -470,10 +489,12 @@ object Analytics {
   }
 
   /** TPC-H Q8 shape: one nation's market share inside a region's demand for
-    * one part type, by order year. Part filter broadcasts first (biggest
-    * fact cut), the region's customers broadcast as a semi join (pure
-    * filter, no payload), supplier nation broadcasts for the numerator
-    * indicator. The share is a ratio of two integer sums (FxMath) so the
+    * one part type, by order year. The type-filtered part slice joins first
+    * (biggest fact cut), the region's customers as a semi join (pure
+    * filter, no payload), supplier with its nation name for the numerator
+    * indicator — all three hint-free (each is linear in SF; AQE broadcasts
+    * them at small SF). Only the nation/region joins inside the dim prep
+    * carry hints. The share is a ratio of two integer sums (FxMath) so the
     * boundary digit can't flip between engines.
     */
   def marketShare(spark: SparkSession, dir: String): DataFrame = {
@@ -499,10 +520,10 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
         "l_discount")
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(graft.functions.FxMath.ratio(
         sum(when(col("supp_nation") === "NATION_1", volScaled).otherwise(0L)),
@@ -531,9 +552,10 @@ object Analytics {
   }
 
   /** TPC-H Q14 shape: promo revenue share for one ship month. The part
-    * flag broadcasts into the month-filtered fact (no fact shuffle at all —
-    * scan → broadcast join → 1-row agg), and the percentage is a ratio of
-    * integer sums.
+    * flag joins into the month-filtered fact hint-free (part is linear in
+    * SF; AQE broadcasts it at small SF, keeping the no-fact-shuffle plan —
+    * scan → broadcast join → 1-row agg — and swaps to SMJ at scale). The
+    * percentage is a ratio of integer sums.
     */
   def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
     val prt = Tables.part(spark, dir)
@@ -545,7 +567,7 @@ object Analytics {
       .filter(col("l_shipdate") >= lit("2000-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("2000-10-01").cast("timestamp"))
       .select("l_partkey", "l_extendedprice", "l_discount")
-      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
       .agg(
         graft.functions.FxMath.ratio(
           sum(when(col("is_promo"), volScaled).otherwise(0L)) * 100,
@@ -567,8 +589,11 @@ object Analytics {
       .agg(fxSum(col("l_extendedprice") * (lit(1) - col("l_discount")),
         10000L).as("rev_scaled"))
     val mx = rev.agg(max(col("rev_scaled")).as("max_rev"))
+    // mx is a 1-row global aggregate → hint stays; supplier is linear in
+    // SF → hint-free (and the max-revenue side feeding the join is ≤ a
+    // handful of rows, so AQE broadcasts THAT side instead)
     rev.join(broadcast(mx), col("rev_scaled") === col("max_rev"))
-      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         graft.functions.FxMath.scaledTotal(col("rev_scaled"), 10000L, 2)
@@ -601,7 +626,9 @@ object Analytics {
         col("l_suppkey") =!= col("sk3"), "left_anti")
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
-      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+      // supplier is linear in SF → hint-free; the aggregated wait counts
+      // are the small side anyway and AQE broadcasts whichever fits
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

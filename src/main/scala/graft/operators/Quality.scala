@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * operator J2/P9). Here both are first-class queries the harness can run
   * continuously.
   *
-  * Scale notes: the RI check uses left joins against broadcast dims — the
-  * fact side streams through unshuffled; counts are partial-aggregated.
+  * Scale notes: the RI check left-joins the bounded dims (event_type, date)
+  * with broadcast hints — the fact side streams through unshuffled; the
+  * user dim is linear in users so its join is hint-free (AQE broadcasts
+  * while it fits). Counts are partial-aggregated.
   */
 object Quality {
 
@@ -26,7 +28,7 @@ object Quality {
                            dimEventType: DataFrame, dimDate: DataFrame): DataFrame =
     fact
       .withColumn("date_id", to_date(col("ts")))
-      .join(broadcast(dimUser.select(col("user_id"), lit(true).as("has_user"))),
+      .join(dimUser.select(col("user_id"), lit(true).as("has_user")),
         Seq("user_id"), "left")
       .join(broadcast(dimEventType.select(col("event_type"), lit(true).as("has_type"))),
         Seq("event_type"), "left")

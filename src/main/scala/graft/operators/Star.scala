@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * day-partitioned + key-clustered (bq_fact_vitals_star.sql:2-3).
   *
   * Scale notes:
-  *  - Dimensions are orders of magnitude smaller than the fact, so every join
-  *    is an explicit `broadcast(...)` → BroadcastHashJoin: the 100 TB fact
-  *    never shuffles on the way into the star. (Catalyst would choose this
-  *    anyway under the 10 MB auto-broadcast threshold; the hint makes the
-  *    plan shape a guarantee rather than a statistic-dependent accident.)
+  *  - The event_type and date dimensions are O(dims) — bounded regardless of
+  *    fact size — so their joins carry explicit `broadcast(...)` hints →
+  *    BroadcastHashJoin guaranteed, the 100 TB fact never shuffles for them.
+  *  - The user dimension grows with distinct users (linear in the data), so
+  *    its join is hint-free: AQE broadcasts it while it fits and degrades to
+  *    a shuffle join when it doesn't, instead of OOMing on a forced build.
+  *    For the billions-of-users regime, [[factStarCoLocated]] plus bucketing
+  *    removes even that shuffle.
   *  - The physical layout (partitionBy(date_key) + sortWithinPartitions on
   *    the cluster keys) lives in [[graft.pipeline.Pipeline]]; queries here
   *    stay pure transformations.
@@ -30,7 +33,7 @@ object Star {
                dimDate: DataFrame): DataFrame =
     fact
       .withColumn("date_id", to_date(col("ts")))
-      .join(broadcast(dimUser.select("user_id", "user_key")), Seq("user_id"))
+      .join(dimUser.select("user_id", "user_key"), Seq("user_id"))
       .join(broadcast(dimEventType.select("event_type", "event_type_key")), Seq("event_type"))
       .join(broadcast(dimDate.select("date_id", "date_key")), Seq("date_id"))
       .select(
@@ -38,11 +41,11 @@ object Star {
         col("event_id"), col("value").as("measure_value"),
         unix_micros(col("ts")).as("ts_us"))
 
-  /** [[factStar]] for the big-dimension regime: when a dimension outgrows
-    * broadcast (billions of users), the user join carries NO broadcast hint —
-    * the physical layout decides. Fed from tables bucketed on `user_id`
-    * (see [[graft.pipeline.Pipeline.runBucketedStar]]), Catalyst plans it as
-    * a sort-merge join over co-located bucketed scans: zero shuffle on
+  /** [[factStar]] for the big-dimension regime: the user join (already
+    * hint-free) is fed from tables bucketed on `user_id`
+    * (see [[graft.pipeline.Pipeline.runBucketedStar]]), so Catalyst plans it
+    * as a sort-merge join over co-located bucketed scans — the physical
+    * layout, not a runtime broadcast, removes the shuffle: zero shuffle on
     * either side, at any fact size. The genuinely tiny dims still broadcast.
     */
   def factStarCoLocated(fact: DataFrame, dimUser: DataFrame,
@@ -66,7 +69,8 @@ object Star {
                         dimUser: DataFrame): DataFrame =
     star
       .join(broadcast(dimDate.select("date_key", "date_id")), Seq("date_key"))
-      .join(broadcast(dimUser.select("user_key", "user_id")), Seq("user_key"))
+      // user dim is linear in users → hint-free, AQE decides
+      .join(dimUser.select("user_key", "user_id"), Seq("user_key"))
       .groupBy(col("date_id"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -590,8 +590,8 @@ object Analytics {
         10000L).as("rev_scaled"))
     val mx = rev.agg(max(col("rev_scaled")).as("max_rev"))
     // mx is a 1-row global aggregate → hint stays; supplier is linear in
-    // SF → hint-free (and the max-revenue side feeding the join is ≤ a
-    // handful of rows, so AQE broadcasts THAT side instead)
+    // SF → hint-free (the max-revenue side feeding the join is ≤ a handful
+    // of rows, so the planner/AQE broadcasts whichever side fits)
     rev.join(broadcast(mx), col("rev_scaled") === col("max_rev"))
       .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))

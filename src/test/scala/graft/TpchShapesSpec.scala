@@ -14,6 +14,25 @@ class TpchShapesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.01"
 
+  /** The q8/q14 plan assertions depend on AQE/the planner choosing to
+    * broadcast the hint-free dim sides (the code deliberately carries no
+    * hints on customer/supplier/part — see the Analytics broadcast-hint
+    * policy). Pin the threshold those choices rest on so the assertions
+    * encode intent rather than fixture-size-vs-default-10MB luck: if the
+    * fixture grows or a session default changes, the test still exercises
+    * the same planner decision.
+    */
+  private def withBroadcastThreshold[A](bytes: Long)(body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, bytes.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("q4: every priority bucket counts a subset of the window's orders") {
     val counts = Analytics.latePriorityOrders(spark, dir).collect()
     assert(counts.nonEmpty)
@@ -44,9 +63,11 @@ class TpchShapesSpec extends AnyFunSuite {
   }
 
   test("q8: fact side joins part/customer/supplier via broadcast (no fact-side extra shuffle)") {
-    val plan = Analytics.marketShare(spark, dir).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
-    assert(plan.contains("BroadcastHashJoin"))
+    withBroadcastThreshold(10L * 1024 * 1024) {
+      val plan = Analytics.marketShare(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      assert(plan.contains("BroadcastHashJoin"))
+    }
   }
 
   test("q12: high + low counts add up to total late lines") {
@@ -60,16 +81,18 @@ class TpchShapesSpec extends AnyFunSuite {
   }
 
   test("q14: promo share is a percentage and the fact never shuffles") {
-    val q = Analytics.promoRevenue(spark, dir)
-    val r = q.collect().head
-    val pct = r.getAs[Double]("promo_share_pct")
-    assert(pct >= 0.0 && pct <= 100.0)
-    assert(r.getAs[Long]("n_items") > 0L)
-    // scan → broadcast join → single 1-row aggregate: the only Exchange is
-    // the final 1-row SinglePartition combine, never a hash repartition
-    val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("hashpartitioning"),
-      s"q14 should not hash-shuffle the fact:\n$plan")
+    withBroadcastThreshold(10L * 1024 * 1024) {
+      val q = Analytics.promoRevenue(spark, dir)
+      val r = q.collect().head
+      val pct = r.getAs[Double]("promo_share_pct")
+      assert(pct >= 0.0 && pct <= 100.0)
+      assert(r.getAs[Long]("n_items") > 0L)
+      // scan → broadcast join → single 1-row aggregate: the only Exchange is
+      // the final 1-row SinglePartition combine, never a hash repartition
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"),
+        s"q14 should not hash-shuffle the fact:\n$plan")
+    }
   }
 
   test("q15: returned suppliers all hold the exact max revenue") {

@@ -14,9 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * embedded in the pushed-down query so the database, not Spark, prunes the
   * window.
   *
-  * Untestable in this sandbox (no database; the parquet fixture plays the
-  * OLTP source — see `Analytics.extractWindow`), but the API surface is part
-  * of the source story a user of the reference expects.
+  * No Postgres ships in this container (the parquet fixture plays the OLTP
+  * source for the oracle gate — see `Analytics.extractWindow`), but the
+  * extract itself round-trips against embedded Derby in SourcesSpec, with
+  * Derby's statement log proving the window and partition-range predicates
+  * execute database-side.
   *
   * Scale notes:
   *  - A naive single-connection JDBC read lands the whole extract on one
@@ -42,6 +44,35 @@ object Extract {
     spark.read.jdbc(url, s"($query) AS extract_src", props)
   }
 
+  /** SQL fragments that vary by source database. The default is the
+    * reference's Postgres dialect; [[Dialect.derby]] covers the embedded
+    * Derby the test suite round-trips through (SourcesSpec observes the
+    * window predicate arriving in the database's own statement log).
+    */
+  final case class Dialect(epochSecExpr: String => String,
+                           tsFromEpochExpr: Long => String)
+  object Dialect {
+    /** Postgres (the reference's OLTP source). */
+    val postgres: Dialect = Dialect(
+      c => s"CAST(EXTRACT(EPOCH FROM $c) AS BIGINT)",
+      s => s"to_timestamp($s)")
+    /** Apache Derby (embedded; used by the test suite). Derby has no epoch
+      * functions, so both directions go through the JDBC escape/timestamp
+      * literal forms. TIMESTAMPDIFF(SQL_TSI_SECOND,…) yields INTEGER —
+      * fine until 2038, and cast up to BIGINT for the partition column.
+      */
+    def derby(zone: java.time.ZoneId): Dialect = Dialect(
+      c => "CAST({fn TIMESTAMPDIFF(SQL_TSI_SECOND, " +
+        s"TIMESTAMP('1970-01-01 00:00:00'), $c)} AS BIGINT)",
+      s => {
+        val wall = java.time.LocalDateTime
+          .ofInstant(java.time.Instant.ofEpochSecond(s), zone)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        s"TIMESTAMP('$wall')"
+      })
+  }
+
   /** Windowed extract parallelized over `numPartitions` epoch-second ranges
     * of `tsCol` — each task pulls `[lo, hi)` ∩ its stride. The window
     * predicate ships inside the dbtable subquery, so the source database
@@ -50,7 +81,8 @@ object Extract {
   def jdbcWindowed(spark: SparkSession, url: String, table: String,
                    tsCol: String, loEpochSec: Long, hiEpochSec: Long,
                    user: String, password: String,
-                   numPartitions: Int = 8): DataFrame = {
+                   numPartitions: Int = 8,
+                   dialect: Dialect = Dialect.postgres): DataFrame = {
     val props = new Properties()
     props.setProperty("user", user)
     props.setProperty("password", password)
@@ -60,10 +92,10 @@ object Extract {
     props.setProperty("upperBound", hiEpochSec.toString)
     props.setProperty("numPartitions", numPartitions.toString)
     val windowed =
-      s"""(SELECT t.*, CAST(EXTRACT(EPOCH FROM $tsCol) AS BIGINT) AS extract_epoch_s
+      s"""(SELECT t.*, ${dialect.epochSecExpr(tsCol)} AS extract_epoch_s
          | FROM $table t
-         | WHERE $tsCol >= to_timestamp($loEpochSec)
-         |   AND $tsCol < to_timestamp($hiEpochSec)) AS extract_src""".stripMargin
+         | WHERE $tsCol >= ${dialect.tsFromEpochExpr(loEpochSec)}
+         |   AND $tsCol < ${dialect.tsFromEpochExpr(hiEpochSec)}) AS extract_src""".stripMargin
     spark.read.jdbc(url, windowed, props)
   }
 }

@@ -6,9 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Source/sink format breadth: the engine's tables round-trip through
   * csv/json/orc with explicit schemas (never inferred — SURVEY.md §1.2).
-  * JDBC (the reference's actual OLTP source, S1) uses the same
-  * `spark.read.format("jdbc").option("query", …)` surface; no database
-  * ships in this container, so it is exercised only by shape.
+  * JDBC (the reference's actual OLTP source, S1) round-trips against an
+  * embedded in-memory Derby with statement logging on, so the windowed
+  * extract's pushdown is OBSERVED in the database's own log rather than
+  * assumed from the subquery construction.
   */
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -34,6 +35,85 @@ class SourcesSpec extends AnyFunSuite {
   test("csv round-trips with explicit schema")(roundTrip("csv"))
   test("json round-trips with explicit schema")(roundTrip("json"))
   test("orc round-trips with explicit schema")(roundTrip("orc"))
+
+  /** S1 closed end-to-end: a real JDBC database (embedded Derby — the one
+    * JDBC engine shipping in /opt/spark/jars), the vitals-shaped DDL
+    * (reference sql/postgres_ddl.sql:1-11), a 10-minute replication window
+    * (reference scheduler/dataflow_flex_body.json:9), and pushdown observed
+    * in Derby's statement log instead of asserted by construction.
+    */
+  test("jdbcWindowed round-trips through Derby with the window pruned database-side") {
+    val home = Files.createTempDirectory("graft-derby")
+    // statement logging must be configured before the Derby engine boots
+    // (first connection in the JVM); the log lands in <derby.system.home>/derby.log
+    System.setProperty("derby.system.home", home.toString)
+    System.setProperty("derby.language.logStatementText", "true")
+    val url = "jdbc:derby:memory:vitals;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // vitals_events shape (reference sql/postgres_ddl.sql:1-11); Derby
+      // has no UUID type — CHAR(36) carries the key
+      st.execute("""CREATE TABLE vitals_events (
+        event_id CHAR(36) PRIMARY KEY,
+        patient_id VARCHAR(64) NOT NULL,
+        loinc_code VARCHAR(16) NOT NULL,
+        value_num DOUBLE,
+        effective_ts TIMESTAMP NOT NULL)""")
+      val zone = java.time.ZoneId.systemDefault()
+      val loEpoch = java.time.LocalDateTime.of(2026, 1, 15, 10, 0, 0)
+        .atZone(zone).toEpochSecond
+      val hiEpoch = loEpoch + 600L // the reference's 10-minute window
+      val ins = conn.prepareStatement(
+        "INSERT INTO vitals_events VALUES (?, ?, ?, ?, ?)")
+      // 20 rows inside the window, 10 before, 10 after
+      val rows = (0 until 40).map { i =>
+        val ts = loEpoch - 300L + i * 30L // 30s cadence straddling [lo, hi)
+        (f"00000000-0000-0000-0000-${i}%012d", s"patient_${i % 7}",
+          "8867-4", 60.0 + i, ts)
+      }
+      rows.foreach { case (id, patient, code, v, ts) =>
+        ins.setString(1, id); ins.setString(2, patient); ins.setString(3, code)
+        ins.setDouble(4, v)
+        ins.setTimestamp(5, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(ts)))
+        ins.executeUpdate()
+      }
+      val df = graft.sources.Extract.jdbcWindowed(spark, url, "vitals_events",
+        "effective_ts", loEpoch, hiEpoch, "app", "app", numPartitions = 4,
+        dialect = graft.sources.Extract.Dialect.derby(zone))
+      // the read parallelizes into the requested partition count
+      assert(df.rdd.getNumPartitions == 4)
+      // Derby stores unquoted identifiers upper-case
+      val got = df.collect().map(_.getAs[String]("EVENT_ID")).toSet
+      val expected = rows.filter(r => r._5 >= loEpoch && r._5 < hiEpoch)
+        .map(_._1).toSet
+      assert(expected.size == 20 && got == expected,
+        s"window must prune database-side: got ${got.size} of ${expected.size}")
+      // no Spark-side Filter does that pruning — the window and the
+      // partition ranges both live in the SQL shipped to the database
+      val sparkFilters = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(sparkFilters.isEmpty,
+        s"window predicate must not be re-applied by Spark: $sparkFilters")
+      // pushdown OBSERVED: Derby's own statement log shows the windowed
+      // subquery and the per-partition range predicates it executed
+      val log = Files.readString(home.resolve("derby.log"))
+      assert(log.contains("WHERE effective_ts >= TIMESTAMP("),
+        "window predicate must reach the database")
+      // Spark quotes the partition column with the dialect's (upper-cased)
+      // identifier: one range stride per partition, open-ended at the edges
+      assert(log.contains("\"EXTRACT_EPOCH_S\" < ") &&
+        log.contains("\"EXTRACT_EPOCH_S\" >= "),
+        "partition range predicates must reach the database")
+    } finally {
+      conn.close()
+      // drop the in-memory db so reruns in the same JVM start clean
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:vitals;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop "fails" with 08006 by design
+    }
+  }
 
   test("malformed JSON records quarantine instead of poisoning the batch") {
     val dir = Files.createTempDirectory("graft-badjson")

@@ -412,5 +412,26 @@ object SparkEntry {
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
     "dedup_embedding" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) >= 0.4",
+    // the media metadata is deterministic — the fixture's blobs are the
+    // documents' UTF-8 bytes (pure ASCII, verified: no doc matches an
+    // image/RIFF signature either), so the decode stub's FNV-ish fold
+    // (Multimodal.fakeDecode: h = 31h + byte wrapping at 2^64) replays in
+    // SQL via HUGEINT modular arithmetic; the >>10 / >>20 arithmetic
+    // shifts become exact floor divisions (subtract the positive residue,
+    // then divide)
+    "mm_media_summary" ->
+      ("WITH h AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+        "list_transform(list_filter(string_split(text, ''), c -> c != ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+        "(acc, b) -> (31 * acc + b) % CAST('18446744073709551616' AS HUGEINT)) AS hu FROM documents), " +
+        "s AS (SELECT doc_id, n_bytes, CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
+        "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS hs FROM h), " +
+        "d AS (SELECT doc_id, n_bytes, 64 + ((hs % 960 + 960) % 960) AS w, " +
+        "64 + ((((hs - ((hs % 1024 + 1024) % 1024)) // 1024) % 960 + 960) % 960) AS ht, " +
+        "1 + ((((hs - ((hs % 1048576 + 1048576) % 1048576)) // 1048576) % 16 + 16) % 16) AS frames FROM s) " +
+        "SELECT frames >= 8 AS long_form, count(*) AS n_media, " +
+        "CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
+        "CAST(min(w) AS INTEGER) AS min_width, CAST(max(ht) AS INTEGER) AS max_height " +
+        "FROM d GROUP BY 1"),
   )
 }

@@ -330,8 +330,10 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyN)))
           .as("frame_idx"))
 
-  /** Rollup over extracted features — the query surface the harness checks
-    * (rows-only: the decode stub has no SQL oracle).
+  /** Rollup over extracted features — the query surface the harness checks.
+    * Fully oracled: the stub's FNV-ish fold is deterministic over the
+    * fixture's UTF-8 blobs, so the DuckDB oracle replays it with HUGEINT
+    * modular arithmetic (see SparkEntry.oracleSql "mm_media_summary").
     */
   def mediaSummary(spark: SparkSession, documents: DataFrame): DataFrame =
     extractFeatures(spark, documents).toDF()

@@ -93,23 +93,34 @@ object Ann {
                              lloydIters: Int): Array[(Long, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents: Array[(Long, Array[Double])] = corpus
-      .filter(col("vec_id") % centroidStride === 0)
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    for (_ <- 1 to lloydIters) {
-      val means = assignBuckets(corpus, cents)
-        .select(col("bucket"), posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy(col("bucket"), col("pos"))
-        .agg(graft.functions.FxMath.scaledAvg(
-          sum(round(col("x") * 1000000).cast("long")),
-          count(lit(1)), 1000000L, 6).as("v"))
-        .groupBy(col("bucket"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-          e => e.getField("v")).as("centroid"))
-        .as[(Long, Array[Double])].collect().toMap
-      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    // the training loop re-reads the corpus once per Lloyd iteration (plus
+    // the stride-init pass) — cache it for the loop's lifetime so every
+    // pass after the first reads executor memory, not parquet; released
+    // before return (the caller's post-training assignment pass is a
+    // single scan and must not pin the corpus for the query's lifetime)
+    val iterating = lloydIters > 0
+    if (iterating) corpus.persist()
+    try {
+      var cents: Array[(Long, Array[Double])] = corpus
+        .filter(col("vec_id") % centroidStride === 0)
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      for (_ <- 1 to lloydIters) {
+        val means = assignBuckets(corpus, cents)
+          .select(col("bucket"), posexplode(col("emb")).as(Seq("pos", "x")))
+          .groupBy(col("bucket"), col("pos"))
+          .agg(graft.functions.FxMath.scaledAvg(
+            sum(round(col("x") * 1000000).cast("long")),
+            count(lit(1)), 1000000L, 6).as("v"))
+          .groupBy(col("bucket"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+            e => e.getField("v")).as("centroid"))
+          .as[(Long, Array[Double])].collect().toMap
+        cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+      }
+      cents
+    } finally {
+      if (iterating) corpus.unpersist()
     }
-    cents
   }
 
   private def assignBuckets(df: DataFrame,

@@ -103,6 +103,31 @@ object PropertySpec extends Properties("graft") {
       got.sorted.toSeq == naive.sorted.toSeq
     }
 
+  property("bucketized interval overlap ≡ naive join, duplicate-free, on random widths") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L),
+        Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 80L)))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(100L, 150L),
+        Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 80L)))),
+      Gen.choose(1L, 64L)) { (ls, rs, width) =>
+      val left = ls.map { case (id, (s, len)) => (id, s, s + len) }
+        .toDF("a_id", "as", "ae")
+      val right = rs.map { case (id, (s, len)) => (id, s, s + len) }
+        .toDF("b_id", "bs", "be")
+      val got = graft.operators.RangeJoin
+        .intervalOverlap(left, "as", "ae", right, "bs", "be", width)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val naive = left.join(right,
+          col("as") <= col("be") && col("bs") <= col("ae"))
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // multiset equality is the dedup-free invariant: a pair overlapping
+      // in MANY shared buckets must still emit exactly as many rows as its
+      // input multiplicity, never once per shared bucket
+      got.sorted.toSeq == naive.sorted.toSeq
+    }
+
   property("dim_date spans min..max contiguously with distinct keys") =
     forAll(Gen.zip(Gen.choose(0L, 2000000L), Gen.choose(1L, 200L))) {
       case (startSec, spanDays) =>

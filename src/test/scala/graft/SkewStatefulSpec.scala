@@ -36,6 +36,69 @@ class SkewStatefulSpec extends AnyFunSuite {
       plain.groupBy("label").count().orderBy("label").collect().toSeq)
   }
 
+  /** The pipeline's own skew story, observed rather than claimed: the star
+    * build's user join is hint-free (Star.factStar — dim_user grows with
+    * the data, so no forced broadcast), which means a hot user lands on
+    * AQE. This drives a 90%-one-user fact through the REAL factStar shape
+    * with broadcast disabled (forcing the shuffle-join regime a 100-TB
+    * user dim implies) and asserts OptimizeSkewedJoin actually split the
+    * hot partition — `skew=true` in the final adaptive plan.
+    *
+    * The dim side is MATERIALIZED first, exactly like Pipeline.run (dims
+    * land on disk before the star reads them) — and that layout is
+    * load-bearing for skew handling: when dim_user instead feeds the join
+    * straight from its building aggregate, the SMJ's right child is
+    * HashAggregate-over-stage rather than a bare shuffle stage, and
+    * OptimizeSkewedJoin's pattern cannot replicate that side, so the hot
+    * partition stays whole (verified while writing this test). Salting
+    * (Skew.saltedJoin) stays the fallback for such shapes.
+    */
+  test("AQE splits the hot user in the star build's hint-free user join") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // fixture-sized skew thresholds: the hot partition (~90% of rows)
+      // must exceed max(threshold, factor × median) to be split
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      // keep AQE from folding everything into one partition first
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val events = spark.range(300000).select(
+        col("id").as("event_id"),
+        when(col("id") % 10 =!= 0, lit(7L))
+          .otherwise(pmod(col("id"), lit(1000))).as("user_id"),
+        concat(lit("type_"), pmod(col("id"), lit(3))).as("event_type"),
+        (timestamp_seconds(lit(1700000000L) + pmod(col("id"), lit(172800)))).as("ts"),
+        (col("id") % 97).cast("double").as("value"))
+      // materialize dim_user like the pipeline does (Pipeline.run writes
+      // dims before the star reads them) — see the scaladoc above for why
+      // the on-disk dim is what makes the skew split reachable
+      val dimDir = java.nio.file.Files
+        .createTempDirectory("graft-skew-dim").toString
+      graft.operators.Dims.dimUser(events).write
+        .mode("overwrite").parquet(dimDir)
+      val star = graft.operators.Star.factStar(events,
+        spark.read.parquet(dimDir),
+        graft.operators.Dims.dimEventType(events),
+        graft.operators.Dims.dimDate(events))
+      // execute THIS QueryExecution (count()/write would plan a fresh one
+      // and leave star's adaptive plan unfinalized)
+      assert(star.queryExecution.toRdd.count() == 300000L,
+        "star build must preserve the fact")
+      val finalPlan = star.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin must split the hot user partition:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -49,19 +49,36 @@ object Bench {
       (name, if (runs.isEmpty) None else Some(runs.minBy(_._2)))
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def jmap(f: ((Double, Double)) => Double): String =
+    def r2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def jmap(fmt: Double => String)(f: ((Double, Double)) => Double): String =
       results.map { case (n, b) =>
-        "\"" + n + "\":" + b.map(t => r3(f(t))).getOrElse("null")
+        "\"" + n + "\":" + b.map(t => fmt(f(t))).getOrElse("null")
       }.mkString("{", ",", "}")
     val ok = results.flatMap(_._2)
     val total = ok.map(_._2).sum
     val planTotal = ok.map(_._1).sum
     val failed = results.collect { case (n, None) => "\"" + n + "\"" }
-    // plan/exec split on its own line (diagnostic detail), then the compact
-    // harness line LAST — values rounded to ms so the whole line stays small
-    // enough to survive the driver's bounded tail capture and parse as JSON
-    println(s"""{"detail":"plan_exec_split","plan_sec":${jmap(_._1)},"exec_sec":${jmap(t => t._2 - t._1)}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(_._2)},"plan_total":${r3(planTotal)},"exec_total":${r3(total - planTotal)},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // The driver's tail capture is bounded at 2000 chars, which is barely the
+    // size of the 76-query compact line alone — a per-query plan/exec split
+    // CANNOT physically fit beside it (measured: pairs-folded line ≈ 2350
+    // chars incl. the sbt prefix and trailer). So the full detail goes to a
+    // FILE in the repo (BENCH_DETAIL.json, pointed to from the surviving
+    // compact line) and the stdout detail line stays as best-effort logging.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detailJson =
+      s"""{"sf":"$sfDir","cpus":$cpus,"total_sec":${r3(total)},"plan_total_sec":${r3(planTotal)},"exec_total_sec":${r3(total - planTotal)},
+         |"per_query":${results.map { case (n, b) =>
+             "\"" + n + "\":" + b.map { case (p, t) =>
+               s"""{"plan_sec":${r3(p)},"exec_sec":${r3(t - p)},"total_sec":${r3(t)}}"""
+             }.getOrElse("null")
+           }.mkString("{\n", ",\n", "}")},
+         |"failed":[${failed.mkString(",")}]}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"detail":"plan_exec_split","plan_sec":${jmap(r3)(_._1)},"exec_sec":${jmap(r3)(t => t._2 - t._1)}}""")
+    // compact harness line LAST (inside the tail window): 2-decimal per-query
+    // totals + a pointer to the detail file keep it under the 2000-char budget
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(r2)(_._2)},"plan_total":${r3(planTotal)},"exec_total":${r3(total - planTotal)},"failed":[${failed.mkString(",")}],"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,27 +82,38 @@ object Ann {
     *    [[topKPerQuery]] aggregate.
     *
     * Centroid collects are the k-means model update, not a distributed-data
-    * collect: C = |corpus|/centroidStride rows per iteration, bounded by
-    * construction. Empty buckets keep their previous centroid.
+    * collect: C ≈ numCentroids rows per iteration, bounded by construction.
+    * Empty buckets keep their previous centroid.
     */
   /** Stride-sample init + `lloydIters` k-means iterations over `corpus`
     * (`(vec_id, emb)`) — the shared centroid-training step of [[ivfTopK]]
     * and [[buildIvfIndex]].
+    *
+    * `numCentroids` is the IVF inverted-list count (FAISS calls it nlist):
+    * the sample stride is derived from the corpus row count so C stays at
+    * the requested value REGARDLESS of corpus size. The earlier fixed-stride
+    * parameterization grew C linearly with n, which over-partitions any
+    * corpus whose natural cluster count does not grow with n (the fixture's
+    * is fixed at 10 labels) — splitting true clusters across buckets is
+    * what collapses recall at small nprobe (measured: recall@5 0.22-0.54 at
+    * sf0.1 with stride-derived C=42-86, vs ≥0.8 with pinned C≈10-16).
     */
-  private def trainCentroids(corpus: DataFrame, centroidStride: Int,
+  private def trainCentroids(corpus: DataFrame, numCentroids: Int,
                              lloydIters: Int): Array[(Long, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // the training loop re-reads the corpus once per Lloyd iteration (plus
-    // the stride-init pass) — cache it for the loop's lifetime so every
-    // pass after the first reads executor memory, not parquet; released
-    // before return (the caller's post-training assignment pass is a
-    // single scan and must not pin the corpus for the query's lifetime)
-    val iterating = lloydIters > 0
-    if (iterating) corpus.persist()
+    // the training loop re-reads the corpus for the count, the stride-init
+    // pass, and once per Lloyd iteration — cache it for the loop's
+    // lifetime so every pass after the first reads executor memory, not
+    // parquet; released before return (the caller's post-training
+    // assignment pass is a single scan and must not pin the corpus for the
+    // query's lifetime)
+    corpus.persist()
     try {
+      val n = corpus.count()
+      val stride = math.max(1L, n / math.max(1, numCentroids))
       var cents: Array[(Long, Array[Double])] = corpus
-        .filter(col("vec_id") % centroidStride === 0)
+        .filter(col("vec_id") % stride === 0)
         .as[(Long, Array[Double])].collect().sortBy(_._1)
       for (_ <- 1 to lloydIters) {
         val means = assignBuckets(corpus, cents)
@@ -119,7 +130,7 @@ object Ann {
       }
       cents
     } finally {
-      if (iterating) corpus.unpersist()
+      corpus.unpersist()
     }
   }
 
@@ -153,10 +164,10 @@ object Ann {
   }
 
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              centroidStride: Int = 23, nprobe: Int = 3,
+              numCentroids: Int = 10, nprobe: Int = 5,
               lloydIters: Int = 2): DataFrame = {
     val corpus = emb(embeddings)
-    val cents = trainCentroids(corpus, centroidStride, lloydIters)
+    val cents = trainCentroids(corpus, numCentroids, lloydIters)
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     scoreAndTopK(assignBuckets(corpus, cents), probesFor(queries, cents, nprobe), k)
@@ -169,11 +180,11 @@ object Ann {
     * so per-query I/O is O(nprobe/C of the corpus), not a full scan.
     */
   def buildIvfIndex(embeddings: DataFrame, path: String,
-                    centroidStride: Int = 23, lloydIters: Int = 2): Unit = {
+                    numCentroids: Int = 10, lloydIters: Int = 2): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = emb(embeddings)
-    val cents = trainCentroids(corpus, centroidStride, lloydIters)
+    val cents = trainCentroids(corpus, numCentroids, lloydIters)
     assignBuckets(corpus, cents)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
     cents.toSeq.map { case (id, e) => (id, e.toSeq) }
@@ -187,7 +198,7 @@ object Ann {
     * inverted lists are pruned at planning time and never read.
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                       queries: DataFrame, k: Int, nprobe: Int = 3): DataFrame = {
+                       queries: DataFrame, k: Int, nprobe: Int = 5): DataFrame = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .as[(Long, Seq[Double])].collect().map { case (id, e) => (id, e.toArray) }

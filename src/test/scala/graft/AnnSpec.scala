@@ -31,7 +31,22 @@ class AnnSpec extends AnyFunSuite {
     val brute = pairs(Ann.bruteTopK(emb, 10, 5))
     val ivf = pairs(Ann.ivfTopK(emb, 10, 5))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.5, s"IVF recall $recall vs brute too low")
+    info(s"recall@5=$recall with pinned defaults (C=10, nprobe=5, lloyd=2)")
+    // pinned by the IvfSweep measurement: C must track the data's natural
+    // cluster count (10 labels), not the corpus size — the defaults measure
+    // 0.82 here and 0.80 at sf0.1. Gate at the production floor.
+    assert(recall >= 0.8, s"IVF recall $recall vs brute below 0.8 gate")
+  }
+
+  test("sf0.1 gate: IVF recall@5 vs brute with pinned defaults") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Ann.bruteTopK(emb, 10, 5))
+    val ivf = pairs(Ann.ivfTopK(emb, 10, 5))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    info(s"sf0.1 IVF recall@5=$recall")
+    assert(recall >= 0.8, s"IVF recall $recall at sf0.1 below 0.8 gate")
   }
 
   test("Lloyd-refined centroids never lose recall vs the stride-sample init") {

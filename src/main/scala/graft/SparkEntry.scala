@@ -257,6 +257,16 @@ object SparkEntry {
       s"(CAST(${fxDivSql(s"($sumExpr) * ${s / scale}", nExpr)} AS DOUBLE) / $s)"
   }
 
+  /** Exact word-shingle Jaccard pair SQL — the oracle shared by
+    * `sim_join_jaccard` (PPJoin) and `dedup_minhash` (LSH + exact verify):
+    * two candidate generators, one output semantics.
+    */
+  private def jaccardPairsOracleSql(threshold: Double): String = {
+    val jac = fxRatioSql("len(list_intersect(a.sh, b.sh))",
+      "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))", 4)
+    s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jac >= $threshold"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "fact_dedup" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props FROM fact",
@@ -403,11 +413,12 @@ object SparkEntry {
       "WITH b AS (SELECT unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram FROM (SELECT string_split(text, ' ') AS w FROM documents)) SELECT bigram, n FROM (SELECT bigram, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, bigram) AS rk FROM b GROUP BY bigram) WHERE rk <= 10",
     "emb_label_centroid" ->
       s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), x AS (SELECT label, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM e) SELECT label, CAST(pos AS INTEGER) AS pos, ${fxAvgSql(fxSumSql("v", 1000000L), "count(*)", 1000000L, 6)} AS v FROM x GROUP BY 1, 2""",
-    "sim_join_jaccard" -> {
-      val jac = fxRatioSql("len(list_intersect(a.sh, b.sh))",
-        "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))", 4)
-      s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jac >= 0.8"
-    },
+    "sim_join_jaccard" -> jaccardPairsOracleSql(0.8),
+    // the exact-verified MinHash output: LSH bands only GENERATE candidates;
+    // the emitted pairs carry the true shingle Jaccard, so the oracle is the
+    // same exact pairwise SQL (at the query's 0.7 threshold) — verified
+    // identical at sf0.001/0.01/0.1 (MinhashProbe; SimilaritySpec gates it)
+    "dedup_minhash" -> jaccardPairsOracleSql(0.7),
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
     "dedup_embedding" ->

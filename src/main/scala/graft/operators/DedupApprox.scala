@@ -24,11 +24,39 @@ object DedupApprox {
     * on hot shingles (every doc pair sharing a stopword-ish shingle becomes
     * a candidate), which is precisely what happened at sf0.1 (9 s → ~2 s).
     */
-  def jaccardJoin(documents: DataFrame, threshold: Double): DataFrame = {
-    val sets = documents
+  /** The word-shingle inverted index `(doc_id, n, shingle)` with per-doc
+    * set size `n` — the shared substrate of candidate generation and exact
+    * refinement.
+    */
+  private def shingleIndex(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), TextFns.shingleSet(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
-    val inv = sets.select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
+
+  /** Exact-Jaccard refinement of a `(doc_a, doc_b)` candidate set from the
+    * inverted index: |A ∩ B| = the number of (doc_b, shingle) rows both
+    * sides share — a count over two equi-joins on scalar keys. Joining the
+    * full shingle ARRAYS back to every candidate and running
+    * array_intersect per pair loses to counting matched postings, and at
+    * 100 TB the arrays are exactly what you don't want on the wire.
+    * (A candidate pair sharing zero shingles drops out of the inner join —
+    * correct at any threshold > 0, since its Jaccard is 0.)
+    */
+  private def exactJaccardRefine(candidates: DataFrame, inv: DataFrame,
+                                 threshold: Double): DataFrame =
+    candidates
+      .join(inv.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle")), Seq("doc_a"))
+      .join(inv.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", graft.functions.FxMath.ratio(
+        col("shared"), col("na").cast("long") + col("nb") - col("shared"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  def jaccardJoin(documents: DataFrame, threshold: Double): DataFrame = {
+    val inv = shingleIndex(documents)
     // global canonical order: shingle document-frequency, then the shingle
     val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -42,23 +70,7 @@ object DedupApprox {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact refine from the inverted index: |A ∩ B| = the number of
-    // (doc_b, shingle) rows both sides share — a count over two equi-joins
-    // on scalar keys. The earlier form joined the full shingle ARRAYS back
-    // to every candidate and ran array_intersect per pair; shipping set
-    // payloads through a shuffle loses to counting matched postings, and at
-    // 100 TB the arrays are exactly what you don't want on the wire.
-    // (Candidates share ≥1 prefix shingle by construction, so the inner
-    // join can never drop a real pair at shared = 0.)
-    candidates
-      .join(inv.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle")), Seq("doc_a"))
-      .join(inv.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard", graft.functions.FxMath.ratio(
-        col("shared"), col("na").cast("long") + col("nb") - col("shared"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    exactJaccardRefine(candidates, inv, threshold)
   }
 
   /** Number of MinHash permutations and LSH banding (16 = 4 bands × 4 rows:
@@ -75,31 +87,40 @@ object DedupApprox {
   def minhashSignature(shingleSet: Column): Column =
     graft.functions.expr.VectorExpressions.minhashSig(shingleSet, NumHashes)
 
-  /** MinHash + LSH near-dup candidates with estimated Jaccard.
-    * Banding: docs agreeing on all rows of ≥1 band become candidates —
+  /** MinHash + LSH candidate pairs: docs agreeing on all rows of ≥1 band —
     * candidate generation is a groupBy/join on (band, band-hash), i.e. a
-    * plain shuffle key, never an all-pairs comparison. Estimated Jaccard =
-    * fraction of agreeing signature positions; final filter at `threshold`.
+    * plain shuffle key, never an all-pairs comparison.
     */
-  def minhashPairs(documents: DataFrame, threshold: Double): DataFrame = {
+  private def minhashCandidates(documents: DataFrame): DataFrame = {
     val sigs = documents.select(
       col("doc_id"),
       minhashSignature(TextFns.shingleSet(col("text"))).as("sig"))
     val bandStructs = (0 until Bands).map(b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * Rows + 1, Rows)).as("bh")))
     val banded = sigs.select(
-      col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), e => e))
-          .cast("double") / NumHashes).as("est_jaccard"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
+
+  /** MinHash + LSH near-dup pairs, exact-verified: banded signature
+    * candidates refined with the true Jaccard from the shingle inverted
+    * index, filtered at `threshold` — the production dedup shape (sketchy
+    * candidate generation, exact verification) and the reason this
+    * operator's OUTPUT is deterministic and oracle-able even though the
+    * signatures themselves are not SQL-expressible. vs [[jaccardJoin]]:
+    * same refine, different candidate generator — LSH bands shuffle a
+    * constant 4 rows per doc regardless of document length, where the
+    * PPJoin prefix index shuffles O(prefix) postings; the tradeoff is
+    * probabilistic recall (capped by the band catch rate at `threshold`)
+    * vs PPJoin's exactness.
+    */
+  def minhashPairs(documents: DataFrame, threshold: Double): DataFrame =
+    exactJaccardRefine(minhashCandidates(documents),
+      shingleIndex(documents), threshold)
 
   /** documents + a 64-bit `sh` SimHash column over whitespace tokens —
     * native [[graft.functions.expr.SimHash64]] expression (the HOF/SQL-lambda

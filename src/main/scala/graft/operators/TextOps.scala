@@ -304,13 +304,31 @@ object TextOps {
     * comparison exists. Shingles are DISTINCT per doc (the shared-count is
     * over distinct n-grams), documents shorter than `n` tokens contribute
     * their whole text as one shingle.
+    *
+    * The "eval side is tiny" contract is ENFORCED, not assumed: the call
+    * refuses eval splits beyond `maxEvalNgrams` exploded n-grams (the same
+    * input fence as `Ann.embeddingNearDup`'s row cap — the guard job scans
+    * at most cap+1 rows). After the guard passes, a `limit(maxEvalNgrams)`
+    * is stacked on the eval side: provably a pass-through (the guard
+    * established rows ≤ cap), it exists to put the row bound IN THE PLAN,
+    * so the broadcast hint's boundedness is plan-structural (HintPolicySpec
+    * verifies it mechanically) rather than a comment-level contract. The
+    * default cap keeps the broadcast build ≤ ~10s of MB — a real benchmark
+    * suite (thousands of docs × hundreds of n-grams) sits well inside it.
     */
   def contamination(documents: DataFrame, n: Int = 5,
-                    evalMod: Long = 10L): DataFrame = {
+                    evalMod: Long = 10L,
+                    maxEvalNgrams: Int = 1000000): DataFrame = {
     val sh = graft.functions.expr.VectorExpressions.shingles(col("text"), n)
     val exploded = documents.select(col("doc_id"), explode(sh).as("ngram"))
-    val evalSide = exploded.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+    val evalRaw = exploded.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
       .select(col("doc_id").as("eval_id"), col("ngram"))
+    require(evalRaw.limit(maxEvalNgrams + 1).count() <= maxEvalNgrams,
+      s"contamination broadcasts the eval-side n-gram index — the eval " +
+        s"split exceeds $maxEvalNgrams exploded n-grams; shrink the eval " +
+        s"split or raise maxEvalNgrams (a bigger cap means a bigger " +
+        s"broadcast build on every executor)")
+    val evalSide = evalRaw.limit(maxEvalNgrams)
     exploded.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
       .join(broadcast(evalSide), Seq("ngram"))
       .groupBy(col("doc_id"), col("eval_id"))

@@ -53,6 +53,19 @@ class ContaminationSpec extends AnyFunSuite {
       s"eval n-grams must broadcast:\n$plan")
   }
 
+  test("contamination: refuses an eval side beyond the n-gram cap (runtime fence)") {
+    // same fence pattern as Ann.embeddingNearDup: the "eval side is tiny"
+    // contract must fail loudly, not OOM the executors with the broadcast
+    val e = intercept[IllegalArgumentException] {
+      TextOps.contamination(docs, 5, 10L, maxEvalNgrams = 10)
+    }
+    assert(e.getMessage.contains("exceeds 10 exploded n-grams"))
+    // and the cap is about the eval side, not the corpus: a cap the eval
+    // split fits under changes nothing
+    assert(TextOps.contamination(docs, 5, 10L).count() ==
+      TextOps.contamination(docs, 5, 10L, maxEvalNgrams = 500000).count())
+  }
+
   test("decontaminate: removes exactly the contaminated train docs") {
     val train = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0).count()
     val contaminated = TextOps.contamination(docs, 5, 10L)

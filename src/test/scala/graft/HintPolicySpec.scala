@@ -82,16 +82,17 @@ class HintPolicySpec extends AnyFunSuite {
   }
 
   /** Queries whose hinted side is bounded by contract, not plan shape:
-    *  - doc_contamination / doc_decontaminated broadcast the EVAL-side
-    *    n-gram index. In production that side is a fixed benchmark suite
-    *    (O(benchmark), not O(corpus)); the fixture models it as a doc_id
-    *    slice of the corpus, which reads as linear to this walk.
     *  - dedup_embedding is the deliberately-quadratic oracle baseline and
     *    REFUSES inputs > 100k rows (Ann.embeddingNearDup's guard), so its
     *    broadcast side is input-capped; the LSH path is the scale story.
+    *
+    * doc_contamination / doc_decontaminated used to sit here (their
+    * broadcast eval side was bounded only by a scaladoc contract); since
+    * TextOps.contamination gained its runtime fence + plan-level limit,
+    * their hints carry structural evidence and the walk verifies them like
+    * any other query.
     */
-  private val exceptions =
-    Set("doc_contamination", "doc_decontaminated", "dedup_embedding")
+  private val exceptions = Set("dedup_embedding")
 
   test("every broadcast hint sits over an O(1)/O(dims) subtree") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

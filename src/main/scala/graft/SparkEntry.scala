@@ -19,6 +19,12 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
+  /** Committed genuine-container media fixture (gen.MediaGen) — absolute so
+    * both the Spark queries and the DuckDB oracle resolve it regardless of
+    * the harness's working directory.
+    */
+  val MediaFixture = "/root/repo/fixtures/media"
+
   /** Ensure the ns-timestamp parquet reader conf is set (Tables normalizes
     * `events.ts` ns→µs, matching DuckDB's cast — see Tables.events), and
     * install the engine's optimizer extensions: RewriteRankOneToMaxBy turns
@@ -214,6 +220,24 @@ object SparkEntry {
     }),
     "mm_media_summary" -> ((s, d) =>
       Multimodal.mediaSummary(prep(s), Tables.documents(s, d))),
+    // GENUINE binary media through the production parsers: the committed
+    // fixture at fixtures/media (gen.MediaGen — real PNG/GIF/JPEG/WAV/MP4
+    // container bytes) is sf-independent, and the oracle is the generator's
+    // ground-truth parquet (the CHOSEN parameters), so a parser bug cannot
+    // be self-consistent with the oracle. Checksum column dropped: it is
+    // JVM Arrays.hashCode, not portable semantics.
+    "mm_real_media" -> ((s, _) =>
+      Multimodal.extractFeaturesFromMedia(prep(s),
+        s.read.parquet(MediaFixture + "/media_blobs").filter(col("kind") === "image"))
+        .toDF().select("doc_id", "format", "n_bytes", "width", "height", "n_frames")),
+    "mm_real_audio" -> ((s, _) =>
+      Multimodal.extractAudioFeatures(prep(s),
+        s.read.parquet(MediaFixture + "/media_blobs")
+          .filter(col("kind").isin("audio", "corrupt"))).toDF()),
+    "mm_real_tracks" -> ((s, _) =>
+      Multimodal.extractVideoTracks(prep(s),
+        s.read.parquet(MediaFixture + "/media_blobs")
+          .filter(col("kind").isin("video", "corrupt"))).toDF()),
   )
 
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
@@ -444,5 +468,14 @@ object SparkEntry {
         "CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
         "CAST(min(w) AS INTEGER) AS min_width, CAST(max(ht) AS INTEGER) AS max_height " +
         "FROM d GROUP BY 1"),
+    // real-media differential: the oracle is the generator's ground-truth
+    // parquet (chosen parameters), the engine side re-derives the same
+    // values from the container BYTES — parser and truth are independent
+    "mm_real_media" ->
+      s"SELECT doc_id, format, n_bytes, width, height, n_frames FROM '$MediaFixture/expected_images/*.parquet'",
+    "mm_real_audio" ->
+      s"SELECT doc_id, format, sample_rate, channels, bits_per_sample, n_samples, duration_ms FROM '$MediaFixture/expected_audio/*.parquet'",
+    "mm_real_tracks" ->
+      s"SELECT doc_id, track_id, handler, width, height FROM '$MediaFixture/expected_tracks/*.parquet'",
   )
 }

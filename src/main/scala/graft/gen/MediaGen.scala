@@ -1,0 +1,223 @@
+package graft.gen
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Deterministic GENUINE-container media fixture: real PNG/GIF/JPEG/WAV/MP4
+  * byte layouts (valid signatures, chunk/box/marker structure, correct
+  * endianness) assembled from chosen parameters, written as a binary-column
+  * parquet table plus ground-truth "expected" tables holding the CHOSEN
+  * parameters. The differential is honest: the expected values come from
+  * the generator's intent, never from running the parsers in
+  * [[graft.operators.Multimodal]] — a parser bug shows up as a fixture
+  * mismatch, not as self-consistent garbage.
+  *
+  * Payloads carry container structure + deterministic filler rather than
+  * real codec streams (no codec libs in this environment — reference-analog:
+  * the reference pipeline also treats payloads as opaque bytes and reads
+  * only container metadata). Every byte the parsers inspect is real.
+  *
+  * Run: `sbt "runMain graft.gen.MediaGen fixtures/media"` (idempotent).
+  */
+object MediaGen {
+
+  private class B {
+    val o = new ByteArrayOutputStream()
+    def u8(v: Int): B = { o.write(v & 0xff); this }
+    def be16(v: Int): B = u8(v >> 8).u8(v)
+    def le16(v: Int): B = u8(v).u8(v >> 8)
+    def be32(v: Long): B = u8((v >> 24).toInt).u8((v >> 16).toInt).u8((v >> 8).toInt).u8(v.toInt)
+    def be64(v: Long): B = be32(v >>> 32).be32(v & 0xffffffffL)
+    def le32(v: Long): B = u8(v.toInt).u8((v >> 8).toInt).u8((v >> 16).toInt).u8((v >> 24).toInt)
+    def str(s: String): B = { s.foreach(c => u8(c.toInt)); this }
+    def fill(n: Int, seed: Int): B = {
+      var h = seed * 2654435761L + 1
+      (0 until n).foreach { _ => h = h * 6364136223846793005L + 1442695040888963407L; u8((h >> 33).toInt) }
+      this
+    }
+    def raw(b: Array[Byte]): B = { o.write(b); this }
+    def bytes: Array[Byte] = o.toByteArray
+  }
+
+  /** An ISO-BMFF box: 4-byte big-endian size (including the header) + 4-cc
+    * type + payload.
+    */
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    new B().be32(8L + payload.length).str(typ).raw(payload).bytes
+
+  def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val b = new B()
+    b.u8(0x89).str("PNG").u8(0x0d).u8(0x0a).u8(0x1a).u8(0x0a)
+    // IHDR: 13-byte payload (w, h, bit depth 8, truecolor, deflate, none,
+    // non-interlaced); the CRC bytes are deterministic filler — the
+    // container layout is what metadata extraction reads
+    b.be32(13).str("IHDR").be32(w).be32(h).u8(8).u8(2).u8(0).u8(0).u8(0).fill(4, seed)
+    val idat = 16 + seed % 48
+    b.be32(idat).str("IDAT").fill(idat + 4, seed + 1)
+    b.be32(0).str("IEND").fill(4, seed + 2)
+    b.bytes
+  }
+
+  def gif(w: Int, h: Int, v89: Boolean, seed: Int): Array[Byte] = {
+    val b = new B()
+    b.str(if (v89) "GIF89a" else "GIF87a").le16(w).le16(h)
+    b.u8(0x91).u8(0).u8(0) // packed fields, background, aspect
+    b.fill(10 + seed % 30, seed) // color table / data filler
+    b.u8(0x3b) // trailer
+    b.bytes
+  }
+
+  def jpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val b = new B()
+    b.u8(0xff).u8(0xd8) // SOI
+    b.u8(0xff).u8(0xe0).be16(16).str("JFIF").u8(0).u8(1).u8(1).u8(0).be16(1).be16(1).u8(0).u8(0)
+    b.u8(0xff).u8(0xdb).be16(67).u8(0).fill(64, seed) // DQT
+    b.u8(0xff).u8(0xc4).be16(31).u8(0).fill(28, seed + 1) // DHT (skipped: not a SOF)
+    // SOF0 baseline frame header: precision, height, width, 3 components
+    b.u8(0xff).u8(0xc0).be16(17).u8(8).be16(h).be16(w)
+      .u8(3).u8(1).u8(0x22).u8(0).u8(2).u8(0x11).u8(1).u8(3).u8(0x11).u8(1)
+    b.u8(0xff).u8(0xda).be16(8).fill(6 + seed % 40, seed + 2) // SOS + entropy filler
+    b.u8(0xff).u8(0xd9) // EOI
+    b.bytes
+  }
+
+  def wav(rate: Int, channels: Int, bits: Int, nSamples: Long,
+          listChunk: Boolean, seed: Int): Array[Byte] = {
+    val dataBytes = nSamples * channels * (bits / 8)
+    val b = new B()
+    b.str("RIFF").le32(36 + dataBytes).str("WAVE")
+    if (listChunk) b.str("LIST").le32(10).str("INFO").fill(6, seed) // skipped chunk
+    b.str("fmt ").le32(16).le16(1).le16(channels).le32(rate)
+      .le32(rate.toLong * channels * (bits / 8)).le16(channels * (bits / 8)).le16(bits)
+    b.str("data").le32(dataBytes).fill(dataBytes.toInt, seed + 1)
+    b.bytes
+  }
+
+  /** One MP4 track: `tkhd` (v0 or v1 layout, 16.16 fixed-point presentation
+    * size) + `mdia`/`hdlr` with the handler four-cc.
+    */
+  private def trak(trackId: Long, handler: String, w: Int, h: Int,
+                   v1: Boolean): Array[Byte] = {
+    val tkhd =
+      if (v1)
+        new B().u8(1).fill(3, 0).be64(0).be64(0).be32(trackId).be32(0).be64(0)
+          .fill(8, 0).be16(0).be16(0).be16(0).be16(0).fill(36, 0)
+          .be32(w.toLong << 16).be32(h.toLong << 16).bytes
+      else
+        new B().u8(0).fill(3, 0).be32(0).be32(0).be32(trackId).be32(0).be32(0)
+          .fill(8, 0).be16(0).be16(0).be16(0).be16(0).fill(36, 0)
+          .be32(w.toLong << 16).be32(h.toLong << 16).bytes
+    val hdlr = new B().be32(0).be32(0).str(handler).fill(12, 1).bytes
+    box("trak", box("tkhd", tkhd) ++ box("mdia", box("hdlr", hdlr)))
+  }
+
+  def mp4(timescale: Long, durationTicks: Long, mvhdV1: Boolean,
+          tracks: Seq[(Long, String, Int, Int, Boolean)], seed: Int): Array[Byte] = {
+    val mvhd =
+      if (mvhdV1)
+        new B().u8(1).fill(3, 0).be64(0).be64(0).be32(timescale).be64(durationTicks)
+          .fill(80, 0).bytes
+      else
+        new B().u8(0).fill(3, 0).be32(0).be32(0).be32(timescale).be32(durationTicks)
+          .fill(76, 0).bytes
+    val ftyp = box("ftyp", new B().str("isom").be32(512).str("isomiso2mp41").bytes)
+    val moov = box("moov", box("mvhd", mvhd) ++
+      tracks.map { case (id, hdl, w, h, v1) => trak(id, hdl, w, h, v1) }
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val mdat = box("mdat", new B().fill(24 + seed % 64, seed).bytes)
+    ftyp ++ moov ++ mdat
+  }
+
+  // ---- fixture population (everything derived from doc_id) ----
+
+  case class Blob(doc_id: Long, kind: String, media: Array[Byte])
+  case class ImgTruth(doc_id: Long, format: String, n_bytes: Long,
+                      width: Int, height: Int, n_frames: Int)
+  case class AudioTruth(doc_id: Long, format: String, sample_rate: Int,
+                        channels: Int, bits_per_sample: Int, n_samples: Long,
+                        duration_ms: Long)
+  case class TrackTruth(doc_id: Long, track_id: Long, handler: String,
+                        width: Int, height: Int)
+
+  def images: Seq[(Blob, ImgTruth)] = (0 until 60).map { i =>
+    val id = 1000L + i
+    val w = 64 + (i * 37) % 1900
+    val h = 48 + (i * 53) % 1000
+    val (fmt, bytes) = i % 3 match {
+      case 0 => ("png", png(w, h, i))
+      case 1 => ("gif", gif(w, h, i % 2 == 0, i))
+      case _ => ("jpeg", jpeg(w, h, i))
+    }
+    (Blob(id, "image", bytes), ImgTruth(id, fmt, bytes.length.toLong, w, h, 1))
+  }
+
+  def audios: Seq[(Blob, AudioTruth)] = (0 until 20).map { i =>
+    val id = 2000L + i
+    val rate = Seq(8000, 16000, 22050, 44100, 48000)(i % 5)
+    val channels = 1 + i % 2
+    val bits = Seq(8, 16, 32)(i % 3)
+    val n = 100L + i * 37
+    val bytes = wav(rate, channels, bits, n, listChunk = i % 4 == 0, seed = i)
+    (Blob(id, "audio", bytes),
+      AudioTruth(id, "wav", rate, channels, bits, n, n * 1000L / rate))
+  }
+
+  def videos: Seq[(Blob, Seq[TrackTruth])] = (0 until 15).map { i =>
+    val id = 3000L + i
+    val vw = 320 + i * 16
+    val vh = 240 + i * 8
+    val tracks: Seq[(Long, String, Int, Int, Boolean)] = i % 3 match {
+      case 0 => Seq((1L, "vide", vw, vh, i % 2 == 1))
+      case 1 => Seq((1L, "vide", vw, vh, i % 2 == 1), (2L, "soun", 0, 0, i % 2 == 0))
+      case _ => Seq((1L, "soun", 0, 0, i % 2 == 1))
+    }
+    val bytes = mp4(timescale = if (i % 2 == 0) 600L else 1000L,
+      durationTicks = 3000L + i * 700, mvhdV1 = i % 2 == 1, tracks, seed = i)
+    (Blob(id, "video", bytes),
+      tracks.map { case (tid, hdl, w, h, _) => TrackTruth(id, tid, hdl, w, h) })
+  }
+
+  /** Non-media payloads, including truncated real signatures — every parser
+    * must return None/Nil on all of them.
+    */
+  def corrupts: Seq[Blob] = {
+    val payloads: Seq[Array[Byte]] = Seq(
+      "this is not media at all, just ascii text".getBytes("UTF-8"),
+      new B().u8(0x89).str("PNG").u8(0x0d).u8(0x0a).u8(0x1a).u8(0x0a).bytes, // sig only
+      "GIF87a".getBytes("ISO-8859-1"), // truncated before dimensions
+      new B().u8(0xff).u8(0xd8).fill(20, 3).bytes, // SOI then garbage
+      "RIFF".getBytes("ISO-8859-1"), // truncated RIFF
+      new B().str("RIFF").le32(4).str("WAVE").bytes, // WAVE with no chunks
+      new B().be32(8).str("ftyp").bytes, // ftyp misplaced (at 0, tag checks offset 4)
+      new B().be32(16).str("ftyp").str("isom").be32(0).bytes ++
+        new B().be32(4).str("moov").bytes, // moov with corrupt size < 8
+      new B().fill(64, 9).bytes,
+      Array.emptyByteArray)
+    payloads.zipWithIndex.map { case (p, i) => Blob(4000L + i, "corrupt", p) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/media")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .appName("media-gen").getOrCreate()
+    import spark.implicits._
+    val (imgBlobs, imgTruth) = (images.map(_._1), images.map(_._2))
+    val (audBlobs, audTruth) = (audios.map(_._1), audios.map(_._2))
+    val (vidBlobs, vidTruth) = (videos.map(_._1), videos.flatMap(_._2))
+    // corrupt payloads through the audio kernel are ground truth too:
+    // unknown format, all-zero metrics
+    val corruptAudioTruth = corrupts.map(b => AudioTruth(b.doc_id, "unknown", 0, 0, 0, 0L, 0L))
+    def write[T <: Product : org.apache.spark.sql.Encoder](rows: Seq[T], name: String): Unit =
+      rows.toDS().toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
+    write(imgBlobs ++ audBlobs ++ vidBlobs ++ corrupts, "media_blobs")
+    write(imgTruth, "expected_images")
+    write(audTruth ++ corruptAudioTruth, "expected_audio")
+    write(vidTruth, "expected_tracks")
+    println(s"[media-gen] wrote ${imgBlobs.size + audBlobs.size + vidBlobs.size + corrupts.size} blobs + 3 truth tables to $out")
+    spark.stop()
+  }
+}

@@ -132,6 +132,33 @@ class MultimodalSpec extends AnyFunSuite {
       rows.head.height == 240)
   }
 
+  test("committed media fixture: parsers re-derive the generator's ground truth from bytes") {
+    // the differential behind mm_real_media / mm_real_audio / mm_real_tracks:
+    // gen.MediaGen encodes CHOSEN parameters into genuine container bytes
+    // and writes them as expected_* parquet; the parsers must re-derive the
+    // identical values from the bytes alone
+    val base = SparkEntry.MediaFixture
+    val blobs = spark.read.parquet(s"$base/media_blobs")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    val gotImages = Multimodal.extractFeaturesFromMedia(spark,
+        blobs.filter(org.apache.spark.sql.functions.col("kind") === "image"))
+      .toDF().select("doc_id", "format", "n_bytes", "width", "height", "n_frames")
+    assert(rows(gotImages) == rows(spark.read.parquet(s"$base/expected_images")))
+    val gotAudio = Multimodal.extractAudioFeatures(spark,
+      blobs.filter(org.apache.spark.sql.functions.col("kind").isin("audio", "corrupt"))).toDF()
+    assert(rows(gotAudio) == rows(spark.read.parquet(s"$base/expected_audio")))
+    val gotTracks = Multimodal.extractVideoTracks(spark,
+      blobs.filter(org.apache.spark.sql.functions.col("kind").isin("video", "corrupt"))).toDF()
+    assert(rows(gotTracks) == rows(spark.read.parquet(s"$base/expected_tracks")))
+    // corrupt payloads: every parser refuses all ten (None / unknown / no rows)
+    val corrupt = blobs.filter(org.apache.spark.sql.functions.col("kind") === "corrupt")
+    assert(corrupt.count() == 10)
+    assert(Multimodal.extractVideoTracks(spark, corrupt).count() == 0)
+    assert(Multimodal.extractFeaturesFromMedia(spark, corrupt).toDF()
+      .filter(org.apache.spark.sql.functions.col("format") =!= "synthetic").count() == 0)
+  }
+
   test("resize planning caps the long edge and preserves aspect ratio") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, docs)

@@ -47,9 +47,11 @@ object Pipeline {
     val dimType = save(Dims.dimEventType(fact), "dim_event_type")
     val dimDate = save(Dims.dimDate(fact), "dim_date")
 
-    // star: broadcast join + partitioned/clustered layout
+    // star: broadcast join + partitioned/clustered layout, consuming ONLY
+    // the materialized stage outputs (see starFromMaterialized's scaladoc —
+    // the on-disk dims are what keep the star's joins skew-splittable)
     val starPath = s"$outDir/fact_events_star"
-    Star.factStar(fact, dimUser, dimType, dimDate)
+    starFromMaterialized(spark, outDir)
       .repartition(col("date_key"))
       .sortWithinPartitions(col("user_key"), col("event_type_key"))
       .write.mode(SaveMode.Overwrite).partitionBy("date_key").parquet(starPath)
@@ -73,6 +75,31 @@ object Pipeline {
 
     results.result()
   }
+
+  /** The star build over the pipeline's MATERIALIZED stage outputs — every
+    * input is an on-disk parquet scan, never the aggregate that built it.
+    *
+    * This layout is load-bearing for skew handling at scale, not a style
+    * choice: AQE's OptimizeSkewedJoin can only split a skewed join child
+    * that is a bare shuffle-stage, and a dimension feeding the join
+    * STRAIGHT FROM its building aggregate puts a HashAggregate between the
+    * stage and the join, which the rule's pattern cannot replicate — the
+    * hot partition stays whole and one task eats 90% of the fact (measured
+    * while writing `SkewStatefulSpec`: the same 90%-hot-user join splits
+    * with `skew=true` over a materialized dim and does NOT split over an
+    * in-lineage dim). At 100 TB "dims land on disk before the star reads
+    * them" is therefore a hard sequencing constraint of the refresh DAG —
+    * the reference encodes the same ordering in its scheduled-query
+    * dependencies (reference README.md:688-692). `PipelineSpec` asserts
+    * the no-aggregate-in-lineage plan shape; salting (`Skew.saltedJoin`)
+    * remains the fallback for joins that cannot be fed from disk.
+    */
+  def starFromMaterialized(spark: SparkSession, outDir: String): DataFrame =
+    Star.factStar(
+      spark.read.parquet(s"$outDir/fact_events"),
+      spark.read.parquet(s"$outDir/dim_user"),
+      spark.read.parquet(s"$outDir/dim_event_type"),
+      spark.read.parquet(s"$outDir/dim_date"))
 
   /** Bucketed-layout star rebuild (S4 at the big-dimension regime): the fact
     * and the user dimension land `bucketBy(buckets, user_id)` +

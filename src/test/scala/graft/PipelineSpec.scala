@@ -28,6 +28,18 @@ class PipelineSpec extends AnyFunSuite {
     // idempotency: overwrite snapshot rebuild converges (S3)
     val r2 = Pipeline.run(spark, "/root/testdata/sf0.001", out)
     assert(r1.map(s => s.stage -> s.rows) == r2.map(s => s.stage -> s.rows))
+
+    // the star consumes MATERIALIZED stage outputs only: no Aggregate (a
+    // dim's building aggregation) may appear anywhere in the star's
+    // lineage — the plan shape OptimizeSkewedJoin needs to split a hot key
+    // (Pipeline.starFromMaterialized scaladoc; measured in SkewStatefulSpec)
+    val starPlan = Pipeline.starFromMaterialized(spark, out)
+      .queryExecution.optimizedPlan
+    val aggs = starPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty,
+      s"star inputs must be on-disk scans, found in-lineage aggregates:\n$starPlan")
   }
 
   test("bucketed star rebuild joins fact×dim_user with no shuffle exchange") {

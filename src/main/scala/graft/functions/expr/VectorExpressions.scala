@@ -210,6 +210,58 @@ case class Shingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Shingles = copy(child = c)
 }
 
+/** Per-document bigram repetition statistics over a string column in one
+  * pass: whitespace split (same tokenization as [[Shingles]], so the DuckDB
+  * `string_split(text, ' ')` oracle mirrors it exactly), then one linear
+  * scan accumulating total / distinct / max-count bigrams in a per-row hash
+  * map. Returns `struct(n_bigrams, n_distinct, top)`, or null for documents
+  * with fewer than two tokens (no bigrams — callers filter these, matching
+  * the oracle's `len(w) >= 2`).
+  *
+  * This replaces a corpus-wide `explode` + two-level hash aggregation: the
+  * statistics are per-document and every document is one row, so no shuffle
+  * is ever needed. The scan is O(tokens) per row (hash-map upserts, not the
+  * O(len²) array-HOF count a naive per-row rewrite would use) and the map's
+  * memory is bounded by the document's own distinct-bigram count — the same
+  * order as the row already materialized in the scan. Work is the per-token
+  * loop inside eval; codegen would only save the call (same argument as
+  * [[SimHash64]]).
+  */
+case class BigramStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top", LongType, nullable = false)))
+  override def prettyName: String = "bigram_stats"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].split(space, -1)
+    if (toks.length < 2) return null
+    val counts =
+      new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < toks.length - 1) {
+      val bg = org.apache.spark.unsafe.types.UTF8String
+        .concatWs(space, toks(i), toks(i + 1))
+      val c = counts.merge(bg, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((toks.length - 1).toLong, counts.size().toLong, top.toLong))
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramStats =
+    copy(child = c)
+}
+
 /** Order-sensitive polynomial rolling hash over a string's codepoints:
   * `h := (h·131 + codepoint) mod (2³¹−1)`, h₀ = 0 — the classic Rabin-Karp
   * fingerprint. The modulus keeps every intermediate well inside a long, so
@@ -319,4 +371,6 @@ object VectorExpressions {
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(emb), ids, cents))
   def polyRollingHash(text: Column): Column =
     ColumnBridge.column(PolyRollingHash(ColumnBridge.expression(text)))
+  def bigramStats(text: Column): Column =
+    ColumnBridge.column(BigramStats(ColumnBridge.expression(text)))
 }

@@ -260,34 +260,31 @@ object TextOps {
     * machine-generated or boilerplate text scores high on both and is the
     * first thing a pretraining quality gate drops.
     *
-    * Scale shape: bigram occurrences (duplicates kept — unlike the
-    * DISTINCT shingles the dedup path uses) explode to a hash aggregation
-    * keyed `(doc_id, bigram)` — a uniform shuffle key bounded by corpus
-    * token count — then one per-doc combine. A per-row HOF count would be
-    * shuffle-free but O(tokens²) per document, which dies on long docs;
-    * the two-level aggregate is linear. Ratios are integer-exact (FxMath).
-    * Documents with fewer than two tokens have no bigrams and are not
-    * emitted.
+    * Scale shape: the statistics are per-document and each document is one
+    * row, so this is a pure narrow projection — zero shuffle. The
+    * [[graft.functions.expr.BigramStats]] expression accumulates total /
+    * distinct / max bigram counts in a single O(tokens) hash-map pass per
+    * row (NOT the O(tokens²) array-HOF count a naive per-row rewrite would
+    * use), with memory bounded by the document's own distinct-bigram count
+    * — the same order as the row the scan already materialized. The
+    * previous two-level hash aggregation keyed `(doc_id, bigram)` shuffled
+    * every bigram occurrence in the corpus to recompute what each row
+    * already knows; at 100 TB that shuffle IS the query cost, and it buys
+    * nothing. Ratios are integer-exact (FxMath). Documents with fewer than
+    * two tokens have no bigrams and are not emitted.
     */
   def repetitionStats(documents: DataFrame): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    val occ = documents
-      .filter(size(toks) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
-    occ.groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max(col("c")).as("top_bigram_n"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+    val stats = graft.functions.expr.VectorExpressions.bigramStats(col("text"))
+    documents
+      .select(col("doc_id"), stats.as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"),
+        col("s.n_bigrams").as("n_bigrams"),
+        col("s.n_distinct").as("n_distinct_bigrams"),
         graft.functions.FxMath.ratio(
-          col("n_bigrams") - col("n_distinct_bigrams"), col("n_bigrams"), 4)
+          col("s.n_bigrams") - col("s.n_distinct"), col("s.n_bigrams"), 4)
           .as("dup_bigram_frac"),
-        graft.functions.FxMath.ratio(col("top_bigram_n"), col("n_bigrams"), 4)
+        graft.functions.FxMath.ratio(col("s.top"), col("s.n_bigrams"), 4)
           .as("top_bigram_frac"))
   }
 

@@ -36,6 +36,25 @@ class ContaminationSpec extends AnyFunSuite {
     assert(s.getAs[Double]("top_bigram_frac") == 1.0)
   }
 
+  test("repetition: zero-shuffle plan and exact stats on a mixed doc") {
+    // "a b a b c" → bigrams (a b, b a, a b, b c): 4 total, 3 distinct, top 2
+    val mixed = spark.createDataFrame(Seq((1L, "a b a b c"), (2L, "solo")))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(mixed).collect()
+    assert(out.length == 1) // the 1-token doc has no bigrams and is dropped
+    val m = out.head
+    assert(m.getAs[Long]("n_bigrams") == 4L)
+    assert(m.getAs[Long]("n_distinct_bigrams") == 3L)
+    assert(m.getAs[Double]("top_bigram_frac") == 0.5)
+    // per-row statistics must never shuffle: the plan is scan → project
+    val plan = TextOps.repetitionStats(docs).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty,
+      s"doc_repetition must be a narrow projection, found shuffles:\n$plan")
+  }
+
   test("contamination: pairs are train×eval and shared counts positive") {
     val pairs = TextOps.contamination(docs, 5, 10L).collect()
     assert(pairs.nonEmpty, "fixture has near-dup docs spanning the split")

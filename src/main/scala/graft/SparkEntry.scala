@@ -188,6 +188,37 @@ object SparkEntry {
       TextOps.contamination(Tables.documents(prep(s), d), 5, 10L)),
     "doc_decontaminated" -> ((s, d) =>
       TextOps.decontaminate(Tables.documents(prep(s), d), 5, 10L)),
+    // normalization proves work on the lowercase single-spaced fixture by
+    // roughing it up first (case + ragged whitespace) — both engines build
+    // the same roughed input and must land on the same fixed point
+    "text_normalize" -> ((s, d) =>
+      TextOps.normalizeText(
+        Tables.documents(prep(s), d).withColumn("rough",
+          concat(lit("  "), upper(col("text")), lit("\t x\n"))), "rough")
+        .select(col("doc_id"), col("norm_text"))),
+    // PII synthesized deterministically from doc_id (the fixture has none):
+    // email on ids ≡0 (mod 2), IPv4 on ≡0 (mod 3), phone on ≡0 (mod 5), so
+    // counts vary 0/1 per kind and the redacted text is fully determined
+    "pii_redact" -> ((s, d) => {
+      val id = col("doc_id")
+      val email = when(pmod(id, lit(2L)) === 0,
+        concat(lit(" reach user"), id.cast("string"),
+          lit("@mail.example.com"))).otherwise(lit(""))
+      val ip = when(pmod(id, lit(3L)) === 0,
+        concat(lit(" from 10."), pmod(id, lit(200L)).cast("string"),
+          lit(".0.7"))).otherwise(lit(""))
+      val phone = when(pmod(id, lit(5L)) === 0,
+        concat(lit(" tel 555-"),
+          lpad(pmod(id, lit(1000L)).cast("string"), 3, "0"),
+          lit("-1234"))).otherwise(lit(""))
+      TextOps.redactPii(
+        Tables.documents(prep(s), d).withColumn("pii_text",
+          concat(col("text"), email, ip, phone)), "pii_text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_phones"), col("redacted_text"))
+    }),
+    "chunk_dedup" -> ((s, d) =>
+      TextOps.dedupChunks(Tables.documents(prep(s), d), 64, 16)),
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
     "tok_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitterTokens(prep(s), Tables.documents(s, d), 10)),
@@ -429,6 +460,18 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), e AS (SELECT doc_id AS eval_id, unnest(sh) AS ngram FROM s WHERE doc_id % 10 = 0), tr AS (SELECT doc_id, unnest(sh) AS ngram FROM s WHERE doc_id % 10 <> 0) SELECT tr.doc_id, e.eval_id, count(*) AS shared_ngrams FROM tr JOIN e USING (ngram) GROUP BY 1, 2",
     "doc_decontaminated" ->
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 5 THEN list_distinct([array_to_string(w[i:i+4], ' ') for i in range(1, len(w) - 3)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), e AS (SELECT doc_id AS eval_id, unnest(sh) AS ngram FROM s WHERE doc_id % 10 = 0), tr AS (SELECT doc_id, unnest(sh) AS ngram FROM s WHERE doc_id % 10 <> 0) SELECT doc_id, lang FROM documents WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT DISTINCT tr.doc_id FROM tr JOIN e USING (ngram))",
+    "text_normalize" ->
+      "SELECT doc_id, lower(trim(regexp_replace(concat('  ', upper(text), chr(9) || ' x' || chr(10)), '\\s+', ' ', 'g'))) AS norm_text FROM documents",
+    "pii_redact" -> {
+      val (em, ip, ph) =
+        (graft.operators.TextOps.EmailRe, graft.operators.TextOps.Ipv4Re,
+          graft.operators.TextOps.PhoneRe)
+      s"WITH p AS (SELECT doc_id, concat(text, CASE WHEN doc_id % 2 = 0 THEN concat(' reach user', CAST(doc_id AS VARCHAR), '@mail.example.com') ELSE '' END, CASE WHEN doc_id % 3 = 0 THEN concat(' from 10.', CAST(doc_id % 200 AS VARCHAR), '.0.7') ELSE '' END, CASE WHEN doc_id % 5 = 0 THEN concat(' tel 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-1234') ELSE '' END) AS t FROM documents) SELECT doc_id, CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails, CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips, CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones, regexp_replace(regexp_replace(regexp_replace(t, '$em', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$ph', '[PHONE]', 'g') AS redacted_text FROM p"
+    },
+    // same chunking CTE as doc_chunks (chunk 64, stride 48), grouped by
+    // content digest — the chunk-granularity exact-dedup semantics
+    "chunk_dedup" ->
+      "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w, unnest(range(0, len(w), 48)) AS start_tok FROM t), ch AS (SELECT doc_id, array_to_string(w[start_tok + 1 : start_tok + 64], ' ') AS chunk_text FROM c) SELECT sha256(chunk_text) AS chunk_hash, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc FROM ch GROUP BY 1",
     "tok_idf" ->
       "WITH d AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), f AS (SELECT token, count(*) AS df FROM t GROUP BY 1) SELECT token, df, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf FROM f, d WHERE df >= 5",
     "tok_heavy_hitters" ->

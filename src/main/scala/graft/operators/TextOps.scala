@@ -346,6 +346,72 @@ object TextOps {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Canonical text normalization — the cleanup stage that runs BEFORE any
+    * content hash or shingle: collapse every whitespace run to one space,
+    * trim, lowercase. Hash-based dedup is only as good as its
+    * canonicalization (trailing-newline variants of the same page must
+    * collide), so this is the first stage of the curation pipeline. A pure
+    * narrow codegen'd projection — zero shuffle, runs at scan speed, which
+    * is the only acceptable cost for a stage every document passes through.
+    * The pattern is RE2-safe (no lookarounds) so any engine's oracle can
+    * mirror it.
+    */
+  def normalizeText(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("norm_text",
+      lower(trim(regexp_replace(col(textCol), "\\s+", " "))))
+
+  // RE2-safe PII shapes (no lookarounds — oracle engines mirror them 1:1)
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction — replace emails, IPv4 addresses, and phone-shaped
+    * numbers with typed placeholder tags, and count each kind (the counts
+    * feed the curation audit: a source whose PII density jumps is quarantined
+    * before its text ships). Counts are taken on the ORIGINAL text, then the
+    * redactions apply in a fixed order (email → IP → phone) whose patterns
+    * cannot create each other's matches, so the composition is
+    * deterministic. Zero shuffle; all four outputs are codegen'd regex ops
+    * over the row.
+    */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("redacted_text",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+  }
+
+  /** Chunk-granularity exact dedup — the passage-level pass that catches
+    * boilerplate shared across otherwise-distinct documents (headers,
+    * licenses, navigation text), which document-level dedup misses by
+    * construction and near-dup joins over-pay for when the repeat is
+    * verbatim. Emits one row per distinct chunk content with its replica
+    * count, distinct-document spread, and the keeper (lowest doc_id).
+    *
+    * Scale shape: the [[chunkDocuments]] stream (bounded per-doc generate,
+    * zero shuffle) feeds ONE hash aggregation keyed by the chunk's sha256
+    * digest — a uniform 32-byte key with map-side partial aggregation, the
+    * same shape as [[Dedup.exactByContent]]. The chunk text itself never
+    * shuffles: only the digest and two longs cross the wire.
+    */
+  def dedupChunks(documents: DataFrame, chunkTokens: Int,
+                  overlapTokens: Int): DataFrame =
+    chunkDocuments(documents, chunkTokens, overlapTokens)
+      .groupBy(sha2(col("chunk_text"), 256).as("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+
   /** Corpus-level top-k tokens via the Misra-Gries
     * [[graft.functions.HeavyHitters]] typed Aggregator (exact while distinct
     * tokens ≤ sketch capacity; deterministic (count desc, token) order).

@@ -174,4 +174,46 @@ class TextSpec extends AnyFunSuite {
     assert(idf("a")._2 < idf("b")._2 && idf("b")._2 < idf("c")._2)
     assert(idf("a")._2 == 0.0) // ln(5/5)
   }
+
+  test("normalizeText collapses whitespace, trims, lowercases — and never shuffles") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "  The  QUICK\t brown\nfox  "), (2L, "already clean"))
+      .toDF("doc_id", "text")
+    val out = TextOps.normalizeText(docs).orderBy("doc_id")
+      .select("norm_text").as[String].collect()
+    assert(out(0) == "the quick brown fox")
+    assert(out(1) == "already clean") // fixed point on clean input
+    val shuffles = TextOps.normalizeText(docs).queryExecution.executedPlan
+      .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty)
+  }
+
+  test("redactPii replaces email/IP/phone with typed tags and counts each") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "mail me at bob@x.co or 10.0.0.1 tel 555-123-4567"),
+      (2L, "no pii here 12.34 and 555-12")).toDF("doc_id", "text")
+    val rows = TextOps.redactPii(docs).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("n_emails") == 1L)
+    assert(rows(0).getAs[Long]("n_ips") == 1L)
+    assert(rows(0).getAs[Long]("n_phones") == 1L)
+    assert(rows(0).getAs[String]("redacted_text") ==
+      "mail me at [EMAIL] or [IP] tel [PHONE]")
+    assert(rows(1).getAs[Long]("n_emails") == 0L)
+    assert(rows(1).getAs[Long]("n_ips") == 0L)
+    assert(rows(1).getAs[Long]("n_phones") == 0L)
+    assert(rows(1).getAs[String]("redacted_text") == rows(1).getAs[String]("text"))
+  }
+
+  test("dedupChunks groups identical passages across documents") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (3L, "shared boiler plate"), (4L, "shared boiler plate"),
+      (5L, "unique words only")).toDF("doc_id", "text")
+    val rows = TextOps.dedupChunks(docs, 8, 0).collect()
+    assert(rows.length == 2) // two distinct chunk contents
+    val dup = rows.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("n_docs") == 2L)
+    assert(dup.getAs[Long]("first_doc") == 3L)
+  }
 }

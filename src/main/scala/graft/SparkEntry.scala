@@ -77,6 +77,9 @@ object SparkEntry {
       val raw = Tables.events(prep(s), d)
       Star.dailyUserActivity(starOf(s, d), Dims.dimDate(raw), Dims.dimUser(raw))
     }),
+    // SCD Type-2 history: AS-OF-queryable attribute runs per user — the
+    // history-keeping companion the reference's latest-only dims lack
+    "scd2_dim_user" -> ((s, d) => Scd.userTypeHistory(fact(s, d))),
     // ---- monitoring views (SURVEY §2 monitoring suite) ----
     "mon_results" -> ((s, d) => Monitoring.results(Tables.events(prep(s), d))),
     "mon_last_status" -> ((s, d) => Monitoring.lastStatus(Tables.events(prep(s), d))),
@@ -219,6 +222,22 @@ object SparkEntry {
     }),
     "chunk_dedup" -> ((s, d) =>
       TextOps.dedupChunks(Tables.documents(prep(s), d), 64, 16)),
+    // domain cap: greedy md5-ordered fill to 600 tokens per source
+    "domain_token_budget" -> ((s, d) =>
+      TextOps.domainTokenBudget(Tables.documents(prep(s), d), 600L)),
+    // span dedup proves removal on the no-exact-dup fixture by planting an
+    // exactly-one-span (8-token) boilerplate header on every 4th doc — both
+    // engines build the same boosted input; the header must survive only in
+    // its first carrier
+    "doc_span_dedup" -> ((s, d) =>
+      TextOps.dedupSpans(
+        Tables.documents(prep(s), d).withColumn("boosted",
+          when(pmod(col("doc_id"), lit(4L)) === 0,
+            concat(lit("shared license header common to mirrored crawl snapshots "),
+              col("text")))
+          .otherwise(col("text"))), "boosted", 8)),
+    "doc_rare_bigrams" -> ((s, d) =>
+      TextOps.rareNgramScore(Tables.documents(prep(s), d), 2, 2L)),
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
     "tok_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitterTokens(prep(s), Tables.documents(s, d), 10)),
@@ -239,6 +258,11 @@ object SparkEntry {
     "emb_label_centroid" -> ((s, d) =>
       Ann.labelCentroids(Tables.embeddings(prep(s), d))
         .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "v")))),
+    // int8 scalar quantization (float32 → signed byte, 4× shuffle/storage
+    // cut for the 100-TB index path); `max_abs` emitted unrounded — it is
+    // a pure float→double cast, bit-identical in both engines
+    "emb_quantize" -> ((s, d) =>
+      Ann.quantizeEmbeddings(Tables.embeddings(prep(s), d))),
     // top-k via orderBy+limit, which Spark plans as TakeOrderedAndProject
     // (per-partition top-k + k-row merge on the driver) — a global ranking
     // window here would funnel every distinct bigram through one partition
@@ -335,6 +359,8 @@ object SparkEntry {
       s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact",
     "star_daily_user" ->
       s"$FactCte SELECT CAST(ts AS DATE) AS date_id, user_id, count(*) AS n_events, ${fxAvgSql(fxSumSql("value", 100L), "count(*)", 100L, 4)} AS avg_value, ${fxTotalSql(fxSumSql("value", 100L), 100L, 2)} AS sum_value FROM fact GROUP BY 1, 2",
+    "scd2_dim_user" ->
+      s"$FactCte, e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM fact), m AS (SELECT *, row_number() OVER w AS rn, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg, count(*) OVER (PARTITION BY user_id) AS n_total FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), c AS (SELECT *, CAST(row_number() OVER wv AS BIGINT) AS version, lead(ts_us) OVER wv AS effective_to_us, lead(rn) OVER wv AS next_rn FROM m WHERE chg = 1 WINDOW wv AS (PARTITION BY user_id ORDER BY rn)) SELECT user_id, version, event_type, ts_us AS effective_from_us, effective_to_us, CAST(coalesce(next_rn - rn, n_total - rn + 1) AS BIGINT) AS n_events, effective_to_us IS NULL AS is_current FROM c",
     "mon_results" ->
       s"$ResultsCte SELECT event_id, ts_us, job_name, status, status BETWEEN 50 AND 99 AS is_success FROM r",
     "mon_last_status" ->
@@ -472,6 +498,12 @@ object SparkEntry {
     // content digest — the chunk-granularity exact-dedup semantics
     "chunk_dedup" ->
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w, unnest(range(0, len(w), 48)) AS start_tok FROM t), ch AS (SELECT doc_id, array_to_string(w[start_tok + 1 : start_tok + 64], ' ') AS chunk_text FROM c) SELECT sha256(chunk_text) AS chunk_hash, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc FROM ch GROUP BY 1",
+    "domain_token_budget" ->
+      "WITH t AS (SELECT doc_id, source AS domain, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS cum_before FROM t) SELECT doc_id, domain, n_tokens, cum_before FROM c WHERE cum_before < 600",
+    "doc_span_dedup" ->
+      "WITH t AS (SELECT doc_id, string_split(CASE WHEN doc_id % 4 = 0 THEN concat('shared license header common to mirrored crawl snapshots ', text) ELSE text END, ' ') AS w FROM documents), s AS (SELECT doc_id, CAST(ceil(len(w) / 8.0) AS BIGINT) AS n_spans, w, unnest(range(0, len(w), 8)) AS start_tok FROM t), sp AS (SELECT doc_id, n_spans, start_tok, array_to_string(w[start_tok + 1 : start_tok + 8], ' ') AS span_text FROM s), k AS (SELECT *, row_number() OVER (PARTITION BY span_text ORDER BY doc_id, start_tok) AS rk FROM sp) SELECT doc_id, min(n_spans) AS n_spans, count(*) AS n_spans_kept, string_agg(span_text, ' ' ORDER BY start_tok) AS clean_text FROM k WHERE rk = 1 GROUP BY doc_id",
+    "doc_rare_bigrams" ->
+      s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), x AS (SELECT doc_id, unnest(sh) AS ngram FROM s), f AS (SELECT ngram, count(*) AS df FROM x GROUP BY 1) SELECT doc_id, count(*) AS n_distinct_ngrams, CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, ${fxRatioSql("sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END)", "count(*)", 4)} AS rare_frac FROM x JOIN f USING (ngram) GROUP BY 1",
     "tok_idf" ->
       "WITH d AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), f AS (SELECT token, count(*) AS df FROM t GROUP BY 1) SELECT token, df, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf FROM f, d WHERE df >= 5",
     "tok_heavy_hitters" ->
@@ -480,6 +512,8 @@ object SparkEntry {
       "WITH b AS (SELECT unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram FROM (SELECT string_split(text, ' ') AS w FROM documents)) SELECT bigram, n FROM (SELECT bigram, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, bigram) AS rk FROM b GROUP BY bigram) WHERE rk <= 10",
     "emb_label_centroid" ->
       s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), x AS (SELECT label, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM e) SELECT label, CAST(pos AS INTEGER) AS pos, ${fxAvgSql(fxSumSql("v", 1000000L), "count(*)", 1000000L, 6)} AS v FROM x GROUP BY 1, 2""",
+    "emb_quantize" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), m AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) AS ma FROM e), x AS (SELECT vec_id, ma, generate_subscripts(emb, 1) - 1 AS pos, unnest(emb) AS v FROM m) SELECT vec_id, CAST(pos AS INTEGER) AS pos, CAST(CASE WHEN ma = 0 THEN 0 ELSE floor(v * 127.0 / ma + 0.5) END AS BIGINT) AS q, ma AS max_abs FROM x",
     "sim_join_jaccard" -> jaccardPairsOracleSql(0.8),
     // the exact-verified MinHash output: LSH bands only GENERATE candidates;
     // the emitted pairs carry the true shingle Jaccard, so the oracle is the

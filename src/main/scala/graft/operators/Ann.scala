@@ -281,6 +281,61 @@ object Ann {
     * at a real corpus, so it refuses inputs above `maxRows`. The guard scans
     * at most maxRows+1 rows; the quadratic blowup it prevents scans n².
     */
+  /** Int8 scalar quantization of the embedding column — the storage/shuffle
+    * compression step a 100-TB vector corpus runs BEFORE indexing: each
+    * vector is scaled by 127/max|v| and rounded to signed-byte integers,
+    * shrinking every downstream shuffle and index partition ~4× (float32 →
+    * int8) while cosine ranking survives within quantization error
+    * (AnnSpec gates quantized-search recall). Zero shuffle — a narrow
+    * per-row projection.
+    *
+    * Output is the exploded `(vec_id, pos, q)` stream (array columns are a
+    * cross-engine hash hazard), with the per-vector `max_abs` scale carried
+    * so the original is reconstructible to within half a quantization step.
+    * Rounding is `floor(x + 0.5)` on IEEE doubles — exactly the same bits
+    * in any engine, unlike `round()`, whose half-even/half-up convention
+    * and decimal path differ across engines. Zero vectors quantize to 0.
+    */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val corpus = emb(embeddings)
+    val maxAbs = array_max(transform(col("emb"), v => abs(v)))
+    corpus
+      .withColumn("max_abs", maxAbs)
+      .select(col("vec_id"), col("max_abs"),
+        posexplode(transform(col("emb"), v =>
+          when(col("max_abs") === 0d, 0L)
+            .otherwise(floor(v * lit(127.0) / col("max_abs") + lit(0.5)))))
+          .as(Seq("pos", "q")))
+      .select(col("vec_id"), col("pos").cast("int").as("pos"), col("q"),
+        // unrounded: a pure float→double cast is bit-identical cross-engine
+        col("max_abs"))
+  }
+
+  /** Exact top-k over the QUANTIZED corpus — [[bruteTopK]]'s plan shape
+    * (broadcast queries, streaming scoring pass, bounded top-k aggregate)
+    * with int8 vectors on the scan side. Cosine is scale-invariant, so the
+    * per-vector 127/max|v| factor cancels and ranking quality depends only
+    * on rounding error; AnnSpec gates its recall against the float path.
+    */
+  def quantizedTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val maxAbs = array_max(transform(col("emb"), v => abs(v)))
+    val qcorpus = emb(embeddings)
+      .withColumn("max_abs", maxAbs)
+      .select(col("vec_id"),
+        when(col("max_abs") === 0d,
+          transform(col("emb"), _ => lit(0.0)))
+        .otherwise(transform(col("emb"), v =>
+          floor(v * lit(127.0) / col("max_abs") + lit(0.5)).cast("double")))
+          .as("emb"))
+    val queries = qcorpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val scored = qcorpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   def embeddingNearDup(embeddings: DataFrame, threshold: Double,
                        maxRows: Int = 100000): DataFrame = {
     require(embeddings.limit(maxRows + 1).count() <= maxRows,

@@ -425,4 +425,109 @@ object TextOps {
       .select(explode(col("hh")).as("e"))
       .select(col("e.token").as("token"), col("e.n").as("n"))
   }
+
+  /** Per-domain token-budget sampling — the training-mix composition step
+    * that CAPS each domain's contribution at a token budget (down-weighting
+    * over-crawled domains) instead of thinning by a rate like
+    * [[stratifiedSample]]. Docs are taken in content-addressed md5 order
+    * (unbiased, reproducible across engines/partitionings/reruns — the same
+    * determinism argument as [[deterministicSample]]) until the domain's
+    * running token total reaches the budget; a doc is kept iff it STARTS
+    * inside the budget, so every domain overshoots by at most one doc.
+    *
+    * Scale shape: one hash shuffle on the domain key and a running-sum
+    * window inside each domain — domains are the natural unit of this
+    * operation, and a single domain's docs fitting one task's sort is the
+    * same assumption any per-domain pipeline stage makes. For web-scale
+    * corpora with million-doc domains, pre-aggregating to (domain,
+    * md5-bucket) subtotals would bound the window input; at that point the
+    * cut is within one bucket, not one doc — the greedy semantics here are
+    * the exact form.
+    */
+  def domainTokenBudget(documents: DataFrame, budgetTokens: Long,
+                        domainCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    documents
+      .select(col("doc_id"), col(domainCol).as("domain"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("cum_before") < budgetTokens)
+  }
+
+  /** Cross-corpus span-level dedup with document RECONSTRUCTION (the
+    * C4-style "remove any span that occurs more than once in the corpus"
+    * pass): split every document into disjoint `spanTokens`-token spans,
+    * keep only each distinct span text's FIRST occurrence (global
+    * (doc_id, span position) order), and reassemble what is left of each
+    * document. Unlike [[dedupChunks]], which reports duplicate-chunk
+    * groups, this emits the cleaned corpus itself — boilerplate (license
+    * headers, navigation footers) survives exactly once, in its first
+    * carrier. Documents whose every span is removed disappear entirely.
+    *
+    * Scale shape: two keyed shuffles — first-occurrence selection keyed by
+    * the span text (content-keyed, uniform by construction; the QUALIFY-
+    * style rank-1 filter is exactly the shape `RewriteRankOneToMaxBy`
+    * rewrites into a map-side-combining min_by aggregate), then
+    * reassembly keyed by doc_id with a bounded per-doc `collect_list`
+    * (≤ ⌈doc tokens / spanTokens⌉ spans — same bound as chunking).
+    */
+  def dedupSpans(documents: DataFrame, textCol: String,
+                 spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_text")).orderBy(col("doc_id"), col("start_tok"))
+    documents
+      .select(col("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        ceil(size(col("toks")).cast("long") / lit(spanTokens.toDouble))
+          .cast("long").as("n_spans"),
+        col("toks"),
+        explode(sequence(lit(0L), size(col("toks")).cast("long") - 1,
+          lit(spanTokens.toLong))).as("start_tok"))
+      .select(col("doc_id"), col("n_spans"), col("start_tok"),
+        array_join(slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          lit(spanTokens)), " ").as("span_text"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("n_spans")).as("n_spans"),
+        count(lit(1)).as("n_spans_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("start_tok"), col("span_text")))),
+          s => s.getField("span_text")), " ").as("clean_text"))
+  }
+
+  /** LM-free quality scoring via corpus n-gram rarity — the perplexity
+    * proxy: a document whose distinct bigrams are mostly corpus-rare
+    * (document frequency ≤ `maxDf`) is likelier gibberish/noise than one
+    * built from common constructions. Integer-exact throughout (FxMath
+    * ratio), so the score is bit-stable across engines. Complements
+    * [[textQuality]] (intra-doc ratios) and [[repetitionStats]] (intra-doc
+    * repetition) with the corpus-level signal.
+    *
+    * Scale shape: the bigram document-frequency table is a hash aggregation
+    * bounded by distinct bigrams; scoring is a shuffle equi-join of the
+    * per-doc distinct-bigram stream against it on the bigram key (uniform
+    * content key — no skew surface), then a per-doc re-aggregation. All
+    * three exchanges are keyed; nothing driver-side, nothing all-pairs.
+    */
+  def rareNgramScore(documents: DataFrame, n: Int = 2,
+                     maxDf: Long = 2L): DataFrame = {
+    val sh = graft.functions.expr.VectorExpressions.shingles(col("text"), n)
+    val exploded = documents.select(col("doc_id"), explode(sh).as("ngram"))
+    val dfreq = exploded.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df")) // shingles are distinct per doc: count = doc freq
+    exploded.join(dfreq, Seq("ngram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_ngrams"),
+        sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("n_rare"),
+        graft.functions.FxMath.ratio(
+          sum(when(col("df") <= maxDf, 1L).otherwise(0L)),
+          count(lit(1)), 4).as("rare_frac"))
+  }
 }

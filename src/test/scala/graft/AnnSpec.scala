@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Ann
@@ -62,6 +63,38 @@ class AnnSpec extends AnyFunSuite {
     info(s"recall@5: stride-init=$init lloyd2=$refined")
     assert(refined >= init,
       s"Lloyd iterations must not lose recall: init=$init refined=$refined")
+  }
+
+  test("int8 quantization: hand-checkable values, zero-vector safe") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f), 9),
+      (1L, Array(0.0f, 0.0f, 0.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.quantizeEmbeddings(vecs).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos")) ->
+        r.getAs[Long]("q")).toMap
+    // scale 127/1.0: 1.0→127; -0.5·127=-63.5 → floor(-63.0)=-63 (half-up
+    // toward +inf, the pinned floor(x+0.5) convention); 0.25·127=31.75→32
+    assert(out == Map(
+      (0L, 0) -> 127L, (0L, 1) -> -63L, (0L, 2) -> 32L,
+      (1L, 0) -> 0L, (1L, 1) -> 0L, (1L, 2) -> 0L))
+    val bounded = Ann.quantizeEmbeddings(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    assert(bounded.filter(col("q") > 127 || col("q") < -127).count() == 0,
+      "quantized values must fit a signed byte")
+  }
+
+  test("quantized search keeps high recall vs the float path") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Ann.bruteTopK(emb, 10, 5))
+    val quant = pairs(Ann.quantizedTopK(emb, 10, 5))
+    val recall = brute.intersect(quant).size.toDouble / brute.size
+    info(s"int8 recall@5=$recall")
+    assert(recall >= 0.9,
+      s"int8 quantization recall $recall below 0.9 — rounding error should " +
+        s"barely move cosine ranks")
   }
 
   test("hyperplane-LSH near-dup: exact-refined subset of brute with usable recall") {

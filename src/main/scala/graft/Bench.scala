@@ -79,6 +79,17 @@ object Bench {
     // compact harness line LAST (inside the tail window): 2-decimal per-query
     // totals + a pointer to the detail file keep it under the 2000-char budget
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(r2)(_._2)},"plan_total":${r3(planTotal)},"exec_total":${r3(total - planTotal)},"failed":[${failed.mkString(",")}],"detail":"$detailPath","sf":"$sfDir"}""")
+    // At 92 queries the full compact line itself crossed the 2000-char tail
+    // budget (measured 2074 chars at 87 queries — the per-query names alone
+    // are ~1300 chars), so the line above can now lose its HEAD (metric/
+    // value) to the tail window. The FINAL line therefore carries only the
+    // 20 slowest queries (the triage set) and is ~700 chars — guaranteed to
+    // survive intact; the complete per-query split lives in the detail file
+    // committed with the repo.
+    val slowest = results.collect { case (n, Some(b)) => (n, b) }
+      .sortBy(-_._2._2).take(20)
+      .map { case (n, (_, t)) => "\"" + n + "\":" + r2(t) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"queries_note":"20 slowest of ${results.size}; full split in detail file","plan_total":${r3(planTotal)},"exec_total":${r3(total - planTotal)},"failed":[${failed.mkString(",")}],"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -156,6 +156,9 @@ object SparkEntry {
     }),
     "q_rollup" -> ((s, d) => Analytics.ordersRollup(prep(s), d)),
     "q_cube" -> ((s, d) => Analytics.ordersCube(prep(s), d)),
+    "q_pivot" -> ((s, d) => Analytics.dailyTypePivot(prep(s), d)),
+    "q_unpivot" -> ((s, d) => Analytics.dailyTypeUnpivot(prep(s), d)),
+    "q_full_outer" -> ((s, d) => Analytics.clickPurchaseReconciliation(prep(s), d)),
     // ---- training-data pipeline: dedup / similarity / text (north star) ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactByContent(Tables.documents(prep(s), d), "text", "doc_id")),
@@ -239,6 +242,8 @@ object SparkEntry {
     "doc_rare_bigrams" -> ((s, d) =>
       TextOps.rareNgramScore(Tables.documents(prep(s), d), 2, 2L)),
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
+    "tok_collocations" -> ((s, d) =>
+      TextOps.collocations(Tables.documents(prep(s), d), 5L, 20)),
     "tok_heavy_hitters" -> ((s, d) =>
       TextOps.heavyHitterTokens(prep(s), Tables.documents(s, d), 10)),
     "sim_join_jaccard" -> ((s, d) =>
@@ -247,6 +252,10 @@ object SparkEntry {
       DedupApprox.minhashPairs(Tables.documents(prep(s), d), 0.7)),
     "dedup_simhash" -> ((s, d) =>
       DedupApprox.simhashPairs(Tables.documents(prep(s), d), 8)),
+    // pair set → transitive closure: the cluster-level retention decision
+    // (iterative min-label propagation; deterministic labels = min doc_id)
+    "dedup_clusters" -> ((s, d) =>
+      Components.dedupClusters(Tables.documents(prep(s), d), 0.7)),
     "ann_cosine_topk" -> ((s, d) =>
       Ann.bruteTopK(Tables.embeddings(prep(s), d), 10, 5)),
     "ann_ivf_topk" -> ((s, d) =>
@@ -340,11 +349,31 @@ object SparkEntry {
     * `sim_join_jaccard` (PPJoin) and `dedup_minhash` (LSH + exact verify):
     * two candidate generators, one output semantics.
     */
-  private def jaccardPairsOracleSql(threshold: Double): String = {
-    val jac = fxRatioSql("len(list_intersect(a.sh, b.sh))",
+  /** The shared shingle-set CTEs (`t`, `s`) and the exact pairwise Jaccard
+    * expression over aliases `a`/`b` — reused by the pair oracles and the
+    * `dedup_clusters` transitive-closure oracle.
+    */
+  private val JaccardShingleCtes =
+    "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t)"
+
+  private val JaccardExprSql: String =
+    fxRatioSql("len(list_intersect(a.sh, b.sh))",
       "len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))", 4)
-    s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jac >= $threshold"
-  }
+
+  private def jaccardPairsOracleSql(threshold: Double): String =
+    s"WITH $JaccardShingleCtes SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $JaccardExprSql AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $JaccardExprSql >= $threshold"
+
+  /** Transitive closure of the exact pair set as a recursive CTE — the
+    * DuckDB mirror of [[graft.operators.Components.dedupClusters]]: min
+    * reachable doc_id per node = the cluster label.
+    */
+  private def dedupClustersOracleSql(threshold: Double): String =
+    s"WITH RECURSIVE $JaccardShingleCtes, " +
+      s"pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $JaccardExprSql >= $threshold), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node), " +
+      "assign AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node) " +
+      "SELECT node AS doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members, node = cluster_id AS is_canonical FROM assign"
 
   def oracleSql: Map[String, String] = Map(
     "fact_dedup" ->
@@ -445,6 +474,12 @@ object SparkEntry {
       s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
     "q_cube" ->
       s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY CUBE(1, 2)",
+    "q_pivot" ->
+      "SELECT CAST(ts AS DATE) AS event_date, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase, CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view FROM events GROUP BY 1",
+    "q_unpivot" ->
+      "WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events), ty AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type), c AS (SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n FROM events GROUP BY 1, 2) SELECT d.event_date, ty.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events FROM d CROSS JOIN ty LEFT JOIN c ON c.event_date = d.event_date AND c.event_type = ty.event_type",
+    "q_full_outer" ->
+      "WITH c AS (SELECT user_id, CAST(ts AS DATE) AS event_date, count(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY 1, 2), p AS (SELECT user_id, CAST(ts AS DATE) AS event_date, count(*) AS n_purchases FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) SELECT coalesce(c.user_id, p.user_id) AS user_id, coalesce(c.event_date, p.event_date) AS event_date, CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks, CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.event_date = p.event_date",
     "dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
     "text_stats" ->
@@ -506,6 +541,11 @@ object SparkEntry {
       s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), x AS (SELECT doc_id, unnest(sh) AS ngram FROM s), f AS (SELECT ngram, count(*) AS df FROM x GROUP BY 1) SELECT doc_id, count(*) AS n_distinct_ngrams, CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, ${fxRatioSql("sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END)", "count(*)", 4)} AS rare_frac FROM x JOIN f USING (ngram) GROUP BY 1",
     "tok_idf" ->
       "WITH d AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), f AS (SELECT token, count(*) AS df FROM t GROUP BY 1) SELECT token, df, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf FROM f, d WHERE df >= 5",
+    "tok_collocations" -> {
+      val lift = fxRatioSql("df_pair * n_docs", "df1 * df2", 4)
+      "WITH nd AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT string_split(text, ' ') AS w FROM documents), u AS (SELECT token, count(*) AS df_tok FROM (SELECT unnest(list_distinct(w)) AS token FROM t) GROUP BY 1), b AS (SELECT bigram, count(*) AS df_pair FROM (SELECT unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram FROM t WHERE len(w) >= 2) GROUP BY 1), f AS (SELECT bigram, df_pair, string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2 FROM b WHERE df_pair >= 5), j AS (SELECT bigram, df_pair, u1.df_tok AS df1, u2.df_tok AS df2, n_docs FROM f JOIN u u1 ON f.w1 = u1.token JOIN u u2 ON f.w2 = u2.token, nd) " +
+        s"SELECT bigram, df_pair, lift FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, bigram) AS rk FROM (SELECT bigram, df_pair, $lift AS lift FROM j)) WHERE rk <= 20"
+    },
     "tok_heavy_hitters" ->
       "SELECT token, n FROM (SELECT tok AS token, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, tok) AS rk FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY tok) WHERE rk <= 10",
     "tok_top_bigrams" ->
@@ -520,6 +560,7 @@ object SparkEntry {
     // same exact pairwise SQL (at the query's 0.7 threshold) — verified
     // identical at sf0.001/0.01/0.1 (MinhashProbe; SimilaritySpec gates it)
     "dedup_minhash" -> jaccardPairsOracleSql(0.7),
+    "dedup_clusters" -> dedupClustersOracleSql(0.7),
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
     "dedup_embedding" ->

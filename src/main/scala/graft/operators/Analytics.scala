@@ -656,4 +656,61 @@ object Analytics {
         col("r_name") === col("min_region") && col("s_acctbal") === col("min_bal"))
       .select("r_name", "s_suppkey", "s_name", "s_acctbal")
   }
+
+  /** The fixture's closed event-type domain. Pivoting on an EXPLICIT value
+    * list matters at scale: `pivot(col)` without values runs a blocking
+    * distinct-collect over the whole input before planning; with the list,
+    * the pivot is a single pass (partial-aggregated, no extra job).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: one row per day, one count column per event type (the
+    * wide/cross-tab form). Nulls from absent cells are coalesced to 0 so
+    * the output is a dense grid. Plans as a single hash aggregate over
+    * `event_date` — the per-type columns are conditional partial aggregates,
+    * same shape as A4's `sum(when(...))`, never a join or second shuffle.
+    */
+  def dailyTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"), col("event_type"))
+      .groupBy(col("event_date"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes.foldLeft(wide) { (df, t) =>
+      df.withColumn(s"n_$t", coalesce(col(s"`$t`"), lit(0L))).drop(t)
+    }
+  }
+
+  /** UNPIVOT: the wide cross-tab melted back to long form — one row per
+    * (day, type) INCLUDING zero cells, which is exactly what a plain
+    * groupBy over the raw events cannot produce. Narrow per-row expansion
+    * (each input row fans out to |types| rows), no shuffle beyond the
+    * pivot's own aggregate.
+    */
+  def dailyTypeUnpivot(spark: SparkSession, dir: String): DataFrame =
+    dailyTypePivot(spark, dir).unpivot(
+      Array(col("event_date")),
+      EventTypes.map(t => col(s"n_$t")).toArray,
+      "event_type", "n_events")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+
+  /** FULL OUTER join: per-(user, day) click activity reconciled against
+    * purchase activity — rows survive from EITHER side (days a user clicked
+    * without buying, bought without clicking, or both). The join keys are
+    * the grouping keys of both inputs, so each side arrives pre-aggregated
+    * (bounded by users × days) and the join shuffles only those rollups,
+    * never raw events; counts are 0-coalesced to keep the output dense.
+    */
+  def clickPurchaseReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def daily(tpe: String, out: String): DataFrame = ev
+      .filter(col("event_type") === tpe)
+      .groupBy(col("user_id"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as(out))
+    daily("click", "n_clicks")
+      .join(daily("purchase", "n_purchases"), Seq("user_id", "event_date"), "full_outer")
+      .select(col("user_id"), col("event_date"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+  }
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the clustering step
+  * every production near-dup pipeline needs AFTER pair generation: LSH/PPJoin
+  * emit similarity PAIRS, but retention decisions are made per CLUSTER
+  * (keep one canonical doc per transitively-connected group, because A~B and
+  * B~C must collapse to one survivor even when A~C was never emitted).
+  *
+  * The reference's dedup (sql/bq_fact_vitals.sql:14-17) is keyed exact-match
+  * — transitive closure is trivial there (equality is transitive). Near-dup
+  * similarity is NOT transitive, which is exactly why this operator exists.
+  *
+  * Algorithm: iterative minimum-label propagation (the MapReduce/Pregel CC
+  * formulation). Every node starts labeled with itself; each round, every
+  * node takes the min of its own label and its neighbors' labels — a
+  * join + hash aggregate, both shuffling on the node id. Labels decrease
+  * monotonically, so the iteration converges when the label sum is stable;
+  * round count is bounded by the cluster diameter. Near-dup graphs are
+  * dense near-cliques (diameter 2-4 in practice), so the loop is short;
+  * pathological chain graphs converge in O(diameter) rounds and would want
+  * the large-star/small-star variant (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond") — same per-round shape, O(log²) rounds.
+  *
+  * Scale shape: every round is one equi-join of edges (E rows) against
+  * labels (V rows) on a scalar key plus one map-side-combining min
+  * aggregate — no driver-side graph state, no collect. Lineage is truncated
+  * each round (`localCheckpoint`), or iteration k would re-plan a 2^k-deep
+  * tree; on a multi-executor cluster prefer `spark.sparkContext
+  * .setCheckpointDir` + `checkpoint()` for fault-tolerant truncation.
+  */
+object Components {
+
+  /** Maximum propagation rounds — a backstop for adversarial chain graphs,
+    * far above any real near-dup cluster diameter. Convergence is detected
+    * (label sum stable) long before this in practice.
+    */
+  val MaxIterations = 30
+
+  /** Connected components of the undirected graph given by `edges`
+    * (columns `src`, `dst`). Returns one row per node that appears in any
+    * edge: (`node`, `component`) where `component` is the minimum node id
+    * reachable from `node` — deterministic, content-independent labels.
+    * The returned frame is the final round's cached labels (bounded by the
+    * clustered-node count); callers may `unpersist()` it once their
+    * downstream output is materialized.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // persist the DIRECTED edge list and materialize it before the union:
+    // both union branches read the cache, so an expensive upstream (e.g.
+    // the jaccard pair join) computes once — persisting the union instead
+    // would run that lineage twice, once per branch
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    // round 0 already folds direct neighbors: label = min(self, neighbors)
+    var labels = bidir
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the convergence aggregate doubles as the cache materializer — ONE
+    // Spark job per round, not a checkpoint job plus a sum job
+    var labelSum = labels.agg(sum(col("label"))).head.getLong(0)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxIterations) {
+      // push each node's label to its neighbors, keep the per-node minimum
+      val pushed = bidir
+        .join(labels, bidir("src") === labels("node"))
+        .select(bidir("dst").as("node"), col("label"))
+      val grouped = labels.union(pushed)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+      // persist keeps each round's physical work cached; a true lineage cut
+      // (checkpoint) is only needed every few rounds to bound plan depth
+      val next =
+        if (iter % 4 == 3) grouped.localCheckpoint(true)
+        else grouped.persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      converged = nextSum == labelSum // labels only decrease: sum-stable = fixpoint
+      labels.unpersist(blocking = false)
+      labels = next
+      labelSum = nextSum
+      iter += 1
+    }
+    e.unpersist(blocking = false)
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Near-duplicate clusters over `documents`: exact-Jaccard pairs at
+    * `threshold` ([[DedupApprox.jaccardJoin]]) → transitive closure → one
+    * row per clustered doc with its cluster id (min doc_id in the
+    * component), the cluster size, and whether this doc is the canonical
+    * survivor. Docs in no pair are singletons and are not emitted — the
+    * retention rule for them is "keep" by definition.
+    */
+  def dedupClusters(documents: DataFrame, threshold: Double): DataFrame = {
+    val pairs = DedupApprox.jaccardJoin(documents, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "component") // cluster count ≪ docs: AQE broadcasts
+      .select(
+        col("node").as("doc_id"),
+        col("component").as("cluster_id"),
+        col("n_members"),
+        (col("node") === col("component")).as("is_canonical"))
+  }
+}

@@ -530,4 +530,47 @@ object TextOps {
           sum(when(col("df") <= maxDf, 1L).otherwise(0L)),
           count(lit(1)), 4).as("rare_frac"))
   }
+
+  /** Collocation mining: bigrams whose documents co-occur far more often
+    * than their words' independent document frequencies predict — the
+    * PMI-style "lift" signal used to surface multiword expressions worth
+    * protecting from tokenizer splits. Lift is kept as an integer-exact
+    * ratio (df_pair·n_docs / (df_w1·df_w2), FxMath-rounded) rather than a
+    * log-PMI float, so the ranking is bit-stable across engines; log is
+    * monotone, so the top-k is the same set either way.
+    *
+    * Scale shape: unigram and bigram document frequencies are hash
+    * aggregates bounded by vocabulary size; the `minDf` filter cuts the
+    * bigram side to frequent pairs BEFORE the two word-key joins (AQE
+    * broadcasts the survivors); the final top-k plans as
+    * TakeOrderedAndProject — per-partition heaps, k-row driver merge,
+    * never a global sort or single-partition window.
+    */
+  def collocations(documents: DataFrame, minDf: Long = 5L,
+                   k: Int = 20): DataFrame = {
+    val toks = documents.select(
+      explode(array_distinct(graft.functions.TextFns.tokens(col("text"))))
+        .as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("df_tok"))
+    val pairs = documents
+      .select(explode(graft.functions.expr.VectorExpressions
+        .shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("df_pair"))
+      .filter(col("df_pair") >= minDf)
+      // tokens never contain spaces, so the bigram splits back losslessly;
+      // the degenerate whole-doc shingle of 1-token docs has no second
+      // word and drops out of the w2 join in both engines
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(uni.select(col("token").as("w1"), col("df_tok").as("df_w1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("df_tok").as("df_w2")), "w2")
+      .crossJoin(broadcast(nDocs)) // 1-row global aggregate
+      .select(col("bigram"), col("df_pair"),
+        graft.functions.FxMath.ratio(
+          col("df_pair") * col("n_docs"),
+          col("df_w1") * col("df_w2"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("bigram")).limit(k)
+  }
 }

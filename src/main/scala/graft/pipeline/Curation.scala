@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.{Dedup, DedupApprox, TextOps}
+import graft.operators.{Components, Dedup, DedupApprox, TextOps}
 import graft.sources.Tables
 
 /** End-to-end training-data curation pipeline (BASELINE.json north star):
@@ -47,9 +47,22 @@ object Curation {
     * cache clear, which would evict unrelated datasets a shared session
     * may be caching.
     */
+  /** Near-dup retention policy. `Greedy` drops the higher doc_id of every
+    * surviving pair — conservative: a doc is removed only when it is
+    * directly similar to a kept lower id. `Cluster` resolves the pair graph
+    * to connected components first ([[Components.dedupClusters]]) and keeps
+    * one canonical doc per component — aggressive: transitive chains
+    * (A~B~C without A~C) collapse to a single survivor, the standard
+    * MinHash-pipeline behavior for boilerplate families.
+    */
+  sealed trait NearDupPolicy
+  case object Greedy extends NearDupPolicy
+  case object Cluster extends NearDupPolicy
+
   def curateStaged(documents: DataFrame, jaccardThreshold: Double = 0.8,
                    minQuality: Double = 0.3,
-                   collectStats: Boolean = true)
+                   collectStats: Boolean = true,
+                   nearDupPolicy: NearDupPolicy = Greedy)
       : (DataFrame, Seq[CurationResult], Option[DataFrame]) = {
     val stages = Seq.newBuilder[CurationResult]
     def stat(name: String, df: DataFrame): Unit =
@@ -63,9 +76,13 @@ object Curation {
     val exact = persisted(documents.join(keep, Seq("doc_id"), "left_semi"))
     stat("exact_dedup", exact)
 
-    // 2. near-dup pruning: greedy keep-lowest-id over Jaccard pairs
-    val dupHigh = DedupApprox.jaccardJoin(exact, jaccardThreshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // 2. near-dup pruning: drop the policy's non-survivors
+    val dupHigh = nearDupPolicy match {
+      case Greedy => DedupApprox.jaccardJoin(exact, jaccardThreshold)
+        .select(col("doc_b").as("doc_id")).distinct()
+      case Cluster => Components.dedupClusters(exact, jaccardThreshold)
+        .filter(!col("is_canonical")).select(col("doc_id"))
+    }
     val nearDeduped = persisted(exact.join(dupHigh, Seq("doc_id"), "left_anti"))
     stat("near_dedup", nearDeduped)
     // nearDeduped is materialized — the exact-dedup intermediate is no

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+/** Connected-components semantics: transitive closure over undirected
+  * pairs, deterministic min-id labels, convergence beyond round 0 (chain
+  * graphs), and the cluster-level retention view over near-dup pairs.
+  */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two components and a chain resolve to min-id labels") {
+    // component {1,2,3,4,5} is a CHAIN 5-4-3-2-1 (diameter 4: label 1 must
+    // propagate through 4 hops — exercises the iteration, not just round 0)
+    // component {10,11} is a single edge; 7 appears only via edge (7,12)
+    val edges = Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L), (12L, 7L)
+    ).toDF("src", "dst")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L, 12L -> 7L))
+  }
+
+  test("random graphs match a reference union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edgeSeq = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find with min-id roots
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonicalize: min node id per root
+      val byRoot = nodes.groupBy(v => find(v.toInt))
+      val expected = byRoot.values.flatMap { vs =>
+        val m = vs.min; vs.map(_ -> m)
+      }.toMap
+      val got = Components.connectedComponents(edgeSeq.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("dedupClusters: transitive closure with canonical min-doc retention") {
+    // docs 1,2,3 share one text (pairwise J=1.0 — a clique), 4 is near 5
+    // only via an overlapping shingle set, 6 is a singleton (not emitted)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven"),
+      (6L, "completely unrelated content lives here alone")
+    ).toDF("doc_id", "text")
+    val out = Components.dedupClusters(docs, 0.7)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false)))
+  }
+}

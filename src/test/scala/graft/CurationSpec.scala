@@ -29,6 +29,47 @@ class CurationSpec extends AnyFunSuite {
       "input" -> 5L, "exact_dedup" -> 4L, "near_dedup" -> 3L, "quality_filter" -> 2L))
   }
 
+  test("cluster policy collapses transitive near-dup chains; greedy keeps unlinked survivors") {
+    // suffix-extension chain: d2 = d1 + 6 tokens, d3 = d2 + 6 tokens.
+    // 3-shingle Jaccards: J(1,2) = 38/44 ≈ 0.864, J(2,3) = 44/50 = 0.88,
+    // J(1,3) = 38/50 = 0.76 → at 0.8 the pair graph is the chain 1-2-3
+    val d1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d2 = d1 + " " + (1 to 6).map(i => s"ext$i").mkString(" ")
+    val d3 = d2 + " " + (7 to 12).map(i => s"ext$i").mkString(" ")
+    val docs = Seq(
+      (1L, d1), (2L, d2), (3L, d3),
+      (5L, (100 to 140).map(i => s"uniq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def survivors(policy: Curation.NearDupPolicy): Set[Long] = {
+      val (curated, _, _) = Curation.curateStaged(docs, jaccardThreshold = 0.8,
+        minQuality = 0.0, collectStats = false, nearDupPolicy = policy)
+      curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // sanity: the pair set is exactly the chain — 1~3 is below threshold
+    val pairs = graft.operators.DedupApprox.jaccardJoin(docs, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)))
+    assert(survivors(Curation.Greedy) == Set(1L, 5L)) // 2 and 3 are doc_b's
+    assert(survivors(Curation.Cluster) == Set(1L, 5L)) // component {1,2,3} → 1
+    // where the policies genuinely differ: c overlaps a and b, a∩b = ∅ —
+    // greedy keeps a and b (c is the only doc_b), cluster collapses all
+    // three into one component and keeps only the min id
+    val a = (1 to 20).map(i => s"x$i").mkString(" ") // 18 shingles
+    val b = (1 to 20).map(i => s"y$i").mkString(" ") // 18 shingles, disjoint
+    val c = a + " " + b // 38 shingles: J(a,c) = J(b,c) = 18/38 ≈ 0.474
+    val vee = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    def veeSurvivors(policy: Curation.NearDupPolicy): Set[Long] = {
+      val (curated, _, _) = Curation.curateStaged(vee, jaccardThreshold = 0.4,
+        minQuality = 0.0, collectStats = false, nearDupPolicy = policy)
+      curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val veePairs = graft.operators.DedupApprox.jaccardJoin(vee, 0.4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(veePairs == Set((1L, 3L), (2L, 3L)))
+    assert(veeSurvivors(Curation.Greedy) == Set(1L, 2L))
+    assert(veeSurvivors(Curation.Cluster) == Set(1L))
+  }
+
   test("fixture corpus curation keeps most docs and sums tokens") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val (curated, stages) = Curation.curate(docs)

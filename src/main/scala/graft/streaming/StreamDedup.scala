@@ -35,6 +35,27 @@ object StreamDedup {
       .select(col("window.start").as("day_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Gap-based session aggregation via the NATIVE `session_window` function
+    * — the idiomatic Spark form of sessionization when per-session
+    * aggregates are all that's needed (state merging, watermark eviction
+    * and out-of-order handling come from the engine; reserve
+    * [[Stateful.streamingSessions]] for bespoke per-session semantics a
+    * built-in aggregate can't express). Works over batch and streaming
+    * input alike; in streaming, append mode emits a session once the
+    * watermark passes its close. `session_window.end` is last-event + gap,
+    * so `session_end_us` here is the batch operator's `max(ts)` + gap.
+    */
+  def sessionCounts(events: DataFrame, gapMinutes: Int = 30,
+                    watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Streaming form of the run-log daily monitoring rollup: the same
     * nested-field extraction + success band as the batch view
     * (Monitoring.dailySummaryFromRunLog), expressed over a file-discovered

@@ -91,6 +91,54 @@ class StreamingSpec extends AnyFunSuite {
       s"out-of-order event must extend the session start backwards, got $out")
   }
 
+  test("native session_window aggregation ≡ batch sessionize on the fixture") {
+    // batch mode: session_window is usable directly over the events table;
+    // its sessions must be exactly the window-based operator's, with
+    // end = last event + gap (session_window's close vs sessionize's max ts)
+    val gapUs = 30L * 60000000L
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"))
+    val native = StreamDedup.sessionCounts(ev, 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us") - gapUs, r.getAs[Long]("n_events"))).toSet
+    val batch = graft.operators.Analytics.sessionize(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+    assert(native.nonEmpty && native == batch)
+  }
+
+  test("streaming session_window emits watermark-closed sessions like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // user 1 (via event_id as the key source below we reuse event_id):
+    // two gap-separated sessions; the late 12:00 event closes the first
+    // once the watermark (driven by max event time) passes 10:05 + gap
+    input.addData(
+      Ev(1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      Ev(1L, ts("2024-01-01 10:05:00"), "a", 2.0))
+    input.addData(
+      Ev(1L, ts("2024-01-01 12:00:00"), "a", 3.0),
+      Ev(1L, ts("2024-01-01 14:00:00"), "a", 4.0))
+    val keyed = input.toDF()
+      .withColumnRenamed("event_id", "user_id")
+    val q = StreamDedup.sessionCounts(keyed, 30, "10 minutes")
+      .writeStream.format("memory").queryName("sess_native_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // watermark after the second batch = 14:00 - 10 min; sessions closing
+    // before it (10:00-10:35, 12:00-12:30) are emitted, the 14:00 one stays open
+    def us(s: String) = ts(s).getTime * 1000L
+    val out = spark.table("sess_native_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+    assert(out == Set(
+      (1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:35:00"), 2L),
+      (1L, us("2024-01-01 12:00:00"), us("2024-01-01 12:30:00"), 1L)))
+  }
+
   test("tumbling daily counts aggregate per day and type") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

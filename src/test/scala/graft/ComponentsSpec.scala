@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Components
@@ -50,6 +51,23 @@ class ComponentsSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"trial $trial")
     }
+  }
+
+  test("1M-node block-chain graph: correct labels at scale, diameter-bounded rounds") {
+    // 125k disjoint chains of 8 nodes each (node i links to i+1 unless i
+    // closes a block): every component's label must be its block base.
+    // Ground truth is exact at any size, the chain shape maximizes the
+    // round count for the block diameter, and 1M nodes exercises the
+    // distributed path (hash shuffles, cached rounds), not a driver toy.
+    val n = 1000000L
+    val block = 8L
+    val edges = spark.range(n - 1).toDF("src")
+      .filter(col("src") % block =!= (block - 1))
+      .select(col("src"), (col("src") + 1).as("dst"))
+    val cc = Components.connectedComponents(edges)
+    val wrong = cc.filter(col("component") =!= (col("node") - pmod(col("node"), lit(block)))).count()
+    assert(wrong == 0L)
+    assert(cc.count() == n)
   }
 
   test("dedupClusters: transitive closure with canonical min-doc retention") {

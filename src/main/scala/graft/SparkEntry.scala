@@ -156,6 +156,7 @@ object SparkEntry {
     }),
     "q_rollup" -> ((s, d) => Analytics.ordersRollup(prep(s), d)),
     "q_cube" -> ((s, d) => Analytics.ordersCube(prep(s), d)),
+    "q_window_analytics" -> ((s, d) => Analytics.userWindowAnalytics(prep(s), d)),
     "q_pivot" -> ((s, d) => Analytics.dailyTypePivot(prep(s), d)),
     "q_unpivot" -> ((s, d) => Analytics.dailyTypeUnpivot(prep(s), d)),
     "q_full_outer" -> ((s, d) => Analytics.clickPurchaseReconciliation(prep(s), d)),
@@ -474,6 +475,8 @@ object SparkEntry {
       s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
     "q_cube" ->
       s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY CUBE(1, 2)",
+    "q_window_analytics" ->
+      "WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events) SELECT user_id, event_id, ts_us, CAST(ntile(4) OVER w AS INTEGER) AS quartile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume, nth_value(value, 3) OVER w AS third_value, lead(value, 2) OVER w AS value_after_next FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)",
     "q_pivot" ->
       "SELECT CAST(ts AS DATE) AS event_date, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase, CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view FROM events GROUP BY 1",
     "q_unpivot" ->

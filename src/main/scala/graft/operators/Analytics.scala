@@ -657,6 +657,30 @@ object Analytics {
       .select("r_name", "s_suppkey", "s_name", "s_acctbal")
   }
 
+  /** Analytic window-function family over one per-user ordered window:
+    * ntile bucketing, percent_rank, cume_dist, nth_value, lead — the
+    * ranking/distribution surface beyond row_number (O3) and lag
+    * (q_running_total). One hash shuffle on user_id carries all five; the
+    * order is totalized with event_id so every function is deterministic.
+    * percent_rank/cume_dist are emitted as raw doubles: both engines
+    * compute the same (rank−1)/(n−1) and rn/n divisions from identical
+    * integer operands, and IEEE division is exactly rounded — bit-identical
+    * without any edge rounding (same argument as emb_quantize's max_abs).
+    */
+  def userWindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev.select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      nth_value(col("value"), 3).over(w).as("third_value"),
+      lead(col("value"), 2).over(w).as("value_after_next"))
+  }
+
   /** The fixture's closed event-type domain. Pivoting on an EXPLICIT value
     * list matters at scale: `pivot(col)` without values runs a blocking
     * distinct-collect over the whole input before planning; with the list,

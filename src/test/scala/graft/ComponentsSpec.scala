@@ -70,6 +70,41 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cc.count() == n)
   }
 
+  test("star contraction matches label propagation and union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edgeSeq = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edgeSeq.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(v => find(v.toInt)).values.flatMap { vs =>
+        val m = vs.min; vs.map(_ -> m)
+      }.toMap
+      val got = Components.starContractionComponents(edgeSeq.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("star contraction resolves a 4096-node path — a diameter far beyond the round cap") {
+    // a single path 0-1-2-...-4095: label propagation reaches one hop per
+    // round (4095 rounds — intractable under MaxIterations); star
+    // contraction re-points whole neighborhoods each round and converges
+    // in O(log n) rounds, all inside the same cap
+    val n = 4096L
+    val edges = spark.range(n - 1).toDF("src")
+      .select(col("src"), (col("src") + 1).as("dst"))
+    val cc = Components.starContractionComponents(edges)
+    assert(cc.count() == n)
+    assert(cc.filter(col("component") =!= 0L).count() == 0L)
+  }
+
   test("dedupClusters: transitive closure with canonical min-doc retention") {
     // docs 1,2,3 share one text (pairwise J=1.0 — a clique), 4 is near 5
     // only via an overlapping shingle set, 6 is a singleton (not emitted)

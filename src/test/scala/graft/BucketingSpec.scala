@@ -31,6 +31,50 @@ class BucketingSpec extends AnyFunSuite {
       assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
         s"expected shuffle-free bucketed join, got:\n$plan")
       assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+
+      // runtime evidence, not just plan text: task metrics must show ZERO
+      // shuffle bytes written for the bucketed join, while the identical
+      // join over the raw (unbucketed) tables shuffles real bytes. Listener
+      // delivery is async (the bus has no public drain), so poll until the
+      // counter is stable for a grace period; the shuffling CONTROL runs
+      // FIRST — its nonzero reading proves events flow before the bucketed
+      // zero is trusted.
+      def shuffleBytesOf(action: => Unit): Long = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              bytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          action
+          var last = -1L
+          var stable = 0
+          var waited = 0
+          while (stable < 3 && waited < 100) { // stable = unchanged for 600 ms
+            Thread.sleep(200)
+            waited += 1
+            if (bytes.get() == last) stable += 1 else { stable = 0; last = bytes.get() }
+          }
+        } finally spark.sparkContext.removeSparkListener(listener)
+        bytes.get()
+      }
+      val raw = graft.sources.Tables.lineitem(spark, dir)
+        .join(graft.sources.Tables.orders(spark, dir),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      // materialize through the noop sink: count()'s own global aggregate
+      // shuffles its per-partition partials (~½ KiB) and would pollute the
+      // zero-shuffle reading
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val rawBytes = shuffleBytesOf(noop(raw))
+      assert(rawBytes > 0L, "unbucketed control join should shuffle real bytes")
+      val bucketedBytes = shuffleBytesOf(noop(joined))
+      assert(bucketedBytes == 0L,
+        s"bucketed join wrote $bucketedBytes shuffle bytes; layout not co-located")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")

@@ -65,8 +65,18 @@ object Components {
       .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the convergence aggregate doubles as the cache materializer — ONE
-    // Spark job per round, not a checkpoint job plus a sum job
-    var labelSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // Spark job per round, not a checkpoint job plus a sum job.
+    // sum() over an empty frame is null: a pair-free input (no near-dups
+    // at the threshold) must yield an empty result, not an NPE
+    def labelSumOf(d: DataFrame): Option[Long] = {
+      val r = d.agg(sum(col("label"))).head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    var labelSum = labelSumOf(labels)
+    if (labelSum.isEmpty) {
+      e.unpersist(blocking = false)
+      return labels.select(col("node"), col("label").as("component"))
+    }
 
     var converged = false
     var iter = 0
@@ -83,7 +93,7 @@ object Components {
       val next =
         if (iter % 4 == 3) grouped.localCheckpoint(true)
         else grouped.persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      val nextSum = labelSumOf(next)
       converged = nextSum == labelSum // labels only decrease: sum-stable = fixpoint
       labels.unpersist(blocking = false)
       labels = next

@@ -28,6 +28,19 @@ class ComponentsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 7L -> 7L, 12L -> 7L))
   }
 
+  test("empty edge sets yield empty results, not a crash") {
+    // sum() over an empty frame is null — a pair-free corpus (nothing over
+    // the similarity threshold) must flow through as an empty result
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(none).count() == 0L)
+    assert(Components.starContractionComponents(none).count() == 0L)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "five six seven eight")
+    ).toDF("doc_id", "text")
+    assert(Components.dedupClusters(docs, 0.99).count() == 0L)
+  }
+
   test("random graphs match a reference union-find") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {

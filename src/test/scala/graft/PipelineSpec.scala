@@ -29,6 +29,28 @@ class PipelineSpec extends AnyFunSuite {
     val r2 = Pipeline.run(spark, "/root/testdata/sf0.001", out)
     assert(r1.map(s => s.stage -> s.rows) == r2.map(s => s.stage -> s.rows))
 
+    // runtime partition pruning, not just plan text: a one-day predicate
+    // must READ only that day's files — FileSourceScanExec's numFiles
+    // metric after execution, the same evidence BigQuery surfaces as
+    // bytes-scanned for its day-partitioned fact (reference README.md:598)
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.queryExecution.toRdd.count() // finalize THIS QueryExecution's plan
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numFiles").value
+    }
+    val oneKey = partDirs.head.getName.stripPrefix("date_key=").toLong
+    val pruned = filesRead(spark.read.parquet(star.path)
+      .filter(org.apache.spark.sql.functions.col("date_key") === oneKey))
+    val full = filesRead(spark.read.parquet(star.path))
+    assert(pruned * 10 <= full,
+      s"one-day read touched $pruned of $full files — partition pruning not effective")
+
     // the star consumes MATERIALIZED stage outputs only: no Aggregate (a
     // dim's building aggregation) may appear anywhere in the star's
     // lineage — the plan shape OptimizeSkewedJoin needs to split a hot key

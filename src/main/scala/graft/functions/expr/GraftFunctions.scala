@@ -25,7 +25,8 @@ object GraftFunctions {
   }
 
   private def info(clazz: Class[_], name: String, usage: String) =
-    new ExpressionInfo(clazz.getName, null, name, usage, "")
+    new ExpressionInfo(clazz.getName, null, name, usage,
+      "", "", "", "misc_funcs", "1.0.0", "", "built-in")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_sim"),

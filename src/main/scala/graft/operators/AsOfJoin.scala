@@ -32,7 +32,7 @@ object AsOfJoin {
            rightVals: Map[String, String]): DataFrame = {
     val leftCols = left.columns
     val tagged =
-      left.select(leftCols.map(col) :+ lit(1).as("__is_left"): _*)
+      left.select((leftCols.map(col) :+ lit(1).as("__is_left")).toIndexedSeq: _*)
         .unionByName(
           right.select(
             (Seq(col(key), col(ts), lit(0).as("__is_left")) ++
@@ -45,7 +45,7 @@ object AsOfJoin {
       df.withColumn(s"__asof_$to", last(col(s"__r_$to"), ignoreNulls = true).over(w))
     }
     filled.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++
-        rightVals.values.map(to => col(s"__asof_$to").as(to)): _*)
+      .select((leftCols.map(col) ++
+        rightVals.values.map(to => col(s"__asof_$to").as(to))).toIndexedSeq: _*)
   }
 }

@@ -69,7 +69,7 @@ object Components {
     // sum() over an empty frame is null: a pair-free input (no near-dups
     // at the threshold) must yield an empty result, not an NPE
     def labelSumOf(d: DataFrame): Option[Long] = {
-      val r = d.agg(sum(col("label"))).head
+      val r = d.agg(sum(col("label"))).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
     var labelSum = labelSumOf(labels)
@@ -159,7 +159,7 @@ object Components {
       // hash folded into [0, 1e9) before summing: raw xxhash64 values span
       // the full 64-bit range and their sum overflows under ANSI arithmetic
       val r = d.agg(count(lit(1)), sum(col("src")), sum(col("dst")),
-        sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L)))).head
+        sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L)))).head()
       (r.getLong(0),
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2),

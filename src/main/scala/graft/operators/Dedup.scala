@@ -40,7 +40,7 @@ object Dedup {
     * be a total order per key for a deterministic survivor.
     */
   def keepLatestAgg(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, struct(order: _*)).as("__row"))
       .select("__row.*")

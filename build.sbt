@@ -31,3 +31,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// keep the build honest: deprecations were cleaned in round 7, surface any new ones
+ThisBuild / scalacOptions += "-deprecation"

@@ -27,6 +27,31 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(agg.finish(buf).head.token == "hot")
   }
 
+  test("count-min sketch: one-sided error within eps·N over the fixture tokens") {
+    // the CMS rounds out the sketch family (HLL distinct, KLL quantiles,
+    // Misra-Gries heavy hitters): estimates are built DISTRIBUTED via
+    // Spark's stat.countMinSketch (mergeable partial sketches per
+    // partition) and must never undercount; overshoot is bounded by eps·N
+    // with confidence 1−δ, checked against exact counts on every token
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+    val eps = 0.001
+    val sketch = toks.stat.countMinSketch("token", eps, 0.99, 42)
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    val overshootBound = (eps * n).ceil.toLong
+    var maxOver = 0L
+    exact.foreach { case (tok, cnt) =>
+      val est = sketch.estimateCount(tok)
+      assert(est >= cnt, s"CMS undercounted '$tok': $est < $cnt")
+      maxOver = math.max(maxOver, est - cnt)
+    }
+    assert(maxOver <= overshootBound,
+      s"CMS overshoot $maxOver exceeds eps*N = $overshootBound")
+  }
+
   test("merge combines partial sketches correctly") {
     val agg = new HeavyHitters(3, capacity = 16)
     val b1 = Seq("x", "x", "y").foldLeft(agg.zero)(agg.reduce)

@@ -114,6 +114,13 @@ object SparkEntry {
       .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 1000)").as("qs"))
       .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "v")))),
     "q_exact_distinct_daily" -> ((s, d) => Analytics.exactDistinctUsersDaily(prep(s), d)),
+    // exact interpolated per-group percentiles (the grouped companion of
+    // corpus_token_quantiles' global digest): one hash agg, merge-combining
+    "q_group_median" -> ((s, d) => Tables.events(prep(s), d)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5D)"), 4).as("median_value"),
+        round(expr("percentile(value, 0.9D)"), 4).as("p90_value"),
+        count(lit(1)).as("n"))),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(prep(s), d)),
     "q_moving_7d" -> ((s, d) => Analytics.movingWeeklyVolume(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
@@ -419,6 +426,8 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "q_exact_distinct_daily" ->
       "SELECT CAST(ts AS DATE) AS event_date, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1",
+    "q_group_median" ->
+      "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value, round(quantile_cont(value, 0.9), 4) AS p90_value, count(*) AS n FROM events GROUP BY 1",
     "q_moving_7d" ->
       "WITH d AS (SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events, CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num FROM events GROUP BY 1, 3) SELECT event_date, n_events, CAST(sum(n_events) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_events_7d FROM d",
     "q_sessionize" ->

@@ -36,6 +36,20 @@ class SourcesSpec extends AnyFunSuite {
   test("json round-trips with explicit schema")(roundTrip("json"))
   test("orc round-trips with explicit schema")(roundTrip("orc"))
 
+  test("xml round-trips with explicit schema") {
+    // Spark 4 ships the XML data source in core; rowTag is mandatory
+    val dir = Files.createTempDirectory("graft-xml").toString
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events.write.mode("overwrite").format("xml")
+      .option("rowTag", "event").option("timestampFormat", tsFmt).save(dir)
+    val back = spark.read.format("xml").schema(events.schema)
+      .option("rowTag", "event").option("timestampFormat", tsFmt).load(dir)
+    assert(back.schema == events.schema, "xml schema drift")
+    assert(back.count() == events.count())
+    assert(back.exceptAll(events).count() == 0 && events.exceptAll(back).count() == 0,
+      "xml round-trip changed data")
+  }
+
   /** S1 closed end-to-end: a real JDBC database (embedded Derby — the one
     * JDBC engine shipping in /opt/spark/jars), the vitals-shaped DDL
     * (reference sql/postgres_ddl.sql:1-11), a 10-minute replication window

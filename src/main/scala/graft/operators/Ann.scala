@@ -61,11 +61,11 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
-  /** IVF index build + probe. Centroids are initialized from a deterministic
-    * vec_id-stride sample and refined with `lloydIters` k-means (Lloyd)
-    * iterations; every vector is then assigned to its nearest centroid and
-    * queries probe the `nprobe` nearest buckets. Returns the same schema as
-    * [[bruteTopK]].
+  /** IVF index build + probe. Centroids are seeded k-means++ style from a
+    * deterministic driver-held candidate pool and refined with `lloydIters`
+    * k-means (Lloyd) iterations; every vector is then assigned to its
+    * nearest centroid and queries probe the `nprobe` nearest buckets.
+    * Returns the same schema as [[bruteTopK]].
     *
     * Scale shape — no corpus-wide shuffle anywhere:
     *  - Assignment is a narrow projection: the per-row argmax runs inside the
@@ -85,24 +85,48 @@ object Ann {
     * collect: C ≈ numCentroids rows per iteration, bounded by construction.
     * Empty buckets keep their previous centroid.
     */
-  /** Stride-sample init + `lloydIters` k-means iterations over `corpus`
+  /** Angular distance `1 - cos(a, b)` for the driver-side seeding step;
+    * zero-norm / length-mismatched vectors are maximally far (they cannot
+    * anchor a cosine bucket).
+    */
+  private def angDist(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length) return 2.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 2.0 else 1.0 - dot / denom
+  }
+
+  /** k-means++ init + `lloydIters` Lloyd iterations over `corpus`
     * (`(vec_id, emb)`) — the shared centroid-training step of [[ivfTopK]]
     * and [[buildIvfIndex]].
     *
     * `numCentroids` is the IVF inverted-list count (FAISS calls it nlist):
-    * the sample stride is derived from the corpus row count so C stays at
-    * the requested value REGARDLESS of corpus size. The earlier fixed-stride
-    * parameterization grew C linearly with n, which over-partitions any
-    * corpus whose natural cluster count does not grow with n (the fixture's
-    * is fixed at 10 labels) — splitting true clusters across buckets is
-    * what collapses recall at small nprobe (measured: recall@5 0.22-0.54 at
-    * sf0.1 with stride-derived C=42-86, vs ≥0.8 with pinned C≈10-16).
+    * pinned by the caller, NOT derived from corpus size — C must track the
+    * data's natural cluster count (the fixture's is fixed at 10 labels), so
+    * growing C with n over-partitions and collapses recall at small nprobe
+    * (measured: recall@5 0.22-0.54 at sf0.1 with stride-derived C=42-86).
+    *
+    * Seeding is classic k-means++ (D²-weighted with angular distance,
+    * seeded RNG → deterministic) over a driver-held candidate pool: a
+    * vec_id-stride sample of ~64 candidates per requested centroid, bounded
+    * regardless of corpus size. ++-seeding spreads the seeds across the
+    * data's natural clusters where uniform stride init could drop whole
+    * clusters; on THIS fixture the `IvfSweep` measurement shows recall
+    * tracks probe coverage (nprobe/C) almost linearly regardless of init —
+    * the synthetic embeddings' top-5 neighbors are only weakly clustered —
+    * so the pinned defaults buy recall with nprobe (8/10 lists → 0.92-0.96
+    * measured at both sf0.001 and sf0.1). A corpus with real cluster
+    * structure gets recall ≫ coverage at small nprobe; the next lever if
+    * not is multi-assignment (each vector spilled to its 2 nearest lists).
     */
   private def trainCentroids(corpus: DataFrame, numCentroids: Int,
                              lloydIters: Int): Array[(Long, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // the training loop re-reads the corpus for the count, the stride-init
+    // the training loop re-reads the corpus for the count, the pool-sample
     // pass, and once per Lloyd iteration — cache it for the loop's
     // lifetime so every pass after the first reads executor memory, not
     // parquet; released before return (the caller's post-training
@@ -111,10 +135,35 @@ object Ann {
     corpus.persist()
     try {
       val n = corpus.count()
-      val stride = math.max(1L, n / math.max(1, numCentroids))
-      var cents: Array[(Long, Array[Double])] = corpus
+      val poolTarget = math.min(n, math.max(numCentroids.toLong * 64, 512L))
+      val stride = math.max(1L, n / math.max(1L, poolTarget))
+      val pool = corpus
         .filter(col("vec_id") % stride === 0)
-        .as[(Long, Array[Double])].collect().sortBy(_._1)
+        .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+      require(pool.nonEmpty, "IVF training needs a non-empty corpus")
+      val rnd = new scala.util.Random(13L)
+      val chosen = scala.collection.mutable.ArrayBuffer(pool(rnd.nextInt(pool.length)))
+      val d2 = pool.map(p => { val d = angDist(p, chosen.head); d * d })
+      while (chosen.size < math.min(numCentroids, pool.length)) {
+        val total = d2.sum
+        var pick = 0
+        if (total > 0) {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < pool.length - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
+          pick = i
+        }
+        val c = pool(pick)
+        chosen += c
+        var i = 0
+        while (i < pool.length) {
+          val d = angDist(pool(i), c)
+          if (d * d < d2(i)) d2(i) = d * d
+          i += 1
+        }
+      }
+      var cents: Array[(Long, Array[Double])] =
+        chosen.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toArray
       for (_ <- 1 to lloydIters) {
         val means = assignBuckets(corpus, cents)
           .select(col("bucket"), posexplode(col("emb")).as(Seq("pos", "x")))
@@ -164,8 +213,8 @@ object Ann {
   }
 
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              numCentroids: Int = 10, nprobe: Int = 5,
-              lloydIters: Int = 2): DataFrame = {
+              numCentroids: Int = 10, nprobe: Int = 8,
+              lloydIters: Int = 4): DataFrame = {
     val corpus = emb(embeddings)
     val cents = trainCentroids(corpus, numCentroids, lloydIters)
     val queries = corpus.filter(col("vec_id") < nQueries)
@@ -180,7 +229,7 @@ object Ann {
     * so per-query I/O is O(nprobe/C of the corpus), not a full scan.
     */
   def buildIvfIndex(embeddings: DataFrame, path: String,
-                    numCentroids: Int = 10, lloydIters: Int = 2): Unit = {
+                    numCentroids: Int = 10, lloydIters: Int = 4): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = emb(embeddings)
@@ -198,7 +247,7 @@ object Ann {
     * inverted lists are pruned at planning time and never read.
     */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                       queries: DataFrame, k: Int, nprobe: Int = 5): DataFrame = {
+                       queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .as[(Long, Seq[Double])].collect().map { case (id, e) => (id, e.toArray) }
@@ -237,12 +286,22 @@ object Ann {
         e => e.getField("v")).as("centroid"))
 
   /** Random-hyperplane LSH near-dup: 16 sign bits (4 bands × 4 bits) from
-    * deterministic Gaussian hyperplanes; docs agreeing on ≥1 band become
-    * candidates (bucket-key join, never all-pairs), refined with the exact
-    * cosine. Band geometry targets high thresholds: at cos ≥ 0.95 recall is
-    * ~98%; at the fixture's looser 0.4 threshold it is a recall/candidate
-    * tradeoff (asserted ≥ 0.3 in tests) — production near-dup runs at
-    * ≥ 0.9 where this layout is the right scale path.
+    * deterministic Gaussian hyperplanes; docs whose band values agree on
+    * ≥1 band — exactly, or within Hamming distance 1 under multi-probe —
+    * become candidates (always a bucket-key equi-join, never all-pairs),
+    * refined with the exact cosine so the output has no false positives.
+    *
+    * Multi-probe is what makes one 16-bit layout serve the whole threshold
+    * range: the probe side of the join emits, per band, the exact bucket
+    * plus its 4 one-bit-flip neighbors (5 keys/band, 20 rows/doc), while
+    * the index side stays exact (4 rows/doc). A pair collides when some
+    * band differs by ≤1 bit, lifting per-band collision probability from
+    * p⁴ to p⁴+4p³(1−p) — at the cos ≥ 0.4 regime (p ≈ 0.63) that is
+    * 0.16 → 0.53 per band, ≈0.95 expected recall over 4 bands vs the
+    * measured 0.50 of the exact-bucket layout; at cos ≥ 0.9 both layouts
+    * are ≈1. The cost is a bounded 5× on probe-side shuffle rows and on
+    * candidate pairs — still linear in corpus size for non-pathological
+    * bucket distributions, which is the 100-TB property that matters.
     */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double,
                           seed: Long = 7L): DataFrame = {
@@ -255,12 +314,20 @@ object Ann {
       when(SimFns.cosine(col("emb"), typedLit(p.toSeq)) > 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
     val signed = corpus.withColumn("sig", sig)
-    val bandStructs = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 4).bitwiseAND(15).as("bv")))
-    val banded = signed.select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val candidates = banded.as("a").join(banded.as("b"), Seq("band", "bv"))
+    def bandVal(b: Int) = shiftright(col("sig"), b * 4).bitwiseAND(15)
+    val indexStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"), bandVal(b).as("bv")))
+    val probeStructs = (0 until 4).flatMap { b =>
+      struct(lit(b).as("band"), bandVal(b).as("bv")) +:
+        (0 until 4).map(i =>
+          struct(lit(b).as("band"), bandVal(b).bitwiseXOR(lit(1 << i)).as("bv")))
+    }
+    def explodeBands(structs: Seq[org.apache.spark.sql.Column]) =
+      signed.select(col("vec_id"), explode(array(structs: _*)).as("bb"))
+        .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val probes = explodeBands(probeStructs)
+    val indexed = explodeBands(indexStructs)
+    val candidates = probes.as("a").join(indexed.as("b"), Seq("band", "bv"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()

@@ -32,11 +32,12 @@ class AnnSpec extends AnyFunSuite {
     val brute = pairs(Ann.bruteTopK(emb, 10, 5))
     val ivf = pairs(Ann.ivfTopK(emb, 10, 5))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    info(s"recall@5=$recall with pinned defaults (C=10, nprobe=5, lloyd=2)")
-    // pinned by the IvfSweep measurement: C must track the data's natural
-    // cluster count (10 labels), not the corpus size — the defaults measure
-    // 0.82 here and 0.80 at sf0.1. Gate at the production floor.
-    assert(recall >= 0.8, s"IVF recall $recall vs brute below 0.8 gate")
+    info(s"recall@5=$recall with pinned defaults (C=10, nprobe=8, lloyd=4)")
+    // pinned by the IvfSweep measurement: C tracks the data's natural
+    // cluster count (10 labels) and nprobe buys the recall this weakly
+    // clustered fixture won't give to clustering quality — the defaults
+    // measure 0.92 here and 0.94 at sf0.1. Gate at the production floor.
+    assert(recall >= 0.9, s"IVF recall $recall vs brute below 0.9 gate")
   }
 
   test("sf0.1 gate: IVF recall@5 vs brute with pinned defaults") {
@@ -47,10 +48,10 @@ class AnnSpec extends AnyFunSuite {
     val ivf = pairs(Ann.ivfTopK(emb, 10, 5))
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     info(s"sf0.1 IVF recall@5=$recall")
-    assert(recall >= 0.8, s"IVF recall $recall at sf0.1 below 0.8 gate")
+    assert(recall >= 0.9, s"IVF recall $recall at sf0.1 below 0.9 gate")
   }
 
-  test("Lloyd-refined centroids never lose recall vs the stride-sample init") {
+  test("Lloyd refinement keeps recall at the production floor (vs ++-init alone)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
@@ -59,10 +60,17 @@ class AnnSpec extends AnyFunSuite {
       val ivf = pairs(Ann.ivfTopK(emb, 10, 5, lloydIters = iters))
       brute.intersect(ivf).size.toDouble / brute.size
     }
-    val (init, refined) = (recall(0), recall(2))
-    info(s"recall@5: stride-init=$init lloyd2=$refined")
-    assert(refined >= init,
-      s"Lloyd iterations must not lose recall: init=$init refined=$refined")
+    val (init, refined) = (recall(0), recall(4))
+    info(s"recall@5: kmeans++-init=$init lloyd4=$refined")
+    // Lloyd minimizes quantization error, not recall — a lucky seed set can
+    // score higher than its converged refinement by a few points (measured
+    // 0.96 → 0.92 here), so strict monotonicity is NOT a property of
+    // k-means. What must hold: refinement never collapses recall below the
+    // production floor the defaults are pinned to.
+    assert(refined >= 0.9,
+      s"Lloyd-refined recall $refined fell below the 0.9 floor (init=$init)")
+    assert(init >= 0.8,
+      s"++-init recall $init collapsed — seeding regression (refined=$refined)")
   }
 
   test("int8 quantization: hand-checkable values, zero-vector safe") {
@@ -106,7 +114,8 @@ class AnnSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     assert(lsh.subsetOf(brute), "exact refine must eliminate false positives")
     val recall = brute.intersect(lsh).size.toDouble / brute.size
-    assert(recall >= 0.3, s"LSH recall $recall too low at loose threshold")
+    info(s"sf0.001 embedding-LSH recall=$recall at cos>=0.4")
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 at the shipped threshold")
   }
 
   test("persisted IVF index answers identically to the inline path, reading only probed buckets") {
@@ -138,10 +147,12 @@ class AnnSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), "exact refine must eliminate false positives")
     val recall = exact.intersect(lsh).size.toDouble / exact.size
     info(s"sf0.1 embedding-LSH: recall=$recall (exact=${exact.size}, found=${lsh.size})")
-    // 0.4 is far below the production near-dup regime (the 16-bit band
-    // geometry targets cos >= 0.9, where the fixture has no pairs at all) —
-    // the gate pins the loose-threshold floor from the measured 0.50
-    assert(recall >= 0.4, s"embedding-LSH recall $recall below gate")
+    // the gate measures the regime the SHIPPED query runs (cos >= 0.4,
+    // SparkEntry "dedup_embedding_lsh"): 1-bit multi-probe lifts the
+    // per-band collision probability enough that the loose regime clears
+    // 0.9 too (theory ~0.95 at exactly cos=0.4; pairs above threshold sit
+    // higher still)
+    assert(recall >= 0.9, s"embedding-LSH recall $recall below 0.9 at the shipped threshold")
   }
 
   test("embedding near-dup join is symmetric-free and thresholded") {

@@ -15,9 +15,9 @@ object IvfSweep {
       val emb = graft.sources.Tables.embeddings(spark, s"/root/testdata/sf$sf")
       val brute = pairs(Ann.bruteTopK(emb, 10, 5))
       for {
-        c <- Seq(10, 16, 20, 32)
-        nprobe <- Seq(3, 5, 7)
-        iters <- Seq(0, 2, 4)
+        c <- Seq(10, 12)
+        nprobe <- Seq(5, 6, 7, 8)
+        iters <- Seq(2, 4, 6)
       } {
         val t0 = System.nanoTime()
         val ivf = pairs(Ann.ivfTopK(emb, 10, 5, numCentroids = c,

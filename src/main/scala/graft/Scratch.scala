@@ -44,6 +44,22 @@ object Scratch {
       Dedup.keepLatestAgg(ev, Seq("event_id"), Seq(col("ts")))
         .write.format("noop").mode("overwrite").save()
     }
+    // experiment: max_by(struct,struct) plans as SortAggregate (struct
+    // buffer defeats HashAggregateExec). Candidate replacement: two-phase —
+    // phase 1 max(packed-long) IS hash-aggregable (primitive buffer,
+    // map-side combine), phase 2 joins the winners back to fetch payloads.
+    // Costs a second full shuffle of the input for the join vs one
+    // shuffle + sort; measured numbers in BASELINE.md decide what ships.
+    def twoPhase(): Unit = {
+      val latest = ev.groupBy(col("event_id"))
+        .agg(max(unix_micros(col("ts"))).as("__ord"))
+      ev.withColumn("__ord", unix_micros(col("ts")))
+        .join(latest, Seq("event_id", "__ord"))
+        .drop("__ord")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(s"dedup-2phase ${n/1000000}M") { twoPhase() }
+    time(s"dedup-2phase ${n/1000000}M 2nd") { twoPhase() }
     time(s"star ${n/1000000}M") {
       Star.factStar(Dedup.keepFirst(ev, Seq("event_id"), Seq(col("ts").desc)),
         Dims.dimUser(ev), Dims.dimEventType(ev), Dims.dimDate(ev))

@@ -179,6 +179,12 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextOps.langId(Tables.documents(prep(s), d))),
     "corpus_token_quantiles" -> ((s, d) =>
       TextOps.tokenQuantiles(Tables.documents(prep(s), d))),
+    // the scale default for the length profile: rank-sketch quantiles with
+    // bounded aggregation state (the exact form above is the oracle-only
+    // companion — its per-value count map is an OOM risk at 100 TB).
+    // rows-only here; PropertySpec gates its rank error vs exact at sf0.1
+    "corpus_token_quantiles_sketch" -> ((s, d) =>
+      TextOps.tokenQuantilesSketch(Tables.documents(prep(s), d))),
     "quality_deciles" -> ((s, d) =>
       TextOps.qualityDeciles(Tables.documents(prep(s), d))),
     "doc_sample_hash" -> ((s, d) =>

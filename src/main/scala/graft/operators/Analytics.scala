@@ -337,6 +337,13 @@ object Analytics {
     * session. Everything is integer arithmetic on epoch-µs, so the oracle
     * hash is exact. The streaming analog is mapGroupsWithState with a
     * session timeout (see graft.streaming.Stateful).
+    *
+    * Boundary: an event EXACTLY `gap` after its predecessor CONTINUES the
+    * session (strict `>`), matching the native `session_window`, which
+    * merges touching windows — an event at start+gap yields window
+    * [start+gap, start+2·gap), adjacent to the open session's close, and
+    * Spark's session merge treats touching as overlapping (verified
+    * empirically; StreamingSpec pins an exact-gap case on both operators).
     */
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val ev = Tables.events(spark, dir)

@@ -36,26 +36,43 @@ object Components {
 
   /** Maximum propagation rounds — a backstop for adversarial chain graphs,
     * far above any real near-dup cluster diameter. Convergence is detected
-    * (label sum stable) long before this in practice.
+    * (label sum stable) long before this in practice; if the cap IS hit
+    * (diameter > cap), [[connectedComponents]] warns and falls back to
+    * [[starContractionComponents]] rather than returning split clusters.
     */
   val MaxIterations = 30
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Connected components of the undirected graph given by `edges`
     * (columns `src`, `dst`). Returns one row per node that appears in any
     * edge: (`node`, `component`) where `component` is the minimum node id
     * reachable from `node` — deterministic, content-independent labels.
-    * The returned frame is the final round's cached labels (bounded by the
-    * clustered-node count); callers may `unpersist()` it once their
-    * downstream output is materialized.
+    * The result reads the final round's cached labels (bounded by the
+    * clustered-node count); long-lived sessions that need that cache
+    * released should use [[connectedComponentsStaged]], whose second
+    * element is the unpersist handle (unpersisting the RETURNED projection
+    * would be a silent no-op — the cache entry is the pre-rename frame).
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    // persist the DIRECTED edge list and materialize it before the union:
-    // both union branches read the cache, so an expensive upstream (e.g.
-    // the jaccard pair join) computes once — persisting the union instead
-    // would run that lineage twice, once per branch
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsStaged(edges)._1
+
+  /** As [[connectedComponents]], plus the handle whose `unpersist()`
+    * releases the final round's cached labels once the caller's downstream
+    * output is materialized (for the star-contraction fallback the handle
+    * is the result itself and unpersisting it is a harmless no-op — that
+    * path is checkpoint-backed, not cache-backed).
+    */
+  private[graft] def connectedComponentsStaged(edges: DataFrame): (DataFrame, DataFrame) = {
+    // persist the DIRECTED edge list: both union branches read the cache,
+    // so an expensive upstream (e.g. the jaccard pair join) computes once —
+    // persisting the union instead would run that lineage twice, once per
+    // branch. No standalone materializing count(): the cache fills inside
+    // round-0's convergence job below (block-level locking dedups the two
+    // union branches' shared lineage within that job), saving one full pass
+    // over the pair set per call.
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
     val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
     // round 0 already folds direct neighbors: label = min(self, neighbors)
@@ -67,15 +84,19 @@ object Components {
     // the convergence aggregate doubles as the cache materializer — ONE
     // Spark job per round, not a checkpoint job plus a sum job.
     // sum() over an empty frame is null: a pair-free input (no near-dups
-    // at the threshold) must yield an empty result, not an NPE
-    def labelSumOf(d: DataFrame): Option[Long] = {
-      val r = d.agg(sum(col("label"))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // at the threshold) must yield an empty result, not an NPE.
+    // decimal(38,0) sum: exact and overflow-free even for 1e10 full-range
+    // 64-bit hash-derived node ids (~1e29 ≪ 1e38) — a raw long sum throws
+    // under Spark 4's default ANSI mode, and a modular fold would make the
+    // fixpoint check probabilistic
+    def labelSumOf(d: DataFrame): Option[java.math.BigDecimal] = {
+      val r = d.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) None else Some(r.getDecimal(0))
     }
     var labelSum = labelSumOf(labels)
     if (labelSum.isEmpty) {
       e.unpersist(blocking = false)
-      return labels.select(col("node"), col("label").as("component"))
+      return (labels.select(col("node"), col("label").as("component")), labels)
     }
 
     var converged = false
@@ -101,7 +122,19 @@ object Components {
       iter += 1
     }
     e.unpersist(blocking = false)
-    labels.select(col("node"), col("label").as("component"))
+    if (!converged) {
+      // diameter > MaxIterations (adversarial chain graph): the labels at
+      // the cap are WRONG (clusters split), so never return them silently —
+      // fall back to star contraction, which converges in O(log) rounds on
+      // exactly these high-diameter graphs
+      log.warn(s"label propagation hit the $MaxIterations-round cap without " +
+        "converging (component diameter exceeds the cap); falling back to " +
+        "starContractionComponents")
+      labels.unpersist(blocking = false)
+      val out = starContractionComponents(edges)
+      return (out, out)
+    }
+    (labels.select(col("node"), col("label").as("component")), labels)
   }
 
   /** Connected components by alternating star contraction (the
@@ -154,15 +187,20 @@ object Components {
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // (count, sum src, sum dst, hash sum): equality across a round means the
-    // edge set is stable — counts alone could alias across different sets
-    def sig(d: DataFrame): (Long, Long, Long, Long) = {
+    // edge set is stable — counts alone could alias across different sets.
+    // src/dst sums go through decimal(38,0): with full-range 64-bit hash-
+    // derived node ids a raw long sum overflows (an exception under Spark
+    // 4's default ANSI mode, a silently aliased signature otherwise)
+    def sig(d: DataFrame): (Long, BigDecimal, BigDecimal, Long) = {
       // hash folded into [0, 1e9) before summing: raw xxhash64 values span
       // the full 64-bit range and their sum overflows under ANSI arithmetic
-      val r = d.agg(count(lit(1)), sum(col("src")), sum(col("dst")),
+      val r = d.agg(count(lit(1)),
+        sum(col("src").cast("decimal(38,0)")),
+        sum(col("dst").cast("decimal(38,0)")),
         sum(pmod(xxhash64(col("src"), col("dst")), lit(1000000007L)))).head()
       (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)),
         if (r.isNullAt(3)) 0L else r.getLong(3))
     }
     var cur = sig(e)
@@ -195,16 +233,25 @@ object Components {
     * survivor. Docs in no pair are singletons and are not emitted — the
     * retention rule for them is "keep" by definition.
     */
-  def dedupClusters(documents: DataFrame, threshold: Double): DataFrame = {
+  def dedupClusters(documents: DataFrame, threshold: Double): DataFrame =
+    dedupClustersStaged(documents, threshold)._1
+
+  /** As [[dedupClusters]], plus the component-label cache handle (see
+    * [[connectedComponentsStaged]]) for staged pipelines that must release
+    * it once their sink has materialized.
+    */
+  private[graft] def dedupClustersStaged(documents: DataFrame,
+                                         threshold: Double): (DataFrame, DataFrame) = {
     val pairs = DedupApprox.jaccardJoin(documents, threshold)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val cc = connectedComponents(pairs)
+    val (cc, ccCache) = connectedComponentsStaged(pairs)
     val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("n_members"))
-    cc.join(sizes, "component") // cluster count ≪ docs: AQE broadcasts
+    val out = cc.join(sizes, "component") // cluster count ≪ docs: AQE broadcasts
       .select(
         col("node").as("doc_id"),
         col("component").as("cluster_id"),
         col("n_members"),
         (col("node") === col("component")).as("is_canonical"))
+    (out, ccCache)
   }
 }

@@ -67,11 +67,34 @@ object TextOps {
     * interpolated percentile (Catalyst `percentile`): one aggregation whose
     * partial state is a per-partition digest, merged on the driver — no
     * global sort.
+    *
+    * SCALE CAVEAT: exact `percentile` buffers a value→count map per group;
+    * on 100 TB of high-cardinality doubles that buffer is an executor-OOM
+    * risk. This exact form exists as the ORACLE (cross-engine
+    * hash-checkable vs DuckDB); the scale default is
+    * [[tokenQuantilesSketch]], whose state is a fixed-size rank sketch.
     */
   def tokenQuantiles(documents: DataFrame): DataFrame =
     documents
       .select(size(TextFns.tokens(col("text"))).cast("double").as("n_tokens"))
       .agg(expr("percentile(n_tokens, array(0.5D, 0.9D, 0.99D))").as("qs"))
+      .select(
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p90"),
+        round(element_at(col("qs"), 3), 4).as("p99"))
+
+  /** [[tokenQuantiles]]' 100-TB form: `approx_percentile` (a KLL-style rank
+    * sketch) whose aggregation state is bounded by the accuracy parameter —
+    * O(accuracy) per partition regardless of corpus size or value
+    * cardinality, vs exact `percentile`'s per-value count map. Same output
+    * schema; rank error ≤ n/accuracy is gated against the exact result in
+    * `PropertySpec` (no cross-engine oracle — sketch internals differ
+    * between engines by design).
+    */
+  def tokenQuantilesSketch(documents: DataFrame, accuracy: Int = 10000): DataFrame =
+    documents
+      .select(size(TextFns.tokens(col("text"))).cast("double").as("n_tokens"))
+      .agg(expr(s"approx_percentile(n_tokens, array(0.5D, 0.9D, 0.99D), $accuracy)").as("qs"))
       .select(
         round(element_at(col("qs"), 1), 4).as("p50"),
         round(element_at(col("qs"), 2), 4).as("p90"),

@@ -41,11 +41,10 @@ object Curation {
     (curated, stages)
   }
 
-  /** [[curate]] plus the persisted near-dedup intermediate (None when
-    * `collectStats = false`), so the caller can unpersist exactly that
-    * DataFrame once its sink has materialized — never a session-global
-    * cache clear, which would evict unrelated datasets a shared session
-    * may be caching.
+  /** [[curate]] plus the persisted intermediates (empty when nothing was
+    * persisted), so the caller can unpersist exactly those DataFrames once
+    * its sink has materialized — never a session-global cache clear, which
+    * would evict unrelated datasets a shared session may be caching.
     */
   /** Near-dup retention policy. `Greedy` drops the higher doc_id of every
     * surviving pair — conservative: a doc is removed only when it is
@@ -63,7 +62,7 @@ object Curation {
                    minQuality: Double = 0.3,
                    collectStats: Boolean = true,
                    nearDupPolicy: NearDupPolicy = Greedy)
-      : (DataFrame, Seq[CurationResult], Option[DataFrame]) = {
+      : (DataFrame, Seq[CurationResult], Seq[DataFrame]) = {
     val stages = Seq.newBuilder[CurationResult]
     def stat(name: String, df: DataFrame): Unit =
       if (collectStats) stages += CurationResult(name, df.count())
@@ -77,17 +76,24 @@ object Curation {
     stat("exact_dedup", exact)
 
     // 2. near-dup pruning: drop the policy's non-survivors
-    val dupHigh = nearDupPolicy match {
-      case Greedy => DedupApprox.jaccardJoin(exact, jaccardThreshold)
-        .select(col("doc_b").as("doc_id")).distinct()
-      case Cluster => Components.dedupClusters(exact, jaccardThreshold)
-        .filter(!col("is_canonical")).select(col("doc_id"))
+    val (dupHigh, ccCache) = nearDupPolicy match {
+      case Greedy => (DedupApprox.jaccardJoin(exact, jaccardThreshold)
+        .select(col("doc_b").as("doc_id")).distinct(), None)
+      case Cluster =>
+        val (clusters, cache) = Components.dedupClustersStaged(exact, jaccardThreshold)
+        (clusters.filter(!col("is_canonical")).select(col("doc_id")), Some(cache))
     }
     val nearDeduped = persisted(exact.join(dupHigh, Seq("doc_id"), "left_anti"))
     stat("near_dedup", nearDeduped)
-    // nearDeduped is materialized — the exact-dedup intermediate is no
-    // longer needed on its own
-    if (collectStats) exact.unpersist(blocking = false)
+    // nearDeduped is materialized — the exact-dedup intermediate and the
+    // Cluster policy's component-label cache (MEMORY_AND_DISK blocks from
+    // the propagation loop) are no longer needed; without the latter
+    // release, staged runs in a shared session accumulate one labels cache
+    // per run
+    if (collectStats) {
+      exact.unpersist(blocking = false)
+      ccCache.foreach(_.unpersist(blocking = false))
+    }
 
     // 3. quality filter + enrichment (language, token counts)
     val quality = TextOps.textQuality(nearDeduped).select("doc_id", "quality_score")
@@ -99,7 +105,12 @@ object Curation {
     stat("quality_filter", curated)
 
     (curated, stages.result(),
-      if (collectStats) Some(nearDeduped) else None)
+      // persisted intermediates the caller owns releasing: with stats the
+      // near-dedup stage (the CC label cache is already released above);
+      // without stats nothing is persisted by THIS method, but the Cluster
+      // policy's CC loop persists internally regardless — hand its cache up
+      // rather than leaking it into the session
+      if (collectStats) Seq(nearDeduped) else ccCache.toSeq)
   }
 
   /** Curated corpus → model-ready tensors: vocabulary-encode every token

@@ -44,6 +44,12 @@ object StreamDedup {
     * input alike; in streaming, append mode emits a session once the
     * watermark passes its close. `session_window.end` is last-event + gap,
     * so `session_end_us` here is the batch operator's `max(ts)` + gap.
+    * Boundary: an event EXACTLY gap after its predecessor CONTINUES the
+    * session — its window [prev+gap, prev+2·gap) touches the open
+    * session's close and Spark's session merge treats touching as
+    * overlapping (verified empirically) — matching
+    * `Analytics.sessionize`'s strict `>` break condition (StreamingSpec
+    * pins an exact-gap case on both).
     */
   def sessionCounts(events: DataFrame, gapMinutes: Int = 30,
                     watermarkDelay: String = "30 minutes"): DataFrame =
@@ -93,71 +99,159 @@ object StreamDedup {
     * its replacement). Untouched days are never read or rewritten — per
     * batch the I/O is O(touched days), not O(snapshot), which is the
     * difference between a merge and a full-table rewrite on a growing
-    * 100 TB snapshot. The dynamic-partition-overwrite is explicit
-    * (stage → per-day swap) because a path-based parquet overwrite cannot
-    * read from the path it is replacing.
+    * 100 TB snapshot.
     *
-    * Crash safety: each day's swap parks the previous data in a sibling
-    * `__old` dir, moves the staged day in, then deletes the parked copy —
-    * at every instant the day's data exists under exactly one location, and
-    * the next batch auto-restores a parked day whose move-in never completed
-    * (a delete-then-move window would lose the day outright). Swap
-    * atomicity relies on local-filesystem `rename` (java.io); on an object
-    * store this body should become the table format's MERGE/commit instead.
+    * Commit protocol (object-store-safe — the miniature of what Iceberg/
+    * Delta commits do, replacing the earlier local-rename day swap):
+    *
+    *  1. data is IMMUTABLE: each merge writes its output days under a
+    *     fresh `batch-<uuid>/day_part=<day>/` dir and nothing ever mutates
+    *     an existing data object;
+    *  2. visibility is ONE POINTER: the `MANIFEST` file maps each day to
+    *     the batch dir that currently owns it; readers
+    *     ([[readSnapshot]]) scan only manifest-referenced paths, so an
+    *     uncommitted or orphaned batch dir is invisible by construction;
+    *  3. commit is ONE ATOMIC REPLACE of that pointer (temp file +
+    *     `ATOMIC_MOVE` locally ≡ a single-object PUT on S3/GCS, which is
+    *     atomic-replace there);
+    *  4. GC runs AFTER commit (and again at the next merge's start, for a
+    *     predecessor that crashed post-flip): any `batch-⁎/day_part=⁎` dir
+    *     the committed manifest no longer references is deleted.
+    *
+    * A crash anywhere in the window between data write and pointer flip
+    * leaves the old manifest — and therefore exactly the old committed
+    * state — in force: no day is ever lost or doubled
+    * (`FileStreamSpec` kills a merge inside that window and proves both).
+    * Single writer assumed (one foreachBatch sink), as with any
+    * filesystem-pointer table format without a CAS service.
     */
   def mergeBatchIntoSnapshot(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, snapshotPath: String,
-                             key: String, orderCol: String): Unit = {
+                             key: String, orderCol: String): Unit =
+    mergeBatchIntoSnapshotImpl(spark, batch, snapshotPath, key, orderCol,
+      crashBeforeCommit = false)
+
+  /** Read a snapshot's committed state: exactly the manifest-referenced
+    * data dirs (`snap_day` rides in the data columns, so no partition
+    * discovery is needed over the mixed batch-dir layout).
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   snapshotPath: String): DataFrame = {
+    val manifest = readManifest(snapshotPath)
+    require(manifest.nonEmpty, s"no committed snapshot at $snapshotPath")
+    spark.read.parquet(manifest.values.map(rel => s"$snapshotPath/$rel").toSeq: _*)
+  }
+
+  private def manifestFile(snapshotPath: String) =
+    new java.io.File(snapshotPath, "MANIFEST")
+
+  private[graft] def readManifest(snapshotPath: String): Map[String, String] = {
+    val f = manifestFile(snapshotPath)
+    if (!f.exists()) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map { l =>
+        val Array(day, rel) = l.split("\t", 2); day -> rel
+      }.toMap
+      finally src.close()
+    }
+  }
+
+  private def writeManifestAtomic(snapshotPath: String,
+                                  entries: Map[String, String]): Unit = {
+    val dir = new java.io.File(snapshotPath)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
+    val body = entries.toSeq.sorted
+      .map { case (d, rel) => s"$d\t$rel" }.mkString("", "\n", "\n")
+    java.nio.file.Files.write(tmp.toPath,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, manifestFile(snapshotPath).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete every `batch-⁎/day_part=⁎` dir (and stale manifest temp) the
+    * committed manifest does not reference — crashed stagings and
+    * superseded days. Safe under the single-writer assumption: the only
+    * unreferenced-but-wanted dir would be a CONCURRENT writer's staging.
+    */
+  private def gcUnreferenced(snapshotPath: String,
+                             live: Map[String, String]): Unit = {
+    val root = new java.io.File(snapshotPath)
+    val liveRel = live.values.toSet
+    for {
+      b <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      if b.isDirectory && b.getName.startsWith("batch-")
+    } {
+      for {
+        d <- Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
+        if d.isDirectory && !liveRel.contains(s"${b.getName}/${d.getName}")
+      } org.apache.commons.io.FileUtils.deleteDirectory(d)
+      val remaining = Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
+      if (!remaining.exists(_.isDirectory))
+        org.apache.commons.io.FileUtils.deleteDirectory(b)
+    }
+    for {
+      t <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      if t.isFile && t.getName.startsWith("MANIFEST.tmp-")
+    } t.delete()
+  }
+
+  /** `crashBeforeCommit` is the test seam for the commit protocol: true
+    * returns after the data write but BEFORE the manifest flip — the
+    * crash window a durable commit must tolerate.
+    */
+  private[graft] def mergeBatchIntoSnapshotImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, snapshotPath: String,
+      key: String, orderCol: String, crashBeforeCommit: Boolean): Unit = {
     val dayFmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
     val withDay = batch.withColumn("snap_day", date_format(col(orderCol), "yyyyMMdd"))
     // partition METADATA, not data: one value per day present in the batch
     val batchDays = withDay.select("snap_day").distinct()
       .collect().map(_.getString(0))
+    if (batchDays.isEmpty) return // empty micro-batch: nothing to commit
     val readDays = (batchDays ++ batchDays.map(d =>
       java.time.LocalDate.parse(d, dayFmt).minusDays(1).format(dayFmt)))
       .distinct.sorted
 
-    val snapDir = new java.io.File(snapshotPath)
-    val oldRoot = new java.io.File(snapshotPath + "__old")
-    def rmIfExists(d: java.io.File): Unit =
-      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
-    // crash recovery BEFORE the snapshot read: a prior run may have parked a
-    // day (moved aside, move-in never completed) — restore it now so the
-    // merge below reads it; a parked day whose move-in DID complete is a
-    // stale leftover and is dropped. Recovering here (not inside the swap
-    // loop) is load-bearing: the merge must see the restored data.
-    for (d <- Option(oldRoot.listFiles()).getOrElse(Array.empty[java.io.File])) {
-      val dst = new java.io.File(snapDir, d.getName)
-      if (!dst.exists()) org.apache.commons.io.FileUtils.moveDirectory(d, dst)
-      else org.apache.commons.io.FileUtils.deleteDirectory(d)
-    }
+    val manifest = readManifest(snapshotPath)
+    // GC leftovers of a crashed predecessor: its uncommitted batch dir is
+    // unreferenced by the committed manifest and must not linger
+    gcUnreferenced(snapshotPath, manifest)
+
+    // manifest-level pruning — the object-store equivalent of partition
+    // pruning: only the touched days' committed paths are ever listed/read
+    val existingPaths = readDays.flatMap(manifest.get)
+      .map(rel => s"$snapshotPath/$rel")
     val existing =
-      if (snapDir.exists())
-        spark.read.schema(withDay.schema).parquet(snapshotPath)
-          .filter(col("snap_day").isin(readDays.toSeq: _*)) // PartitionFilter
+      if (existingPaths.nonEmpty)
+        spark.read.schema(withDay.schema).parquet(existingPaths: _*)
       else withDay.limit(0)
     val merged = graft.operators.Dedup.keepLatestAgg(
       existing.unionByName(withDay), Seq(key), Seq(col(orderCol)))
 
-    val staged = snapshotPath + "__staging"
-    merged.write.mode("overwrite").partitionBy("snap_day").parquet(staged)
-    val stagedDir = new java.io.File(staged)
-    snapDir.mkdirs()
-    // move-aside swap: the day's previous data parks in a SIBLING dir (never
-    // inside the snapshot root, where readers would see it as a partition),
-    // so at every instant each day exists under exactly one of dst/old
-    oldRoot.mkdirs()
-    for (day <- readDays) {
-      val src = new java.io.File(stagedDir, s"snap_day=$day")
-      val dst = new java.io.File(snapDir, s"snap_day=$day")
-      val old = new java.io.File(oldRoot, s"snap_day=$day")
-      if (src.exists()) {
-        if (dst.exists()) org.apache.commons.io.FileUtils.moveDirectory(dst, old)
-        org.apache.commons.io.FileUtils.moveDirectory(src, dst)
-        rmIfExists(old)
-      }
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(stagedDir)
-    rmIfExists(oldRoot)
+    // stage into an immutable, uniquely-named batch dir; `day_part` is a
+    // COPY of snap_day because partitionBy strips its column from the data
+    // files, and readers of individual day dirs still need the value
+    val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
+    val batchDir = s"$snapshotPath/$batchDirName"
+    merged.withColumn("day_part", col("snap_day"))
+      .write.mode("overwrite").partitionBy("day_part").parquet(batchDir)
+    val writtenDays = Option(new java.io.File(batchDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day_part="))
+      .map(_.getName.stripPrefix("day_part=")).toSet
+
+    if (crashBeforeCommit) return // crash window: data written, pointer not flipped
+
+    // commit: touched days re-point to the new batch dir (a read day whose
+    // rows were all superseded away simply drops out), untouched days keep
+    // their existing entries; then release superseded data
+    val newManifest = (manifest -- readDays) ++
+      writtenDays.map(d => d -> s"$batchDirName/day_part=$d")
+    writeManifestAtomic(snapshotPath, newManifest)
+    gcUnreferenced(snapshotPath, newManifest)
   }
 }

@@ -34,22 +34,35 @@ class BucketingSpec extends AnyFunSuite {
 
       // runtime evidence, not just plan text: task metrics must show ZERO
       // shuffle bytes written for the bucketed join, while the identical
-      // join over the raw (unbucketed) tables shuffles real bytes. Listener
+      // join over the raw (unbucketed) tables shuffles real bytes. The
+      // measurement is scoped to the ACTION's OWN jobs via a unique job
+      // group (onJobStart registers the group's stage ids; onTaskEnd counts
+      // only those stages) — a session-global count would attribute any
+      // straggler task from a preceding job or concurrent spec to this
+      // action and break the ==0 assertion intermittently. Listener
       // delivery is async (the bus has no public drain), so poll until the
       // counter is stable for a grace period; the shuffling CONTROL runs
       // FIRST — its nonzero reading proves events flow before the bucketed
       // zero is trusted.
       def shuffleBytesOf(action: => Unit): Long = {
         val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+        val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+        val group = s"bucketing-measure-${java.util.UUID.randomUUID()}"
         val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            if (js.properties != null &&
+                group == js.properties.getProperty("spark.jobGroup.id"))
+              js.stageIds.foreach(id => stages.add(id))
           override def onTaskEnd(
               te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-            if (te.taskMetrics != null)
+            if (stages.contains(te.stageId) && te.taskMetrics != null)
               bytes.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
         }
         spark.sparkContext.addSparkListener(listener)
         try {
-          action
+          spark.sparkContext.setJobGroup(group, "shuffle-bytes measurement")
+          try action finally spark.sparkContext.clearJobGroup()
           var last = -1L
           var stable = 0
           var waited = 0

@@ -50,8 +50,8 @@ class FileStreamSpec extends AnyFunSuite {
     ).toDF("event_id", "ts", "event_type", "value")
     addBatch(src, 1, b1)
     runOnce(src, snap, ckpt, b1.schema)
-    val s1 = spark.read.parquet(snap.toString).collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val s1 = StreamDedup.readSnapshot(spark, snap.toString).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
     assert(s1 == Map(1L -> 1.0, 2L -> 2.0))
 
     // restart with a new file: event 2 re-delivered with a newer version,
@@ -62,8 +62,8 @@ class FileStreamSpec extends AnyFunSuite {
     ).toDF("event_id", "ts", "event_type", "value")
     addBatch(src, 2, b2)
     runOnce(src, snap, ckpt, b1.schema)
-    val s2 = spark.read.parquet(snap.toString).collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val s2 = StreamDedup.readSnapshot(spark, snap.toString).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
     assert(s2 == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0))
   }
 
@@ -79,22 +79,27 @@ class FileStreamSpec extends AnyFunSuite {
     addBatch(src, 1, b1)
     runOnce(src, snap, ckpt, b1.schema)
 
+    // resolve a day's data files THROUGH the manifest (the committed view)
     def partFiles(day: String): Map[String, Long] = {
-      val d = new java.io.File(snap.toFile, s"snap_day=$day")
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
+      val rel = StreamDedup.readManifest(snap.toString)(day)
+      new java.io.File(snap.toFile, rel)
+        .listFiles().filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> f.lastModified()).toMap
     }
+    val day1EntryBefore = StreamDedup.readManifest(snap.toString)("20240101")
     val day1Before = partFiles("20240101")
     assert(day1Before.nonEmpty)
 
     // a batch landing on 2024-01-04: its lookback window cannot reach the
-    // 01/02 partitions, so their files must keep byte-for-byte identity
+    // 01/02 days, so their manifest entries AND data files must be
+    // untouched (immutable batch dirs make this byte-for-byte)
     val b2 = Seq((4L, ts("2024-01-04 09:00:00"), "b", 4.0))
       .toDF("event_id", "ts", "event_type", "value")
     addBatch(src, 2, b2)
     runOnce(src, snap, ckpt, b1.schema)
+    assert(StreamDedup.readManifest(snap.toString)("20240101") == day1EntryBefore)
     assert(partFiles("20240101") == day1Before)
-    assert(new java.io.File(snap.toFile, "snap_day=20240104").exists())
+    assert(StreamDedup.readManifest(snap.toString).contains("20240104"))
 
     // a cross-midnight re-delivery: event 2's newer version lands on 01-02,
     // the previous-day read removes the superseded row from 01-01
@@ -102,41 +107,55 @@ class FileStreamSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "event_type", "value")
     addBatch(src, 3, b3)
     runOnce(src, snap, ckpt, b1.schema)
-    val all = spark.read.parquet(snap.toString).collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val all = StreamDedup.readSnapshot(spark, snap.toString).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
     assert(all == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0, 4L -> 4.0))
-    val day1Rows = spark.read.parquet(snap.toString)
-      .filter($"snap_day" === 20240101).collect()
-    assert(day1Rows.map(_.getLong(0)).toSet == Set(1L)) // stale row gone
+    val day1Rows = StreamDedup.readSnapshot(spark, snap.toString)
+      .filter($"snap_day" === "20240101").collect()
+    assert(day1Rows.map(_.getAs[Long]("event_id")).toSet == Set(1L)) // stale row gone
   }
 
-  test("merge swap recovers a day parked by a crash between move-aside and move-in") {
+  test("a crash between data write and manifest flip never loses or doubles a day") {
     val snap = Files.createTempDirectory("fs-snap3").resolve("snapshot")
     val b1 = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a", 1.0),
       (2L, ts("2024-01-02 08:00:00"), "b", 2.0)
     ).toDF("event_id", "ts", "event_type", "value")
     StreamDedup.mergeBatchIntoSnapshot(spark, b1, snap.toString, "event_id", "ts")
+    val committed = StreamDedup.readManifest(snap.toString)
 
-    // simulate the crash window: day 01-01 was moved aside to the parked
-    // sibling dir but the staged move-in never happened
-    val dst = new java.io.File(snap.toFile, "snap_day=20240101")
-    val oldRoot = new java.io.File(snap.toString + "__old")
-    oldRoot.mkdirs()
-    org.apache.commons.io.FileUtils.moveDirectory(
-      dst, new java.io.File(oldRoot, "snap_day=20240101"))
-    assert(!dst.exists())
+    // kill merge #2 inside the commit window: its batch dir is fully
+    // written but the manifest was never flipped
+    val b2 = Seq(
+      (3L, ts("2024-01-01 12:00:00"), "a", 3.0),
+      (1L, ts("2024-01-01 12:30:00"), "a", 11.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    StreamDedup.mergeBatchIntoSnapshotImpl(spark, b2, snap.toString,
+      "event_id", "ts", crashBeforeCommit = true)
 
-    // the next batch touching that day must restore the parked copy first,
-    // then merge normally — event 1 survives, event 3 lands
-    val b2 = Seq((3L, ts("2024-01-01 12:00:00"), "a", 3.0))
-      .toDF("event_id", "ts", "event_type", "value")
+    // the committed view is byte-for-byte the pre-crash state: the orphaned
+    // batch dir is invisible to readers — day 01-01 neither lost (rows
+    // still there) nor doubled (the staged copy of event 1 not visible)
+    assert(StreamDedup.readManifest(snap.toString) == committed,
+      "a crashed merge must not change the committed manifest")
+    val afterCrash = StreamDedup.readSnapshot(spark, snap.toString).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    assert(afterCrash == Map(1L -> 1.0, 2L -> 2.0),
+      s"crash window must preserve exactly the committed state, got $afterCrash")
+
+    // the retried merge commits normally AND garbage-collects the orphan
     StreamDedup.mergeBatchIntoSnapshot(spark, b2, snap.toString, "event_id", "ts")
-    val all = spark.read.parquet(snap.toString).collect()
-      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
-    assert(all == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0),
-      s"parked day must be restored before merging, got $all")
-    assert(!oldRoot.exists(), "park dir must be cleaned up after the swap")
+    val retried = StreamDedup.readSnapshot(spark, snap.toString).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    assert(retried == Map(1L -> 11.0, 2L -> 2.0, 3L -> 3.0),
+      s"retried merge must land the batch exactly once, got $retried")
+    val live = StreamDedup.readManifest(snap.toString).values
+      .map(_.split("/").head).toSet
+    val onDisk = snap.toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .map(_.getName).toSet
+    assert(onDisk == live,
+      s"unreferenced batch dirs must be GC'd: disk=$onDisk live=$live")
   }
 
   /** §2.9-4 exactly-once: the streamed dedup of an overlapping extract feed

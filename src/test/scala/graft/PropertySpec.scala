@@ -83,6 +83,34 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("sketch token quantiles stay inside rank-error of the exact profile (sf0.1)") =
+    org.scalacheck.Prop.protect {
+      // the scale-default corpus length profile (TextOps.tokenQuantilesSketch,
+      // accuracy=10000 → rank error ≤ 1e-4) vs the exact oracle form: the
+      // realized rank of each sketch answer must sit within the bound of its
+      // target quantile — the PropertySpec pattern that stands in for a
+      // cross-engine oracle on sketch operators
+      // token counts are DISCRETE and heavily tied, so a correct answer v
+      // covers the whole rank interval [count(<v)/n, count(<=v)/n] — the
+      // continuous-data check (|count(<=v)/n − q| ≤ ε) would fail whenever
+      // the target quantile lands inside a tie run. The bound holds iff
+      // [q−ε, q+ε] intersects v's rank interval.
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+      val sketch = graft.operators.TextOps.tokenQuantilesSketch(docs)
+        .collect().head
+      val lengths = docs
+        .select(size(graft.functions.TextFns.tokens(col("text"))).cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      val n = lengths.length.toDouble
+      Seq(0.5, 0.9, 0.99).zipWithIndex.forall { case (q, i) =>
+        val v = sketch.getDouble(i)
+        val eps = 1e-4 + 1.0 / n
+        val loRank = lengths.count(_ < v) / n
+        val hiRank = lengths.count(_ <= v) / n
+        loRank - eps <= q && q <= hiRank + eps
+      }
+    }
+
   property("bucketized range join ≡ naive inequality join on random intervals") =
     forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 200L))),

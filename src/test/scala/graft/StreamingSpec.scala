@@ -109,6 +109,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(native.nonEmpty && native == batch)
   }
 
+  test("session boundary: an event EXACTLY gap after its predecessor continues the session, batch ≡ native") {
+    // the fixture's timestamps never land exactly on the gap boundary, so
+    // the equivalence test above cannot distinguish `>` from `>=` — this
+    // one can: 10:00 and 10:30 are exactly 30 min apart. Measured native
+    // behavior: the 10:30 event's window [10:30, 11:00) TOUCHES the open
+    // session's close (10:00+30min) and Spark's session merge treats
+    // touching as overlapping — one merged session. sessionize's strict
+    // `>` break matches; flipping it to `>=` makes batch and stream
+    // silently diverge on exactly this input (verified: this test catches
+    // that flip).
+    val dir = java.nio.file.Files.createTempDirectory("sess-boundary").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 7L, "a", 2.0, "{}"),
+      (3L, ts("2024-01-01 10:45:00"), 7L, "a", 3.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def us(s: String) = ts(s).getTime * 1000L
+    val batch = graft.operators.Analytics.sessionize(spark, dir, 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+    assert(batch == Set(
+      (7L, us("2024-01-01 10:00:00"), us("2024-01-01 10:45:00"), 3L)),
+      s"exact-gap event must continue the session in batch, got $batch")
+    val gapUs = 30L * 60000000L
+    val native = StreamDedup.sessionCounts(
+        graft.sources.Tables.events(spark, dir), 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us") - gapUs, r.getAs[Long]("n_events"))).toSet
+    assert(native == batch,
+      s"native session_window must agree on the boundary: $native vs $batch")
+  }
+
   test("streaming session_window emits watermark-closed sessions like batch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]

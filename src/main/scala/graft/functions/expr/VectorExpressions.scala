@@ -356,6 +356,80 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
     copy(child = c)
 }
 
+/** The `k` nearest centroids by cosine, best first — the multi-assignment
+  * ("spill") variant of [[NearestCentroid]]: IVF indexes replicate each
+  * vector into its k nearest inverted lists so boundary vectors stay
+  * findable at small nprobe, trading k× index size for recall. Same
+  * tie-break discipline (equal cosine → larger id first) so the result is
+  * independent of centroid array order; `k = 1` agrees with
+  * [[NearestCentroid]] by construction.
+  */
+case class NearestCentroids(child: Expression, ids: Array[Long],
+                            cents: Array[Array[Double]], k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(ids.length == cents.length && ids.nonEmpty,
+    "centroid ids and vectors must align and be non-empty")
+  require(k >= 1, "k must be >= 1")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private lazy val norms: Array[Double] = cents.map { c =>
+    var s = 0.0; var j = 0
+    while (j < c.length) { s += c(j) * c(j); j += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    var nx = 0.0
+    var i = 0
+    while (i < x.length) { nx += x(i) * x(i); i += 1 }
+    val xNorm = math.sqrt(nx)
+    val cos = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      var s = Double.NegativeInfinity
+      if (ce.length == x.length) {
+        var dot = 0.0
+        var j = 0
+        while (j < ce.length) { dot += x(j) * ce(j); j += 1 }
+        val denom = xNorm * norms(c)
+        if (denom != 0.0) s = dot / denom
+      }
+      cos(c) = s
+      c += 1
+    }
+    val n = math.min(k, cents.length)
+    val picked = new Array[Long](n)
+    val used = new Array[Boolean](cents.length)
+    var slot = 0
+    while (slot < n) {
+      var bestCos = Double.NegativeInfinity
+      var bestId = Long.MinValue
+      var bestIdx = -1
+      var j = 0
+      while (j < cents.length) {
+        if (!used(j) &&
+            (cos(j) > bestCos || (cos(j) == bestCos && ids(j) > bestId))) {
+          bestCos = cos(j); bestId = ids(j); bestIdx = j
+        }
+        j += 1
+      }
+      used(bestIdx) = true
+      picked(slot) = ids(bestIdx)
+      slot += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}
+
 /** Column-API façade. */
 object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
@@ -369,6 +443,9 @@ object VectorExpressions {
   def nearestCentroid(emb: Column, ids: Array[Long],
                       cents: Array[Array[Double]]): Column =
     ColumnBridge.column(NearestCentroid(ColumnBridge.expression(emb), ids, cents))
+  def nearestCentroids(emb: Column, ids: Array[Long],
+                       cents: Array[Array[Double]], k: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(emb), ids, cents, k))
   def polyRollingHash(text: Column): Column =
     ColumnBridge.column(PolyRollingHash(ColumnBridge.expression(text)))
   def bigramStats(text: Column): Column =

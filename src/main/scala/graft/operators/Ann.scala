@@ -119,8 +119,14 @@ object Ann {
     * the synthetic embeddings' top-5 neighbors are only weakly clustered —
     * so the pinned defaults buy recall with nprobe (8/10 lists → 0.92-0.96
     * measured at both sf0.001 and sf0.1). A corpus with real cluster
-    * structure gets recall ≫ coverage at small nprobe; the next lever if
-    * not is multi-assignment (each vector spilled to its 2 nearest lists).
+    * structure gets recall ≫ coverage at small nprobe; the other lever is
+    * multi-assignment (`spill` — see [[assignBucketsSpill]]): measured,
+    * spill=2 / nprobe=5 reaches 0.94-1.00. On this fixture recall tracks
+    * SCANNED VOLUME (spill × nprobe / C) however it is sliced — the
+    * coverage story again; spill's real payoff is at production nlist
+    * (C in the thousands, nprobe ≪ C), where doubling a 1-2% scanned
+    * fraction is cheap and boundary-vector loss, not coverage, is what
+    * caps recall (see `IvfSweep`).
     */
   private def trainCentroids(corpus: DataFrame, numCentroids: Int,
                              lloydIters: Int): Array[(Long, Array[Double])] = {
@@ -188,6 +194,19 @@ object Ann {
     df.withColumn("bucket", graft.functions.expr.VectorExpressions
       .nearestCentroid(col("emb"), cents.map(_._1), cents.map(_._2)))
 
+  /** Multi-assignment ("spill"): each vector lands in its `spill` nearest
+    * inverted lists — the standard IVF lever for boundary-vector recall,
+    * trading spill× index rows (still a narrow per-row projection, zero
+    * shuffle) for recall at SMALL nprobe. `spill = 1` is exactly
+    * [[assignBuckets]].
+    */
+  private def assignBucketsSpill(df: DataFrame,
+                                 cents: Array[(Long, Array[Double])],
+                                 spill: Int): DataFrame =
+    if (spill <= 1) assignBuckets(df, cents)
+    else df.withColumn("bucket", explode(graft.functions.expr.VectorExpressions
+      .nearestCentroids(col("emb"), cents.map(_._1), cents.map(_._2), spill)))
+
   /** Per-query nprobe nearest buckets against the driver-held centroid
     * table (query set is tiny — HOF cost immaterial). `queries` must carry
     * `(q_id, q_emb)`.
@@ -203,23 +222,29 @@ object Ann {
       .select(col("q_id"), col("q_emb"), col("p.c_id").as("bucket"))
   }
 
+  /** `dedupe` must be true when the corpus side was spill-assigned: a
+    * vector sharing ≥2 probed buckets with a query would otherwise be
+    * scored twice and could occupy two of its top-k slots. distinct() on
+    * (q_id, vec_id, cos) is exact — cos is a function of the pair.
+    */
   private def scoreAndTopK(assigned: DataFrame, probes: DataFrame,
-                           k: Int): DataFrame = {
-    val scored = assigned.join(broadcast(probes), Seq("bucket"))
+                           k: Int, dedupe: Boolean = false): DataFrame = {
+    val joined = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
-    topKPerQuery(scored, k)
+    topKPerQuery(if (dedupe) joined.distinct() else joined, k)
   }
 
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               numCentroids: Int = 10, nprobe: Int = 8,
-              lloydIters: Int = 4): DataFrame = {
+              lloydIters: Int = 4, spill: Int = 1): DataFrame = {
     val corpus = emb(embeddings)
     val cents = trainCentroids(corpus, numCentroids, lloydIters)
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    scoreAndTopK(assignBuckets(corpus, cents), probesFor(queries, cents, nprobe), k)
+    scoreAndTopK(assignBucketsSpill(corpus, cents, spill),
+      probesFor(queries, cents, nprobe), k, dedupe = spill > 1)
   }
 
   /** Persist the IVF index: the assigned corpus lands `partitionBy(bucket)`
@@ -229,15 +254,18 @@ object Ann {
     * so per-query I/O is O(nprobe/C of the corpus), not a full scan.
     */
   def buildIvfIndex(embeddings: DataFrame, path: String,
-                    numCentroids: Int = 10, lloydIters: Int = 4): Unit = {
+                    numCentroids: Int = 10, lloydIters: Int = 4,
+                    spill: Int = 1): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val corpus = emb(embeddings)
     val cents = trainCentroids(corpus, numCentroids, lloydIters)
-    assignBuckets(corpus, cents)
+    assignBucketsSpill(corpus, cents, spill)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    cents.toSeq.map { case (id, e) => (id, e.toSeq) }
-      .toDF("c_id", "c_emb")
+    // spill rides in the centroid table so the query side knows whether
+    // postings contain replicas (scored candidates then need dedup)
+    cents.toSeq.map { case (id, e) => (id, e.toSeq, spill) }
+      .toDF("c_id", "c_emb", "spill")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
@@ -249,9 +277,10 @@ object Ann {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
-      .as[(Long, Seq[Double])].collect().map { case (id, e) => (id, e.toArray) }
-      .sortBy(_._1)
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
+    val cents = centRows.map { case (id, e, _) => (id, e.toArray) }
+    val spill = centRows.headOption.map(_._3).getOrElse(1)
     val probes = probesFor(
       emb(queries).select(col("vec_id").as("q_id"), col("emb").as("q_emb")),
       cents, nprobe)
@@ -259,7 +288,7 @@ object Ann {
       .collect().map(_.getLong(0)) // nQueries × nprobe ids — driver-tiny
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(probedBuckets.toSeq: _*))
-    scoreAndTopK(postings, probes, k)
+    scoreAndTopK(postings, probes, k, dedupe = spill > 1)
   }
 
   /** Per-label centroid: dimension-wise mean via posexplode → (label, pos)

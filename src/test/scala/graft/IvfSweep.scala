@@ -15,16 +15,17 @@ object IvfSweep {
       val emb = graft.sources.Tables.embeddings(spark, s"/root/testdata/sf$sf")
       val brute = pairs(Ann.bruteTopK(emb, 10, 5))
       for {
-        c <- Seq(10, 12)
-        nprobe <- Seq(5, 6, 7, 8)
-        iters <- Seq(2, 4, 6)
+        c <- Seq(10)
+        spill <- Seq(1, 2, 3)
+        nprobe <- Seq(3, 4, 5, 8)
+        iters <- Seq(4)
       } {
         val t0 = System.nanoTime()
         val ivf = pairs(Ann.ivfTopK(emb, 10, 5, numCentroids = c,
-          nprobe = nprobe, lloydIters = iters))
+          nprobe = nprobe, lloydIters = iters, spill = spill))
         val recall = brute.intersect(ivf).size.toDouble / brute.size
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[sweep] sf=$sf C=$c%2d nprobe=$nprobe iters=$iters recall@5=$recall%.2f ${sec}%.1fs")
+        println(f"[sweep] sf=$sf C=$c%2d spill=$spill nprobe=$nprobe iters=$iters recall@5=$recall%.2f ${sec}%.1fs")
       }
     }
     spark.stop()

@@ -41,6 +41,21 @@ class ComponentsSpec extends AnyFunSuite {
     assert(Components.dedupClusters(docs, 0.99).count() == 0L)
   }
 
+  test("a chain deeper than the iteration cap falls back to star contraction, not split labels") {
+    // path 0-1-2-…-40: diameter 40 > MaxIterations (30), so min-label
+    // propagation CANNOT converge inside the cap — pre-fallback behavior
+    // silently returned split clusters here; now connectedComponents must
+    // detect the cap exit and hand the graph to star contraction, which
+    // converges in O(log) rounds on exactly this shape
+    assert(Components.MaxIterations < 40, "fixture must exceed the cap")
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Components.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L to 40L).toSet)
+    assert(got.values.toSet == Set(0L),
+      s"all 41 chain nodes must collapse to component 0, got ${got.values.toSet}")
+  }
+
   test("random graphs match a reference union-find") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {

@@ -99,9 +99,9 @@ object Ann {
     if (denom == 0.0) 2.0 else 1.0 - dot / denom
   }
 
-  /** k-means++ init + `lloydIters` Lloyd iterations over `corpus`
-    * (`(vec_id, emb)`) — the shared centroid-training step of [[ivfTopK]]
-    * and [[buildIvfIndex]].
+  /** k-means++ init, pool-side Lloyd to a fixpoint, then `lloydIters`
+    * distributed Lloyd iterations over `corpus` (`(vec_id, emb)`) — the
+    * shared centroid-training step of [[ivfTopK]] and [[buildIvfIndex]].
     *
     * `numCentroids` is the IVF inverted-list count (FAISS calls it nlist):
     * pinned by the caller, NOT derived from corpus size — C must track the
@@ -168,8 +168,52 @@ object Ann {
           i += 1
         }
       }
+      // Lloyd-refine ON THE POOL to a fixpoint first (driver-side, no Spark
+      // jobs): each DISTRIBUTED Lloyd iteration below is a full-corpus
+      // pass — the dominant training cost at 100 TB — so the sample carries
+      // the bulk of the refinement and the distributed iterations that
+      // remain are exactness passes against the full data, not the search
+      // for the optimum. Deterministic: fixed iteration order, fixed
+      // 20-round cap, empty clusters keep their previous centroid.
+      var poolCents = chosen.toArray
+      var assign = Array.fill(pool.length)(-1)
+      var stable = false
+      var poolRound = 0
+      while (!stable && poolRound < 20) {
+        val next = pool.map { p =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < poolCents.length) {
+            val d = angDist(p, poolCents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        stable = java.util.Arrays.equals(next, assign)
+        assign = next
+        if (!stable) {
+          val dim = poolCents.head.length
+          val sums = Array.fill(poolCents.length)(new Array[Double](dim))
+          val counts = new Array[Int](poolCents.length)
+          var i = 0
+          while (i < pool.length) {
+            val c = assign(i); val v = pool(i)
+            if (v.length == dim) {
+              var j = 0
+              while (j < dim) { sums(c)(j) += v(j); j += 1 }
+              counts(c) += 1
+            }
+            i += 1
+          }
+          poolCents = poolCents.zipWithIndex.map { case (old, c) =>
+            if (counts(c) == 0) old
+            else { val m = sums(c); var j = 0; while (j < dim) { m(j) /= counts(c); j += 1 }; m }
+          }
+        }
+        poolRound += 1
+      }
       var cents: Array[(Long, Array[Double])] =
-        chosen.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toArray
+        poolCents.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toArray
       for (_ <- 1 to lloydIters) {
         val means = assignBuckets(corpus, cents)
           .select(col("bucket"), posexplode(col("emb")).as(Seq("pos", "x")))

@@ -16,9 +16,9 @@ object IvfSweep {
       val brute = pairs(Ann.bruteTopK(emb, 10, 5))
       for {
         c <- Seq(10)
-        spill <- Seq(1, 2, 3)
-        nprobe <- Seq(3, 4, 5, 8)
-        iters <- Seq(4)
+        spill <- Seq(1, 2)
+        nprobe <- Seq(5, 8)
+        iters <- Seq(0, 1, 2, 4)
       } {
         val t0 = System.nanoTime()
         val ivf = pairs(Ann.ivfTopK(emb, 10, 5, numCentroids = c,

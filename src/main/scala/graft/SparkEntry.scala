@@ -25,6 +25,12 @@ object SparkEntry {
     */
   val MediaFixture = "/root/repo/fixtures/media"
 
+  /** Committed nested run-log fixture (gen.RunLogGen) — `day_partition=`
+    * sharded parquet standing in for the reference's date-suffixed log
+    * export tables.
+    */
+  val RunLogFixture = "/root/repo/fixtures/runlog"
+
   /** Ensure the ns-timestamp parquet reader conf is set (Tables normalizes
     * `events.ts` ns→µs, matching DuckDB's cast — see Tables.events), and
     * install the engine's optimizer extensions: RewriteRankOneToMaxBy turns
@@ -86,6 +92,20 @@ object SparkEntry {
     "mon_daily_summary" -> ((s, d) => Monitoring.dailySummary(Tables.events(prep(s), d))),
     "mon_7d_summary" -> ((s, d) => Monitoring.sevenDaySummary(Tables.events(prep(s), d))),
     "mon_errors" -> ((s, d) => Monitoring.errors(Tables.events(prep(s), d))),
+    // The reference's base monitoring view over the REAL nested run-log
+    // shape (P2 dot-path projection + S6 shard pruning): the committed
+    // fixture (gen.RunLogGen, day_partition=-sharded parquet) is read with
+    // an explicit schema so the shard id stays a string, and the 7-day
+    // cutoff is a PartitionFilter — pruned days are never opened.
+    "mon_results_runlog" -> ((s, _) => {
+      val schema = gen.RunLogGen.runLog(s, 1, 1704067200L).schema
+      Monitoring.resultsFromRunLog(
+          prep(s).read.schema(schema).parquet(RunLogFixture + "/run_log"),
+          "20240112")
+        .select(unix_micros(col("timestamp")).as("ts_us"), col("job_name"),
+          col("status"), col("request_url"), col("severity"),
+          col("is_success"))
+    }),
     // ---- quality invariants (SURVEY §5) ----
     "qa_ref_integrity" -> ((s, d) => {
       val raw = Tables.events(prep(s), d)
@@ -406,6 +426,16 @@ object SparkEntry {
       s"$FactCte, e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM fact), m AS (SELECT *, row_number() OVER w AS rn, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg, count(*) OVER (PARTITION BY user_id) AS n_total FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), c AS (SELECT *, CAST(row_number() OVER wv AS BIGINT) AS version, lead(ts_us) OVER wv AS effective_to_us, lead(rn) OVER wv AS next_rn FROM m WHERE chg = 1 WINDOW wv AS (PARTITION BY user_id ORDER BY rn)) SELECT user_id, version, event_type, ts_us AS effective_from_us, effective_to_us, CAST(coalesce(next_rn - rn, n_total - rn + 1) AS BIGINT) AS n_events, effective_to_us IS NULL AS is_current FROM c",
     "mon_results" ->
       s"$ResultsCte SELECT event_id, ts_us, job_name, status, status BETWEEN 50 AND 99 AS is_success FROM r",
+    // nested-struct differential: DuckDB extracts the same dot paths
+    // (resource.labels.job_id, httpRequest.status) from the same sharded
+    // parquet the engine reads — P2 + S6 get a real cross-engine oracle
+    "mon_results_runlog" ->
+      (s"WITH rl AS (SELECT * FROM read_parquet('$RunLogFixture/run_log/*/*.parquet', hive_partitioning=true) " +
+        "WHERE CAST(day_partition AS VARCHAR) >= '20240105') " +
+        "SELECT epoch_us(timestamp) AS ts_us, resource['labels']['job_id'] AS job_name, " +
+        "TRY_CAST(httpRequest['status'] AS BIGINT) AS status, httpRequest['requestUrl'] AS request_url, severity, " +
+        "TRY_CAST(httpRequest['status'] AS BIGINT) BETWEEN 200 AND 299 AS is_success " +
+        "FROM rl WHERE TRY_CAST(httpRequest['status'] AS BIGINT) IS NOT NULL"),
     "mon_last_status" ->
       s"$ResultsCte SELECT job_name, ts_us, status, status BETWEEN 50 AND 99 AS is_success FROM (SELECT *, row_number() OVER (PARTITION BY job_name ORDER BY ts_us DESC, event_id DESC) AS rn FROM r) WHERE rn = 1",
     "mon_daily_summary" ->

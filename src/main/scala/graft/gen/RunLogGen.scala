@@ -34,4 +34,26 @@ object RunLogGen {
         .as("severity"),
       date_format(timestamp_seconds(lit(startEpochSec) + col("id") * 600), "yyyyMMdd")
         .as("day_partition"))
+
+  /** Writes the committed run-log fixture (fixtures/runlog/run_log):
+    * 12 days from 2024-01-01 UTC, `day_partition=`-sharded parquet — the
+    * on-disk shape the reference's log sink exports (date-suffixed tables,
+    * README.md:706-721). The S6 queries read it with an explicit schema so
+    * the shard id stays a string, and their `>= today-7d` cutoff becomes a
+    * Catalyst PartitionFilter over these directories.
+    */
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("fixtures/runlog")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .appName("runlog-gen").getOrCreate()
+    runLog(spark, 12 * 144, 1704067200L)
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("day_partition")
+      .parquet(s"$out/run_log")
+    println(s"[runlog-gen] wrote ${12 * 144} rows to $out/run_log")
+    spark.stop()
+  }
 }

@@ -43,6 +43,17 @@ class RunLogSpec extends AnyFunSuite {
       plan.contains("day_partition"), s"expected partition pruning in:\n$plan")
   }
 
+  test("committed fixture: oracled query reads only the trailing-week shards") {
+    val schema = RunLogGen.runLog(spark, 1, 1704067200L).schema
+    val fromDisk = spark.read.schema(schema)
+      .parquet(SparkEntry.RunLogFixture + "/run_log")
+    val view = Monitoring.resultsFromRunLog(fromDisk, "20240112")
+    assert(view.count() == 1064) // matches the DuckDB oracle row count
+    val plan = view.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day_partition"),
+      s"expected partition pruning in:\n$plan")
+  }
+
   test("last status per job over the nested log") {
     val last = Monitoring.lastStatusFromRunLog(log, "20240112").collect()
     assert(last.length == 3)

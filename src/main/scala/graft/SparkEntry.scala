@@ -44,8 +44,19 @@ object SparkEntry {
     spark
   }
 
+  /** Analyze-once cache for the fact-family subtrees: ~15 queries build on
+    * the dedup→dims tree, and re-deriving it per query made Catalyst
+    * planning a visible share of the bench (r8 verdict: 16.5 s plan of
+    * 45.8 s total). DataFrames are immutable plans, so reuse is safe; each
+    * query is still optimized and executed independently — no data is
+    * cached, only the resolved logical subtree.
+    */
+  private val subtreeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
   private def fact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.latestEvents(Tables.events(prep(spark), dir))
+    subtreeCache.computeIfAbsent((spark, dir, "fact"),
+      _ => Dedup.latestEvents(Tables.events(prep(spark), dir)))
 
   /** Key-mapping dims for star construction. Surrogate-key↔natural-key
     * mappings are dedup-invariant (duplicates add no new keys), so the dim
@@ -55,11 +66,12 @@ object SparkEntry {
     * dedup-invariant. In the materialized path (graft.pipeline.Pipeline,
     * the reference's own shape) dims read the deduped fact from disk.
     */
-  private def starOf(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.events(prep(spark), dir)
-    Star.factStar(Dedup.latestEvents(raw),
-      Dims.dimUser(raw), Dims.dimEventType(raw), Dims.dimDate(raw))
-  }
+  private def starOf(spark: SparkSession, dir: String): DataFrame =
+    subtreeCache.computeIfAbsent((spark, dir, "star"), _ => {
+      val raw = Tables.events(prep(spark), dir)
+      Star.factStar(Dedup.latestEvents(raw),
+        Dims.dimUser(raw), Dims.dimEventType(raw), Dims.dimDate(raw))
+    })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full slice-0 path: dedup → dims → star → daily rollup (SURVEY §7).

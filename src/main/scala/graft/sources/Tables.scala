@@ -25,19 +25,37 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  /** Analyze-once relation cache, keyed by (session identity, path, reader
+    * conf that changes the physical schema). A DataFrame is an immutable
+    * plan, so handing the same instance to every query is safe — and it
+    * skips the per-query file listing + parquet footer schema inference
+    * that otherwise runs ~100 times per bench/verify pass. Queries are
+    * still optimized independently; only the resolved relation (and the
+    * events ns→µs normalization subtree) is reused.
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
-  /** events with `ts` normalized to TimestampType (µs, truncated from ns). */
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    relationCache.computeIfAbsent((spark, path(dir, name), ""),
+      _ => spark.read.parquet(path(dir, name)))
+
+  /** events with `ts` normalized to TimestampType (µs, truncated from ns).
+    * Cached per (session, dir, nanosAsLong conf) — the conf changes how the
+    * reader types the ns column, so it participates in the key.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = raw(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integral `div`, not `/`: long/int division goes through double and
-        // can be off by one ulp at epoch-µs magnitudes
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df // reader already delivered a timestamp
-    }
+    val conf = spark.conf.get(NanosAsLongConf, "false")
+    relationCache.computeIfAbsent((spark, path(dir, "events"), s"events:$conf"), _ => {
+      val df = spark.read.parquet(path(dir, "events"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integral `div`, not `/`: long/int division goes through double and
+          // can be off by one ulp at epoch-µs magnitudes
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df // reader already delivered a timestamp
+      }
+    })
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "lineitem")

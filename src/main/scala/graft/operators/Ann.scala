@@ -150,22 +150,27 @@ object Ann {
       val rnd = new scala.util.Random(13L)
       val chosen = scala.collection.mutable.ArrayBuffer(pool(rnd.nextInt(pool.length)))
       val d2 = pool.map(p => { val d = angDist(p, chosen.head); d * d })
-      while (chosen.size < math.min(numCentroids, pool.length)) {
+      var exhausted = false
+      while (!exhausted && chosen.size < math.min(numCentroids, pool.length)) {
         val total = d2.sum
-        var pick = 0
-        if (total > 0) {
+        if (total <= 0) {
+          // every remaining candidate is at distance 0 from a chosen
+          // centroid (pool dominated by duplicate vectors): more seeds
+          // would be copies — dead inverted lists. Stop at the distinct
+          // candidate count; Lloyd below works with the fewer seeds.
+          exhausted = true
+        } else {
           var r = rnd.nextDouble() * total
+          var pick = 0
+          while (pick < pool.length - 1 && r >= d2(pick)) { r -= d2(pick); pick += 1 }
+          val c = pool(pick)
+          chosen += c
           var i = 0
-          while (i < pool.length - 1 && r >= d2(i)) { r -= d2(i); i += 1 }
-          pick = i
-        }
-        val c = pool(pick)
-        chosen += c
-        var i = 0
-        while (i < pool.length) {
-          val d = angDist(pool(i), c)
-          if (d * d < d2(i)) d2(i) = d * d
-          i += 1
+          while (i < pool.length) {
+            val d = angDist(pool(i), c)
+            if (d * d < d2(i)) d2(i) = d * d
+            i += 1
+          }
         }
       }
       // Lloyd-refine ON THE POOL to a fixpoint first (driver-side, no Spark
@@ -321,8 +326,15 @@ object Ann {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, k: Int, nprobe: Int = 8): DataFrame = {
     import spark.implicits._
-    val centRows = spark.read.parquet(s"$path/centroids")
-      .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
+    // index-format tolerance: v1 centroid tables (pre-spill) carry only
+    // (c_id, c_emb); a missing spill column means unreplicated postings,
+    // so default 1 instead of failing the read on the schema mismatch
+    val centTable = spark.read.parquet(s"$path/centroids")
+    val centRows =
+      (if (centTable.columns.contains("spill")) centTable
+       else centTable.withColumn("spill", lit(1)))
+        .select("c_id", "c_emb", "spill")
+        .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
     val cents = centRows.map { case (id, e, _) => (id, e.toArray) }
     val spill = centRows.headOption.map(_._3).getOrElse(1)
     val probes = probesFor(

@@ -108,6 +108,40 @@ class AnnSpec extends AnyFunSuite {
     assert(rows(fromIndex) == rows(inline))
   }
 
+  test("v1 centroid table (no spill column) reads with spill defaulted to 1") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-v1").toString
+    Ann.buildIvfIndex(emb, path)
+    // rewrite the centroid table in the pre-spill on-disk format
+    val v1 = spark.read.parquet(s"$path/centroids").select("c_id", "c_emb")
+    v1.write.mode("overwrite").parquet(s"$path/centroids_v1")
+    val fs = new java.io.File(s"$path/centroids")
+    fs.listFiles().foreach(_.delete()); fs.delete()
+    new java.io.File(s"$path/centroids_v1").renameTo(fs)
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Ann.ivfTopKFromIndex(spark, path, queries, k = 5)
+    assert(out.count() == 25)
+  }
+
+  test("k-means++ seeding stops early when the pool is dominated by duplicates") {
+    // 600 copies of one vector + 2 distinct outliers: D² mass hits zero
+    // after the distinct directions are taken — seeding must not pad the
+    // centroid set with copies (dead inverted lists), and search must
+    // still work with the fewer centroids (nprobe > count clamps)
+    val rows = (0L until 600L).map(i => (i, Array(1.0f, 0.0f, 0.0f))) ++
+      Seq((600L, Array(0.0f, 1.0f, 0.0f)), (601L, Array(0.0f, 0.0f, 1.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-dup").toString
+    Ann.buildIvfIndex(emb, path, numCentroids = 10)
+    val cents = spark.read.parquet(s"$path/centroids").select("c_emb").collect()
+      .map(_.getSeq[Double](0).toList)
+    assert(cents.length == cents.distinct.length,
+      s"duplicate centroids trained: ${cents.length} total, ${cents.distinct.length} distinct")
+    assert(cents.length <= 3, s"expected ≤3 centroids from 3 distinct directions, got ${cents.length}")
+    val out = Ann.ivfTopK(emb, 3, 2, nprobe = 8)
+    assert(out.count() > 0)
+  }
+
   test("int8 quantization: hand-checkable values, zero-vector safe") {
     val vecs = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f), 9),

@@ -240,8 +240,20 @@ object BqSql {
       val pat = a(0).trim.stripPrefix("'").stripSuffix("'")
       s"date_format(${a(1)}, '${mapFormatDatePattern(pat)}')"
     }
-    s = rewriteCalls(s, "GENERATE_DATE_ARRAY")(a =>
-      s"sequence(${a(0)}, ${a(1)}, interval 1 day)")
+    s = rewriteCalls(s, "GENERATE_DATE_ARRAY") { a =>
+      // default step is 1 day; a third argument is translated only for the
+      // day-granularity form — anything else fails fast like DATE_SUB
+      val step = a.drop(2).headOption.map(_.trim) match {
+        case None => "interval 1 day"
+        case Some(st) =>
+          val interval = "(?is)^INTERVAL\\s+(\\d+)\\s+DAY$".r
+          st match {
+            case interval(n) => s"interval $n day"
+            case other => sys.error(s"unsupported GENERATE_DATE_ARRAY step: $other")
+          }
+      }
+      s"sequence(${a(0)}, ${a(1)}, $step)"
+    }
     s = s.replaceAll("(?i)EXTRACT\\s*\\(\\s*ISOWEEK\\s+FROM", "EXTRACT(WEEK FROM")
     // FROM UNNEST(e) AS x → FROM (SELECT explode(e) AS x)
     var idx = indexOfWord(s, "UNNEST", 0)
@@ -267,6 +279,12 @@ object BqSql {
     val stripped = stripQualifiedNames(bqSql.trim.stripSuffix(";"))
     val selIdx = topLevelIndexOf(stripped, "SELECT")
     require(selIdx >= 0, s"no top-level SELECT in: $bqSql")
+    // fail fast on out-of-inventory constructs instead of mistranslating:
+    // a top-level WITH would land in the discarded header and its CTE
+    // definitions would silently vanish from the emitted Spark SQL
+    val withIdx = topLevelIndexOf(stripped, "WITH")
+    require(withIdx < 0 || withIdx > selIdx,
+      s"unsupported construct: top-level WITH CTE (inline the CTE or register it as a view first) in: $bqSql")
     val header = stripped.take(selIdx)
     val body = stripped.drop(selIdx)
     val hdrRe = "(?is)^\\s*CREATE\\s+OR\\s+REPLACE\\s+(TABLE|VIEW)\\s+([A-Za-z0-9_.\\-]+)([\\s\\S]*)$".r

@@ -63,6 +63,47 @@ class BqSqlSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("general-boolean QUALIFY falls back to the __qualify column path") {
+    vitalsRegistered
+    // not the ROW_NUMBER()=1 shape: rank over a window AND a plain
+    // predicate — exercises the fallback branch that was otherwise only
+    // reachable through future reference SQL
+    val q = """SELECT event_id, patient_id, value_num FROM vitals_raw
+      QUALIFY RANK() OVER (PARTITION BY event_id ORDER BY created_at DESC) = 1 AND value_num >= 0
+      ORDER BY event_id"""
+    val translated = BqSql.run(spark, q)
+    val native = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_id").orderBy(col("created_at").desc)
+      spark.table("vitals_raw")
+        .withColumn("__rk", rank().over(w))
+        .filter(col("__rk") === 1 && col("value_num") >= 0)
+        .select("event_id", "patient_id", "value_num")
+    }
+    assert(rows(translated) == rows(native))
+    assert(translated.count() > 0)
+    assert(!translated.columns.contains("__qualify"),
+      "the helper column must not leak into the result")
+  }
+
+  test("out-of-inventory constructs fail fast instead of mistranslating") {
+    // top-level WITH: the CTE would land in the discarded header and the
+    // emitted SQL would silently lose its definition
+    val cte = intercept[IllegalArgumentException] {
+      BqSql.translate("WITH x AS (SELECT 1 AS a) SELECT * FROM x")
+    }
+    assert(cte.getMessage.contains("WITH"))
+    // GENERATE_DATE_ARRAY: day-step third argument translates, others throw
+    val stepped = BqSql.translate(
+      "SELECT d FROM UNNEST(GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2024-01-09', INTERVAL 2 DAY)) AS d")
+    assert(spark.sql(stepped.sparkSelect).count() == 5)
+    val bad = intercept[RuntimeException] {
+      BqSql.translate(
+        "SELECT d FROM UNNEST(GENERATE_DATE_ARRAY(DATE '2024-01-01', DATE '2025-01-01', INTERVAL 1 MONTH)) AS d")
+    }
+    assert(bad.getMessage.contains("GENERATE_DATE_ARRAY"))
+  }
+
   test("bq_dim_patient/code/unit/source.sql ≡ native aggregations") {
     factVitalsRegistered
     val fact = spark.table("fact_vitals")

@@ -114,9 +114,16 @@ object StreamDedup {
     *  3. commit is ONE ATOMIC REPLACE of that pointer (temp file +
     *     `ATOMIC_MOVE` locally ≡ a single-object PUT on S3/GCS, which is
     *     atomic-replace there);
-    *  4. GC runs AFTER commit (and again at the next merge's start, for a
-    *     predecessor that crashed post-flip): any `batch-⁎/day_part=⁎` dir
-    *     the committed manifest no longer references is deleted.
+    *  4. GC runs AFTER commit with a ONE-CYCLE retention window: the
+    *     post-commit sweep keeps everything either manifest (old or new)
+    *     references, so a reader that resolved paths just before the flip
+    *     finishes its scan; a day dir superseded by merge N is deleted at
+    *     merge N+1's start, along with any crashed predecessor's
+    *     uncommitted staging.
+    *
+    * The pointer-flip mechanism itself is the [[SnapshotCommitter]] seam:
+    * atomic rename here, a conditional put on S3-class stores (see the
+    * trait doc for the contract and the fault-injection spec that pins it).
     *
     * A crash anywhere in the window between data write and pointer flip
     * leaves the old manifest — and therefore exactly the old committed
@@ -127,59 +134,44 @@ object StreamDedup {
     */
   def mergeBatchIntoSnapshot(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, snapshotPath: String,
-                             key: String, orderCol: String): Unit =
+                             key: String, orderCol: String,
+                             committer: SnapshotCommitter = AtomicRenameCommitter): Unit =
     mergeBatchIntoSnapshotImpl(spark, batch, snapshotPath, key, orderCol,
-      crashBeforeCommit = false)
+      crashBeforeCommit = false, committer)
 
   /** Read a snapshot's committed state: exactly the manifest-referenced
     * data dirs (`snap_day` rides in the data columns, so no partition
     * discovery is needed over the mixed batch-dir layout).
     */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession,
-                   snapshotPath: String): DataFrame = {
-    val manifest = readManifest(snapshotPath)
+                   snapshotPath: String,
+                   committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
+    val manifest = committer.readManifest(snapshotPath)
     require(manifest.nonEmpty, s"no committed snapshot at $snapshotPath")
     spark.read.parquet(manifest.values.map(rel => s"$snapshotPath/$rel").toSeq: _*)
   }
 
-  private def manifestFile(snapshotPath: String) =
-    new java.io.File(snapshotPath, "MANIFEST")
-
-  private[graft] def readManifest(snapshotPath: String): Map[String, String] = {
-    val f = manifestFile(snapshotPath)
-    if (!f.exists()) Map.empty
-    else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().filter(_.nonEmpty).map { l =>
-        val Array(day, rel) = l.split("\t", 2); day -> rel
-      }.toMap
-      finally src.close()
-    }
-  }
-
-  private def writeManifestAtomic(snapshotPath: String,
-                                  entries: Map[String, String]): Unit = {
-    val dir = new java.io.File(snapshotPath)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
-    val body = entries.toSeq.sorted
-      .map { case (d, rel) => s"$d\t$rel" }.mkString("", "\n", "\n")
-    java.nio.file.Files.write(tmp.toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, manifestFile(snapshotPath).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Manifest read via the default committer (spec/back-compat surface;
+    * the protocol impl lives in [[AtomicRenameCommitter]]).
+    */
+  private[graft] def readManifest(snapshotPath: String): Map[String, String] =
+    AtomicRenameCommitter.readManifest(snapshotPath)
 
   /** Delete every `batch-⁎/day_part=⁎` dir (and stale manifest temp) the
     * committed manifest does not reference — crashed stagings and
     * superseded days. Safe under the single-writer assumption: the only
     * unreferenced-but-wanted dir would be a CONCURRENT writer's staging.
+    *
+    * Reader-overlap retention: the post-commit call passes the UNION of the
+    * old and new manifests' references, so a day dir superseded by THIS
+    * merge survives one more cycle (it is collected at the next merge's
+    * start). A reader that resolved paths via [[readSnapshot]] just before
+    * the commit therefore has a full merge cycle to finish its scan —
+    * the same snapshot-retention idea table formats apply, at window = 1.
     */
   private def gcUnreferenced(snapshotPath: String,
-                             live: Map[String, String]): Unit = {
+                             liveRel: Set[String]): Unit = {
     val root = new java.io.File(snapshotPath)
-    val liveRel = live.values.toSet
     for {
       b <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       if b.isDirectory && b.getName.startsWith("batch-")
@@ -205,7 +197,8 @@ object StreamDedup {
   private[graft] def mergeBatchIntoSnapshotImpl(
       spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, snapshotPath: String,
-      key: String, orderCol: String, crashBeforeCommit: Boolean): Unit = {
+      key: String, orderCol: String, crashBeforeCommit: Boolean,
+      committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
     val dayFmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
     val withDay = batch.withColumn("snap_day", date_format(col(orderCol), "yyyyMMdd"))
     // partition METADATA, not data: one value per day present in the batch
@@ -216,10 +209,11 @@ object StreamDedup {
       java.time.LocalDate.parse(d, dayFmt).minusDays(1).format(dayFmt)))
       .distinct.sorted
 
-    val manifest = readManifest(snapshotPath)
-    // GC leftovers of a crashed predecessor: its uncommitted batch dir is
-    // unreferenced by the committed manifest and must not linger
-    gcUnreferenced(snapshotPath, manifest)
+    val manifest = committer.readManifest(snapshotPath)
+    // GC leftovers of a crashed predecessor (uncommitted batch dirs) and
+    // day dirs superseded by the PREVIOUS merge, whose one-cycle reader
+    // grace window ends here
+    gcUnreferenced(snapshotPath, manifest.values.toSet)
 
     // manifest-level pruning — the object-store equivalent of partition
     // pruning: only the touched days' committed paths are ever listed/read
@@ -251,7 +245,10 @@ object StreamDedup {
     // their existing entries; then release superseded data
     val newManifest = (manifest -- readDays) ++
       writtenDays.map(d => d -> s"$batchDirName/day_part=$d")
-    writeManifestAtomic(snapshotPath, newManifest)
-    gcUnreferenced(snapshotPath, newManifest)
+    committer.commit(snapshotPath, newManifest)
+    // release superseded data ONE CYCLE LATE: keep everything either
+    // manifest references, so in-flight readers of the just-replaced
+    // snapshot never lose files mid-scan (see gcUnreferenced)
+    gcUnreferenced(snapshotPath, manifest.values.toSet ++ newManifest.values)
   }
 }

@@ -158,6 +158,83 @@ class FileStreamSpec extends AnyFunSuite {
       s"unreferenced batch dirs must be GC'd: disk=$onDisk live=$live")
   }
 
+  /** Object-store committer model: conditional put that can lose its
+    * precondition — [[graft.streaming.SnapshotCommitter]]'s contract says a
+    * failed commit throws with the old manifest byte-identical in force.
+    */
+  private class FlakyConditionalPutCommitter extends graft.streaming.SnapshotCommitter {
+    @volatile var failNextCommit = false
+    override def readManifest(p: String): Map[String, String] =
+      graft.streaming.AtomicRenameCommitter.readManifest(p)
+    override def commit(p: String, entries: Map[String, String]): Unit = {
+      if (failNextCommit) {
+        failNextCommit = false
+        throw new java.io.IOException("simulated conditional-put precondition failure")
+      }
+      graft.streaming.AtomicRenameCommitter.commit(p, entries)
+    }
+  }
+
+  test("commit-time fault (conditional-put model): old manifest stays in force; retry lands exactly once") {
+    val committer = new FlakyConditionalPutCommitter
+    val snap = Files.createTempDirectory("fs-snap4").resolve("snapshot")
+    val b1 = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+      (2L, ts("2024-01-02 08:00:00"), "b", 2.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    StreamDedup.mergeBatchIntoSnapshot(spark, b1, snap.toString, "event_id", "ts", committer)
+    val committed = committer.readManifest(snap.toString)
+
+    val b2 = Seq((1L, ts("2024-01-01 12:30:00"), "a", 11.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    committer.failNextCommit = true
+    intercept[java.io.IOException] {
+      StreamDedup.mergeBatchIntoSnapshot(spark, b2, snap.toString, "event_id", "ts", committer)
+    }
+    // the lost put changed nothing a reader can see
+    assert(committer.readManifest(snap.toString) == committed)
+    val afterFault = StreamDedup.readSnapshot(spark, snap.toString, committer).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    assert(afterFault == Map(1L -> 1.0, 2L -> 2.0))
+    // retry (the stream's replayed micro-batch) commits exactly once
+    StreamDedup.mergeBatchIntoSnapshot(spark, b2, snap.toString, "event_id", "ts", committer)
+    val retried = StreamDedup.readSnapshot(spark, snap.toString, committer).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    assert(retried == Map(1L -> 11.0, 2L -> 2.0))
+  }
+
+  test("superseded day dirs survive exactly one merge cycle (reader grace window)") {
+    val snap = Files.createTempDirectory("fs-snap5").resolve("snapshot")
+    def dayDirs(): Set[String] = {
+      val root = snap.toFile
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+        .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).map(d => s"${b.getName}/${d.getName}"))
+        .toSet
+    }
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00"), "a", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    StreamDedup.mergeBatchIntoSnapshot(spark, b1, snap.toString, "event_id", "ts")
+    val gen1 = dayDirs()
+    assert(gen1.size == 1)
+    // merge 2 supersedes day 01-01: the old day dir must STILL be on disk
+    // (a reader holding gen-1 paths finishes its scan)
+    val b2 = Seq((1L, ts("2024-01-01 12:00:00"), "a", 11.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    StreamDedup.mergeBatchIntoSnapshot(spark, b2, snap.toString, "event_id", "ts")
+    assert(gen1.subsetOf(dayDirs()), s"gen-1 dirs GC'd too early: ${dayDirs()}")
+    // merge 3: gen-1's grace window ends — only gen-2 + gen-3 data remain
+    val b3 = Seq((1L, ts("2024-01-01 13:00:00"), "a", 111.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    StreamDedup.mergeBatchIntoSnapshot(spark, b3, snap.toString, "event_id", "ts")
+    assert(gen1.intersect(dayDirs()).isEmpty,
+      s"gen-1 dirs must be collected at the NEXT merge: ${dayDirs()}")
+    val live = StreamDedup.readSnapshot(spark, snap.toString).collect()
+      .map(r => r.getAs[Double]("value")).toSeq
+    assert(live == Seq(111.0))
+  }
+
   /** §2.9-4 exactly-once: the streamed dedup of an overlapping extract feed
     * must equal the batch keep-latest dedup of the unioned batches — the
     * oracled batch form pins the streaming semantics.

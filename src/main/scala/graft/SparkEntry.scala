@@ -458,6 +458,10 @@ object SparkEntry {
       s"$ResultsCte SELECT event_id, ts_us, job_name, status FROM r WHERE NOT (status BETWEEN 50 AND 99) ORDER BY ts_us DESC, event_id DESC",
     "qa_ref_integrity" ->
       s"$FactCte, du AS (SELECT DISTINCT user_id FROM fact), dt AS (SELECT DISTINCT event_type FROM fact), dd AS (SELECT DISTINCT CAST(ts AS DATE) AS date_id FROM fact) SELECT CAST(sum(CASE WHEN du.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_user, CAST(sum(CASE WHEN dt.event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_type, CAST(sum(CASE WHEN dd.date_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_date FROM fact f LEFT JOIN du ON f.user_id = du.user_id LEFT JOIN dt ON f.event_type = dt.event_type LEFT JOIN dd ON CAST(f.ts AS DATE) = dd.date_id",
+    // The oracle side intentionally states star_rows := fact count (the
+    // INVARIANT, not a re-derivation): the Spark side computes the real
+    // star count, so a row-losing or row-doubling star join fails the
+    // compare against this constant — the check is one-sided by design.
     "qa_count_parity" ->
       s"$FactCte SELECT (SELECT count(*) FROM fact) AS fact_rows, (SELECT count(*) FROM fact) AS star_rows, (SELECT count(*) FROM fact) - (SELECT count(*) FROM fact) AS delta",
     "q1_pricing" ->

@@ -85,6 +85,17 @@ object Ann {
     * collect: C ≈ numCentroids rows per iteration, bounded by construction.
     * Empty buckets keep their previous centroid.
     */
+  /** Deterministic driver-side parallelism for the pool-training hot
+    * loops (seeding distance updates, per-round argmin assignment): each
+    * index writes only its own slot, so thread interleaving cannot change
+    * the result — unlike a parallel SUM, whose fp addition order would
+    * make centroids run-dependent. Sums stay sequential for that reason.
+    * At production nlist (C≈1024, pool≈64·C) these loops are ~4G flops per
+    * round and dominate training wall-time single-threaded.
+    */
+  private def parSlots(n: Int)(f: Int => Unit): Unit =
+    java.util.stream.IntStream.range(0, n).parallel().forEach(i => f(i))
+
   /** Angular distance `1 - cos(a, b)` for the driver-side seeding step;
     * zero-norm / length-mismatched vectors are maximally far (they cannot
     * anchor a cosine bucket).
@@ -128,7 +139,7 @@ object Ann {
     * fraction is cheap and boundary-vector loss, not coverage, is what
     * caps recall (see `IvfSweep`).
     */
-  private def trainCentroids(corpus: DataFrame, numCentroids: Int,
+  private[graft] def trainCentroids(corpus: DataFrame, numCentroids: Int,
                              lloydIters: Int): Array[(Long, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -165,11 +176,9 @@ object Ann {
           while (pick < pool.length - 1 && r >= d2(pick)) { r -= d2(pick); pick += 1 }
           val c = pool(pick)
           chosen += c
-          var i = 0
-          while (i < pool.length) {
+          parSlots(pool.length) { i =>
             val d = angDist(pool(i), c)
             if (d * d < d2(i)) d2(i) = d * d
-            i += 1
           }
         }
       }
@@ -185,14 +194,17 @@ object Ann {
       var stable = false
       var poolRound = 0
       while (!stable && poolRound < 20) {
-        val next = pool.map { p =>
+        val next = new Array[Int](pool.length)
+        val centsNow = poolCents
+        parSlots(pool.length) { i =>
+          val p = pool(i)
           var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < poolCents.length) {
-            val d = angDist(p, poolCents(c))
+          while (c < centsNow.length) {
+            val d = angDist(p, centsNow(c))
             if (d < bestD) { bestD = d; best = c }
             c += 1
           }
-          best
+          next(i) = best
         }
         stable = java.util.Arrays.equals(next, assign)
         assign = next
@@ -249,7 +261,7 @@ object Ann {
     * shuffle) for recall at SMALL nprobe. `spill = 1` is exactly
     * [[assignBuckets]].
     */
-  private def assignBucketsSpill(df: DataFrame,
+  private[graft] def assignBucketsSpill(df: DataFrame,
                                  cents: Array[(Long, Array[Double])],
                                  spill: Int): DataFrame =
     if (spill <= 1) assignBuckets(df, cents)
@@ -260,7 +272,7 @@ object Ann {
     * table (query set is tiny — HOF cost immaterial). `queries` must carry
     * `(q_id, q_emb)`.
     */
-  private def probesFor(queries: DataFrame,
+  private[graft] def probesFor(queries: DataFrame,
                         cents: Array[(Long, Array[Double])],
                         nprobe: Int): DataFrame = {
     val centLit = typedLit(cents.map { case (id, e) => (id, e.toSeq) }.toSeq)
@@ -276,7 +288,7 @@ object Ann {
     * scored twice and could occupy two of its top-k slots. distinct() on
     * (q_id, vec_id, cos) is exact — cos is a function of the pair.
     */
-  private def scoreAndTopK(assigned: DataFrame, probes: DataFrame,
+  private[graft] def scoreAndTopK(assigned: DataFrame, probes: DataFrame,
                            k: Int, dedupe: Boolean = false): DataFrame = {
     val joined = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -55,8 +55,35 @@ object DedupApprox {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
-  def jaccardJoin(documents: DataFrame, threshold: Double): DataFrame = {
+  def jaccardJoin(documents: DataFrame, threshold: Double): DataFrame =
+    jaccardJoinImpl(shingleIndex(documents), threshold)
+
+  /** As [[jaccardJoin]], but materializes the shingle inverted index once
+    * (MEMORY_AND_DISK) instead of recomputing its lineage for each of the
+    * five consumers in the pair plan (df aggregate, both prefix self-join
+    * sides, both refine sides) — Catalyst can't exchange-reuse them because
+    * each consumer shuffles the index on a different key. The caller owns
+    * the cache: invoke the returned release AFTER materializing the pairs
+    * (or anything derived from them).
+    *
+    * MEASURED SLOWER at sf0.1 (min-of-5: 2.13 s vs 1.22 s plain,
+    * `CcProfile`, BASELINE.md round-9 note): the cache-materialization
+    * barrier plus writing every exploded posting costs more than five
+    * re-shinglings of short documents. Kept because the tradeoff is
+    * corpus-shaped, not universal — shingling cost grows with document
+    * LENGTH while posting volume grows with distinct-shingle count, so a
+    * long-document corpus (or an expensive tokenizer) flips it. Measure on
+    * the target corpus before choosing; [[jaccardJoin]] (recompute, the
+    * Spark-idiomatic lineage default) is the shipped path.
+    */
+  private[graft] def jaccardJoinStaged(documents: DataFrame,
+                                       threshold: Double): (DataFrame, () => Unit) = {
     val inv = shingleIndex(documents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (jaccardJoinImpl(inv, threshold), () => { inv.unpersist(blocking = false); () })
+  }
+
+  private def jaccardJoinImpl(inv: DataFrame, threshold: Double): DataFrame = {
     // global canonical order: shingle document-frequency, then the shingle
     val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window

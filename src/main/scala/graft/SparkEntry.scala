@@ -288,6 +288,8 @@ object SparkEntry {
     "doc_rare_bigrams" -> ((s, d) =>
       TextOps.rareNgramScore(Tables.documents(prep(s), d), 2, 2L)),
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
+    "retrieval_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(Tables.documents(prep(s), d), Retrieval.DefaultQueries, 10)),
     "tok_collocations" -> ((s, d) =>
       TextOps.collocations(Tables.documents(prep(s), d), 5L, 20)),
     "tok_heavy_hitters" -> ((s, d) =>
@@ -605,6 +607,21 @@ object SparkEntry {
       s"WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), s AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), x AS (SELECT doc_id, unnest(sh) AS ngram FROM s), f AS (SELECT ngram, count(*) AS df FROM x GROUP BY 1) SELECT doc_id, count(*) AS n_distinct_ngrams, CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, ${fxRatioSql("sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END)", "count(*)", 4)} AS rare_frac FROM x JOIN f USING (ngram) GROUP BY 1",
     "tok_idf" ->
       "WITH d AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents), f AS (SELECT token, count(*) AS df FROM t GROUP BY 1) SELECT token, df, round(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf FROM f, d WHERE df >= 5",
+    // per-term micro-unit rounding before the sum keeps the score an exact
+    // integer on both engines (see Retrieval scaladoc); the arithmetic
+    // below is written with the SAME literals and association as the Spark
+    // side so each term's double value is bit-identical
+    "retrieval_bm25" ->
+      ("WITH q(q_id, qtext) AS (VALUES (0, 'spark join hash'), (1, 'customer order merge'), (2, 'slow scan filter vector')), " +
+        "qt AS (SELECT DISTINCT q_id, token FROM (SELECT CAST(q_id AS BIGINT) AS q_id, unnest(string_split(qtext, ' ')) AS token FROM q)), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "terms AS (SELECT qt.q_id, tf.doc_id, CAST(round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) * 1000000.0) AS BIGINT) AS term_micro FROM tf JOIN qt USING (token) JOIN df USING (token) JOIN dl USING (doc_id), st), " +
+        "sc AS (SELECT q_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM terms GROUP BY 1, 2) " +
+        "SELECT q_id, doc_id, score_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, score_micro, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10"),
     "tok_collocations" -> {
       val lift = fxRatioSql("df_pair * n_docs", "df1 * df2", 4)
       "WITH nd AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT string_split(text, ' ') AS w FROM documents), u AS (SELECT token, count(*) AS df_tok FROM (SELECT unnest(list_distinct(w)) AS token FROM t) GROUP BY 1), b AS (SELECT bigram, count(*) AS df_pair FROM (SELECT unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram FROM t WHERE len(w) >= 2) GROUP BY 1), f AS (SELECT bigram, df_pair, string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2 FROM b WHERE df_pair >= 5), j AS (SELECT bigram, df_pair, u1.df_tok AS df1, u2.df_tok AS df2, n_docs FROM f JOIN u u1 ON f.w1 = u1.token JOIN u u2 ON f.w2 = u2.token, nd) " +

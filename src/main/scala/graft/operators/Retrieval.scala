@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Ranked text retrieval over the documents table — Okapi BM25 (Robertson
+  * et al., TREC-3; the scoring function behind Lucene/Elasticsearch
+  * defaults), the lexical-search counterpart of the dense [[Ann]] path and
+  * the standard first stage of RAG / decontamination-by-retrieval
+  * pipelines over training corpora.
+  *
+  * Everything is expressed as joins + aggregates over a term-frequency
+  * postings table, so the whole plan is shuffle-on-key and
+  * whole-stage-codegen'd:
+  *
+  *  - postings `(doc_id, token, tf)` and doc lengths `(doc_id, dl)` are
+  *    plain hash aggregates over the exploded corpus;
+  *  - document frequency `df` is an aggregate over postings, immediately
+  *    semi-joined to the (tiny) query vocabulary and broadcast — per-token
+  *    idf never touches the big side;
+  *  - candidate scoring joins ONLY the postings of query terms (the
+  *    broadcast query-vocabulary join comes first, so non-matching
+  *    postings are dropped before any wide join), then equi-joins doc
+  *    lengths on `doc_id` — the one big-×-big shuffle, sized by candidate
+  *    postings, not the corpus;
+  *  - top-k per query uses the bounded [[graft.functions.TopKByScore]]
+  *    aggregate (≤ k rows per query × partition on the wire), not a
+  *    ranking window over every scored document.
+  *
+  * Scores are EXACT integers in micro-units: each per-term contribution
+  * `idf(t) · tf-saturation(t, d)` is rounded to 6 decimals and cast to a
+  * BIGINT of micro-units, and the per-document score is an integer sum of
+  * those — so the result is independent of float summation order across
+  * partitions AND engines (the per-term double math is a fixed expression
+  * tree both engines evaluate identically, the same contract `tok_idf`
+  * relies on; a raw double sum would hash-differ between Spark's and the
+  * oracle's aggregation orders). Ties break on `doc_id` ascending, making
+  * the full output deterministic.
+  *
+  * Query-side term frequency is deliberately ignored (each distinct query
+  * token contributes once) — the common engine simplification for short
+  * queries.
+  */
+object Retrieval {
+
+  /** Okapi defaults (Lucene's `k1`/`b`). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Deterministic in-vocabulary demo workload for the fixture corpus. */
+  val DefaultQueries: Seq[(Long, String)] = Seq(
+    0L -> "spark join hash",
+    1L -> "customer order merge",
+    2L -> "slow scan filter vector")
+
+  /** Top-`k` documents per query by BM25 over whitespace tokens of
+    * `documents(doc_id, text)`. Output: `(q_id, doc_id, score_micro, rk)`
+    * with `score_micro` = BM25 · 10⁶ as an exact BIGINT (see object doc).
+    */
+  def bm25TopK(documents: DataFrame, queries: Seq[(Long, String)],
+               k: Int, k1: Double = K1, b: Double = B): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+
+    val toks = documents.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+    // corpus stats as a 1-row broadcast (the J3 scalar-subquery shape);
+    // avgdl = exact BIGINT token total / exact BIGINT doc count, divided
+    // once in double — both engines evaluate the identical two-long
+    // division
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+    val qtok = queries.toDF("q_id", "qtext")
+      .select(col("q_id"), explode(TextFns.tokens(col("qtext"))).as("token"))
+      .distinct()
+    // df must count over ALL postings (idf is a corpus statistic), but
+    // only query-term rows are ever needed downstream: semi-join to the
+    // query vocabulary straight away, leaving a ≤|query-vocab|-row table
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .join(broadcast(qtok.select("token").distinct()), "token")
+
+    // constants fold in-engine on both sides (never pre-computed in
+    // Scala): `k1 + 1` etc. must be the same IEEE ops the oracle's SQL
+    // literals produce, or micro-unit rounding can flip at boundaries
+    val k1c = lit(k1)
+    val bc = lit(b)
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * (k1c + lit(1.0))) /
+      (col("tf") + k1c * (lit(1.0) - bc + bc * col("dl") / col("avgdl")))
+
+    val terms = tf
+      .join(broadcast(qtok), "token")
+      .join(broadcast(dfq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * tfn * lit(1000000.0), 0).cast("long").as("term_micro"))
+
+    val scored = terms.groupBy("q_id", "doc_id")
+      .agg(sum(col("term_micro")).as("score_micro"))
+
+    // micro-unit scores are < 2^53, so the Double score in the bounded
+    // top-k aggregate is still exact; rank = position in its total order
+    scored.select(col("q_id"), col("doc_id"),
+        col("score_micro").cast("double").as("s"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("doc_id"),
+        col("e.score").cast("long").as("score_micro"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Retrieval
+
+/** BM25 retrieval: exact scores on a hand-computable corpus, ranking
+  * semantics (tf saturation, length normalization, idf weighting), and
+  * the k/tie contracts. The cross-engine float contract itself is covered
+  * by the `retrieval_bm25` DuckDB oracle row.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  /** Reference scalar BM25 in the operator's exact micro-unit contract. */
+  private def refMicro(corpus: Seq[(Long, String)], qTokens: Seq[String],
+                       docId: Long, k1: Double = 1.2, b: Double = 0.75): Long = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = corpus.size.toLong
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    val dl = toks(docId).size
+    qTokens.distinct.map { t =>
+      val tf = toks(docId).count(_ == t)
+      if (tf == 0) 0L
+      else {
+        val df = toks.values.count(_.contains(t)).toLong
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val tfn = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        math.round(idf * tfn * 1000000.0)
+      }
+    }.sum
+  }
+
+  private val corpus = Seq(
+    1L -> "spark shuffles data across the cluster",
+    2L -> "spark spark spark spark tuning guide",
+    3L -> "a very long document about nothing relevant to the query at all whatsoever truly nothing",
+    4L -> "join strategies in spark explained",
+    5L -> "gardening tips for tomatoes")
+
+  private def run(q: String, k: Int = 5) =
+    Retrieval.bm25TopK(docs(corpus: _*), Seq(0L -> q), k)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+
+  test("scores equal the scalar reference exactly, in micro-units") {
+    val out = run("spark join")
+    assert(out.nonEmpty)
+    out.foreach { case (docId, micro, _) =>
+      assert(micro == refMicro(corpus, Seq("spark", "join"), docId),
+        s"doc $docId")
+    }
+  }
+
+  test("a doc matching more query terms outranks tf-saturated repetition") {
+    // doc 4 matches both 'spark' and 'join'; doc 2 has tf=4 of 'spark'
+    // alone — saturation (k1) caps repetition below a second matched term
+    val out = run("spark join")
+    assert(out.head._1 == 4L, out.mkString(","))
+    assert(out.map(_._1).contains(2L))
+  }
+
+  test("non-matching docs are absent; k bounds the output") {
+    val out = run("spark join")
+    assert(!out.map(_._1).contains(3L) && !out.map(_._1).contains(5L))
+    assert(run("spark join", k = 1).map(_._1).toSeq == Seq(4L))
+  }
+
+  test("query-side repetition does not inflate the score") {
+    assert(run("spark spark spark").toSeq == run("spark").toSeq)
+  }
+
+  test("equal scores tie-break by doc_id ascending") {
+    val twin = Seq(
+      1L -> "alpha beta",
+      7L -> "alpha beta",
+      3L -> "alpha beta")
+    val out = Retrieval.bm25TopK(docs(twin: _*), Seq(0L -> "alpha"), 3)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(1L, 3L, 7L))
+  }
+
+  test("rank is dense from 1 and ordered by score desc") {
+    val out = run("spark join")
+    assert(out.map(_._3).toSeq == (1 to out.length))
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+}

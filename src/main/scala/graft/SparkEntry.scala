@@ -308,6 +308,8 @@ object SparkEntry {
       Ann.bruteTopK(Tables.embeddings(prep(s), d), 10, 5)),
     "ann_ivf_topk" -> ((s, d) =>
       Ann.ivfTopK(Tables.embeddings(prep(s), d), 10, 5)),
+    "ann_ivfpq_topk" -> ((s, d) =>
+      Ann.ivfPqTopK(Tables.embeddings(prep(s), d), 10, 5)),
     "dedup_embedding" -> ((s, d) =>
       Ann.embeddingNearDup(Tables.embeddings(prep(s), d), 0.4)),
     // output exploded back to scalars: array-typed result columns are a

@@ -430,6 +430,158 @@ case class NearestCentroids(child: Expression, ids: Array[Long],
     copy(child = c)
 }
 
+/** Product-quantization encode (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): the vector is split into
+  * `m = codebooks.length` contiguous subvectors and each is replaced by the
+  * index of its nearest (L2) codeword in that subspace's codebook — a
+  * 64-float vector becomes `m` small integers, the compression that lets a
+  * 100-TB embedding corpus's search structure fit a fraction of the space
+  * (dim·4 bytes → m codes). The codebook rides in the expression (task
+  * closure, tiny by construction — m·ksub·dsub doubles), so encoding is a
+  * narrow projection: no join, no shuffle.
+  *
+  * Ties (equal distance) resolve to the SMALLER code index — deterministic
+  * for any codebook order. A vector whose length isn't `m·dsub` encodes as
+  * null (it cannot be quantized in this model), mirroring [[CosineSim]]'s
+  * undefined-input contract.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with CodegenFallback {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need at least one codebook with at least one codeword")
+  private val m = codebooks.length
+  private val dsub = codebooks(0)(0).length
+  require(codebooks.forall(_.forall(_.length == dsub)),
+    "all codewords must have the subspace dimension")
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    if (x.length != m * dsub) return null
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      val off = sub * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = x(off + j) - cw(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // strict < keeps smaller index on ties
+        c += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+/** Per-query ADC lookup table for [[PqAdcCosine]]: entry `[sub·ksub + c]` is
+  * `dot(q_sub, codeword_c) / |q|` — the query-dependent half of the cosine
+  * between the query and any PQ-reconstructed vector, precomputed ONCE per
+  * query (m·ksub dots) so scoring a candidate is m table lookups instead of
+  * a dim-length dot product. Null for a zero-norm or wrong-length query
+  * (no defined cosine), matching [[CosineSim]].
+  */
+case class PqLutCosine(child: Expression, codebooks: Array[Array[Array[Double]]])
+  extends UnaryExpression with CodegenFallback {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need at least one codebook with at least one codeword")
+  private val m = codebooks.length
+  private val dsub = codebooks(0)(0).length
+  private val ksub = codebooks.map(_.length).max
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut_cosine"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val q = v.asInstanceOf[ArrayData].toDoubleArray()
+    if (q.length != m * dsub) return null
+    var nq = 0.0
+    var i = 0
+    while (i < q.length) { nq += q(i) * q(i); i += 1 }
+    val qNorm = math.sqrt(nq)
+    if (qNorm == 0.0) return null
+    val lut = new Array[Double](m * ksub)
+    var sub = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      val off = sub * dsub
+      var c = 0
+      while (c < cb.length) {
+        val cw = cb(c)
+        var dot = 0.0
+        var j = 0
+        while (j < dsub) { dot += q(off + j) * cw(j); j += 1 }
+        lut(sub * ksub + c) = dot / qNorm
+        c += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqLutCosine =
+    copy(child = c)
+}
+
+/** Asymmetric-distance cosine: given a candidate's PQ `codes` and a query's
+  * [[PqLutCosine]] table, the EXACT cosine between the query and the
+  * candidate's reconstruction is `Σ_sub lut[sub·ksub + code_sub] /
+  * sqrt(Σ_sub |codeword|²)` — the reconstruction's norm decomposes over
+  * subspaces because they partition the dimensions. The query-independent
+  * codeword norms ride statically in the expression; per candidate the
+  * work is m lookups + m adds, independent of the original dimension.
+  * Null when no codeword mass (zero reconstruction — no defined cosine).
+  */
+case class PqAdcCosine(left: Expression, right: Expression,
+                       cwNorms2: Array[Double], ksub: Int)
+  extends BinaryExpression with CodegenFallback {
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_cosine"
+
+  override protected def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var dot = 0.0
+    var n2 = 0.0
+    var sub = 0
+    while (sub < m) {
+      val idx = sub * ksub + codes.getInt(sub)
+      dot += lut.getDouble(idx)
+      n2 += cwNorms2(idx)
+      sub += 1
+    }
+    val denom = math.sqrt(n2)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcCosine =
+    copy(left = l, right = r)
+}
+
 /** Column-API façade. */
 object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
@@ -446,6 +598,14 @@ object VectorExpressions {
   def nearestCentroids(emb: Column, ids: Array[Long],
                        cents: Array[Array[Double]], k: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(emb), ids, cents, k))
+  def pqEncode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(emb), codebooks))
+  def pqLutCosine(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqLutCosine(ColumnBridge.expression(emb), codebooks))
+  def pqAdcCosine(codes: Column, lut: Column, cwNorms2: Array[Double],
+                  ksub: Int): Column =
+    ColumnBridge.column(PqAdcCosine(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut), cwNorms2, ksub))
   def polyRollingHash(text: Column): Column =
     ColumnBridge.column(PolyRollingHash(ColumnBridge.expression(text)))
   def bigramStats(text: Column): Column =

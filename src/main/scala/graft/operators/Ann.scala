@@ -359,6 +359,180 @@ object Ann {
     scoreAndTopK(postings, probes, k, dedupe = spill > 1)
   }
 
+  /** Product-quantization model (Jégou et al., TPAMI 2011):
+    * `codebooks(sub)(code)` is the L2 codeword for contiguous subspace
+    * `sub`. At `m = 8` over dim-64 doubles, an encoded vector is 8 small
+    * ints vs 512 bytes — the compression that makes a 100-TB embedding
+    * corpus's scan structure ~1-2% of the raw data, with full-precision
+    * vectors kept on disk only for the final re-rank of a per-query short
+    * list.
+    */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    val m: Int = codebooks.length
+    val dsub: Int = codebooks(0)(0).length
+    val ksub: Int = codebooks.map(_.length).max
+    /** Flat `[sub·ksub + code]` squared codeword norms for ADC. */
+    lazy val cwNorms2Flat: Array[Double] = {
+      val out = new Array[Double](m * ksub)
+      for (sub <- 0 until m; c <- codebooks(sub).indices) {
+        val cw = codebooks(sub)(c)
+        var s = 0.0; var j = 0
+        while (j < cw.length) { s += cw(j) * cw(j); j += 1 }
+        out(sub * ksub + c) = s
+      }
+      out
+    }
+  }
+
+  /** Squared Euclidean distance for subspace codebook training (PQ trains
+    * L2 per subspace; cosine enters only at ADC scoring time).
+    */
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Driver-side seeded k-means (++ init, Lloyd to fixpoint, 25-round cap,
+    * empty clusters keep their centroid) — deterministic; the slot-parallel
+    * loops follow the [[parSlots]] discipline (no parallel fp sums).
+    */
+  private def kmeansL2(pool: Array[Array[Double]], k: Int,
+                       rnd: scala.util.Random): Array[Array[Double]] = {
+    val chosen = scala.collection.mutable.ArrayBuffer(pool(rnd.nextInt(pool.length)))
+    val d2 = pool.map(p => l2sq(p, chosen.head))
+    var exhausted = false
+    while (!exhausted && chosen.size < math.min(k, pool.length)) {
+      val total = d2.sum
+      if (total <= 0) exhausted = true // only duplicate candidates remain
+      else {
+        var r = rnd.nextDouble() * total
+        var pick = 0
+        while (pick < pool.length - 1 && r >= d2(pick)) { r -= d2(pick); pick += 1 }
+        val c = pool(pick)
+        chosen += c
+        parSlots(pool.length) { i =>
+          val d = l2sq(pool(i), c)
+          if (d < d2(i)) d2(i) = d
+        }
+      }
+    }
+    var cents = chosen.toArray
+    var assign = Array.fill(pool.length)(-1)
+    var stable = false
+    var round = 0
+    while (!stable && round < 25) {
+      val next = new Array[Int](pool.length)
+      val cn = cents
+      parSlots(pool.length) { i =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cn.length) {
+          val d = l2sq(pool(i), cn(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        next(i) = best
+      }
+      stable = java.util.Arrays.equals(next, assign)
+      assign = next
+      if (!stable) {
+        val dsub = cents.head.length
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Int](cents.length)
+        var i = 0
+        while (i < pool.length) {
+          val c = assign(i); val v = pool(i)
+          var j = 0
+          while (j < dsub) { sums(c)(j) += v(j); j += 1 }
+          counts(c) += 1
+          i += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else {
+            val mn = sums(c); var j = 0
+            while (j < dsub) { mn(j) /= counts(c); j += 1 }
+            mn
+          }
+        }
+      }
+      round += 1
+    }
+    cents
+  }
+
+  /** Train PQ codebooks on a stride-sampled driver pool (same bounded-pool
+    * discipline as [[trainCentroids]]: ~64 candidates per codeword,
+    * independent of corpus size — production PQ likewise trains on a
+    * sample). Per subspace: seeded k-means++ + Lloyd fixpoint, all
+    * driver-side; encoding the corpus is then a single narrow projection.
+    */
+  private[graft] def trainPq(corpus: DataFrame, m: Int, ksub: Int): PqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.persist()
+    try {
+      val n = corpus.count()
+      val poolTarget = math.min(n, math.max(ksub.toLong * 64, 512L))
+      val stride = math.max(1L, n / math.max(1L, poolTarget))
+      val sample = corpus.filter(col("vec_id") % stride === 0)
+        .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+      require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+      val dim = sample.head.length
+      require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+      val dsub = dim / m
+      val pool = sample.filter(_.length == dim)
+      val codebooks = Array.tabulate(m) { sub =>
+        val sv = pool.map(v =>
+          java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+        kmeansL2(sv, ksub, new scala.util.Random(17L + sub))
+      }
+      PqModel(codebooks)
+    } finally corpus.unpersist()
+  }
+
+  /** IVF-PQ top-k: coarse IVF pruning (probed inverted lists only), PQ
+    * asymmetric-distance scoring over CODES (the corpus's full-precision
+    * vectors never enter the candidate join — per candidate the work is
+    * `m` table lookups), then an exact cosine re-rank of the per-query
+    * `refine·k` short list against the full vectors (a broadcast semi-join
+    * back to the corpus — the disk-resident-vectors shape of a production
+    * IVF-PQ system). Output schema matches [[bruteTopK]]; ranking of the
+    * final list is exact cosine, so at `refine·k` ≥ the true top-k's
+    * candidate coverage the result converges to [[ivfTopK]]'s.
+    *
+    * Deterministic end-to-end: seeded coarse + PQ training, smaller-code
+    * tie-break in encode, and the exact re-rank's (round(cos,6), vec_id)
+    * total order.
+    */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                numCentroids: Int = 10, nprobe: Int = 8, lloydIters: Int = 4,
+                m: Int = 8, ksub: Int = 256, refine: Int = 20): DataFrame = {
+    val corpus = emb(embeddings)
+    val cents = trainCentroids(corpus, numCentroids, lloydIters)
+    val pq = trainPq(corpus, m, ksub)
+    val codes = assignBuckets(corpus, cents)
+      .select(col("vec_id"), col("bucket"), graft.functions.expr
+        .VectorExpressions.pqEncode(col("emb"), pq.codebooks).as("codes"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probes = probesFor(queries, cents, nprobe)
+      .withColumn("lut", graft.functions.expr.VectorExpressions
+        .pqLutCosine(col("q_emb"), pq.codebooks))
+      .select("q_id", "bucket", "lut")
+    val adc = codes.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), graft.functions.expr
+        .VectorExpressions.pqAdcCosine(col("codes"), col("lut"),
+          pq.cwNorms2Flat, pq.ksub).as("cos"))
+    val shortList = topKPerQuery(adc, refine * k).select("q_id", "vec_id")
+    val rescored = corpus.join(broadcast(shortList), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+    topKPerQuery(rescored, k)
+  }
+
   /** Per-label centroid: dimension-wise mean via posexplode → (label, pos)
     * hash aggregation → ordered array rebuild. The posexplode shuffle key
     * (label, pos) is uniform, so centroid computation scales with

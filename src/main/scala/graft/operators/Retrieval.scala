@@ -95,9 +95,13 @@ object Retrieval {
     val tfn = (col("tf") * (k1c + lit(1.0))) /
       (col("tf") + k1c * (lit(1.0) - bc + bc * col("dl") / col("avgdl")))
 
+    // dfq is ≤ |query vocab| rows but its subtree contains a corpus-wide
+    // aggregate, so a broadcast() hint would carry no structural
+    // boundedness evidence (HintPolicySpec); AQE broadcasts it at runtime
+    // from its measured size instead — same final plan, policy-clean
     val terms = tf
       .join(broadcast(qtok), "token")
-      .join(broadcast(dfq), "token")
+      .join(dfq, "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"),

@@ -51,6 +51,68 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall at sf0.1 below 0.9 gate")
   }
 
+  test("IVF-PQ recall@5 vs brute is high on the fixture corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Ann.bruteTopK(emb, 10, 5))
+    val pq = pairs(Ann.ivfPqTopK(emb, 10, 5))
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    info(s"IVF-PQ recall@5=$recall (m=8, ksub=256, refine=20, nprobe=8)")
+    // the exact re-rank means PQ only has to get the true neighbors into
+    // the refine·k short list. Defaults pinned by the PqSweep measurement:
+    // this fixture's embeddings are near-random (PQ's worst case — nothing
+    // for the codebooks to exploit; avg ADC err 0.03-0.05 at ksub=256),
+    // so 8-bit codebooks AND a 20× re-rank list are both needed: 0.92 here
+    // / 0.98 at sf0.1 vs 0.48/0.32 at (ksub=16, refine=4)
+    assert(recall >= 0.9, s"IVF-PQ recall $recall below 0.9 gate")
+  }
+
+  test("sf0.1 gate: IVF-PQ recall@5 vs brute with pinned defaults") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.1")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = pairs(Ann.bruteTopK(emb, 10, 5))
+    val pq = pairs(Ann.ivfPqTopK(emb, 10, 5))
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    info(s"sf0.1 IVF-PQ recall@5=$recall")
+    assert(recall >= 0.9, s"IVF-PQ recall $recall at sf0.1 below 0.9 gate")
+  }
+
+  test("PQ encode is a valid deterministic code table; ADC approximates cosine") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val model = Ann.trainPq(corpus, m = 8, ksub = 256)
+    assert(model.m == 8 && model.dsub == 8 && model.ksub <= 256)
+    val enc = graft.functions.expr.VectorExpressions.pqEncode(col("emb"), model.codebooks)
+    val codes = corpus.select(col("vec_id"), enc.as("codes")).collect()
+    assert(codes.forall { r =>
+      val c = r.getSeq[Int](1)
+      c.length == 8 && c.forall(x => x >= 0 && x < model.ksub)
+    })
+    // determinism: a second evaluation of the same model yields identical codes
+    val codes2 = corpus.select(col("vec_id"), enc.as("codes")).collect()
+    assert(codes.map(_.toString).toSeq == codes2.map(_.toString).toSeq)
+    // ADC vs exact cosine at the pinned 8-bit codebooks: PqSweep measures
+    // avg err 0.032 / max 0.145 here (0.204 at sf0.1) on near-random
+    // vectors — sanity-bound the max, not a tight guarantee
+    val lut = graft.functions.expr.VectorExpressions.pqLutCosine(col("q_emb"), model.codebooks)
+    val q = corpus.filter(col("vec_id") < 1)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .withColumn("lut", lut)
+    val joined = corpus.select(col("vec_id"), enc.as("codes"), col("emb"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select(
+        graft.functions.expr.VectorExpressions.pqAdcCosine(
+          col("codes"), col("lut"), model.cwNorms2Flat, model.ksub).as("adc"),
+        graft.functions.SimFns.cosine(col("emb"), col("q_emb")).as("exact"))
+      .collect()
+    val maxErr = joined.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    info(s"max |adc - exact| over ${joined.length} pairs = $maxErr")
+    assert(maxErr < 0.25, s"ADC error $maxErr out of sanity range")
+  }
+
   test("Lloyd refinement keeps recall at the production floor (vs ++-init alone)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()

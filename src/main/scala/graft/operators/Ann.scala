@@ -533,6 +533,81 @@ object Ann {
     topKPerQuery(rescored, k)
   }
 
+  /** Persist the IVF-PQ index: PQ codes land `partitionBy(bucket)` (one
+    * directory per inverted list — the same pruning contract as
+    * [[buildIvfIndex]], but each row is `m` one-byte-scale codes instead
+    * of the full vector: the on-disk scan structure is ~1-2% of the raw
+    * corpus at production dims), beside the coarse centroid table and the
+    * flattened PQ codebooks. Full-precision vectors are NOT in the index —
+    * at query time the exact re-rank reads them from the original corpus
+    * table for the short list only.
+    */
+  def buildIvfPqIndex(embeddings: DataFrame, path: String,
+                      numCentroids: Int = 10, lloydIters: Int = 4,
+                      m: Int = 8, ksub: Int = 256): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val corpus = emb(embeddings)
+    val cents = trainCentroids(corpus, numCentroids, lloydIters)
+    val pq = trainPq(corpus, m, ksub)
+    assignBuckets(corpus, cents)
+      .select(col("vec_id"), col("bucket"), graft.functions.expr
+        .VectorExpressions.pqEncode(col("emb"), pq.codebooks).as("codes"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    cents.toSeq.map { case (id, e) => (id, e.toSeq) }
+      .toDF("c_id", "c_emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    pq.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Query a persisted IVF-PQ index. `queries` carries `(vec_id,
+    * embedding)`; `corpus` is the full-precision vector table the exact
+    * re-rank reads (the index itself holds only codes). The codes scan is
+    * pruned to probed buckets at planning time, so per-query I/O over the
+    * index is O(nprobe/C) of an already-~50×-compressed structure. Answers
+    * identically to [[ivfPqTopK]] built from the same corpus (same seeds →
+    * same models).
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, corpus: DataFrame, k: Int,
+                         nprobe: Int = 8, refine: Int = 20): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("c_id", "c_emb")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, e) => (id, e.toArray) }
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select("sub", "code", "cw")
+      .as[(Int, Int, Seq[Double])].collect()
+    val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3.toArray).toArray }
+      .toArray
+    val pq = PqModel(codebooks)
+    val q = emb(queries).select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probes = probesFor(q, cents, nprobe)
+      .withColumn("lut", graft.functions.expr.VectorExpressions
+        .pqLutCosine(col("q_emb"), pq.codebooks))
+      .select("q_id", "bucket", "lut")
+    val probedBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0)) // nQueries × nprobe ids — driver-tiny
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("bucket").isin(probedBuckets.toSeq: _*))
+    val adc = codes.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), graft.functions.expr
+        .VectorExpressions.pqAdcCosine(col("codes"), col("lut"),
+          pq.cwNorms2Flat, pq.ksub).as("cos"))
+    val shortList = topKPerQuery(adc, refine * k).select("q_id", "vec_id")
+    val rescored = emb(corpus).join(broadcast(shortList), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+    topKPerQuery(rescored, k)
+  }
+
   /** Per-label centroid: dimension-wise mean via posexplode → (label, pos)
     * hash aggregation → ordered array rebuild. The posexplode shuffle key
     * (label, pos) is uniform, so centroid computation scales with

@@ -113,6 +113,23 @@ class AnnSpec extends AnyFunSuite {
     assert(maxErr < 0.25, s"ADC error $maxErr out of sanity range")
   }
 
+  test("persisted IVF-PQ index answers identically to the inline path, reading only probed buckets") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Ann.buildIvfPqIndex(emb, path)
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromIndex = Ann.ivfPqTopKFromIndex(spark, path, queries, emb, k = 5)
+    val inline = Ann.ivfPqTopK(emb, 10, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rk"))).toSet
+    assert(rows(fromIndex) == rows(inline),
+      "same seeds train the same models — disk must answer exactly like inline")
+    val scan = fromIndex.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"codes scan must prune on the bucket partition column:\n$scan")
+  }
+
   test("Lloyd refinement keeps recall at the production floor (vs ++-init alone)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -234,6 +234,8 @@ object SparkEntry {
       TextOps.stratifiedSample(Tables.documents(prep(s), d), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5))
         .select("doc_id", "lang")),
+    "domain_mixture_sample" -> ((s, d) =>
+      TextOps.domainMixtureSample(Tables.documents(prep(s), d), 200L)),
     "doc_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(prep(s), d))),
     "doc_contamination" -> ((s, d) =>
@@ -577,6 +579,16 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w, unnest(range(0, len(w), 48)) AS start_tok, generate_subscripts(range(0, len(w), 48), 1) - 1 AS chunk_id FROM t) SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(start_tok AS BIGINT) AS start_tok, CAST(least(64, n_tokens - start_tok) AS BIGINT) AS chunk_len, array_to_string(w[start_tok + 1 : start_tok + 64], ' ') AS chunk_text FROM c",
     "doc_stratified_sample" ->
       "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < (CASE WHEN lang = 'en' THEN '4000' WHEN lang = 'de' THEN 'g' WHEN lang = 'fr' THEN '8000' ELSE NULL END)",
+    // sqrt (IEEE correctly rounded, unlike pow) → integer micro-unit
+    // weights → half-up integer-ratio quota: no float crosses an
+    // aggregation boundary, so the quota is exact on both engines
+    "domain_mixture_sample" ->
+      ("WITH c AS (SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "w AS (SELECT domain, CAST(round(sqrt(n_docs) * 1000000.0) AS BIGINT) AS w FROM c), " +
+        "s AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM w), " +
+        "q AS (SELECT domain, CAST((2 * 200 * w + sum_w) // (2 * sum_w) AS BIGINT) AS quota FROM w, s), " +
+        "r AS (SELECT doc_id, source AS domain, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "SELECT r.doc_id, r.domain, q.quota FROM r JOIN q USING (domain) WHERE r.rk <= q.quota"),
     "lang_token_mix" ->
       s"WITH p AS (SELECT lang, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1) SELECT lang, n_docs, total_tokens, ${fxRatioSql("total_tokens", "(SELECT CAST(sum(total_tokens) AS BIGINT) FROM p)", 6)} AS token_share FROM p",
     "doc_pack_chunks" ->

@@ -480,6 +480,52 @@ object TextOps {
       .filter(col("cum_before") < budgetTokens)
   }
 
+  /** Temperature-weighted domain mixture sampling — the training-mix
+    * REBALANCING step (the α-sampling of multilingual/pretraining recipes,
+    * e.g. mBERT/XLM-R's p_d ∝ share_d^α): instead of capping each domain
+    * ([[domainTokenBudget]]) or thinning by a GIVEN rate
+    * ([[stratifiedSample]]), the per-domain quota is DERIVED from the
+    * corpus composition — `quota_d = round(targetDocs · w_d / Σ w)` with
+    * `w_d = sqrt(n_d)` (α = 1/2), flattening over-represented domains
+    * while keeping rank order. Docs fill each quota in content-addressed
+    * md5 order (the [[domainTokenBudget]] determinism argument).
+    *
+    * Cross-engine exactness: `sqrt` is IEEE-correctly-rounded (unlike
+    * `pow`, whose last bits are libm-dependent — the reason α is pinned to
+    * 1/2 here), each weight is rounded to integer micro-units, and the
+    * quota is a half-up INTEGER ratio `(2·t·w + Σw) div (2·Σw)` — no
+    * float ever crosses an aggregation boundary, so quotas hash-match the
+    * oracle at any partitioning.
+    *
+    * Scale shape: the composition table is a tiny per-domain aggregate
+    * joined back (AQE broadcasts it from measured size — no hint, its
+    * subtree is a corpus-wide aggregate); selection is one md5-ordered
+    * window per domain, the same per-domain-sort assumption as
+    * [[domainTokenBudget]], with the same (domain, md5-bucket)
+    * pre-aggregation remark for million-doc domains.
+    */
+  def domainMixtureSample(documents: DataFrame, targetDocs: Long,
+                          domainCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val weights = documents
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(sqrt(col("n_docs")) * lit(1000000.0), 0).cast("long"))
+    val sumW = weights.agg(sum(col("w")).as("sum_w"))
+    val quotas = weights.crossJoin(broadcast(sumW))
+      .select(col("domain"),
+        expr(s"(2 * ${targetDocs}L * w + sum_w) div (2 * sum_w)")
+          .cast("long").as("quota"))
+    documents
+      .select(col("doc_id"), col(domainCol).as("domain"))
+      .withColumn("rk", row_number().over(w))
+      .join(quotas, "domain")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("domain"), col("quota"))
+  }
+
   /** Cross-corpus span-level dedup with document RECONSTRUCTION (the
     * C4-style "remove any span that occurs more than once in the corpus"
     * pass): split every document into disjoint `spanTokens`-token spans,

@@ -32,6 +32,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(TextOps.domainTokenBudget(docs, 1000000L).count() == 40)
   }
 
+  test("mixture sampling flattens domain shares toward sqrt weights, deterministically") {
+    // skewed composition: 64 / 16 / 4 docs → sqrt weights 8 / 4 / 2
+    val docs = ((0L until 64L).map(i => (i, s"t$i", "big")) ++
+      (64L until 80L).map(i => (i, s"t$i", "mid")) ++
+      (80L until 84L).map(i => (i, s"t$i", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.domainMixtureSample(docs, 28L).collect()
+    val byDomain = out.groupBy(_.getAs[String]("domain")).view.mapValues(_.length).toMap
+    // quotas: 28·8/14=16, 28·4/14=8, 28·2/14=4 (exact integer ratios here)
+    assert(byDomain == Map("big" -> 16, "mid" -> 8, "small" -> 4), byDomain.toString)
+    // flattening: the big domain's share fell (64/84 → 16/28), the small
+    // domain's rose (4/84 → 4/28) — the α=1/2 rebalancing property
+    assert(16.0 / 28 < 64.0 / 84 && 4.0 / 28 > 4.0 / 84)
+    // per-domain selection is the md5-ordered prefix — reproducible
+    val again = TextOps.domainMixtureSample(docs, 28L).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+    // a domain's quota never exceeds its doc count even at huge targets
+    val all = TextOps.domainMixtureSample(docs, 10000L)
+      .groupBy("domain").count().collect()
+      .map(r => r.getAs[String]("domain") -> r.getLong(1)).toMap
+    assert(all("small") <= 4 && all("mid") <= 16 && all("big") <= 64)
+  }
+
   test("span dedup keeps first occurrence only and reconstructs the rest") {
     val docs = Seq(
       (1L, "a b c d"),   // spans: "a b", "c d"

@@ -169,6 +169,8 @@ object SparkEntry {
     "q14_promo" -> ((s, d) => Analytics.promoRevenue(prep(s), d)),
     "q15_top_supplier" -> ((s, d) => Analytics.topSupplier(prep(s), d)),
     "q21_waiting_suppliers" -> ((s, d) => Analytics.waitingSuppliers(prep(s), d)),
+    "q9_nation_profit" -> ((s, d) => Analytics.nationProfit(prep(s), d)),
+    "q11_important_parts" -> ((s, d) => Analytics.importantParts(prep(s), d)),
     "dedup_embedding_lsh" -> ((s, d) =>
       Ann.embeddingNearDupLsh(Tables.embeddings(prep(s), d), 0.4)),
     "q_asof_join" -> ((s, d) => {
@@ -534,6 +536,14 @@ object SparkEntry {
       s"WITH rev AS (SELECT l_suppkey, ${fxSumSql("l_extendedprice * (1 - l_discount)", 10000L)} AS rev_scaled FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01' GROUP BY 1) SELECT s_suppkey, s_name, ${fxTotalSql("rev_scaled", 10000L, 2)} AS total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE rev_scaled = (SELECT max(rev_scaled) FROM rev)",
     "q21_waiting_suppliers" ->
       "WITH lf AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'), late AS (SELECT l_orderkey, l_suppkey FROM lf WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) SELECT s_name, numwait FROM (SELECT l1.l_suppkey, count(*) AS numwait FROM late l1 WHERE EXISTS (SELECT 1 FROM lf l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) GROUP BY 1) JOIN supplier ON l_suppkey = s_suppkey ORDER BY numwait DESC, s_name LIMIT 20",
+    "q9_nation_profit" ->
+      s"SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS profit, count(*) AS n_lines FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN orders ON l_orderkey = o_orderkey WHERE p_name LIKE '%red%' GROUP BY 1, 2",
+    // the HAVING threshold compares cross-multiplied scaled-long INTEGERS
+    // (v·np·4 > tv·5 ⟺ value > 1.25× the average part), mirroring the
+    // Spark side — no double boundary, and scale-free like the
+    // reference's 0.0001/SF
+    "q11_important_parts" ->
+      s"WITH t AS (SELECT l_partkey, ${fxSumSql("l_extendedprice * (1 - l_discount)", 10000L)} AS v FROM lineitem GROUP BY 1), g AS (SELECT CAST(sum(v) AS BIGINT) AS tv, count(*) AS np FROM t) SELECT l_partkey, ${fxTotalSql("v", 10000L, 2)} AS value FROM t, g WHERE v * np * 4 > tv * 5 ORDER BY value DESC, l_partkey",
     "q_asof_join" ->
       "WITH l AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events), r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'signup') SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id, l.value, r.value AS last_signup_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
     "q_range_join" ->

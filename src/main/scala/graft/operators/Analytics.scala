@@ -607,6 +607,66 @@ object Analytics {
           .as("total_revenue"))
   }
 
+  /** TPC-H Q9 shape (product-type profit rollup): a part-name-FILTERED
+    * fact joined through supplier→nation and orders, profit summed on the
+    * DERIVED (nation, year(o_orderdate)) key. The fixture carries no
+    * partsupp, so profit is the discounted-revenue term only (the
+    * reference's `ps_supplycost·l_quantity` subtrahend has no data
+    * source here); the SHAPE — a selective part filter driving a 4-way
+    * join into a derived-key rollup — is Q9's. Only nation (a dim-only
+    * leaf) is hinted; part/supplier/orders stay hint-free for AQE per the
+    * broadcast policy.
+    */
+  def nationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val prt = Tables.part(spark, dir)
+      .filter(col("p_name").contains("red")).select("p_partkey")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val discPrice = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(fxTotal(discPrice, 10000L, 2).as("profit"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q11 shape (important stock): a per-key rollup kept only where
+    * the group total exceeds a FRACTION of the corpus-wide total — the
+    * grouped-HAVING-against-global-scalar-subquery decorrelation: group
+    * and global aggregates are two scans of the same fact, the 1-row
+    * global side broadcasts (J3), and the threshold compare is
+    * cross-multiplied scaled-long INTEGERS (`v·np·4 > tv·5`, i.e. value
+    * > 1.25× the average part), never a double — the q17/q22 exactness
+    * discipline. No partsupp in the fixture → "value" is lineitem revenue
+    * per part rather than `supplycost·availqty`; the AVERAGE-relative
+    * threshold plays the reference's `0.0001/SF` role scale-freely (a
+    * fixed fraction empties as the part count grows, exactly why the
+    * reference divides by SF). At extreme totals promote the compare to
+    * decimal(38,0); scaled longs hold to ~10^5 parts × 10^13 value.
+    */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val scaled =
+      round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000)
+        .cast("long")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(scaled).as("v"))
+    val total = perPart.agg(sum(col("v")).as("tv"), count(lit(1)).as("np"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("v") * col("np") * lit(4L) > col("tv") * lit(5L))
+      .select(col("l_partkey"),
+        graft.functions.FxMath.scaledTotal(col("v"), 10000L, 2).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
   /** TPC-H Q21 shape: suppliers who were the sole late shipper of a
     * finished order — EXISTS (another supplier shipped in the same order)
     * as a left-semi join, NOT EXISTS (another supplier was also late) as a

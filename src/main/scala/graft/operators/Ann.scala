@@ -31,7 +31,7 @@ object Ann {
     * shuffle carries ≤ k rows per (query × partition) — a ranking window
     * here would shuffle and sort the ENTIRE scored set per query.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     // cosine is null for zero-norm/mismatched vectors and would NPE in the

@@ -667,6 +667,34 @@ object Analytics {
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
+  /** TPC-H Q16 shape (supplier-relationship count): DISTINCT-supplier
+    * counts per part attribute group, with an exclusion set applied as a
+    * NOT-IN anti join BEFORE the distinct aggregate (the reference
+    * excludes complaint-flagged suppliers; the fixture analog excludes
+    * negative-balance ones — an attribute-derived set, like the
+    * original's comment scan). Shape: fact→part attribute join,
+    * anti join against a derived key set, then count_distinct — which
+    * Spark plans as the two-level expand/aggregate, partial-aggregated on
+    * (group, supplier) before the distinct count, so the shuffle carries
+    * distinct combinations, not lineitem rows. No partsupp in the
+    * fixture: the supplier↔part relationships come from shipped lines.
+    */
+  def supplierRelationships(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val prt = Tables.part(spark, dir)
+      .filter(col("p_size").isin(1, 2, 3, 4, 5))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** TPC-H Q21 shape: suppliers who were the sole late shipper of a
     * finished order — EXISTS (another supplier shipped in the same order)
     * as a left-semi join, NOT EXISTS (another supplier was also late) as a

@@ -504,6 +504,14 @@ object Ann {
     * Deterministic end-to-end: seeded coarse + PQ training, smaller-code
     * tie-break in encode, and the exact re-rank's (round(cos,6), vec_id)
     * total order.
+    *
+    * Parameter guidance from the production-regime probe (`PqScaleProbe`,
+    * BASELINE.md): on TIGHTLY-CLUSTERED corpora ADC error rivals the
+    * between-neighbor cosine gaps, so size `m = dim/4` (dsub≈4) at
+    * refine≈10 — that reaches the uncompressed-IVF recall ceiling at 32×
+    * compression — or keep smaller m and spend refine (m=dim/8 needs
+    * refine≈50 there). The defaults suit near-random corpora like the sf
+    * fixtures, where ADC error is small relative to neighbor gaps.
     */
   def ivfPqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
                 numCentroids: Int = 10, nprobe: Int = 8, lloydIters: Int = 4,

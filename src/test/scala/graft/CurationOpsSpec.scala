@@ -55,6 +55,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(all("small") <= 4 && all("mid") <= 16 && all("big") <= 64)
   }
 
+  test("mixture quotas sum to the target within the half-up rounding bound") {
+    // each of d quotas rounds half-up, so the total drifts from the target
+    // by at most d/2 in either direction — PROVIDED no quota is capped by
+    // its domain's size (√-flattening hands small domains MORE than their
+    // raw share, so a large target can over-allocate a small domain; the
+    // cap then shrinks the total legitimately, outside the rounding
+    // bound). Pin the bound on targets kept inside the uncapped regime.
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val nDomains = 2 + rnd.nextInt(5)
+      val sizes = Seq.fill(nDomains)(1 + rnd.nextInt(40))
+      val docs = sizes.zipWithIndex.flatMap { case (sz, d) =>
+        (0 until sz).map(i => (d * 1000L + i, s"t$d-$i", s"dom$d"))
+      }.toDF("doc_id", "text", "source")
+      val w = sizes.map(sz => math.round(math.sqrt(sz.toDouble) * 1e6))
+      val sumW = w.sum
+      val maxSafe = sizes.zip(w)
+        .map { case (sz, wd) => (sz.toLong * sumW) / wd }.min - nDomains
+      val target = 1L + rnd.nextLong().abs % math.max(1L, maxSafe)
+      val total = graft.operators.TextOps.domainMixtureSample(docs, target).count()
+      assert(math.abs(total - target) <= (nDomains + 1) / 2,
+        s"trial $trial: |$total - $target| > ${(nDomains + 1) / 2} (sizes=$sizes)")
+    }
+  }
+
   test("span dedup keeps first occurrence only and reconstructs the rest") {
     val docs = Seq(
       (1L, "a b c d"),   // spans: "a b", "c d"

@@ -171,6 +171,7 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, d) => Analytics.waitingSuppliers(prep(s), d)),
     "q9_nation_profit" -> ((s, d) => Analytics.nationProfit(prep(s), d)),
     "q16_supplier_cnt" -> ((s, d) => Analytics.supplierRelationships(prep(s), d)),
+    "q20_excess_stock" -> ((s, d) => Analytics.excessStockSuppliers(prep(s), d)),
     "q11_important_parts" -> ((s, d) => Analytics.importantParts(prep(s), d)),
     "dedup_embedding_lsh" -> ((s, d) =>
       Ann.embeddingNearDupLsh(Tables.embeddings(prep(s), d), 0.4)),
@@ -537,6 +538,8 @@ object SparkEntry {
       s"WITH rev AS (SELECT l_suppkey, ${fxSumSql("l_extendedprice * (1 - l_discount)", 10000L)} AS rev_scaled FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01' GROUP BY 1) SELECT s_suppkey, s_name, ${fxTotalSql("rev_scaled", 10000L, 2)} AS total_revenue FROM rev JOIN supplier ON l_suppkey = s_suppkey WHERE rev_scaled = (SELECT max(rev_scaled) FROM rev)",
     "q21_waiting_suppliers" ->
       "WITH lf AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderstatus = 'F'), late AS (SELECT l_orderkey, l_suppkey FROM lf WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY) SELECT s_name, numwait FROM (SELECT l1.l_suppkey, count(*) AS numwait FROM late l1 WHERE EXISTS (SELECT 1 FROM lf l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey) GROUP BY 1) JOIN supplier ON l_suppkey = s_suppkey ORDER BY numwait DESC, s_name LIMIT 20",
+    "q20_excess_stock" ->
+      "WITH li AS (SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100) AS BIGINT) AS qty FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_name LIKE 'small%'), ps AS (SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS qty_ps FROM li GROUP BY 1, 2), p AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS qty_p, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ns FROM li GROUP BY 1) SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM ps JOIN p USING (l_partkey) WHERE qty_ps * ns > 3 * qty_p) ORDER BY s_suppkey",
     "q16_supplier_cnt" ->
       "SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size IN (1, 2, 3, 4, 5) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
     "q9_nation_profit" ->

@@ -695,6 +695,43 @@ object Analytics {
         col("p_size"))
   }
 
+  /** TPC-H Q20 shape (excess-stock suppliers): the nested
+    * IN-chain — suppliers selected because THEY have a qualifying
+    * relationship to a part that itself qualifies via a correlated
+    * aggregate. Fixture adaptation (no partsupp): a supplier qualifies
+    * for a name-filtered part when its shipped quantity of that part
+    * exceeds 3× the average supplier's share of that part (the
+    * reference's `ps_availqty > 0.5 · sum(l_quantity)` correlation
+    * re-rooted on shipments — a fixed half-share empties here because
+    * ~30 suppliers ship each part, the same scale-dependence q11's
+    * fraction had); the supplier list is then a semi-join against the
+    * qualifying (supplier, part) set. Decorrelation: per-(part, supplier)
+    * and per-part aggregates are two rollups of the same filtered fact,
+    * joined on the part key — no correlated re-execution; the threshold
+    * is compared in cross-multiplied scaled-long integers
+    * (`qty_ps·ns > 3·qty_p`).
+    */
+  def excessStockSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val prt = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val qtyScaled = round(col("l_quantity") * 100).cast("long")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), qtyScaled.as("qty"))
+      .join(prt, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_suppkey", "qty")
+    val perPartSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("qty")).as("qty_ps"))
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("qty_p"),
+        countDistinct(col("l_suppkey")).as("ns"))
+    val qualifying = perPartSupp.join(perPart, "l_partkey")
+      .filter(col("qty_ps") * col("ns") > lit(3L) * col("qty_p"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q21 shape: suppliers who were the sole late shipper of a
     * finished order — EXISTS (another supplier shipped in the same order)
     * as a left-semi join, NOT EXISTS (another supplier was also late) as a

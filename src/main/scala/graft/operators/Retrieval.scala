@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -85,16 +85,6 @@ object Retrieval {
     val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .join(broadcast(qtok.select("token").distinct()), "token")
 
-    // constants fold in-engine on both sides (never pre-computed in
-    // Scala): `k1 + 1` etc. must be the same IEEE ops the oracle's SQL
-    // literals produce, or micro-unit rounding can flip at boundaries
-    val k1c = lit(k1)
-    val bc = lit(b)
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val tfn = (col("tf") * (k1c + lit(1.0))) /
-      (col("tf") + k1c * (lit(1.0) - bc + bc * col("dl") / col("avgdl")))
-
     // dfq is ≤ |query vocab| rows but its subtree contains a corpus-wide
     // aggregate, so a broadcast() hint would carry no structural
     // boundedness evidence (HintPolicySpec); AQE broadcasts it at runtime
@@ -104,12 +94,30 @@ object Retrieval {
       .join(dfq, "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
+    scoreTerms(terms, k, k1, b)
+  }
+
+  /** Shared scoring tail: `terms` carries `(q_id, doc_id, tf, df, dl,
+    * n_docs, avgdl)`; emits the ranked `(q_id, doc_id, score_micro, rk)`.
+    * Constants fold in-engine on both sides (never pre-computed in
+    * Scala): `k1 + 1` etc. must be the same IEEE ops the oracle's SQL
+    * literals produce, or micro-unit rounding can flip at boundaries.
+    */
+  private def scoreTerms(terms: DataFrame, k: Int,
+                         k1: Double, b: Double): DataFrame = {
+    val spark = terms.sparkSession
+    import spark.implicits._
+    val k1c = lit(k1)
+    val bc = lit(b)
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = (col("tf") * (k1c + lit(1.0))) /
+      (col("tf") + k1c * (lit(1.0) - bc + bc * col("dl") / col("avgdl")))
+    val scored = terms
       .select(col("q_id"), col("doc_id"),
         round(idf * tfn * lit(1000000.0), 0).cast("long").as("term_micro"))
-
-    val scored = terms.groupBy("q_id", "doc_id")
+      .groupBy("q_id", "doc_id")
       .agg(sum(col("term_micro")).as("score_micro"))
-
     // micro-unit scores are < 2^53, so the Double score in the bounded
     // top-k aggregate is still exact; rank = position in its total order
     scored.select(col("q_id"), col("doc_id"),
@@ -122,5 +130,77 @@ object Retrieval {
       .select(col("q_id"), col("e.id").as("doc_id"),
         col("e.score").cast("long").as("score_micro"),
         (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** Token → index bucket: the partition key of the persisted postings.
+    * xxhash64 is a deterministic Spark built-in, so the probe side can
+    * recompute bucket ids for its query tokens and prune to them.
+    */
+  private def bucketOf(token: Column, numBuckets: Int): Column =
+    pmod(xxhash64(token), lit(numBuckets.toLong))
+
+  /** Persist the text index: tf postings and per-token df land
+    * `partitionBy(bucket)` (bucket = hash of the token), doc lengths and
+    * the 1-row corpus stats beside them — build once, query many. At
+    * query time only the query tokens' buckets are READ (partition
+    * pruning), so per-query index I/O is O(|query vocab| / numBuckets) of
+    * the postings, never a corpus scan — the lexical analog of the IVF
+    * index's probed-lists-only contract.
+    */
+  def buildTextIndex(documents: DataFrame, path: String,
+                     numBuckets: Int = 64): Unit = {
+    val toks = documents.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    tf.withColumn("bucket", bucketOf(col("token"), numBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucketOf(col("token"), numBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokendf")
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("n_buckets", lit(numBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a persisted [[buildTextIndex]] index. The
+    * postings and df scans are filtered to the query tokens' buckets — a
+    * partition-column `IN` list resolved at planning time — then
+    * token-equi-joined to the query vocabulary. Answers identically to
+    * [[bm25TopK]] over the same corpus (same tokenizer, same stats, same
+    * integer-exact scoring).
+    */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: Seq[(Long, String)], k: Int,
+                        k1: Double = K1, b: Double = B): DataFrame = {
+    import spark.implicits._
+    val qtok = queries.toDF("q_id", "qtext")
+      .select(col("q_id"), explode(TextFns.tokens(col("qtext"))).as("token"))
+      .distinct()
+    // the index is self-describing: numBuckets rides in the 1-row stats
+    // table, so the query side never has to be told it
+    val statsAll = spark.read.parquet(s"$path/stats")
+    val numBuckets = statsAll.select("n_buckets").head().getInt(0)
+    val stats = statsAll.select("n_docs", "avgdl")
+    val dl = spark.read.parquet(s"$path/doclen")
+    // bucket ids of the query tokens: |query vocab| longs — driver-tiny,
+    // same contract as the IVF probed-bucket collect
+    val buckets = qtok
+      .select(bucketOf(col("token"), numBuckets).as("bucket"))
+      .distinct().as[Long].collect()
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+    val dfq = spark.read.parquet(s"$path/tokendf")
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+      .join(broadcast(qtok.select("token").distinct()), "token")
+      .select("token", "df")
+    val terms = postings
+      .join(broadcast(qtok), "token")
+      .join(dfq, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+    scoreTerms(terms, k, k1, b)
   }
 }

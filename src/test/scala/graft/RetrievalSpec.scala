@@ -84,6 +84,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == Seq(1L, 3L, 7L))
   }
 
+  test("persisted text index answers identically to the inline path, reading only query-token buckets") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+    Retrieval.buildTextIndex(docs, path)
+    val queries = Retrieval.DefaultQueries
+    val fromIndex = Retrieval.bm25TopKFromIndex(spark, path, queries, 10)
+    val inline = Retrieval.bm25TopK(docs, queries, 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(rows(fromIndex) == rows(inline),
+      "same tokenizer + stats + integer scoring must answer identically from disk")
+    // the query tokens' bucket IN-list must reach the postings scan as a
+    // partition filter — non-matching buckets are pruned, never read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"postings scan must prune on the bucket partition column:\n$plan")
+  }
+
   test("rank is dense from 1 and ordered by score desc") {
     val out = run("spark join")
     assert(out.map(_._3).toSeq == (1 to out.length))

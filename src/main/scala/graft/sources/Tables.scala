@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.ts` is physically timestamp[ns]; Spark's µs TimestampType cannot
-    * hold it natively. We read it as raw nanos (LongType via
-    * `spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — matching
-    * DuckDB's ns→µs cast used by the oracle. All other tables are µs/ms and
-    * read untouched.
+  /** `events.ts` has shifted physical type across fixture generations:
+    * timestamp[ns] (read as raw nanos via `spark.sql.legacy.parquet
+    * .nanosAsLong`, truncated to µs here) and timestamp[µs]
+    * isAdjustedToUTC=0 (read as TimestampNTZType by Spark's reader since
+    * `spark.sql.parquet.inferTimestampNTZ` defaults true). Both are
+    * normalized to the session-local TimestampType — the session timezone
+    * is pinned UTC everywhere (prep/Verify/Bench/tests), so NTZ→LTZ names
+    * the same instant DuckDB computes for the oracle. The normalized type
+    * is asserted so a future fixture re-type fails loudly HERE, not 16
+    * queries downstream.
     */
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -48,13 +53,25 @@ object Tables {
     val conf = spark.conf.get(NanosAsLongConf, "false")
     relationCache.computeIfAbsent((spark, path(dir, "events"), s"events:$conf"), _ => {
       val df = spark.read.parquet(path(dir, "events"))
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val normalized = df.schema("ts").dataType match {
+        case LongType =>
           // integral `div`, not `/`: long/int division goes through double and
           // can be off by one ulp at epoch-µs magnitudes
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => df // reader already delivered a timestamp
+        case TimestampNTZType =>
+          // µs NTZ fixture; session tz is pinned UTC so this cast is lossless
+          // and instant-preserving vs the DuckDB oracle
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => df
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unexpected physical/read type $other at ${path(dir, "events")}; " +
+              "extend Tables.events normalization for this fixture generation")
       }
+      require(normalized.schema("ts").dataType == TimestampType,
+        s"events.ts normalization failed: ${normalized.schema("ts").dataType}")
+      normalized
     })
   }
 

@@ -58,6 +58,16 @@ object SparkEntry {
     subtreeCache.computeIfAbsent((spark, dir, "fact"),
       _ => Dedup.latestEvents(Tables.events(prep(spark), dir)))
 
+  /** The committed nested run-log fixture with the generator's schema
+    * applied, so `day_partition` stays a string and the struct columns
+    * resolve identically across sessions — shared by all five run-log
+    * monitoring queries.
+    */
+  private def runLogNested(spark: SparkSession): DataFrame = {
+    val schema = gen.RunLogGen.runLog(spark, 1, 1704067200L).schema
+    prep(spark).read.schema(schema).parquet(RunLogFixture + "/run_log")
+  }
+
   /** Key-mapping dims for star construction. Surrogate-key↔natural-key
     * mappings are dedup-invariant (duplicates add no new keys), so the dim
     * branches of a star query can skip the dedup window — saves 3 window
@@ -104,20 +114,31 @@ object SparkEntry {
     "mon_daily_summary" -> ((s, d) => Monitoring.dailySummary(Tables.events(prep(s), d))),
     "mon_7d_summary" -> ((s, d) => Monitoring.sevenDaySummary(Tables.events(prep(s), d))),
     "mon_errors" -> ((s, d) => Monitoring.errors(Tables.events(prep(s), d))),
-    // The reference's base monitoring view over the REAL nested run-log
-    // shape (P2 dot-path projection + S6 shard pruning): the committed
-    // fixture (gen.RunLogGen, day_partition=-sharded parquet) is read with
-    // an explicit schema so the shard id stays a string, and the 7-day
-    // cutoff is a PartitionFilter — pruned days are never opened.
-    "mon_results_runlog" -> ((s, _) => {
-      val schema = gen.RunLogGen.runLog(s, 1, 1704067200L).schema
-      Monitoring.resultsFromRunLog(
-          prep(s).read.schema(schema).parquet(RunLogFixture + "/run_log"),
-          "20240112")
+    // The reference's monitoring views over the REAL nested run-log shape
+    // (P2 dot-path projection + S6 shard pruning): the committed fixture
+    // (gen.RunLogGen, day_partition=-sharded parquet) is read with an
+    // explicit schema so the shard id stays a string, and the 7-day cutoff
+    // is a PartitionFilter — pruned days are never opened. All five of the
+    // reference's view shapes (results / last-status / daily / 7d / errors)
+    // are oracled on this nested path, so W2/A4/A5/A8/P6/O1 evidence no
+    // longer rests solely on the flat-events fixture family.
+    "mon_results_runlog" -> ((s, _) =>
+      Monitoring.resultsFromRunLog(runLogNested(s), "20240112")
         .select(unix_micros(col("timestamp")).as("ts_us"), col("job_name"),
           col("status"), col("request_url"), col("severity"),
-          col("is_success"))
-    }),
+          col("is_success"))),
+    "mon_last_status_runlog" -> ((s, _) =>
+      Monitoring.lastStatusFromRunLog(runLogNested(s), "20240112")
+        .select(col("job_name"), unix_micros(col("timestamp")).as("ts_us"),
+          col("status"), col("is_success"))),
+    "mon_daily_summary_runlog" -> ((s, _) =>
+      Monitoring.dailySummaryFromRunLog(runLogNested(s), "20240112")),
+    "mon_7d_summary_runlog" -> ((s, _) =>
+      Monitoring.sevenDaySummaryFromRunLog(runLogNested(s), "20240112")),
+    "mon_errors_runlog" -> ((s, _) =>
+      Monitoring.errorsFromRunLog(runLogNested(s), "20240112")
+        .select(unix_micros(col("timestamp")).as("ts_us"), col("job_name"),
+          col("status"), col("request_url"), col("severity"))),
     // ---- quality invariants (SURVEY §5) ----
     "qa_ref_integrity" -> ((s, d) => {
       val raw = Tables.events(prep(s), d)
@@ -368,6 +389,19 @@ object SparkEntry {
   private val ResultsCte =
     "WITH r AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, CAST(ts AS DATE) AS event_date, event_type AS job_name, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS status FROM events WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL)"
 
+  /** DuckDB CTE mirroring Monitoring.resultsFromRunLog over the committed
+    * nested fixture: the same dot paths (resource.labels.job_id,
+    * httpRequest.status), the same shard cutoff, the same try_cast guard —
+    * shared by all five run-log view oracles.
+    */
+  private val RunLogCte =
+    s"WITH rl AS (SELECT * FROM read_parquet('$RunLogFixture/run_log/*/*.parquet', hive_partitioning=true) " +
+      "WHERE CAST(day_partition AS VARCHAR) >= '20240105'), " +
+      "r AS (SELECT timestamp, resource['labels']['job_id'] AS job_name, " +
+      "TRY_CAST(httpRequest['status'] AS BIGINT) AS status, httpRequest['requestUrl'] AS request_url, severity, " +
+      "TRY_CAST(httpRequest['status'] AS BIGINT) BETWEEN 200 AND 299 AS is_success " +
+      "FROM rl WHERE TRY_CAST(httpRequest['status'] AS BIGINT) IS NOT NULL)"
+
   // ---- DuckDB mirrors of graft.functions.FxMath (integer-exact rounding;
   // round(double, k) diverges between engines at half-way boundaries) ----
 
@@ -448,16 +482,21 @@ object SparkEntry {
       s"$FactCte, e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM fact), m AS (SELECT *, row_number() OVER w AS rn, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg, count(*) OVER (PARTITION BY user_id) AS n_total FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), c AS (SELECT *, CAST(row_number() OVER wv AS BIGINT) AS version, lead(ts_us) OVER wv AS effective_to_us, lead(rn) OVER wv AS next_rn FROM m WHERE chg = 1 WINDOW wv AS (PARTITION BY user_id ORDER BY rn)) SELECT user_id, version, event_type, ts_us AS effective_from_us, effective_to_us, CAST(coalesce(next_rn - rn, n_total - rn + 1) AS BIGINT) AS n_events, effective_to_us IS NULL AS is_current FROM c",
     "mon_results" ->
       s"$ResultsCte SELECT event_id, ts_us, job_name, status, status BETWEEN 50 AND 99 AS is_success FROM r",
-    // nested-struct differential: DuckDB extracts the same dot paths
+    // nested-struct differentials: DuckDB extracts the same dot paths
     // (resource.labels.job_id, httpRequest.status) from the same sharded
-    // parquet the engine reads — P2 + S6 get a real cross-engine oracle
+    // parquet the engine reads — the full reference view family (results /
+    // last-status / daily / 7d / errors) gets a real cross-engine oracle
+    // on the nested path (P2 + S6 + W2 + A4/A5/A8 + P6/O1)
     "mon_results_runlog" ->
-      (s"WITH rl AS (SELECT * FROM read_parquet('$RunLogFixture/run_log/*/*.parquet', hive_partitioning=true) " +
-        "WHERE CAST(day_partition AS VARCHAR) >= '20240105') " +
-        "SELECT epoch_us(timestamp) AS ts_us, resource['labels']['job_id'] AS job_name, " +
-        "TRY_CAST(httpRequest['status'] AS BIGINT) AS status, httpRequest['requestUrl'] AS request_url, severity, " +
-        "TRY_CAST(httpRequest['status'] AS BIGINT) BETWEEN 200 AND 299 AS is_success " +
-        "FROM rl WHERE TRY_CAST(httpRequest['status'] AS BIGINT) IS NOT NULL"),
+      s"$RunLogCte SELECT epoch_us(timestamp) AS ts_us, job_name, status, request_url, severity, is_success FROM r",
+    "mon_last_status_runlog" ->
+      s"$RunLogCte SELECT job_name, epoch_us(timestamp) AS ts_us, status, is_success FROM (SELECT *, row_number() OVER (PARTITION BY job_name ORDER BY timestamp DESC, request_url DESC) AS rn FROM r) WHERE rn = 1",
+    "mon_daily_summary_runlog" ->
+      s"$RunLogCte SELECT CAST(timestamp AS DATE) AS event_date, job_name, count(*) AS total_runs, CAST(sum(CASE WHEN is_success THEN 1 ELSE 0 END) AS BIGINT) AS success_runs, CAST(sum(CASE WHEN is_success THEN 0 ELSE 1 END) AS BIGINT) AS failed_runs, ${fxRatioSql("sum(CASE WHEN is_success THEN 1 ELSE 0 END)", "count(*)", 4)} AS success_rate FROM r GROUP BY 1, 2",
+    "mon_7d_summary_runlog" ->
+      s"$RunLogCte SELECT job_name, count(*) AS runs_7d, CAST(sum(CASE WHEN is_success THEN 1 ELSE 0 END) AS BIGINT) AS success_7d, ${fxRatioSql("sum(CASE WHEN is_success THEN 1 ELSE 0 END)", "count(*)", 4)} AS success_rate_7d FROM r GROUP BY 1",
+    "mon_errors_runlog" ->
+      s"$RunLogCte SELECT epoch_us(timestamp) AS ts_us, job_name, status, request_url, severity FROM r WHERE NOT is_success ORDER BY ts_us DESC, request_url DESC",
     "mon_last_status" ->
       s"$ResultsCte SELECT job_name, ts_us, status, status BETWEEN 50 AND 99 AS is_success FROM (SELECT *, row_number() OVER (PARTITION BY job_name ORDER BY ts_us DESC, event_id DESC) AS rn FROM r) WHERE rn = 1",
     "mon_daily_summary" ->

@@ -31,6 +31,15 @@ object SparkEntry {
     */
   val RunLogFixture = "/root/repo/fixtures/runlog"
 
+  /** Committed ANN quantizer fixture (gen.AnnIndexGen): coarse IVF
+    * centroids + PQ codebooks trained once on the sf0.01 corpus — the
+    * production split (quantizer trained on a bounded sample, reused over
+    * the growing corpus), and the thing that makes the IVF / IVF-PQ
+    * queries exactly oracle-able: DuckDB replays assignment, probing, ADC
+    * and the exact re-rank from the same parquet models.
+    */
+  val AnnIndexFixture = "/root/repo/fixtures/annidx"
+
   /** Ensure the ns-timestamp parquet reader conf is set (Tables normalizes
     * `events.ts` ns→µs, matching DuckDB's cast — see Tables.events), and
     * install the engine's optimizer extensions: RewriteRankOneToMaxBy turns
@@ -334,9 +343,12 @@ object SparkEntry {
     "ann_cosine_topk" -> ((s, d) =>
       Ann.bruteTopK(Tables.embeddings(prep(s), d), 10, 5)),
     "ann_ivf_topk" -> ((s, d) =>
-      Ann.ivfTopK(Tables.embeddings(prep(s), d), 10, 5)),
+      Ann.ivfTopKWithCentroids(Tables.embeddings(prep(s), d),
+        Ann.loadCentroids(s, AnnIndexFixture), 10, 5)),
     "ann_ivfpq_topk" -> ((s, d) =>
-      Ann.ivfPqTopK(Tables.embeddings(prep(s), d), 10, 5)),
+      Ann.ivfPqTopKWithModels(Tables.embeddings(prep(s), d),
+        Ann.loadCentroids(s, AnnIndexFixture),
+        Ann.loadCodebooks(s, AnnIndexFixture), 10, 5)),
     "dedup_embedding" -> ((s, d) =>
       Ann.embeddingNearDup(Tables.embeddings(prep(s), d), 0.4)),
     // output exploded back to scalars: array-typed result columns are a
@@ -464,6 +476,31 @@ object SparkEntry {
       "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node), " +
       "assign AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node) " +
       "SELECT node AS doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members, node = cluster_id AS is_canonical FROM assign"
+
+  /** Shared CTEs for the IVF / IVF-PQ oracles: the committed quantizer
+    * (gen.AnnIndexGen parquet), the corpus, nearest-centroid assignment
+    * (UNROUNDED cosine argmax, tie → larger c_id — mirrors
+    * NearestCentroid), the query set, and nprobe probe selection (ROUNDED
+    * cosine, tie → smaller c_id — mirrors Ann.probesFor). Both sides
+    * compute each cosine with the identical operation sequence
+    * (sequential dot, sqrt, one divide), so the doubles are bit-identical
+    * and the argmax/rank decisions agree.
+    */
+  private val AnnIvfCtes = {
+    val cosRaw = (a: String, b: String) =>
+      s"(list_inner_product($a, $b) / nullif(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)), 0))"
+    s"WITH cent AS (SELECT c_id, CAST(c_emb AS DOUBLE[]) AS c_emb FROM read_parquet('$AnnIndexFixture/centroids/*.parquet')), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"asg AS (SELECT vec_id, emb, c_id AS bucket FROM (SELECT e.vec_id, e.emb, c.c_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosRaw("e.emb", "c.c_emb")} DESC NULLS LAST, c.c_id DESC) AS rn FROM e CROSS JOIN cent c) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), " +
+      s"pr AS (SELECT q_id, q_emb, c_id AS bucket FROM (SELECT q.q_id, q.q_emb, c.c_id, row_number() OVER (PARTITION BY q.q_id ORDER BY round(${cosRaw("q.q_emb", "c.c_emb")}, 6) DESC NULLS LAST, c.c_id ASC) AS rn FROM q CROSS JOIN cent c) WHERE rn <= 8)"
+  }
+
+  /** round-6 cosine + (cos DESC, vec_id) top-k tail shared by the ANN
+    * oracles (mirrors Ann.topKPerQuery's total order).
+    */
+  private def annTopKSql(scoredCte: String, k: Int): String =
+    s"SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM $scoredCte WHERE cos IS NOT NULL) WHERE rk <= $k"
 
   def oracleSql: Map[String, String] = Map(
     "fact_dedup" ->
@@ -713,6 +750,28 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersOracleSql(0.7),
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
+    // exact IVF mirror from the committed quantizer: DuckDB re-derives the
+    // bucket assignment, the probe set, and the candidate re-score — not a
+    // recall gate but the same candidate pipeline replayed cross-engine
+    "ann_ivf_topk" ->
+      (AnnIvfCtes +
+        ", sc AS (SELECT pr.q_id, a.vec_id, round(list_inner_product(a.emb, pr.q_emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(pr.q_emb, pr.q_emb)), 0), 6) AS cos FROM asg a JOIN pr ON a.bucket = pr.bucket WHERE a.vec_id <> pr.q_id) " +
+        annTopKSql("sc", 5)),
+    // exact IVF-PQ mirror: PQ encode (per-subspace L2 argmin, tie → smaller
+    // code), per-query ADC LUT (subspace dot / query norm), ADC score as the
+    // sub-ordered left-fold Spark's PqAdcCosine computes, refine·k = 100
+    // shortlist, exact cosine re-rank — every double built with the same
+    // operation sequence as the Catalyst expressions, so ranks agree bitwise
+    "ann_ivfpq_topk" ->
+      (AnnIvfCtes +
+        s", cb AS (SELECT sub, code, CAST(cw AS DOUBLE[]) AS cw, list_inner_product(CAST(cw AS DOUBLE[]), CAST(cw AS DOUBLE[])) AS n2 FROM read_parquet('$AnnIndexFixture/codebooks/*.parquet'))" +
+        ", enc AS (SELECT vec_id, sub, code FROM (SELECT a.vec_id, b.sub, b.code, row_number() OVER (PARTITION BY a.vec_id, b.sub ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), [(a.emb[b.sub * 8 + j] - b.cw[j]) * (a.emb[b.sub * 8 + j] - b.cw[j]) for j in range(1, 9)]), (acc, x) -> acc + x) ASC, b.code ASC) AS rn FROM asg a CROSS JOIN cb b) WHERE rn = 1)" +
+        ", lut AS (SELECT q.q_id, b.sub, b.code, list_inner_product(q.q_emb[b.sub * 8 + 1 : b.sub * 8 + 8], b.cw) / sqrt(list_inner_product(q.q_emb, q.q_emb)) AS lv, b.n2 FROM q CROSS JOIN cb b)" +
+        ", cand AS (SELECT pr.q_id, a.vec_id FROM asg a JOIN pr ON a.bucket = pr.bucket WHERE a.vec_id <> pr.q_id)" +
+        ", adc AS (SELECT c.q_id, c.vec_id, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.lv ORDER BY l.sub)), (acc, x) -> acc + x) AS dot, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.n2 ORDER BY l.sub)), (acc, x) -> acc + x) AS n2s FROM cand c JOIN enc ON enc.vec_id = c.vec_id JOIN lut l ON l.q_id = c.q_id AND l.sub = enc.sub AND l.code = enc.code GROUP BY 1, 2)" +
+        ", sl AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY (dot / sqrt(n2s)) DESC, vec_id ASC) AS rn FROM adc WHERE n2s > 0) WHERE rn <= 100)" +
+        ", rs AS (SELECT sl.q_id, sl.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM sl JOIN e ON e.vec_id = sl.vec_id JOIN q ON q.q_id = sl.q_id) " +
+        annTopKSql("rs", 5)),
     "dedup_embedding" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) >= 0.4",
     // the media metadata is deterministic — the fixture's blobs are the

@@ -302,10 +302,49 @@ object Ann {
               lloydIters: Int = 4, spill: Int = 1): DataFrame = {
     val corpus = emb(embeddings)
     val cents = trainCentroids(corpus, numCentroids, lloydIters)
+    ivfTopKWithCentroids(embeddings, cents, nQueries, k, nprobe, spill)
+  }
+
+  /** IVF top-k against a PRE-TRAINED coarse quantizer — the production
+    * split: the quantizer is trained once on a bounded sample (committed
+    * as a fixture here — see gen.AnnIndexGen) and reused across the
+    * corpus. Given fixed centroids every step (assignment argmax, probe
+    * selection, candidate join, ranked re-score) is deterministic
+    * arithmetic, which is what makes this path exactly oracle-able.
+    */
+  def ivfTopKWithCentroids(embeddings: DataFrame,
+                           cents: Array[(Long, Array[Double])],
+                           nQueries: Int, k: Int, nprobe: Int = 8,
+                           spill: Int = 1): DataFrame = {
+    val corpus = emb(embeddings)
     val queries = corpus.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     scoreAndTopK(assignBucketsSpill(corpus, cents, spill),
       probesFor(queries, cents, nprobe), k, dedupe = spill > 1)
+  }
+
+  /** Load a centroid table written by [[buildIvfIndex]] / gen.AnnIndexGen:
+    * `(c_id, c_emb)`, driver-held (numCentroids rows — tiny by
+    * construction).
+    */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids").select("c_id", "c_emb")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, e) => (id, e.toArray) }
+  }
+
+  /** Load PQ codebooks written by [[buildIvfPqIndex]] / gen.AnnIndexGen. */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select("sub", "code", "cw")
+      .as[(Int, Int, Seq[Double])].collect()
+    PqModel(rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(_._3.toArray).toArray }
+      .toArray)
   }
 
   /** Persist the IVF index: the assigned corpus lands `partitionBy(bucket)`
@@ -519,6 +558,19 @@ object Ann {
     val corpus = emb(embeddings)
     val cents = trainCentroids(corpus, numCentroids, lloydIters)
     val pq = trainPq(corpus, m, ksub)
+    ivfPqTopKWithModels(embeddings, cents, pq, nQueries, k, nprobe, refine)
+  }
+
+  /** IVF-PQ top-k against PRE-TRAINED coarse centroids and PQ codebooks
+    * (see [[ivfTopKWithCentroids]] for why the split matters): coarse
+    * pruning → ADC shortlist over codes → exact cosine re-rank, all
+    * deterministic given the models.
+    */
+  def ivfPqTopKWithModels(embeddings: DataFrame,
+                          cents: Array[(Long, Array[Double])], pq: PqModel,
+                          nQueries: Int, k: Int, nprobe: Int = 8,
+                          refine: Int = 20): DataFrame = {
+    val corpus = emb(embeddings)
     val codes = assignBuckets(corpus, cents)
       .select(col("vec_id"), col("bucket"), graft.functions.expr
         .VectorExpressions.pqEncode(col("emb"), pq.codebooks).as("codes"))

@@ -48,31 +48,30 @@ object Components {
     * (columns `src`, `dst`). Returns one row per node that appears in any
     * edge: (`node`, `component`) where `component` is the minimum node id
     * reachable from `node` — deterministic, content-independent labels.
-    * The result reads the final round's cached labels (bounded by the
-    * clustered-node count); long-lived sessions that need that cache
-    * released should use [[connectedComponentsStaged]], whose second
-    * element is the unpersist handle (unpersisting the RETURNED projection
-    * would be a silent no-op — the cache entry is the pre-rename frame).
+    * The result reads the final round's checkpointed label frontier
+    * (bounded by the clustered-node count; the blocks are released when the
+    * frame is garbage-collected).
     */
   def connectedComponents(edges: DataFrame): DataFrame =
     connectedComponentsStaged(edges)._1
 
-  /** As [[connectedComponents]], plus the handle whose `unpersist()`
-    * releases the final round's cached labels once the caller's downstream
-    * output is materialized (for the star-contraction fallback the handle
-    * is the result itself and unpersisting it is a harmless no-op — that
-    * path is checkpoint-backed, not cache-backed).
+  /** As [[connectedComponents]], plus the final label frame for staged
+    * callers. Both propagation paths are checkpoint-backed now, so
+    * `unpersist()` on the handle is a harmless no-op (kept for interface
+    * stability with staged pipelines written against the cache-backed
+    * form).
     */
   private[graft] def connectedComponentsStaged(edges: DataFrame): (DataFrame, DataFrame) = {
-    // persist the DIRECTED edge list: both union branches read the cache,
-    // so an expensive upstream (e.g. the jaccard pair join) computes once —
-    // persisting the union instead would run that lineage twice, once per
-    // branch. No standalone materializing count(): the cache fills inside
-    // round-0's convergence job below (block-level locking dedups the two
-    // union branches' shared lineage within that job), saving one full pass
-    // over the pair set per call.
-    val e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cut the upstream lineage at the boundary: the DIRECTED edge list is
+    // materialized once (one job — the same single pass over the pair join
+    // the previous persist-based form paid inside round 0), and every
+    // round's plan then starts from the checkpointed relation. Merely
+    // persisting is NOT enough here: the cache substitutes at physical
+    // planning, but Catalyst still re-ANALYZES the full pair-generation
+    // tree (shingle explode + prefix join) inside every round's join, and
+    // that re-analysis — not execution — was the dominant cost of the
+    // whole operator (BENCH_DETAIL r10: 5.4 s plan vs 0.6 s exec at sf0.1).
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
     // round 0 already folds direct neighbors: label = min(self, neighbors)
@@ -80,7 +79,7 @@ object Components {
       .groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("node"), least(col("node"), col("min_nbr")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // the convergence aggregate doubles as the cache materializer — ONE
     // Spark job per round, not a checkpoint job plus a sum job.
     // sum() over an empty frame is null: a pair-free input (no near-dups
@@ -95,7 +94,6 @@ object Components {
     }
     var labelSum = labelSumOf(labels)
     if (labelSum.isEmpty) {
-      e.unpersist(blocking = false)
       return (labels.select(col("node"), col("label").as("component")), labels)
     }
 
@@ -109,19 +107,18 @@ object Components {
       val grouped = labels.union(pushed)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
-      // persist keeps each round's physical work cached; a true lineage cut
-      // (checkpoint) is only needed every few rounds to bound plan depth
-      val next =
-        if (iter % 4 == 3) grouped.localCheckpoint(true)
-        else grouped.persist(StorageLevel.MEMORY_AND_DISK)
+      // checkpoint EVERY round (not persist): each round's frame is both
+      // the next round's input and the convergence probe's, so the frontier
+      // must be materialized anyway — and the checkpoint keeps round k's
+      // plan O(1)-deep where the persist-based form left a k-deep analyzed
+      // tree (the round-9/10 planning tail)
+      val next = grouped.localCheckpoint(true)
       val nextSum = labelSumOf(next)
       converged = nextSum == labelSum // labels only decrease: sum-stable = fixpoint
-      labels.unpersist(blocking = false)
       labels = next
       labelSum = nextSum
       iter += 1
     }
-    e.unpersist(blocking = false)
     if (!converged) {
       // diameter > MaxIterations (adversarial chain graph): the labels at
       // the cap are WRONG (clusters split), so never return them silently —
@@ -130,7 +127,6 @@ object Components {
       log.warn(s"label propagation hit the $MaxIterations-round cap without " +
         "converging (component diameter exceeds the cap); falling back to " +
         "starContractionComponents")
-      labels.unpersist(blocking = false)
       val out = starContractionComponents(edges)
       return (out, out)
     }

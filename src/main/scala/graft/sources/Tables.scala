@@ -50,11 +50,19 @@ object Tables {
     * reader types the ns column, so it participates in the key.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val conf = spark.conf.get(NanosAsLongConf, "false")
+    // both reader confs change how the physical `ts` column is typed
+    // (nanosAsLong: ns→LongType; inferTimestampNTZ: µs-NTZ→TimestampNTZType
+    // vs TimestampType), so both participate in the cache key — a session
+    // toggling either mid-run must not reuse a plan built under the other
+    val conf = spark.conf.get(NanosAsLongConf, "false") + ":" +
+      spark.conf.get("spark.sql.parquet.inferTimestampNTZ", "true")
     relationCache.computeIfAbsent((spark, path(dir, "events"), s"events:$conf"), _ => {
       val df = spark.read.parquet(path(dir, "events"))
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val normalized = df.schema("ts").dataType match {
+      // every arm below returns TimestampType (timestamp_micros, explicit
+      // cast, checked passthrough) and the default throws, so no trailing
+      // re-check is needed
+      df.schema("ts").dataType match {
         case LongType =>
           // integral `div`, not `/`: long/int division goes through double and
           // can be off by one ulp at epoch-µs magnitudes
@@ -69,14 +77,34 @@ object Tables {
             s"events.ts: unexpected physical/read type $other at ${path(dir, "events")}; " +
               "extend Tables.events normalization for this fixture generation")
       }
-      require(normalized.schema("ts").dataType == TimestampType,
-        s"events.ts normalization failed: ${normalized.schema("ts").dataType}")
-      normalized
     })
   }
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "orders")
+  /** Like [[events]]' NTZ arm but for the plain timestamp columns of the
+    * TPC-H-ish tables (`l_shipdate`, `o_orderdate`): the current fixture
+    * generation writes µs isAdjustedToUTC=0, which Spark reads as
+    * TimestampNTZType. Downstream comparisons only behave because every
+    * session pins UTC — normalizing to the session TimestampType at the
+    * boundary (lossless, instant-preserving under that pin) removes the
+    * NTZ/LTZ asymmetry with `events.ts` and keeps FixtureSchemaSpec's pin
+    * stable across fixture generations.
+    */
+  private def tsNormalized(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val conf = spark.conf.get("spark.sql.parquet.inferTimestampNTZ", "true")
+    relationCache.computeIfAbsent((spark, path(dir, name), s"tsnorm:$conf"), _ => {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      val df = spark.read.parquet(path(dir, name))
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        f.dataType match {
+          case TimestampNTZType => d.withColumn(f.name, col(f.name).cast(TimestampType))
+          case _ => d
+        }
+      }
+    })
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = tsNormalized(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = tsNormalized(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = raw(spark, dir, "part")

@@ -62,22 +62,32 @@ object StreamDedup {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
 
-  /** Streaming form of the run-log daily monitoring rollup: the same
-    * nested-field extraction + success band as the batch view
-    * (Monitoring.dailySummaryFromRunLog), expressed over a file-discovered
+  /** The run-log base projection shared by every streaming monitoring view:
+    * the same nested dot paths, try_cast status guard, and 2xx success band
+    * as the batch view (Monitoring.resultsFromRunLog) — stateless, so it
+    * composes under any streaming output mode. Columns a view doesn't use
+    * are pruned by Catalyst.
+    */
+  private def runLogResults(runLogStream: DataFrame): DataFrame =
+    runLogStream
+      .select(
+        col("timestamp"),
+        col("resource.labels.job_id").as("job_name"),
+        expr("try_cast(httpRequest.status AS BIGINT)").as("status"),
+        col("httpRequest.requestUrl").as("request_url"),
+        col("severity"))
+      .filter(col("status").isNotNull)
+      .withColumn("is_success", col("status").between(200, 299))
+
+  /** Streaming form of the run-log daily monitoring rollup: the batch view
+    * (Monitoring.dailySummaryFromRunLog) expressed over a file-discovered
     * log stream with a watermarked 1-day tumbling window. The watermark
     * bounds per-job aggregation state to (open windows × jobs); late log
     * records inside the delay still land in their day.
     */
   def streamingRunLogDailySummary(runLogStream: DataFrame,
                                   watermarkDelay: String = "1 hour"): DataFrame =
-    runLogStream
-      .select(
-        col("timestamp"),
-        col("resource.labels.job_id").as("job_name"),
-        expr("try_cast(httpRequest.status AS BIGINT)").as("status"))
-      .filter(col("status").isNotNull)
-      .withColumn("is_success", col("status").between(200, 299))
+    runLogResults(runLogStream)
       .withWatermark("timestamp", watermarkDelay)
       .groupBy(window(col("timestamp"), "1 day"), col("job_name"))
       .agg(
@@ -85,6 +95,34 @@ object StreamDedup {
         sum(when(col("is_success"), 1L).otherwise(0L)).as("success_runs"))
       .select(col("window.start").cast("date").as("event_date"), col("job_name"),
         col("total_runs"), col("success_runs"))
+
+  /** Streaming form of the last-status view (W2 continuous): keep-latest
+    * per job as a `max_by` aggregate — the same map-side-combining shape as
+    * the batch Dedup.keepLatestAgg rewrite, with streaming state bounded to
+    * ONE row per job (no watermark needed: the state never grows with
+    * input, only with the job universe). Same (timestamp, request_url)
+    * survivor total order as Monitoring.lastStatusFromRunLog.
+    */
+  def streamingRunLogLastStatus(runLogStream: DataFrame): DataFrame =
+    runLogResults(runLogStream)
+      .groupBy(col("job_name"))
+      .agg(max_by(
+        struct(col("timestamp"), col("status"), col("is_success")),
+        struct(col("timestamp"), col("request_url"))).as("__last"))
+      .select(col("job_name"), col("__last.timestamp").as("timestamp"),
+        col("__last.status").as("status"),
+        col("__last.is_success").as("is_success"))
+
+  /** Streaming form of the errors view (P6 continuous): stateless
+    * nested-field extract + failure filter, append mode, zero state. The
+    * batch view's newest-first ORDER BY is presentation-only and has no
+    * streaming analog (a global sort over an unbounded stream is
+    * undefined); readers sort their window.
+    */
+  def streamingRunLogErrors(runLogStream: DataFrame): DataFrame =
+    runLogResults(runLogStream)
+      .filter(!col("is_success"))
+      .select("timestamp", "job_name", "status", "request_url", "severity")
 
   /** foreachBatch MERGE analog (SURVEY.md §2.9 "streaming: dropDuplicates…
     * or foreachBatch + MERGE"): each micro-batch is merged into a

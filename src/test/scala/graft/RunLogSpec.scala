@@ -113,6 +113,53 @@ class RunLogSpec extends AnyFunSuite {
     batch.foreach { case (k, v) => assert(streamed.get(k).contains(v), s"$k") }
   }
 
+  test("streaming last-status equals the batch run-log view") {
+    val dir = Files.createTempDirectory("graft-runlog-laststatus")
+    // stream the same trailing-7-day slice the batch view prunes to, so the
+    // two sides see identical input
+    val slice = log.filter($"day_partition" >= "20240105")
+    slice.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(log.schema).parquet(dir.toString)
+    val q = graft.streaming.StreamDedup.streamingRunLogLastStatus(stream)
+      .writeStream.format("memory").queryName("runlog_last_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[String]("job_name") ->
+        (r.getAs[java.sql.Timestamp]("timestamp"), r.getAs[Long]("status"),
+          r.getAs[Boolean]("is_success"))
+    val streamed = spark.table("runlog_last_out").collect().map(key).toMap
+    val batch = Monitoring.lastStatusFromRunLog(log, "20240112")
+      .collect().map(key).toMap
+    assert(batch.size == 3)
+    assert(streamed == batch)
+  }
+
+  test("streaming errors equals the batch run-log view as a set") {
+    val dir = Files.createTempDirectory("graft-runlog-errors")
+    val slice = log.filter($"day_partition" >= "20240105")
+    slice.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(log.schema).parquet(dir.toString)
+    // stateless view → append mode, no watermark, zero streaming state
+    val q = graft.streaming.StreamDedup.streamingRunLogErrors(stream)
+      .writeStream.format("memory").queryName("runlog_errors_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("timestamp"), r.getAs[String]("job_name"),
+        r.getAs[Long]("status"), r.getAs[String]("request_url"),
+        r.getAs[String]("severity"))
+    val streamed = spark.table("runlog_errors_out").collect().map(key).toSet
+    // batch orders newest-first (presentation); the stream has no global
+    // order — set equality is the equivalence that matters
+    val batch = Monitoring.errorsFromRunLog(log, "20240112")
+      .collect().map(key).toSet
+    assert(batch.size == 152)
+    assert(streamed == batch)
+  }
+
   test("errors view keeps only 500s, with severity, newest first") {
     val e = Monitoring.errorsFromRunLog(log, "20240112").collect()
     assert(e.length == 152)

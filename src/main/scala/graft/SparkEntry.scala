@@ -204,7 +204,8 @@ object SparkEntry {
     "q20_excess_stock" -> ((s, d) => Analytics.excessStockSuppliers(prep(s), d)),
     "q11_important_parts" -> ((s, d) => Analytics.importantParts(prep(s), d)),
     "dedup_embedding_lsh" -> ((s, d) =>
-      Ann.embeddingNearDupLsh(Tables.embeddings(prep(s), d), 0.4)),
+      Ann.embeddingNearDupLshWithPlanes(Tables.embeddings(prep(s), d),
+        Ann.loadPlanes(s, AnnIndexFixture), 0.4)),
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(prep(s), d)
       val left = ev.select(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -774,6 +775,22 @@ object SparkEntry {
         annTopKSql("rs", 5)),
     "dedup_embedding" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) >= 0.4",
+    // exact LSH mirror from the committed hyperplanes: sign bits via the
+    // raw dot product (same sign as the cosine Spark thresholds — norms are
+    // positive, zero-norm → null cosine ≡ bit 0), 4-bit bands, exact-plus-
+    // one-bit-flip multi-probe, candidate equi-join, exact cosine refine —
+    // the full candidate pipeline replayed cross-engine, not a recall gate
+    "dedup_embedding_lsh" ->
+      (s"WITH pl AS (SELECT CAST(p_id AS INTEGER) AS p_id, CAST(p_vec AS DOUBLE[]) AS p_vec FROM read_parquet('$AnnIndexFixture/planes/*.parquet')), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "sig AS (SELECT e.vec_id, CAST(sum(CASE WHEN list_inner_product(e.emb, pl.p_vec) > 0 THEN (1 << pl.p_id) ELSE 0 END) AS INTEGER) AS sig FROM e CROSS JOIN pl GROUP BY e.vec_id), " +
+        "bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(4)), " +
+        "flips AS (SELECT CAST(range AS INTEGER) AS i FROM range(5)), " +
+        "idx AS (SELECT s.vec_id, b.band, (s.sig >> (b.band * 4)) & 15 AS bv FROM sig s CROSS JOIN bands b), " +
+        "pro AS (SELECT s.vec_id, b.band, CASE WHEN f.i = 0 THEN (s.sig >> (b.band * 4)) & 15 ELSE xor((s.sig >> (b.band * 4)) & 15, 1 << (f.i - 1)) END AS bv FROM sig s CROSS JOIN bands b CROSS JOIN flips f), " +
+        "cand AS (SELECT DISTINCT p.vec_id AS vec_a, x.vec_id AS vec_b FROM pro p JOIN idx x ON p.band = x.band AND p.bv = x.bv WHERE p.vec_id < x.vec_id), " +
+        "sc AS (SELECT c.vec_a, c.vec_b, round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) AS cos FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b) " +
+        "SELECT vec_a, vec_b, cos FROM sc WHERE cos >= 0.4"),
     // the media metadata is deterministic — the fixture's blobs are the
     // documents' UTF-8 bytes (pure ASCII, verified: no doc matches an
     // image/RIFF signature either), so the decode stub's FNV-ish fold

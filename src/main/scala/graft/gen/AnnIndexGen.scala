@@ -50,7 +50,14 @@ object AnnIndexGen {
       cb.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
     }.toSeq.toDF("sub", "code", "cw")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/codebooks")
-    println(s"[annidx] centroids=${cents.length} codebooks=${pq.codebooks.map(_.length).mkString(",")}")
+    // the LSH hyperplanes are data-independent (seeded Gaussians) but belong
+    // in the same committed fixture: the near-dup oracle replays the
+    // signature/band/multi-probe pipeline from this parquet, bit-for-bit
+    val planes = Ann.lshPlanes(bits = 16, dim = 64, seed = 7L)
+    planes.zipWithIndex.map { case (p, i) => (i, p.toSeq) }
+      .toSeq.toDF("p_id", "p_vec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/planes")
+    println(s"[annidx] centroids=${cents.length} codebooks=${pq.codebooks.map(_.length).mkString(",")} planes=${planes.length}")
     spark.stop()
   }
 }

@@ -710,12 +710,41 @@ object Ann {
     * bucket distributions, which is the 100-TB property that matters.
     */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double,
-                          seed: Long = 7L): DataFrame = {
-    val bits = 16
-    val corpus = emb(embeddings)
-    val dim = 64
+                          seed: Long = 7L): DataFrame =
+    embeddingNearDupLshWithPlanes(embeddings, lshPlanes(16, 64, seed), threshold)
+
+  /** The 16 Gaussian hyperplanes behind [[embeddingNearDupLsh]], exposed so
+    * they can be committed as a parquet fixture (gen.AnnIndexGen) and the
+    * whole signature → band → multi-probe → refine pipeline replayed
+    * exactly by the DuckDB oracle — the same train-once/commit/replay split
+    * as the IVF centroids.
+    */
+  def lshPlanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Committed-hyperplane fixture loader (`$path/planes`: p_id, p_vec);
+    * parquet round-trips IEEE doubles exactly, so the loaded planes are
+    * bit-identical to the generated ones and to what the oracle reads.
+    */
+  def loadPlanes(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/planes").select("p_id", "p_vec")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+  }
+
+  /** [[embeddingNearDupLsh]] against explicit hyperplanes. The sign bit of
+    * the cosine equals the sign bit of the raw dot product (norms are
+    * positive; a zero-norm vector yields null cosine → bit 0, exactly the
+    * `dot > 0 = false` the oracle computes), so the cross-engine contract
+    * is just bit-identical sequential dot products.
+    */
+  def embeddingNearDupLshWithPlanes(embeddings: DataFrame,
+                                    planes: Array[Array[Double]],
+                                    threshold: Double): DataFrame = {
+    val corpus = emb(embeddings)
     val sig = planes.zipWithIndex.map { case (p, i) =>
       when(SimFns.cosine(col("emb"), typedLit(p.toSeq)) > 0, 1 << i).otherwise(0)
     }.reduce(_ + _)

@@ -266,6 +266,23 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 at the shipped threshold")
   }
 
+  test("committed hyperplane fixture replays the seeded LSH exactly") {
+    // the dedup_embedding_lsh oracle replays signatures from the parquet
+    // planes; this pins the fixture ≡ the seeded generator (parquet
+    // round-trips IEEE doubles exactly), so the shipped query and the
+    // in-code default stay one algorithm
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val loaded = Ann.loadPlanes(spark, "/root/repo/fixtures/annidx")
+    val seeded = Ann.lshPlanes(16, 64, 7L)
+    assert(loaded.length == seeded.length)
+    assert(loaded.zip(seeded).forall { case (a, b) => a.sameElements(b) },
+      "fixture planes must be bit-identical to the seeded generator")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(Ann.embeddingNearDupLshWithPlanes(emb, loaded, 0.4)) ==
+      rows(Ann.embeddingNearDupLsh(emb, 0.4)))
+  }
+
   test("persisted IVF index answers identically to the inline path, reading only probed buckets") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString

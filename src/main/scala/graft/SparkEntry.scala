@@ -346,6 +346,9 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Ann.ivfTopKWithCentroids(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture), 10, 5)),
+    "semantic_dedup" -> ((s, d) =>
+      Ann.semanticDedup(Tables.embeddings(prep(s), d),
+        Ann.loadCentroids(s, AnnIndexFixture), 0.4)),
     "ann_ivfpq_topk" -> ((s, d) =>
       Ann.ivfPqTopKWithModels(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture),
@@ -775,6 +778,20 @@ object SparkEntry {
         annTopKSql("rs", 5)),
     "dedup_embedding" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) AS cos FROM e a JOIN e b ON a.vec_id < b.vec_id WHERE round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) >= 0.4",
+    // SemDeDup mirror: nearest-centroid assignment from the committed
+    // quantizer (unrounded argmax, tie → larger c_id — same as the IVF
+    // asg CTE), within-bucket pairwise cosine refine, recursive-CTE
+    // closure (the dedup_clusters pattern), min-id survivor per group
+    "semantic_dedup" ->
+      (s"WITH RECURSIVE cent AS (SELECT c_id, CAST(c_emb AS DOUBLE[]) AS c_emb FROM read_parquet('$AnnIndexFixture/centroids/*.parquet')), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "asg AS (SELECT vec_id, emb, c_id AS bucket FROM (SELECT e.vec_id, e.emb, c.c_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY (list_inner_product(e.emb, c.c_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.c_emb, c.c_emb)), 0)) DESC NULLS LAST, c.c_id DESC) AS rn FROM e CROSS JOIN cent c) WHERE rn = 1), " +
+        "pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) >= 0.4), " +
+        "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs), " +
+        "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e2.dst AS node, r.comp FROM reach r JOIN edges e2 ON e2.src = r.node), " +
+        "comp AS (SELECT node, min(comp) AS group_id FROM reach GROUP BY node), " +
+        "allv AS (SELECT a.vec_id, a.bucket, coalesce(c.group_id, a.vec_id) AS group_id FROM asg a LEFT JOIN comp c ON c.node = a.vec_id) " +
+        "SELECT vec_id, bucket, group_id, count(*) OVER (PARTITION BY group_id) AS n_members, vec_id = group_id AS keep FROM allv"),
     // exact LSH mirror from the committed hyperplanes: sign bits via the
     // raw dot product (same sign as the cosine Spark thresholds — norms are
     // positive, zero-norm → null cosine ≡ bit 0), 4-bit bands, exact-plus-

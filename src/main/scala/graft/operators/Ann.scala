@@ -850,4 +850,50 @@ object Ann {
         round(SimFns.cosine(col("ea"), col("eb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540, §3): assign every vector to its nearest committed
+    * coarse centroid (zero-shuffle codegen argmax), find duplicate pairs
+    * ONLY within a cluster — a `bucket` equi-join + exact cosine refine,
+    * so the pairwise work is Σ nᵢ² over cluster sizes instead of n² over
+    * the corpus, which is the paper's entire scalability device — then
+    * connect the pairs and keep one representative (min vec_id, the
+    * engine-wide canonical-survivor convention of dedupClusters) per
+    * duplicate group.
+    *
+    * Output is a per-vector keep/drop decision, singletons included:
+    * (vec_id, bucket, group_id, n_members, keep). Pairs never cross
+    * buckets, so groups are bucket-local by construction — cross-cluster
+    * duplicates are the recall the paper deliberately trades for the
+    * n²→Σnᵢ² cut (mitigable with `assignBucketsSpill`, the same boundary
+    * lever IVF uses).
+    *
+    * Exactly oracle-able from the committed quantizer: given the centroid
+    * fixture, assignment, pair set, and closure are deterministic
+    * arithmetic DuckDB replays (the `ann_ivf_topk` pattern + the
+    * recursive-CTE closure of `dedup_clusters`).
+    */
+  def semanticDedup(embeddings: DataFrame,
+                    cents: Array[(Long, Array[Double])],
+                    threshold: Double): DataFrame = {
+    val assigned = assignBuckets(emb(embeddings), cents)
+    val pairs = assigned
+      .select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("ea"))
+      .join(assigned.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("emb").as("eb")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(SimFns.cosine(col("ea"), col("eb")), 4) >= threshold)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val cc = Components.connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("component"))
+    val grouped = assigned.select(col("vec_id"), col("bucket"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"),
+        coalesce(col("component"), col("vec_id")).as("group_id"))
+    val sizes = grouped.groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_members"))
+    grouped.join(sizes, "group_id") // groups ≪ vectors: AQE broadcasts
+      .select(col("vec_id"), col("bucket"), col("group_id"), col("n_members"),
+        (col("vec_id") === col("group_id")).as("keep"))
+  }
 }

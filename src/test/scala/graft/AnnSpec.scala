@@ -266,6 +266,40 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 at the shipped threshold")
   }
 
+  test("semantic dedup: bucket-local groups, min-id survivors, full cover") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.loadCentroids(spark, "/root/repo/fixtures/annidx")
+    val out = Ann.semanticDedup(emb, cents, 0.4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("group_id"), r.getAs[Long]("n_members"),
+        r.getAs[Boolean]("keep")))
+    val n = emb.count()
+    assert(out.length == n, "one keep/drop decision per vector, singletons included")
+    val byGroup = out.groupBy(_._3)
+    byGroup.foreach { case (gid, rows) =>
+      assert(rows.map(_._1).min == gid, s"group $gid: survivor must be the min vec_id")
+      assert(rows.count(_._5) == 1, s"group $gid: exactly one keeper")
+      assert(rows.forall(_._4 == rows.length), s"group $gid: n_members must equal group size")
+      assert(rows.map(_._2).distinct.length == 1,
+        s"group $gid spans buckets — pairs must never cross clusters")
+    }
+    // within-cluster pairing can only LOSE pairs vs the brute near-dup —
+    // the n²→Σnᵢ² trade — never invent them: every multi-member group
+    // member must have a brute near-dup partner inside its own group
+    val brute = Ann.embeddingNearDup(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dupGroups = byGroup.filter(_._2.length > 1)
+    assert(dupGroups.nonEmpty, "fixture must contain semantic duplicates")
+    dupGroups.foreach { case (gid, rows) =>
+      val ids = rows.map(_._1).toSet
+      ids.foreach { v =>
+        assert(ids.exists(w => w != v &&
+          (brute.contains((v min w, v max w)))),
+          s"group $gid member $v has no exact near-dup partner in-group")
+      }
+    }
+  }
+
   test("committed hyperplane fixture replays the seeded LSH exactly") {
     // the dedup_embedding_lsh oracle replays signatures from the parquet
     // planes; this pins the fixture ≡ the seeded generator (parquet

@@ -96,6 +96,32 @@ object StreamDedup {
       .select(col("window.start").cast("date").as("event_date"), col("job_name"),
         col("total_runs"), col("success_runs"))
 
+  /** Streaming form of the 7-day rolling summary (A8 continuous): the batch
+    * view is "trailing week per job, relative to today" (Monitoring
+    * .sevenDaySummaryFromRunLog: day_partition >= today−7, i.e. 8 calendar
+    * days inclusive); the streaming analog maintains EVERY trailing window
+    * at once as a sliding event-time window of 8 days advancing 1 day —
+    * the row whose `window_end` is tomorrow is the batch view's answer,
+    * and past rows are the view's history. Watermark bounds state to
+    * (open windows/event ≤ 8) × jobs; the same integer fixed-point rate
+    * as the batch side keeps stream ≡ batch exact, not approximate.
+    */
+  def streamingRunLog7dSummary(runLogStream: DataFrame,
+                               watermarkDelay: String = "1 hour"): DataFrame =
+    runLogResults(runLogStream)
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), "8 days", "1 day"), col("job_name"))
+      .agg(
+        count(lit(1)).as("runs_7d"),
+        sum(when(col("is_success"), 1L).otherwise(0L)).as("success_7d"))
+      .withColumn("success_rate_7d",
+        graft.functions.FxMath.ratio(col("success_7d"), col("runs_7d"), 4))
+      .select(
+        col("window.start").cast("date").as("window_start"),
+        col("window.end").cast("date").as("window_end"),
+        col("job_name"), col("runs_7d"), col("success_7d"),
+        col("success_rate_7d"))
+
   /** Streaming form of the last-status view (W2 continuous): keep-latest
     * per job as a `max_by` aggregate — the same map-side-combining shape as
     * the batch Dedup.keepLatestAgg rewrite, with streaming state bounded to

@@ -136,6 +136,32 @@ class RunLogSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming 7-day rolling summary: the tomorrow-ending window equals the batch view") {
+    val dir = Files.createTempDirectory("graft-runlog-7d")
+    val slice = log.filter($"day_partition" >= "20240105")
+    slice.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(log.schema).parquet(dir.toString)
+    val q = graft.streaming.StreamDedup.streamingRunLog7dSummary(stream)
+      .writeStream.format("memory").queryName("runlog_7d_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[String]("job_name") ->
+        (r.getAs[Long]("runs_7d"), r.getAs[Long]("success_7d"),
+          r.getAs[Double]("success_rate_7d"))
+    // the batch view is "trailing week as of today (20240112)": that is
+    // exactly the sliding window covering [0105, 0113), i.e. the one whose
+    // end is tomorrow
+    val streamed = spark.table("runlog_7d_out")
+      .filter($"window_end" === java.sql.Date.valueOf("2024-01-13"))
+      .collect().map(key).toMap
+    val batch = Monitoring.sevenDaySummaryFromRunLog(log, "20240112")
+      .collect().map(key).toMap
+    assert(batch.size == 3)
+    assert(streamed == batch)
+  }
+
   test("streaming errors equals the batch run-log view as a set") {
     val dir = Files.createTempDirectory("graft-runlog-errors")
     val slice = log.filter($"day_partition" >= "20240105")

@@ -36,6 +36,15 @@ import graft.operators.Dedup
   * `touched` is collected to the driver: it is the DISTINCT partition-key
   * list of one delta batch — bounded by the batch's day-span, not by data
   * volume.
+  *
+  * Atomicity caveat: dynamic partition overwrite commits per partition
+  * directory — a crash mid-write can leave SOME touched partitions new and
+  * others old (each individually consistent; untouched partitions are
+  * never at risk, and re-running the same merge converges because ties go
+  * to the delta). When cross-partition atomicity matters, use the
+  * manifest-committed snapshot merge instead
+  * ([[graft.streaming.StreamDedup.mergeBatchIntoSnapshot]]): immutable
+  * batch dirs + one atomic pointer flip, crash-safe by construction.
   */
 object Upsert {
 
@@ -45,8 +54,12 @@ object Upsert {
   def upsertPartitions(spark: SparkSession, delta: DataFrame,
                        tablePath: String, partCol: String,
                        keys: Seq[String], order: Seq[String]): UpsertStats = {
-    val touched = delta.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val touchedRaw = delta.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(!touchedRaw.contains(null),
+      s"delta has rows with null $partCol — a null partition key would " +
+        "silently route rows to the __HIVE_DEFAULT_PARTITION__ directory")
+    val touched = touchedRaw.sorted
     val existing = spark.read.parquet(tablePath)
       .filter(col(partCol).cast("string").isin(touched: _*))
     val tagged = existing.withColumn("__src", lit(0))

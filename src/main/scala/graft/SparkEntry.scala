@@ -349,6 +349,9 @@ object SparkEntry {
     "semantic_dedup" -> ((s, d) =>
       Ann.semanticDedup(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture), 0.4)),
+    "semantic_dedup_spill" -> ((s, d) =>
+      Ann.semanticDedupSpill(Tables.embeddings(prep(s), d),
+        Ann.loadCentroids(s, AnnIndexFixture), 0.4)),
     "ann_ivfpq_topk" -> ((s, d) =>
       Ann.ivfPqTopKWithModels(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture),
@@ -480,6 +483,32 @@ object SparkEntry {
       "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node), " +
       "assign AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node) " +
       "SELECT node AS doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members, node = cluster_id AS is_canonical FROM assign"
+
+  /** SemDeDup oracle builder: primary assignment (rn = 1) reports the
+    * bucket; pair discovery runs over the `spill` nearest buckets
+    * (rn <= spill — NearestCentroids' unrounded-cosine, tie → larger c_id
+    * total order) with DISTINCT absorbing pairs that collide in more than
+    * one shared bucket. The closure and min-id survivor follow the
+    * dedup_clusters recursive-CTE pattern.
+    */
+  private def semanticDedupOracleSql(threshold: Double, spill: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"(list_inner_product($a, $b) / nullif(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)), 0))"
+    val pairSrc = if (spill > 1) "asgs" else "asg"
+    val spillCte = if (spill > 1)
+      s"asgs AS (SELECT vec_id, emb, c_id AS bucket FROM (SELECT e.vec_id, e.emb, c.c_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.emb", "c.c_emb")} DESC NULLS LAST, c.c_id DESC) AS rn FROM e CROSS JOIN cent c) WHERE rn <= $spill), "
+    else ""
+    s"WITH RECURSIVE cent AS (SELECT c_id, CAST(c_emb AS DOUBLE[]) AS c_emb FROM read_parquet('$AnnIndexFixture/centroids/*.parquet')), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"asg AS (SELECT vec_id, emb, c_id AS bucket FROM (SELECT e.vec_id, e.emb, c.c_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.emb", "c.c_emb")} DESC NULLS LAST, c.c_id DESC) AS rn FROM e CROSS JOIN cent c) WHERE rn = 1), " +
+      spillCte +
+      s"pairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM $pairSrc a JOIN $pairSrc b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE round(${cos("a.emb", "b.emb")}, 4) >= $threshold), " +
+      "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs), " +
+      "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e2.dst AS node, r.comp FROM reach r JOIN edges e2 ON e2.src = r.node), " +
+      "comp AS (SELECT node, min(comp) AS group_id FROM reach GROUP BY node), " +
+      "allv AS (SELECT a.vec_id, a.bucket, coalesce(c.group_id, a.vec_id) AS group_id FROM asg a LEFT JOIN comp c ON c.node = a.vec_id) " +
+      "SELECT vec_id, bucket, group_id, count(*) OVER (PARTITION BY group_id) AS n_members, vec_id = group_id AS keep FROM allv"
+  }
 
   /** Shared CTEs for the IVF / IVF-PQ oracles: the committed quantizer
     * (gen.AnnIndexGen parquet), the corpus, nearest-centroid assignment
@@ -781,17 +810,12 @@ object SparkEntry {
     // SemDeDup mirror: nearest-centroid assignment from the committed
     // quantizer (unrounded argmax, tie → larger c_id — same as the IVF
     // asg CTE), within-bucket pairwise cosine refine, recursive-CTE
-    // closure (the dedup_clusters pattern), min-id survivor per group
-    "semantic_dedup" ->
-      (s"WITH RECURSIVE cent AS (SELECT c_id, CAST(c_emb AS DOUBLE[]) AS c_emb FROM read_parquet('$AnnIndexFixture/centroids/*.parquet')), " +
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
-        "asg AS (SELECT vec_id, emb, c_id AS bucket FROM (SELECT e.vec_id, e.emb, c.c_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY (list_inner_product(e.emb, c.c_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(c.c_emb, c.c_emb)), 0)) DESC NULLS LAST, c.c_id DESC) AS rn FROM e CROSS JOIN cent c) WHERE rn = 1), " +
-        "pairs AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE round(list_inner_product(a.emb, b.emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)), 0), 4) >= 0.4), " +
-        "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs), " +
-        "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e2.dst AS node, r.comp FROM reach r JOIN edges e2 ON e2.src = r.node), " +
-        "comp AS (SELECT node, min(comp) AS group_id FROM reach GROUP BY node), " +
-        "allv AS (SELECT a.vec_id, a.bucket, coalesce(c.group_id, a.vec_id) AS group_id FROM asg a LEFT JOIN comp c ON c.node = a.vec_id) " +
-        "SELECT vec_id, bucket, group_id, count(*) OVER (PARTITION BY group_id) AS n_members, vec_id = group_id AS keep FROM allv"),
+    // closure (the dedup_clusters pattern), min-id survivor per group.
+    // The spill form discovers pairs in each vector's `spill` nearest
+    // buckets (rn <= spill, mirroring NearestCentroids' total order) while
+    // still reporting the primary bucket
+    "semantic_dedup" -> semanticDedupOracleSql(0.4, 1),
+    "semantic_dedup_spill" -> semanticDedupOracleSql(0.4, 2),
     // exact LSH mirror from the committed hyperplanes: sign bits via the
     // raw dot product (same sign as the cosine Spark thresholds — norms are
     // positive, zero-norm → null cosine ≡ bit 0), 4-bit bands, exact-plus-

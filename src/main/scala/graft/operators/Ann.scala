@@ -877,16 +877,47 @@ object Ann {
                     cents: Array[(Long, Array[Double])],
                     threshold: Double): DataFrame = {
     val assigned = assignBuckets(emb(embeddings), cents)
-    val pairs = assigned
+    semanticGroups(assigned, semanticPairs(assigned, threshold))
+  }
+
+  /** [[semanticDedup]] with spill assignment: pairs are discovered in ANY
+    * of each vector's `spill` nearest buckets (the same boundary-recall
+    * lever IVF uses — a pair straddling a cluster boundary still shares
+    * the runner-up bucket), then deduplicated, so the found set is a
+    * superset of the spill=1 set at a bounded ≤ spill× pair-generation
+    * cost. Reported `bucket` stays the PRIMARY (nearest) assignment;
+    * groups may now legitimately span primary buckets — that is the
+    * cross-cluster recall the plain form trades away.
+    */
+  def semanticDedupSpill(embeddings: DataFrame,
+                         cents: Array[(Long, Array[Double])],
+                         threshold: Double, spill: Int = 2): DataFrame = {
+    val corpus = emb(embeddings)
+    val spilled = assignBucketsSpill(corpus, cents, spill)
+    // the same pair can collide in up to `spill` shared buckets → distinct
+    val pairs = semanticPairs(spilled, threshold).distinct()
+    semanticGroups(assignBuckets(corpus, cents), pairs)
+  }
+
+  /** Within-bucket candidate pairs above `threshold` — the Σnᵢ² kernel
+    * shared by both semantic-dedup forms.
+    */
+  private def semanticPairs(assigned: DataFrame, threshold: Double): DataFrame =
+    assigned
       .select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("ea"))
       .join(assigned.select(col("bucket"), col("vec_id").as("vec_b"),
         col("emb").as("eb")), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .filter(round(SimFns.cosine(col("ea"), col("eb")), 4) >= threshold)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+
+  /** Close the pair set, attach singletons, and emit the per-vector
+    * keep/drop verdict (min-id survivor per group).
+    */
+  private def semanticGroups(primary: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = Components.connectedComponents(pairs)
       .select(col("node").as("vec_id"), col("component"))
-    val grouped = assigned.select(col("vec_id"), col("bucket"))
+    val grouped = primary.select(col("vec_id"), col("bucket"))
       .join(cc, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bucket"),
         coalesce(col("component"), col("vec_id")).as("group_id"))

@@ -300,6 +300,27 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup spill: strictly more duplicates found, never false ones") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.loadCentroids(spark, "/root/repo/fixtures/annidx")
+    def dropped(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .filter(!_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id")).toSet
+    val d1 = dropped(Ann.semanticDedup(emb, cents, 0.4))
+    val d2 = dropped(Ann.semanticDedupSpill(emb, cents, 0.4, spill = 2))
+    // spill buckets contain the primary bucket, so every spill=1 pair is
+    // rediscovered and the dropped set can only grow
+    assert(d1.subsetOf(d2),
+      s"spill=2 must not lose spill=1 duplicates: missing ${d1 -- d2}")
+    // and the extra drops must be REAL near-dups (subset of the brute
+    // pair graph's non-minimal members), not artifacts of wider buckets
+    val brute = Ann.embeddingNearDup(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inBrute = brute.flatMap(p => Seq(p._1, p._2))
+    assert((d2 -- d1).forall(inBrute.contains),
+      "every additional spill-found duplicate must appear in a brute pair")
+    info(s"sf0.001 semantic dedup drops: spill=1 ${d1.size}, spill=2 ${d2.size}")
+  }
+
   test("committed hyperplane fixture replays the seeded LSH exactly") {
     // the dedup_embedding_lsh oracle replays signatures from the parquet
     // planes; this pins the fixture ≡ the seeded generator (parquet

@@ -167,4 +167,41 @@ object PropertySpec extends Properties("graft") {
         val keys = d.map(_.getAs[Long]("date_key"))
         d.length == spanDays + 1 && keys.distinct.length == d.length
     }
+
+  // keys are partition-local by construction (day = id % 4), matching the
+  // operator's contract that the partition column is functionally
+  // dependent on the key
+  private val upsertGen: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    Gen.zip(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 100L)))
+        .map(_.map { case (id, v) => (id, v, 1L) }.distinctBy(_._1)),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 2L)))
+        .map(_.map { case (id, ver) => (id, -id, ver) }.distinctBy(_._1)))
+
+  property("partition-pruned upsert ≡ in-memory keep-latest merge (delta wins ties)") =
+    forAll(upsertGen) { case (base, delta) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-upsert-prop").toString + "/t"
+      def day(id: Long) = s"d${id % 4}"
+      base.map { case (id, v, ver) => (day(id), id, v, ver) }
+        .toDF("day", "id", "value", "version")
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      graft.pipeline.Upsert.upsertPartitions(spark,
+        delta.map { case (id, v, ver) => (day(id), id, v, ver) }
+          .toDF("day", "id", "value", "version"),
+        dir, "day", keys = Seq("id"), order = Seq("version"))
+      val got = spark.read.parquet(dir)
+        .select("id", "value", "version").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val touched = delta.map(d => day(d._1)).toSet
+      val baseMap = base.map(r => r._1 -> r).toMap
+      val deltaMap = delta.map(r => r._1 -> r).toMap
+      val expected = (baseMap.keySet ++ deltaMap.keySet).map { id =>
+        if (!touched.contains(day(id))) baseMap(id)
+        else (baseMap.get(id), deltaMap.get(id)) match {
+          case (Some(b), Some(d)) => if (d._3 >= b._3) d else b // delta wins ties
+          case (b, d)             => b.orElse(d).get
+        }
+      }
+      got == expected
+    }
 }

@@ -113,6 +113,55 @@ class RunLogSpec extends AnyFunSuite {
     batch.foreach { case (k, v) => assert(streamed.get(k).contains(v), s"$k") }
   }
 
+  test("daily summary file sink: checkpoint restart resumes without duplicate or lost windows") {
+    val in = Files.createTempDirectory("graft-runlog-ckpt-in").toString
+    val out = Files.createTempDirectory("graft-runlog-ckpt-out").toString
+    val ckpt = Files.createTempDirectory("graft-runlog-ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(log.schema).parquet(in)
+      val q = graft.streaming.StreamDedup.streamingRunLogDailySummary(stream)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted() = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[java.sql.Date]("event_date").toString,
+        r.getAs[String]("job_name")) ->
+        (r.getAs[Long]("total_runs"), r.getAs[Long]("success_runs")))
+
+    // first half of the log, then a checkpointed AvailableNow pass: append
+    // mode emits exactly the day windows the watermark has closed
+    log.filter($"day_partition" <= "20240108").write.mode("append").parquet(in)
+    runOnce()
+    val first = emitted()
+    assert(first.nonEmpty, "first run must finalize at least one day window")
+    assert(first.map(_._1).distinct.length == first.length,
+      "duplicate (day, job) windows in the sink after run 1")
+
+    // second half lands; the RESTARTED query must resume from the
+    // checkpoint — reading only the new files, re-emitting nothing
+    log.filter($"day_partition" > "20240108").write.mode("append").parquet(in)
+    runOnce()
+    val second = emitted()
+    assert(second.map(_._1).distinct.length == second.length,
+      "restart reprocessed data — duplicate (day, job) windows in the sink")
+    assert(second.length > first.length,
+      "restart must finalize the windows the new data closes")
+    assert(first.toSet.subsetOf(second.toSet),
+      "restart must not rewrite previously emitted windows")
+    // every emitted window is exactly the batch answer over the full log
+    // (today chosen so the batch cutoff prunes nothing)
+    val batch = Monitoring.dailySummaryFromRunLog(log, "20240108").collect()
+      .map(r => (r.getAs[java.sql.Date]("event_date").toString,
+        r.getAs[String]("job_name")) ->
+        (r.getAs[Long]("total_runs"), r.getAs[Long]("success_runs"))).toMap
+    second.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"window $k: sink=$v batch=${batch.get(k)}")
+    }
+  }
+
   test("streaming last-status equals the batch run-log view") {
     val dir = Files.createTempDirectory("graft-runlog-laststatus")
     // stream the same trailing-7-day slice the batch view prunes to, so the

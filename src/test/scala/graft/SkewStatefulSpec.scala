@@ -99,6 +99,40 @@ class SkewStatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("mapGroupsWithState state survives a checkpointed restart") {
+    val in = java.nio.file.Files.createTempDirectory("graft-state-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-state-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Stateful.UserEvent]].schema)
+        .parquet(in).as[Stateful.UserEvent]
+      val q = Stateful.runningUserTotals(stream)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stateful.UserTotal], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq(Stateful.UserEvent(1L, 2.0), Stateful.UserEvent(1L, 3.0),
+      Stateful.UserEvent(2L, 1.0)).toDS().write.mode("append").parquet(in)
+    runOnce()
+    Seq(Stateful.UserEvent(1L, 5.0)).toDS().write.mode("append").parquet(in)
+    runOnce()
+    // the restarted query recovers user 1's state store entry (2 events,
+    // 5.0) and folds the new event into it: the final emission must be the
+    // CUMULATIVE (3, 10.0) — a lost state store would emit (1, 5.0), a
+    // re-read of old files would double-count
+    val latest = spark.read.parquet(out).groupBy($"user_id")
+      .agg(max(struct($"n_events", $"sum_value")).as("s"))
+      .select($"user_id", $"s.n_events", $"s.sum_value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(latest == Map(1L -> ((3L, 10.0)), 2L -> ((1L, 1.0))))
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

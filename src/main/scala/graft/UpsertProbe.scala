@@ -45,10 +45,14 @@ object UpsertProbe {
     // (keys chosen so key % days lands on day 3 or 17 — the same day the
     // base row lives in)
     val dayTarget = col("id") % 2 * 14 + 3
+    // integer division (id div 2): `/` would be floating-point in Spark
+    // SQL, sending odd-id keys to the wrong home day (half the delta
+    // becoming inserts that duplicate keys in untouched partitions) and
+    // coercing the id column to DOUBLE away from the LONG base schema
     val delta = spark.range(10000)
       .select(
         concat(lit("d"), lpad(dayTarget.cast("string"), 3, "0")).as("day"),
-        ((col("id") / 2) * days + dayTarget).as("id"),
+        (expr("id div 2") * days + dayTarget).cast("long").as("id"),
         lit(-1.0).as("value"), lit(2L).as("version"))
     time("partition-pruned upsert 10k") {
       val stats = graft.pipeline.Upsert.upsertPartitions(spark, delta, path,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
+import graft.streaming.{AtomicRenameCommitter, SnapshotCommitter, SnapshotGc}
 
 /** Partition-pruned incremental upsert — MERGE-into-partitioned-parquet
   * with copy-on-write granularity of ONE PARTITION, not one table.
@@ -37,14 +38,27 @@ import graft.operators.Dedup
   * list of one delta batch — bounded by the batch's day-span, not by data
   * volume.
   *
+  * '''Key→partition contract''': the partition column must be functionally
+  * dependent on the key — an update to a key must land in the SAME
+  * partition the existing row lives in. A delta row that relocates a key
+  * to a different partition would leave the stale row alive in its
+  * untouched home partition (never read by the pruned scan) alongside the
+  * new row. The cheap within-delta guard below rejects a delta carrying
+  * two partition values for one key; a key-relocating workload needs the
+  * full-key anti-join path (read by KEY, not by partition) instead of
+  * this operator. The exception is relocation WITHIN the touched set:
+  * when both the old and new partitions are read (as the streaming star
+  * maintenance guarantees by construction), the cross-partition max_by
+  * resolves it correctly.
+  *
   * Atomicity caveat: dynamic partition overwrite commits per partition
   * directory — a crash mid-write can leave SOME touched partitions new and
   * others old (each individually consistent; untouched partitions are
   * never at risk, and re-running the same merge converges because ties go
-  * to the delta). When cross-partition atomicity matters, use the
-  * manifest-committed snapshot merge instead
-  * ([[graft.streaming.StreamDedup.mergeBatchIntoSnapshot]]): immutable
-  * batch dirs + one atomic pointer flip, crash-safe by construction.
+  * to the delta). When cross-partition atomicity matters, use
+  * [[upsertPartitionsAtomic]]: immutable batch dirs + one atomic manifest
+  * flip (the [[graft.streaming.SnapshotCommitter]] seam), crash-safe by
+  * construction.
   */
 object Upsert {
 
@@ -54,24 +68,148 @@ object Upsert {
   def upsertPartitions(spark: SparkSession, delta: DataFrame,
                        tablePath: String, partCol: String,
                        keys: Seq[String], order: Seq[String]): UpsertStats = {
+    val touched = touchedPartitionsOf(delta, partCol, keys)
+    val existing = spark.read.parquet(tablePath)
+      .filter(col(partCol).cast("string").isin(touched: _*))
+    val merged = mergeByKey(existing, delta, keys, order).localCheckpoint(true)
+    // partitionOverwriteMode scoped to THIS write (a session-conf toggle
+    // would race with concurrent writers on the same SparkSession)
+    merged.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(tablePath)
+    UpsertStats(touched, delta.count(), merged.count())
+  }
+
+  /** The delta's distinct partition values (bounded by the batch's
+    * partition span, not data volume), with the two contract guards: no
+    * null partition key, and no key carrying two partition values
+    * (the key→partition functional-dependence contract — see object doc).
+    */
+  private def touchedPartitionsOf(delta: DataFrame, partCol: String,
+                                  keys: Seq[String]): Seq[String] = {
     val touchedRaw = delta.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     require(!touchedRaw.contains(null),
       s"delta has rows with null $partCol — a null partition key would " +
         "silently route rows to the __HIVE_DEFAULT_PARTITION__ directory")
-    val touched = touchedRaw.sorted
-    val existing = spark.read.parquet(tablePath)
-      .filter(col(partCol).cast("string").isin(touched: _*))
-    val tagged = existing.withColumn("__src", lit(0))
-      .unionByName(delta.withColumn("__src", lit(1)))
-    val merged = Dedup.keepLatestAgg(tagged, keys,
-        (order.map(col) :+ col("__src")).toIndexedSeq)
+    val relocating = delta
+      .groupBy(keys.map(col): _*)
+      .agg(countDistinct(col(partCol)).as("__np"))
+      .filter(col("__np") > 1).limit(1).count()
+    require(relocating == 0L,
+      s"delta carries more than one $partCol value for a single key " +
+        s"(${keys.mkString(",")}) — the partition column must be " +
+        "functionally dependent on the key for a partition-pruned merge " +
+        "(a key-relocating delta needs a full-key anti-join merge)")
+    touchedRaw.sorted
+  }
+
+  /** Existing ∪ delta, keep-latest per key with ties to the DELTA row
+    * (idempotent replay; an exact re-send with a bumped payload lands).
+    */
+  private def mergeByKey(existing: DataFrame, delta: DataFrame,
+                         keys: Seq[String], order: Seq[String]): DataFrame =
+    Dedup.keepLatestAgg(
+        existing.withColumn("__src", lit(0))
+          .unionByName(delta.withColumn("__src", lit(1))),
+        keys, (order.map(col) :+ col("__src")).toIndexedSeq)
       .drop("__src")
-      .localCheckpoint(true)
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tablePath)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+  /** [[upsertPartitions]] with CROSS-PARTITION atomicity — the incremental
+    * MERGE whose failure semantics match the reference's per-table CTAS
+    * snapshots (one atomic publish, never a half-merged table), built on
+    * the same manifest protocol as the streaming snapshot merge
+    * ([[graft.streaming.StreamDedup.mergeBatchIntoSnapshot]]):
+    *
+    *  1. data is immutable — the merged touched partitions land under a
+    *     fresh `batch-<uuid>/<partCol>=<v>/` staging dir; nothing mutates
+    *     committed files;
+    *  2. visibility is one pointer — `MANIFEST` maps each partition value
+    *     to the batch dir owning it; [[readTable]] scans only
+    *     manifest-referenced paths, so uncommitted staging is invisible;
+    *  3. commit is ONE atomic manifest replace (the
+    *     [[graft.streaming.SnapshotCommitter]] seam: rename locally,
+    *     conditional put on S3-class stores) covering ALL touched
+    *     partitions at once — readers see the whole merge or none of it;
+    *  4. superseded data is GC'd one merge cycle late, so a reader that
+    *     resolved paths just before the flip finishes its scan.
+    *
+    * A crash anywhere before the flip leaves the previous manifest — and
+    * therefore exactly the previous committed table — in force
+    * (`UpsertSpec` kills a merge inside that window and proves old-only,
+    * never mixed). Same key→partition contract as [[upsertPartitions]].
+    * Single writer assumed, as with any filesystem-pointer table format
+    * without a CAS service.
+    *
+    * The partition column stays IN the data files (staging partitions by a
+    * string copy `__part`), so manifest-pruned multi-dir reads need no
+    * partition discovery — the same device as the streaming snapshot's
+    * `snap_day`/`day_part` split.
+    */
+  def upsertPartitionsAtomic(spark: SparkSession, delta: DataFrame,
+                             tablePath: String, partCol: String,
+                             keys: Seq[String], order: Seq[String],
+                             committer: SnapshotCommitter = AtomicRenameCommitter): UpsertStats =
+    upsertPartitionsAtomicImpl(spark, delta, tablePath, partCol, keys, order,
+      crashBeforeCommit = false, committer)
+
+  /** Committed state of a manifest-table: exactly the manifest-referenced
+    * partition dirs. Returns an empty-schema-less error if nothing has
+    * ever been committed (callers seed via [[upsertPartitionsAtomic]] with
+    * the initial load as the delta).
+    */
+  def readTable(spark: SparkSession, tablePath: String,
+                committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
+    val manifest = committer.readManifest(tablePath)
+    require(manifest.nonEmpty, s"no committed table at $tablePath")
+    spark.read.parquet(manifest.values.map(rel => s"$tablePath/$rel").toSeq: _*)
+  }
+
+  /** `crashBeforeCommit` is the fault-injection seam: true returns after
+    * staging the merged data but BEFORE the manifest flip — the crash
+    * window the commit protocol must tolerate.
+    */
+  private[graft] def upsertPartitionsAtomicImpl(
+      spark: SparkSession, delta: DataFrame, tablePath: String,
+      partCol: String, keys: Seq[String], order: Seq[String],
+      crashBeforeCommit: Boolean,
+      committer: SnapshotCommitter = AtomicRenameCommitter): UpsertStats = {
+    val touched = touchedPartitionsOf(delta, partCol, keys)
+    val manifest = committer.readManifest(tablePath)
+    // GC a crashed predecessor's staging and data superseded by the
+    // previous merge (its one-cycle reader grace window ends here)
+    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet)
+
+    // manifest-level pruning: only the touched partitions' committed
+    // paths are listed/read — I/O is O(delta partitions), not O(table)
+    val existingPaths = touched.flatMap(manifest.get)
+      .map(rel => s"$tablePath/$rel")
+    val existing =
+      if (existingPaths.nonEmpty)
+        spark.read.schema(delta.schema).parquet(existingPaths: _*)
+      else delta.limit(0)
+    val merged = mergeByKey(existing, delta, keys, order)
+
+    val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
+    merged.withColumn("__part", col(partCol).cast("string"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__part")
+      .parquet(s"$tablePath/$batchDirName")
+    val writtenParts = Option(new java.io.File(s"$tablePath/$batchDirName").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("__part="))
+      .map(_.getName.stripPrefix("__part=")).toSet
+
+    if (crashBeforeCommit)
+      return UpsertStats(touched, delta.count(), -1L)
+
+    // touched partitions re-point to the new batch dir (a touched
+    // partition whose rows were all superseded away drops out); untouched
+    // partitions keep their entries; then release superseded data one
+    // cycle late
+    val newManifest = (manifest -- touched) ++
+      writtenParts.map(v => v -> s"$batchDirName/__part=$v")
+    committer.commit(tablePath, newManifest)
+    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++ newManifest.values)
     UpsertStats(touched, delta.count(), merged.count())
   }
 }

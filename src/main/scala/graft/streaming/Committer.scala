@@ -41,6 +41,42 @@ trait SnapshotCommitter {
   * dir, then `ATOMIC_MOVE` it over `MANIFEST`. A crash before the move
   * leaves only a GC-able temp; a crash after is a completed commit.
   */
+/** Shared staging GC for manifest-committed layouts ([[StreamDedup]]'s
+  * snapshot merge and [[graft.pipeline.Upsert.upsertPartitionsAtomic]]):
+  * delete every `batch-⁎/<sub>` dir (and stale manifest temp) that
+  * `liveRel` does not reference — crashed stagings and superseded
+  * partitions. Safe under the single-writer assumption: the only
+  * unreferenced-but-wanted dir would be a CONCURRENT writer's staging.
+  *
+  * Reader-overlap retention: post-commit callers pass the UNION of the
+  * old and new manifests' references, so data superseded by THIS commit
+  * survives one more cycle (collected at the next merge's start) — a
+  * reader that resolved paths just before the flip has a full merge cycle
+  * to finish its scan, the snapshot-retention idea table formats apply,
+  * at window = 1.
+  */
+private[graft] object SnapshotGc {
+  def gcUnreferenced(snapshotPath: String, liveRel: Set[String]): Unit = {
+    val root = new java.io.File(snapshotPath)
+    for {
+      b <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      if b.isDirectory && b.getName.startsWith("batch-")
+    } {
+      for {
+        d <- Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
+        if d.isDirectory && !liveRel.contains(s"${b.getName}/${d.getName}")
+      } org.apache.commons.io.FileUtils.deleteDirectory(d)
+      val remaining = Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
+      if (!remaining.exists(_.isDirectory))
+        org.apache.commons.io.FileUtils.deleteDirectory(b)
+    }
+    for {
+      t <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      if t.isFile && t.getName.startsWith("MANIFEST.tmp-")
+    } t.delete()
+  }
+}
+
 object AtomicRenameCommitter extends SnapshotCommitter {
 
   private def manifestFile(snapshotPath: String) =

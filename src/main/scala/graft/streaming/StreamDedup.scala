@@ -221,38 +221,11 @@ object StreamDedup {
   private[graft] def readManifest(snapshotPath: String): Map[String, String] =
     AtomicRenameCommitter.readManifest(snapshotPath)
 
-  /** Delete every `batch-⁎/day_part=⁎` dir (and stale manifest temp) the
-    * committed manifest does not reference — crashed stagings and
-    * superseded days. Safe under the single-writer assumption: the only
-    * unreferenced-but-wanted dir would be a CONCURRENT writer's staging.
-    *
-    * Reader-overlap retention: the post-commit call passes the UNION of the
-    * old and new manifests' references, so a day dir superseded by THIS
-    * merge survives one more cycle (it is collected at the next merge's
-    * start). A reader that resolved paths via [[readSnapshot]] just before
-    * the commit therefore has a full merge cycle to finish its scan —
-    * the same snapshot-retention idea table formats apply, at window = 1.
+  /** Staging GC — shared with the atomic partition upsert; see
+    * [[SnapshotGc.gcUnreferenced]] for the retention contract.
     */
-  private def gcUnreferenced(snapshotPath: String,
-                             liveRel: Set[String]): Unit = {
-    val root = new java.io.File(snapshotPath)
-    for {
-      b <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      if b.isDirectory && b.getName.startsWith("batch-")
-    } {
-      for {
-        d <- Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
-        if d.isDirectory && !liveRel.contains(s"${b.getName}/${d.getName}")
-      } org.apache.commons.io.FileUtils.deleteDirectory(d)
-      val remaining = Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
-      if (!remaining.exists(_.isDirectory))
-        org.apache.commons.io.FileUtils.deleteDirectory(b)
-    }
-    for {
-      t <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      if t.isFile && t.getName.startsWith("MANIFEST.tmp-")
-    } t.delete()
-  }
+  private def gcUnreferenced(snapshotPath: String, liveRel: Set[String]): Unit =
+    SnapshotGc.gcUnreferenced(snapshotPath, liveRel)
 
   /** `crashBeforeCommit` is the test seam for the commit protocol: true
     * returns after the data write but BEFORE the manifest flip — the

@@ -81,6 +81,99 @@ class UpsertSpec extends AnyFunSuite {
     assert(replay == rows, "replaying the same delta must be a no-op on content")
   }
 
+  test("delta carrying two partition values for one key is rejected") {
+    val path = Files.createTempDirectory("graft-upsert-reloc").toString + "/t"
+    seedTable(path)
+    val relocating = Seq(("d1", 1L, 11.0, 101L), ("d2", 1L, 12.0, 102L))
+      .toDF("day", "id", "value", "version")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertPartitions(spark, relocating, path, "day",
+        keys = Seq("id"), order = Seq("version"))
+    }
+    assert(e.getMessage.contains("functionally dependent"))
+  }
+
+  // ---- manifest-committed atomic variant ----
+
+  private def readAtomic(path: String): Set[(String, Long, Double, Long)] =
+    Upsert.readTable(spark, path)
+      .select("day", "id", "value", "version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  test("atomic upsert: merge correctness and manifest-level pruning") {
+    val path = Files.createTempDirectory("graft-upsert-atomic").toString + "/t"
+    val base = Seq(
+      ("d1", 1L, 10.0, 100L), ("d1", 2L, 20.0, 100L),
+      ("d2", 3L, 30.0, 100L), ("d2", 4L, 40.0, 100L),
+      ("d3", 5L, 50.0, 100L))
+      .toDF("day", "id", "value", "version")
+    // initial load seeds the manifest table
+    Upsert.upsertPartitionsAtomic(spark, base, path, "day",
+      keys = Seq("id"), order = Seq("version"))
+    val manifestBefore = graft.streaming.AtomicRenameCommitter.readManifest(path)
+    assert(manifestBefore.keySet == Set("d1", "d2", "d3"))
+
+    val delta = Seq(
+      ("d2", 3L, 31.0, 101L),  // update
+      ("d2", 9L, 90.0, 101L),  // insert into existing partition
+      ("d4", 6L, 60.0, 101L))  // brand-new partition
+      .toDF("day", "id", "value", "version")
+    val stats = Upsert.upsertPartitionsAtomic(spark, delta, path, "day",
+      keys = Seq("id"), order = Seq("version"))
+    assert(stats.touchedPartitions == Seq("d2", "d4"))
+
+    val manifestAfter = graft.streaming.AtomicRenameCommitter.readManifest(path)
+    // untouched partitions keep their ORIGINAL manifest entries (the data
+    // was never read or rewritten); touched ones re-point to the new batch
+    Seq("d1", "d3").foreach { p =>
+      assert(manifestAfter(p) == manifestBefore(p), s"untouched $p re-pointed")
+    }
+    assert(manifestAfter("d2") != manifestBefore("d2"))
+    assert(readAtomic(path) == Set(
+      ("d1", 1L, 10.0, 100L), ("d1", 2L, 20.0, 100L),
+      ("d2", 3L, 31.0, 101L), ("d2", 4L, 40.0, 100L), ("d2", 9L, 90.0, 101L),
+      ("d3", 5L, 50.0, 100L),
+      ("d4", 6L, 60.0, 101L)))
+  }
+
+  test("atomic upsert: crash before the manifest flip leaves old-only, never mixed") {
+    val path = Files.createTempDirectory("graft-upsert-crash").toString + "/t"
+    val base = Seq(
+      ("d1", 1L, 10.0, 100L), ("d2", 3L, 30.0, 100L), ("d3", 5L, 50.0, 100L))
+      .toDF("day", "id", "value", "version")
+    Upsert.upsertPartitionsAtomic(spark, base, path, "day",
+      keys = Seq("id"), order = Seq("version"))
+    val committed = readAtomic(path)
+    val manifestBefore = graft.streaming.AtomicRenameCommitter.readManifest(path)
+
+    val delta = Seq(("d1", 1L, 11.0, 101L), ("d2", 3L, 31.0, 101L))
+      .toDF("day", "id", "value", "version")
+    // crash INSIDE the window: merged data staged, pointer never flipped
+    Upsert.upsertPartitionsAtomicImpl(spark, delta, path, "day",
+      keys = Seq("id"), order = Seq("version"), crashBeforeCommit = true)
+
+    // readers see exactly the old committed state — not the new d1 with
+    // the old d2 (the mixed state dynamic partition-overwrite can leave)
+    assert(graft.streaming.AtomicRenameCommitter.readManifest(path) == manifestBefore,
+      "a crashed merge must not change the committed manifest")
+    assert(readAtomic(path) == committed,
+      "a crashed merge must leave readers on the old snapshot")
+
+    // recovery: re-running the same merge converges, and the crashed
+    // staging is GC'd in the process
+    Upsert.upsertPartitionsAtomic(spark, delta, path, "day",
+      keys = Seq("id"), order = Seq("version"))
+    assert(readAtomic(path) == Set(
+      ("d1", 1L, 11.0, 101L), ("d2", 3L, 31.0, 101L), ("d3", 5L, 50.0, 100L)))
+    val live = graft.streaming.AtomicRenameCommitter.readManifest(path).values.toSet
+    val staged = new java.io.File(path).listFiles()
+      .filter(b => b.isDirectory && b.getName.startsWith("batch-"))
+      .flatMap(b => b.listFiles().filter(_.isDirectory).map(d => s"${b.getName}/${d.getName}"))
+      .toSet
+    assert(staged.subsetOf(live ++ manifestBefore.values.toSet),
+      s"crashed/unreferenced staging must be GC'd: extra=${staged -- live -- manifestBefore.values.toSet}")
+  }
+
   test("stale delta rows lose to newer existing rows") {
     val path = Files.createTempDirectory("graft-upsert-stale").toString + "/t"
     seedTable(path)

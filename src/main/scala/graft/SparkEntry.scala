@@ -117,6 +117,32 @@ object SparkEntry {
     // SCD Type-2 history: AS-OF-queryable attribute runs per user — the
     // history-keeping companion the reference's latest-only dims lack
     "scd2_dim_user" -> ((s, d) => Scd.userTypeHistory(fact(s, d))),
+    // The ON-DISK star the reference actually serves from (S3 overwrite
+    // snapshots + S4 partitioned/clustered layout, bq_fact_vitals_star
+    // .sql:1-3): run the full dependency-ordered pipeline into a scratch
+    // dir, then answer a trailing-7-day question FROM THE FILES — the
+    // cutoff is derived from the partition DIRECTORY NAMES (O(partitions)
+    // driver work, the listing a catalog serves at scale) and applied as
+    // a literal, so the scan carries a static PartitionFilter and pruned
+    // days are never opened (PipelineSpec asserts numFiles). This oracles
+    // the write→read round trip — partition-column type recovery, layout,
+    // pruning semantics — which the in-memory `fact_star` query can't see.
+    "pipeline_star_disk" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_star_disk_" +
+        Integer.toHexString(d.hashCode)
+      pipeline.Pipeline.run(prep(s), d, out)
+      val dayFmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
+      val maxKey = new java.io.File(s"$out/fact_events_star").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("date_key="))
+        .map(_.getName.stripPrefix("date_key=")).max
+      val cutoff = java.time.LocalDate.parse(maxKey, dayFmt)
+        .minusDays(6).format(dayFmt).toLong
+      s.read.parquet(s"$out/fact_events_star")
+        .filter(col("date_key") >= cutoff)
+        .select(col("user_key"), col("event_type_key"),
+          col("date_key").cast("long").as("date_key"), col("event_id"),
+          col("measure_value"), col("ts_us"))
+    }),
     // ---- monitoring views (SURVEY §2 monitoring suite) ----
     "mon_results" -> ((s, d) => Monitoring.results(Tables.events(prep(s), d))),
     "mon_last_status" -> ((s, d) => Monitoring.lastStatus(Tables.events(prep(s), d))),
@@ -546,6 +572,14 @@ object SparkEntry {
       s"$FactCte, days AS (SELECT CAST(unnest(generate_series((SELECT min(CAST(ts AS DATE)) FROM fact), (SELECT max(CAST(ts AS DATE)) FROM fact), INTERVAL 1 DAY)) AS DATE) AS d) SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key, d AS date_id, CAST(year(d) AS INTEGER) AS year, CAST(quarter(d) AS INTEGER) AS quarter, CAST(month(d) AS INTEGER) AS month, monthname(d) AS month_name, CAST(week(d) AS INTEGER) AS iso_week, CAST(day(d) AS INTEGER) AS day_of_month, CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week, dayname(d) AS day_name, dayofweek(d) IN (0, 6) AS is_weekend FROM days",
     "fact_star" ->
       s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact",
+    // same star semantics as fact_star, restricted to the trailing 7 days
+    // (8 calendar days inclusive, mirroring mon_7d_summary's cutoff shape):
+    // the Spark side answers from the PIPELINE'S ON-DISK PARTITIONED FILES,
+    // so a layout bug (partition value drift, column loss in partitionBy,
+    // type corruption on read-back) breaks the hash even though the
+    // in-memory fact_star still matches
+    "pipeline_star_disk" ->
+      s"$FactCte, mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM fact) SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact, mx WHERE CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) >= CAST(strftime(md - 6, '%Y%m%d') AS BIGINT)",
     "star_daily_user" ->
       s"$FactCte SELECT CAST(ts AS DATE) AS date_id, user_id, count(*) AS n_events, ${fxAvgSql(fxSumSql("value", 100L), "count(*)", 100L, 4)} AS avg_value, ${fxTotalSql(fxSumSql("value", 100L), 100L, 2)} AS sum_value FROM fact GROUP BY 1, 2",
     "scd2_dim_user" ->

@@ -64,6 +64,27 @@ class PipelineSpec extends AnyFunSuite {
       s"star inputs must be on-disk scans, found in-lineage aggregates:\n$starPlan")
   }
 
+  test("pipeline_star_disk query scans the on-disk star with a static PartitionFilter") {
+    // the oracled query (SparkEntry) answers a trailing-7-day question from
+    // the pipeline's partitioned files; its scan must carry the cutoff as a
+    // PartitionFilter — pruned days never opened
+    val df = SparkEntry.queries("pipeline_star_disk")(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val parts = scan.metadata("PartitionFilters")
+    assert(parts.contains(">="),
+      s"expected the 7-day cutoff as a PartitionFilter, got: $parts")
+    df.queryExecution.toRdd.count()
+    val nFiles = scan.metrics("numFiles").value
+    val allParts = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_star_disk_" +
+        Integer.toHexString("/root/testdata/sf0.001".hashCode) + "/fact_events_star")
+      .listFiles().count(_.getName.startsWith("date_key="))
+    assert(nFiles <= 8 && allParts > 25,
+      s"7-day read touched $nFiles files of $allParts partitions — not pruned")
+  }
+
   test("bucketed star rebuild joins fact×dim_user with no shuffle exchange") {
     val out = Files.createTempDirectory("graft-bkt").toString
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -176,9 +176,6 @@ object Upsert {
       committer: SnapshotCommitter = AtomicRenameCommitter): UpsertStats = {
     val touched = touchedPartitionsOf(delta, partCol, keys)
     val manifest = committer.readManifest(tablePath)
-    // GC a crashed predecessor's staging and data superseded by the
-    // previous merge (its one-cycle reader grace window ends here)
-    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet)
 
     // manifest-level pruning: only the touched partitions' committed
     // paths are listed/read — I/O is O(delta partitions), not O(table)
@@ -189,27 +186,61 @@ object Upsert {
         spark.read.schema(delta.schema).parquet(existingPaths: _*)
       else delta.limit(0)
     val merged = mergeByKey(existing, delta, keys, order)
+    val committed = replacePartitionsAtomicImpl(spark, merged, tablePath,
+      partCol, touched, crashBeforeCommit, committer)
+    UpsertStats(touched, delta.count(), if (committed) merged.count() else -1L)
+  }
+
+  /** Atomically REPLACE a set of partitions with `data` (which must
+    * contain only rows of `parts`) — the per-partition CTAS snapshot:
+    * stage to an immutable batch dir, flip the manifest once, GC one
+    * cycle late. A partition in `parts` with no rows in `data` is
+    * DROPPED from the table (its manifest entry is removed), which is
+    * what makes this safe for rebuild-style refreshes where a
+    * partition's content can shrink to nothing. Shares the commit
+    * protocol (and its crash guarantees) with [[upsertPartitionsAtomic]].
+    */
+  def replacePartitionsAtomic(spark: SparkSession, data: DataFrame,
+                              tablePath: String, partCol: String,
+                              parts: Seq[String],
+                              committer: SnapshotCommitter = AtomicRenameCommitter): Unit =
+    replacePartitionsAtomicImpl(spark, data, tablePath, partCol, parts,
+      crashBeforeCommit = false, committer)
+
+  /** Stage `data` and commit `(manifest -- parts) ++ written`. Returns
+    * true iff the commit happened (false = crash seam exercised). The
+    * initial GC collects a crashed predecessor's staging and data
+    * superseded by the previous commit (its one-cycle reader grace
+    * window ends here); `data` may lazily read manifest-referenced paths
+    * — the GC never deletes those.
+    */
+  private def replacePartitionsAtomicImpl(
+      spark: SparkSession, data: DataFrame, tablePath: String,
+      partCol: String, parts: Seq[String], crashBeforeCommit: Boolean,
+      committer: SnapshotCommitter): Boolean = {
+    val manifest = committer.readManifest(tablePath)
+    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet)
 
     val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
-    merged.withColumn("__part", col(partCol).cast("string"))
+    data.withColumn("__part", col(partCol).cast("string"))
       .write.mode(SaveMode.Overwrite).partitionBy("__part")
       .parquet(s"$tablePath/$batchDirName")
     val writtenParts = Option(new java.io.File(s"$tablePath/$batchDirName").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("__part="))
       .map(_.getName.stripPrefix("__part=")).toSet
+    require(writtenParts.subsetOf(parts.toSet),
+      s"data carries partitions outside the replace set: ${writtenParts -- parts.toSet}")
 
-    if (crashBeforeCommit)
-      return UpsertStats(touched, delta.count(), -1L)
+    if (crashBeforeCommit) return false
 
-    // touched partitions re-point to the new batch dir (a touched
-    // partition whose rows were all superseded away drops out); untouched
-    // partitions keep their entries; then release superseded data one
-    // cycle late
-    val newManifest = (manifest -- touched) ++
+    // replaced partitions re-point to the new batch dir (one with no rows
+    // left drops out); untouched partitions keep their entries; then
+    // release superseded data one cycle late
+    val newManifest = (manifest -- parts) ++
       writtenParts.map(v => v -> s"$batchDirName/__part=$v")
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++ newManifest.values)
-    UpsertStats(touched, delta.count(), merged.count())
+    true
   }
 }

@@ -199,7 +199,7 @@ object StreamDedup {
   def mergeBatchIntoSnapshot(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, snapshotPath: String,
                              key: String, orderCol: String,
-                             committer: SnapshotCommitter = AtomicRenameCommitter): Unit =
+                             committer: SnapshotCommitter = AtomicRenameCommitter): Seq[String] =
     mergeBatchIntoSnapshotImpl(spark, batch, snapshotPath, key, orderCol,
       crashBeforeCommit = false, committer)
 
@@ -229,19 +229,22 @@ object StreamDedup {
 
   /** `crashBeforeCommit` is the test seam for the commit protocol: true
     * returns after the data write but BEFORE the manifest flip — the
-    * crash window a durable commit must tolerate.
+    * crash window a durable commit must tolerate. Returns the day set the
+    * merge READ (batch days + their predecessors) — exactly the days
+    * whose snapshot content could have changed, which downstream
+    * incremental maintenance ([[StreamStar]]) uses as its rebuild scope.
     */
   private[graft] def mergeBatchIntoSnapshotImpl(
       spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, snapshotPath: String,
       key: String, orderCol: String, crashBeforeCommit: Boolean,
-      committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+      committer: SnapshotCommitter = AtomicRenameCommitter): Seq[String] = {
     val dayFmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
     val withDay = batch.withColumn("snap_day", date_format(col(orderCol), "yyyyMMdd"))
     // partition METADATA, not data: one value per day present in the batch
     val batchDays = withDay.select("snap_day").distinct()
       .collect().map(_.getString(0))
-    if (batchDays.isEmpty) return // empty micro-batch: nothing to commit
+    if (batchDays.isEmpty) return Seq.empty // empty micro-batch: nothing to commit
     val readDays = (batchDays ++ batchDays.map(d =>
       java.time.LocalDate.parse(d, dayFmt).minusDays(1).format(dayFmt)))
       .distinct.sorted
@@ -275,7 +278,7 @@ object StreamDedup {
       .filter(f => f.isDirectory && f.getName.startsWith("day_part="))
       .map(_.getName.stripPrefix("day_part=")).toSet
 
-    if (crashBeforeCommit) return // crash window: data written, pointer not flipped
+    if (crashBeforeCommit) return readDays // crash window: data written, pointer not flipped
 
     // commit: touched days re-point to the new batch dir (a read day whose
     // rows were all superseded away simply drops out), untouched days keep
@@ -287,5 +290,6 @@ object StreamDedup {
     // manifest references, so in-flight readers of the just-replaced
     // snapshot never lose files mid-scan (see gcUnreferenced)
     gcUnreferenced(snapshotPath, manifest.values.toSet ++ newManifest.values)
+    readDays
   }
 }

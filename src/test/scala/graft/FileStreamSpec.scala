@@ -33,6 +33,7 @@ class FileStreamSpec extends AnyFunSuite {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         StreamDedup.mergeBatchIntoSnapshot(spark, batch, snap.toString, "event_id", "ts")
+        ()
       }
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())

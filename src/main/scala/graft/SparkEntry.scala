@@ -260,6 +260,38 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Analytics.dailyTypePivot(prep(s), d)),
     "q_unpivot" -> ((s, d) => Analytics.dailyTypeUnpivot(prep(s), d)),
     "q_full_outer" -> ((s, d) => Analytics.clickPurchaseReconciliation(prep(s), d)),
+    // ---- skew mitigation as measured queries (SURVEY §4) ----
+    // planted 90%-hot key (≈90% of rows collapse onto key 0 — the
+    // power-law shape AQE's skew rules miss for AGGREGATIONS): the rollup
+    // runs through the two-stage salted aggregate, the join through the
+    // salt-and-replicate join. Values are pre-scaled to integer cents so
+    // the result is bit-identical under ANY salt placement — salting is
+    // semantics-free, which is exactly why the plain DuckDB rollup/join
+    // can oracle it (SkewStatefulSpec asserts the salt split engaged in
+    // the physical plan)
+    "skew_salted_rollup" -> ((s, d) => {
+      val sk = Tables.events(prep(s), d).select(
+        when(pmod(col("user_id"), lit(10L)) < 9, lit(0L))
+          .otherwise(col("user_id")).as("hot_key"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      Skew.saltedSumCount(sk, col("hot_key"), col("value_c"), 32)
+        .select(col("key").as("hot_key"), col("n"),
+          graft.functions.FxMath.scaledTotal(col("total"), 100L, 2)
+            .as("total_value"))
+    }),
+    "skew_salted_join" -> ((s, d) => {
+      val sk = Tables.events(prep(s), d).select(
+        when(pmod(col("user_id"), lit(10L)) < 9, lit(0L))
+          .otherwise(col("user_id")).as("hot_key"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      val dimKeys = sk.select("hot_key").distinct()
+        .withColumn("key_group", pmod(col("hot_key"), lit(7L)))
+      Skew.saltedJoin(sk, dimKeys, "hot_key", 8)
+        .groupBy("key_group")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.FxMath.scaledTotal(sum(col("value_c")), 100L, 2)
+            .as("total_value"))
+    }),
     // ---- training-data pipeline: dedup / similarity / text (north star) ----
     "dedup_exact" -> ((s, d) =>
       Dedup.exactByContent(Tables.documents(prep(s), d), "text", "doc_id")),
@@ -709,6 +741,13 @@ object SparkEntry {
       "WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events), ty AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type), c AS (SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n FROM events GROUP BY 1, 2) SELECT d.event_date, ty.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events FROM d CROSS JOIN ty LEFT JOIN c ON c.event_date = d.event_date AND c.event_type = ty.event_type",
     "q_full_outer" ->
       "WITH c AS (SELECT user_id, CAST(ts AS DATE) AS event_date, count(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY 1, 2), p AS (SELECT user_id, CAST(ts AS DATE) AS event_date, count(*) AS n_purchases FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) SELECT coalesce(c.user_id, p.user_id) AS user_id, coalesce(c.event_date, p.event_date) AS event_date, CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks, CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.event_date = p.event_date",
+    // salting is semantics-free: the oracle is the PLAIN rollup/join over
+    // the same planted hot key — any divergence means the salt leaked into
+    // the results (lost rows, double-counted replicas, float drift)
+    "skew_salted_rollup" ->
+      s"SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS hot_key, count(*) AS n, ${fxTotalSql(fxSumSql("value", 100L), 100L, 2)} AS total_value FROM events GROUP BY 1",
+    "skew_salted_join" ->
+      s"SELECT (CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END) % 7 AS key_group, count(*) AS n, ${fxTotalSql(fxSumSql("value", 100L), 100L, 2)} AS total_value FROM events GROUP BY 1",
     "dedup_exact" ->
       "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY 1",
     "text_stats" ->

@@ -36,6 +36,33 @@ class SkewStatefulSpec extends AnyFunSuite {
       plain.groupBy("label").count().orderBy("label").collect().toSeq)
   }
 
+  test("skew_salted_rollup/join queries: the salt split engages in the physical plan") {
+    // the oracled queries (SparkEntry), not the unit fixtures: assert the
+    // salt actually reshapes the plan — the rollup's FIRST aggregation
+    // groups on (key, __salt) so the hot key's rows partial-aggregate
+    // across salt buckets before the key-only final agg; the join's keys
+    // carry __salt so the hot key spreads over saltBuckets tasks
+    // the __salt alias is inlined by Catalyst as a `_groupingexpression`;
+    // the load-bearing shape is a FIRST aggregation grouped on
+    // (hot_key, <salt expr>) — two keys — followed by a key-only re-agg
+    val rollup = SparkEntry.queries("skew_salted_rollup")(spark, "/root/testdata/sf0.001")
+    val rollupAggs = rollup.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(rollupAggs.exists(l =>
+        l.contains("keys=[hot_key") && l.substring(l.indexOf("keys=[")).takeWhile(_ != ']').contains(",")),
+      s"salted rollup must pre-aggregate on (key, salt):\n${rollupAggs.mkString("\n")}")
+    assert(rollupAggs.exists(l =>
+        l.contains("keys=[key#") && !l.substring(l.indexOf("keys=[")).takeWhile(_ != ']').contains(",")),
+      s"salted rollup must re-aggregate on the key alone:\n${rollupAggs.mkString("\n")}")
+
+    val join = SparkEntry.queries("skew_salted_join")(spark, "/root/testdata/sf0.001")
+    val joinPlan = join.queryExecution.executedPlan.toString
+    val joinLines = joinPlan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("__salt")).toSeq
+    assert(joinLines.nonEmpty,
+      s"salted join must carry __salt in its join keys:\n$joinPlan")
+  }
+
   /** The pipeline's own skew story, observed rather than claimed: the star
     * build's user join is hint-free (Star.factStar — dim_user grows with
     * the data, so no forced broadcast), which means a hot user lands on

@@ -456,6 +456,13 @@ object SparkEntry {
       Multimodal.extractVideoTracks(prep(s),
         s.read.parquet(MediaFixture + "/media_blobs")
           .filter(col("kind").isin("video", "corrupt"))).toDF()),
+    // REAL pixel decode (not header parsing): inflate the zlib IDAT
+    // stream and invert the scanline filters, then channel stats — the
+    // oracle is the generator's CHOSEN pixel values (expected_pixels), so
+    // a wrong unfilter or a dropped IDAT chunk cannot hash-match
+    "mm_pixel_stats" -> ((s, _) =>
+      Multimodal.extractPixelStats(prep(s),
+        s.read.parquet(MediaFixture + "/pixel_blobs")).toDF()),
   )
 
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
@@ -935,5 +942,7 @@ object SparkEntry {
       s"SELECT doc_id, format, sample_rate, channels, bits_per_sample, n_samples, duration_ms FROM '$MediaFixture/expected_audio/*.parquet'",
     "mm_real_tracks" ->
       s"SELECT doc_id, track_id, handler, width, height FROM '$MediaFixture/expected_tracks/*.parquet'",
+    "mm_pixel_stats" ->
+      s"SELECT doc_id, width, height, n_pixels, sum_r, sum_g, sum_b, max_r, max_g, max_b FROM '$MediaFixture/expected_pixels/*.parquet'",
   )
 }

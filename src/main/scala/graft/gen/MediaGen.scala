@@ -59,6 +59,80 @@ object MediaGen {
     b.bytes
   }
 
+  /** A fully REAL PNG — correct chunk CRCs and a genuine zlib-deflated
+    * image stream (8-bit RGB, non-interlaced), with each scanline run
+    * through the standard filter cycle (None/Sub/Up/Average/Paeth by row)
+    * so a decoder must implement real un-filtering, not just inflate.
+    * Pixels are a deterministic integer function of (seed, x, y); the
+    * returned truth is computed from those CHOSEN pixel values, never by
+    * decoding the bytes — the differential against
+    * [[graft.operators.Multimodal.decodePngPixels]] stays honest.
+    */
+  def pngWithPixels(w: Int, h: Int, seed: Int): (Array[Byte], PixelTruth) = {
+    def px(x: Int, y: Int): (Int, Int, Int) = (
+      (x * 7 + y * 13 + seed * 31) % 256,
+      (x * 3 + y * 11 + seed * 5) % 256,
+      (x * 17 + y + seed * 9) % 256)
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride)) // filter byte + scanline per row
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var (mr, mg, mb) = (0, 0, 0)
+    val plain = Array.ofDim[Byte](h, stride) // unfiltered scanlines
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      plain(y)(x * bpp) = r.toByte; plain(y)(x * bpp + 1) = g.toByte
+      plain(y)(x * bpp + 2) = b.toByte
+      sr += r; sg += g; sb += b
+      mr = math.max(mr, r); mg = math.max(mg, g); mb = math.max(mb, b)
+    }
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (y <- 0 until h) {
+      val f = (y + seed) % 5
+      raw(y * (1 + stride)) = f.toByte
+      for (i <- 0 until stride) {
+        val cur = plain(y)(i) & 0xff
+        val left = if (i >= bpp) plain(y)(i - bpp) & 0xff else 0
+        val up = if (y > 0) plain(y - 1)(i) & 0xff else 0
+        val upLeft = if (y > 0 && i >= bpp) plain(y - 1)(i - bpp) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, upLeft)
+        }
+        raw(y * (1 + stride) + 1 + i) = enc.toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zBuf.toByteArray
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("ISO-8859-1")); crc.update(payload)
+      new B().be32(payload.length).str(typ).raw(payload).be32(crc.getValue).bytes
+    }
+    val ihdr = new B().be32(w).be32(h).u8(8).u8(2).u8(0).u8(0).u8(0).bytes
+    // split the stream across two IDAT chunks: decoders must concatenate
+    val cut = z.length / 2
+    val bytes = new B().u8(0x89).str("PNG").u8(0x0d).u8(0x0a).u8(0x1a).u8(0x0a)
+      .raw(chunk("IHDR", ihdr))
+      .raw(chunk("IDAT", z.slice(0, cut)))
+      .raw(chunk("IDAT", z.slice(cut, z.length)))
+      .raw(chunk("IEND", Array.emptyByteArray))
+      .bytes
+    (bytes, PixelTruth(0L, w, h, w.toLong * h, sr, sg, sb, mr, mg, mb))
+  }
+
   def gif(w: Int, h: Int, v89: Boolean, seed: Int): Array[Byte] = {
     val b = new B()
     b.str(if (v89) "GIF89a" else "GIF87a").le16(w).le16(h)
@@ -132,6 +206,9 @@ object MediaGen {
   // ---- fixture population (everything derived from doc_id) ----
 
   case class Blob(doc_id: Long, kind: String, media: Array[Byte])
+  case class PixelTruth(doc_id: Long, width: Int, height: Int,
+                        n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+                        max_r: Int, max_g: Int, max_b: Int)
   case class ImgTruth(doc_id: Long, format: String, n_bytes: Long,
                       width: Int, height: Int, n_frames: Int)
   case class AudioTruth(doc_id: Long, format: String, sample_rate: Int,
@@ -178,6 +255,18 @@ object MediaGen {
       tracks.map { case (tid, hdl, w, h, _) => TrackTruth(id, tid, hdl, w, h) })
   }
 
+  /** Real-pixel PNGs for the decode kernel: small rasters (the fixture
+    * stays tiny), sizes and seeds varied per id. doc_ids 5000+ keep the
+    * table disjoint from the header-fixture families.
+    */
+  def pixelImages: Seq[(Blob, PixelTruth)] = (0 until 30).map { i =>
+    val id = 5000L + i
+    val w = 5 + (i * 7) % 28
+    val h = 4 + (i * 5) % 22
+    val (bytes, truth) = pngWithPixels(w, h, i)
+    (Blob(id, "image", bytes), truth.copy(doc_id = id))
+  }
+
   /** Non-media payloads, including truncated real signatures — every parser
     * must return None/Nil on all of them.
     */
@@ -197,27 +286,36 @@ object MediaGen {
     payloads.zipWithIndex.map { case (p, i) => Blob(4000L + i, "corrupt", p) }
   }
 
+  /** `pixelsOnly` writes just the pixel-decode tables — the committed
+    * header-fixture parquet files keep their exact bytes (file names embed
+    * write UUIDs, so a full re-run would churn the committed fixture).
+    */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("fixtures/media")
+    val pixelsOnly = args.contains("pixelsOnly")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
       .appName("media-gen").getOrCreate()
     import spark.implicits._
-    val (imgBlobs, imgTruth) = (images.map(_._1), images.map(_._2))
-    val (audBlobs, audTruth) = (audios.map(_._1), audios.map(_._2))
-    val (vidBlobs, vidTruth) = (videos.map(_._1), videos.flatMap(_._2))
-    // corrupt payloads through the audio kernel are ground truth too:
-    // unknown format, all-zero metrics
-    val corruptAudioTruth = corrupts.map(b => AudioTruth(b.doc_id, "unknown", 0, 0, 0, 0L, 0L))
     def write[T <: Product : org.apache.spark.sql.Encoder](rows: Seq[T], name: String): Unit =
       rows.toDS().toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/$name")
-    write(imgBlobs ++ audBlobs ++ vidBlobs ++ corrupts, "media_blobs")
-    write(imgTruth, "expected_images")
-    write(audTruth ++ corruptAudioTruth, "expected_audio")
-    write(vidTruth, "expected_tracks")
-    println(s"[media-gen] wrote ${imgBlobs.size + audBlobs.size + vidBlobs.size + corrupts.size} blobs + 3 truth tables to $out")
+    write(pixelImages.map(_._1), "pixel_blobs")
+    write(pixelImages.map(_._2), "expected_pixels")
+    if (!pixelsOnly) {
+      val (imgBlobs, imgTruth) = (images.map(_._1), images.map(_._2))
+      val (audBlobs, audTruth) = (audios.map(_._1), audios.map(_._2))
+      val (vidBlobs, vidTruth) = (videos.map(_._1), videos.flatMap(_._2))
+      // corrupt payloads through the audio kernel are ground truth too:
+      // unknown format, all-zero metrics
+      val corruptAudioTruth = corrupts.map(b => AudioTruth(b.doc_id, "unknown", 0, 0, 0, 0L, 0L))
+      write(imgBlobs ++ audBlobs ++ vidBlobs ++ corrupts, "media_blobs")
+      write(imgTruth, "expected_images")
+      write(audTruth ++ corruptAudioTruth, "expected_audio")
+      write(vidTruth, "expected_tracks")
+    }
+    println(s"[media-gen] wrote fixture tables to $out (pixelsOnly=$pixelsOnly)")
     spark.stop()
   }
 }

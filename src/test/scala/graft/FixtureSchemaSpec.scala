@@ -46,6 +46,15 @@ class FixtureSchemaSpec extends AnyFunSuite {
       "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint"),
     ("embeddings", Tables.embeddings(spark, dir),
       "vec_id:bigint,embedding:array<float>,label:int"),
+    // committed repo fixtures consumed by oracled queries (same contract:
+    // a regeneration that re-types a column fails ONE named test)
+    ("media/pixel_blobs",
+      spark.read.parquet(s"${SparkEntry.MediaFixture}/pixel_blobs"),
+      "doc_id:bigint,kind:string,media:binary"),
+    ("media/expected_pixels",
+      spark.read.parquet(s"${SparkEntry.MediaFixture}/expected_pixels"),
+      "doc_id:bigint,width:int,height:int,n_pixels:bigint," +
+        "sum_r:bigint,sum_g:bigint,sum_b:bigint,max_r:int,max_g:int,max_b:int"),
   )
 
   private def render(df: org.apache.spark.sql.DataFrame): String =

@@ -159,6 +159,36 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("format") =!= "synthetic").count() == 0)
   }
 
+  test("real PNG pixel decode: inflate + unfilter reproduces the chosen pixels") {
+    // the differential behind mm_pixel_stats: pngWithPixels deflates REAL
+    // filtered scanlines; decodePngPixels must reconstruct the exact
+    // raster (every filter 0-4 appears across the rows of the fixture set)
+    val (bytes, truth) = graft.gen.MediaGen.pngWithPixels(19, 11, 7)
+    val Some((w, h, px)) = Multimodal.decodePngPixels(bytes)
+    assert(w == 19 && h == 11 && px.length == 19 * 11 * 3)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    px.grouped(3).foreach { p =>
+      sr += p(0) & 0xff; sg += p(1) & 0xff; sb += p(2) & 0xff
+    }
+    assert((sr, sg, sb) == (truth.sum_r, truth.sum_g, truth.sum_b))
+
+    // the fixture end-to-end: stats over all 30 committed blobs ≡ truth
+    val got = Multimodal.extractPixelStats(spark,
+      spark.read.parquet(s"${SparkEntry.MediaFixture}/pixel_blobs")).toDF()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(rows(got) ==
+      rows(spark.read.parquet(s"${SparkEntry.MediaFixture}/expected_pixels")))
+
+    // refusal: header-only PNGs (filler IDAT, no real zlib stream), other
+    // formats, and all ten corrupt payloads decode to None / no rows
+    assert(Multimodal.decodePngPixels(graft.gen.MediaGen.png(64, 48, 3)).isEmpty)
+    assert(Multimodal.decodePngPixels(graft.gen.MediaGen.jpeg(64, 48, 3)).isEmpty)
+    graft.gen.MediaGen.corrupts.foreach { c =>
+      assert(Multimodal.decodePngPixels(c.media).isEmpty)
+    }
+  }
+
   test("resize planning caps the long edge and preserves aspect ratio") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, docs)

@@ -40,6 +40,12 @@ object SparkEntry {
     */
   val AnnIndexFixture = "/root/repo/fixtures/annidx"
 
+  /** Committed vitals-generator snapshot (gen.VitalsGen.main): pins the
+    * generator's determinism contract — regeneration in the current session
+    * must bit-match this parquet, read independently by DuckDB.
+    */
+  val VitalsFixture = "/root/repo/fixtures/vitalsgen"
+
   /** Ensure the ns-timestamp parquet reader conf is set (Tables normalizes
     * `events.ts` ns→µs, matching DuckDB's cast — see Tables.events), and
     * install the engine's optimizer extensions: RewriteRankOneToMaxBy turns
@@ -174,6 +180,22 @@ object SparkEntry {
       Monitoring.errorsFromRunLog(runLogNested(s), "20240112")
         .select(unix_micros(col("timestamp")).as("ts_us"), col("job_name"),
           col("status"), col("request_url"), col("severity"))),
+    // Generator-determinism pin (F17/F18/F19 + S7): regenerate the
+    // committed vitals snapshot IN-SESSION and hash-compare against
+    // DuckDB's independent read of the committed files. All generated
+    // fields are pure functions of (row id, seed) — no rand(), whose
+    // per-partition re-seeding would make output depend on cluster
+    // parallelism — so any drift in the formulas, Spark's hash kernels,
+    // or partition sensitivity fails this named row instead of silently
+    // shifting every test built on generated data.
+    "gen_vitals_replay" -> ((s, _) =>
+      gen.VitalsGen.vitals(prep(s), gen.VitalsGen.FixtureRows,
+          gen.VitalsGen.FixtureStartEpochSec)
+        .select(col("event_id"), col("patient_id"), col("loinc_code"),
+          col("code_display"),
+          round(col("value_num") * 10).cast("long").as("value_deci"),
+          col("unit"), unix_micros(col("effective_ts")).as("ts_us"),
+          col("source"), col("raw"))),
     // ---- quality invariants (SURVEY §5) ----
     "qa_ref_integrity" -> ((s, d) => {
       val raw = Tables.events(prep(s), d)
@@ -625,6 +647,11 @@ object SparkEntry {
       s"$FactCte, e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM fact), m AS (SELECT *, row_number() OVER w AS rn, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg, count(*) OVER (PARTITION BY user_id) AS n_total FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), c AS (SELECT *, CAST(row_number() OVER wv AS BIGINT) AS version, lead(ts_us) OVER wv AS effective_to_us, lead(rn) OVER wv AS next_rn FROM m WHERE chg = 1 WINDOW wv AS (PARTITION BY user_id ORDER BY rn)) SELECT user_id, version, event_type, ts_us AS effective_from_us, effective_to_us, CAST(coalesce(next_rn - rn, n_total - rn + 1) AS BIGINT) AS n_events, effective_to_us IS NULL AS is_current FROM c",
     "mon_results" ->
       s"$ResultsCte SELECT event_id, ts_us, job_name, status, status BETWEEN 50 AND 99 AS is_success FROM r",
+    // determinism pin: the oracle is DuckDB's independent read of the
+    // COMMITTED snapshot — the Spark side regenerates; equality means the
+    // generator reproduced the committed bytes exactly
+    "gen_vitals_replay" ->
+      s"SELECT event_id, patient_id, loinc_code, code_display, CAST(round(value_num * 10) AS BIGINT) AS value_deci, unit, epoch_us(effective_ts) AS ts_us, source, raw FROM read_parquet('$VitalsFixture/vitals/*.parquet')",
     // nested-struct differentials: DuckDB extracts the same dot paths
     // (resource.labels.job_id, httpRequest.status) from the same sharded
     // parquet the engine reads — the full reference view family (results /

@@ -55,6 +55,10 @@ class FixtureSchemaSpec extends AnyFunSuite {
       spark.read.parquet(s"${SparkEntry.MediaFixture}/expected_pixels"),
       "doc_id:bigint,width:int,height:int,n_pixels:bigint," +
         "sum_r:bigint,sum_g:bigint,sum_b:bigint,max_r:int,max_g:int,max_b:int"),
+    ("vitalsgen/vitals",
+      spark.read.parquet(s"${SparkEntry.VitalsFixture}/vitals"),
+      "event_id:string,patient_id:string,loinc_code:string,code_display:string," +
+        "value_num:double,unit:string,effective_ts:timestamp,source:string,raw:string"),
   )
 
   private def render(df: org.apache.spark.sql.DataFrame): String =

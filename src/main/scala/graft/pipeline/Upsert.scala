@@ -165,6 +165,28 @@ object Upsert {
     spark.read.parquet(manifest.values.map(rel => s"$tablePath/$rel").toSeq: _*)
   }
 
+  /** Atomic WHOLE-TABLE overwrite snapshot — the reference's CTAS shape
+    * with the manifest protocol's crash guarantees: stage the new table
+    * under an immutable `batch-<uuid>/data` dir, flip the one-entry
+    * manifest, GC the superseded snapshot one cycle late. `SaveMode
+    * .Overwrite` straight at the table path is delete-then-write — a crash
+    * between the delete and the write's commit leaves NO readable table;
+    * this form leaves the previous snapshot in force through any crash,
+    * and readers ([[readTable]]) never see staging. The unpartitioned
+    * companion to [[replacePartitionsAtomic]] for small whole-rebuild
+    * tables (dims); partitioned facts want the partition-granular forms.
+    */
+  def writeTableAtomic(spark: SparkSession, data: DataFrame,
+                       tablePath: String,
+                       committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val manifest = committer.readManifest(tablePath)
+    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet)
+    val rel = s"batch-${java.util.UUID.randomUUID().toString.take(8)}/data"
+    data.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
+    committer.commit(tablePath, Map("all" -> rel))
+    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet + rel)
+  }
+
   /** `crashBeforeCommit` is the fault-injection seam: true returns after
     * staging the merged data but BEFORE the manifest flip — the crash
     * window the commit protocol must tolerate.

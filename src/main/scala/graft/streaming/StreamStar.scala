@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -14,12 +14,14 @@ import graft.pipeline.Upsert
   *  1. merges the batch into the keep-latest FACT snapshot
   *     ([[StreamDedup.mergeBatchIntoSnapshot]] — manifest-committed,
   *     O(touched days) I/O);
-  *  2. rebuilds the DIMS as overwrite snapshots from the merged fact —
+  *  2. rebuilds the DIMS as whole-table snapshots from the merged fact —
   *     the reference's own CTAS-per-cycle shape for its latest-only dims
   *     (every dim aggregate here is min/max/count: map-side-combining,
-  *     one shuffle of O(distinct keys)); dims land ON DISK before the
-  *     star reads them, preserving the materialized-inputs plan shape
-  *     that keeps the star's joins AQE-skew-splittable
+  *     one shuffle of O(distinct keys)) — through the same manifest
+  *     protocol ([[Upsert.writeTableAtomic]]), so a crash mid-dim-write
+  *     leaves the previous committed dim readable; dims land ON DISK
+  *     before the star reads them, preserving the materialized-inputs
+  *     plan shape that keeps the star's joins AQE-skew-splittable
   *     ([[graft.pipeline.Pipeline.starFromMaterialized]] scaladoc);
   *  3. rebuilds ONLY the touched days of the star — the day set the fact
   *     merge read (batch days + predecessors) is re-derived from the
@@ -66,10 +68,14 @@ object StreamStar {
     if (readDays.isEmpty) return
 
     val fact = StreamDedup.readSnapshot(spark, p.factSnap, committer)
-    // dims: overwrite snapshots, materialized BEFORE the star reads them
-    Dims.dimUser(fact).write.mode(SaveMode.Overwrite).parquet(p.dimUser)
-    Dims.dimEventType(fact).write.mode(SaveMode.Overwrite).parquet(p.dimEventType)
-    Dims.dimDate(fact).write.mode(SaveMode.Overwrite).parquet(p.dimDate)
+    // dims: whole-rebuild snapshots through the SAME manifest protocol as
+    // the fact and star — a crash mid-dim-write leaves the previous
+    // committed dim in force (plain SaveMode.Overwrite is delete-then-
+    // write: a crash in that window leaves NO readable dim), so every
+    // table in the DAG carries the commit guarantee, not just the big two
+    Upsert.writeTableAtomic(spark, Dims.dimUser(fact), p.dimUser, committer)
+    Upsert.writeTableAtomic(spark, Dims.dimEventType(fact), p.dimEventType, committer)
+    Upsert.writeTableAtomic(spark, Dims.dimDate(fact), p.dimDate, committer)
 
     // star delta: the touched days of the MERGED fact (snap_day prunes the
     // manifest read scope on the Spark side too), joined through the
@@ -80,9 +86,9 @@ object StreamStar {
       .drop("snap_day")
     val starDelta = Star.factStar(
       factTouched,
-      spark.read.parquet(p.dimUser),
-      spark.read.parquet(p.dimEventType),
-      spark.read.parquet(p.dimDate))
+      Upsert.readTable(spark, p.dimUser, committer),
+      Upsert.readTable(spark, p.dimEventType, committer),
+      Upsert.readTable(spark, p.dimDate, committer))
     Upsert.replacePartitionsAtomic(spark, starDelta, p.star, "date_key",
       readDays, committer)
   }

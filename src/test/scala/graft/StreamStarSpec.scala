@@ -84,7 +84,7 @@ class StreamStarSpec extends AnyFunSuite {
     Seq("dim_user", "dim_event_type", "dim_date").foreach { d =>
       val cols = spark.read.parquet(s"$pipeOut/$d").columns.sorted.map(col)
       assert(
-        dimRows(spark.read.parquet(s"$root/$d").select(cols.toIndexedSeq: _*)) ==
+        dimRows(Upsert.readTable(spark, s"$root/$d").select(cols.toIndexedSeq: _*)) ==
           dimRows(spark.read.parquet(s"$pipeOut/$d").select(cols.toIndexedSeq: _*)),
         s"streamed $d must equal the batch pipeline's $d")
     }

@@ -174,6 +174,46 @@ class UpsertSpec extends AnyFunSuite {
       s"crashed/unreferenced staging must be GC'd: extra=${staged -- live -- manifestBefore.values.toSet}")
   }
 
+  test("writeTableAtomic: a crashed snapshot write leaves the old table readable") {
+    val path = Files.createTempDirectory("graft-wta").toString + "/t"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Upsert.writeTableAtomic(spark, v1, path)
+    def rows() = Upsert.readTable(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows() == Set((1L, "a"), (2L, "b")))
+
+    // crash window: staging lands, the manifest flip fails — plain
+    // SaveMode.Overwrite at the table path would have deleted the old
+    // table before this point; the manifest form must still serve v1
+    val crashing = new graft.streaming.SnapshotCommitter {
+      def readManifest(p: String) =
+        graft.streaming.AtomicRenameCommitter.readManifest(p)
+      def commit(p: String, e: Map[String, String]) =
+        throw new RuntimeException("injected crash at commit")
+    }
+    val v2 = Seq((1L, "a2"), (3L, "c")).toDF("id", "v")
+    intercept[RuntimeException] {
+      Upsert.writeTableAtomic(spark, v2, path, crashing)
+    }
+    assert(rows() == Set((1L, "a"), (2L, "b")),
+      "a crashed snapshot write must leave the previous table in force")
+
+    // recovery: the next successful write publishes v2 and GCs the crashed
+    // staging; the superseded v1 survives ONE more cycle (reader grace)
+    Upsert.writeTableAtomic(spark, v2, path)
+    assert(rows() == Set((1L, "a2"), (3L, "c")))
+    val graceManifest = graft.streaming.AtomicRenameCommitter.readManifest(path)
+    Upsert.writeTableAtomic(spark, v2, path)
+    val live = graft.streaming.AtomicRenameCommitter.readManifest(path).values.toSet
+    val staged = new java.io.File(path).listFiles()
+      .filter(b => b.isDirectory && b.getName.startsWith("batch-"))
+      .flatMap(b => b.listFiles().filter(_.isDirectory).map(d => s"${b.getName}/${d.getName}"))
+      .toSet
+    assert(staged.subsetOf(live ++ graceManifest.values.toSet),
+      s"crashed/unreferenced staging must be GC'd: extra=${staged -- live -- graceManifest.values}")
+    assert(staged.intersect(live) == live, "the committed snapshot must exist on disk")
+  }
+
   test("stale delta rows lose to newer existing rows") {
     val path = Files.createTempDirectory("graft-upsert-stale").toString + "/t"
     seedTable(path)

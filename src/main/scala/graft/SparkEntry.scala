@@ -180,6 +180,24 @@ object SparkEntry {
       Monitoring.errorsFromRunLog(runLogNested(s), "20240112")
         .select(unix_micros(col("timestamp")).as("ts_us"), col("job_name"),
           col("status"), col("request_url"), col("severity"))),
+    // Z-order clustered layout (S4's multi-column generalization): write
+    // events Morton-ordered by (user_id, value), answer a 2-D selective
+    // predicate FROM THE REWRITTEN FILES — layout is semantics-free, so
+    // DuckDB over the ORIGINAL table is an exact oracle, while parquet
+    // min/max row-group skipping on both dimensions is what the layout
+    // buys (measured in LayoutSpec: a value-only predicate scans ~100% of
+    // the linear layout and a fraction of the z-ordered one)
+    "q_zorder_scan" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_" +
+        Integer.toHexString(d.hashCode)
+      pipeline.Layout.zorderWrite(Tables.events(prep(s), d), out,
+        Seq("user_id", "value"), numFiles = 64)
+      s.read.parquet(out)
+        .filter(col("user_id").between(3, 7) &&
+          col("value").between(50.0, 150.0))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+    }),
     // Generator-determinism pin (F17/F18/F19 + S7): regenerate the
     // committed vitals snapshot IN-SESSION and hash-compare against
     // DuckDB's independent read of the committed files. All generated
@@ -647,6 +665,10 @@ object SparkEntry {
       s"$FactCte, e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM fact), m AS (SELECT *, row_number() OVER w AS rn, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg, count(*) OVER (PARTITION BY user_id) AS n_total FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), c AS (SELECT *, CAST(row_number() OVER wv AS BIGINT) AS version, lead(ts_us) OVER wv AS effective_to_us, lead(rn) OVER wv AS next_rn FROM m WHERE chg = 1 WINDOW wv AS (PARTITION BY user_id ORDER BY rn)) SELECT user_id, version, event_type, ts_us AS effective_from_us, effective_to_us, CAST(coalesce(next_rn - rn, n_total - rn + 1) AS BIGINT) AS n_events, effective_to_us IS NULL AS is_current FROM c",
     "mon_results" ->
       s"$ResultsCte SELECT event_id, ts_us, job_name, status, status BETWEEN 50 AND 99 AS is_success FROM r",
+    // layout is semantics-free: the z-ordered rewrite must answer exactly
+    // what the original table answers
+    "q_zorder_scan" ->
+      "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value FROM events WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50.0 AND 150.0",
     // determinism pin: the oracle is DuckDB's independent read of the
     // COMMITTED snapshot — the Spark side regenerates; equality means the
     // generator reproduced the committed bytes exactly

@@ -60,10 +60,13 @@ object Dims {
     * 1=Sunday convention, which Spark's `dayofweek` already matches (SURVEY
     * §2.8 F5).
     */
-  def dimDate(fact: DataFrame): DataFrame = {
-    val bounds = fact.agg(
+  def dimDate(fact: DataFrame): DataFrame =
+    calendarFrom(fact.agg(
       min(to_date(col("ts"))).as("lo"),
-      max(to_date(col("ts"))).as("hi"))
+      max(to_date(col("ts"))).as("hi")))
+
+  /** One calendar row per day of `bounds`' single (lo, hi) row. */
+  private def calendarFrom(bounds: DataFrame): DataFrame =
     bounds
       .select(explode(sequence(col("lo"), col("hi"))).as("date_id"))
       .select(
@@ -78,5 +81,83 @@ object Dims {
         dayofweek(col("date_id")).as("day_of_week"),
         date_format(col("date_id"), "EEEE").as("day_name"),
         dayofweek(col("date_id")).isin(1, 7).as("is_weekend"))
+
+  // ---- Mergeable (incremental) forms -------------------------------------
+  //
+  // Every aggregate in these dims is MERGEABLE (min, max, count→sum), so a
+  // dim can absorb a batch of NEW fact rows without rescanning the fact:
+  //   merged = re-aggregate(old dim rows ∪ aggregate(new rows))
+  // Cost is O(|dim| + |delta|) per cycle — independent of fact size — vs
+  // the full rebuild's O(|fact|). At 100 TB that difference is the whole
+  // game for a 15-minute refresh cadence; the snapshot rebuild stays as the
+  // bootstrap and backfill path.
+  //
+  // Contract (same as every additive incremental view): `newEvents` must be
+  // rows NOT already aggregated into `oldDim` — the caller extracts genuine
+  // inserts (e.g. anti-join of the batch against the pre-merge fact, see
+  // StreamStar's incremental mode). min/max absorb duplicates harmlessly;
+  // counts are what the contract protects. Retractions (a replaced row
+  // whose user/ts CHANGED) are outside the contract: counts stay right via
+  // insert extraction, but a removed min/max would go stale — the
+  // append-mostly replication this engine models (same business row,
+  // newer created_at) never does that, and a backfill rebuild repairs it.
+
+  /** Absorb `newEvents` (genuinely new fact rows) into an existing
+    * `dimUser` snapshot: union the old dim rows with the delta's per-user
+    * aggregate and re-aggregate — min/least, max/greatest, sum of counts.
+    * Surrogate keys are recomputed from the natural key (deterministic, so
+    * existing users keep their key byte-identically).
+    */
+  def mergeDimUser(oldDim: DataFrame, newEvents: DataFrame): DataFrame = {
+    val deltaAgg = newEvents.groupBy(col("user_id"))
+      .agg(
+        min(to_date(col("ts"))).as("first_seen_date"),
+        max(to_date(col("ts"))).as("last_seen_date"),
+        count(lit(1)).as("event_count"))
+    oldDim.select(col("user_id"), col("first_seen_date"),
+        col("last_seen_date"), col("event_count"))
+      .unionByName(deltaAgg)
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("first_seen_date")).as("first_seen_date"),
+        max(col("last_seen_date")).as("last_seen_date"),
+        sum(col("event_count")).as("event_count"))
+      .select(
+        surrogateKey(col("user_id")).as("user_key"),
+        col("user_id"), col("first_seen_date"), col("last_seen_date"),
+        col("event_count"))
+  }
+
+  /** Mergeable form of [[dimEventType]] — min over the determinized
+    * representative keeps the survivor reproducible across any batch
+    * arrival order.
+    */
+  def mergeDimEventType(oldDim: DataFrame, newEvents: DataFrame): DataFrame = {
+    val deltaAgg = newEvents.groupBy(col("event_type"))
+      .agg(
+        min(col("event_id")).as("sample_event_id"),
+        count(lit(1)).as("event_count"))
+    oldDim.select(col("event_type"), col("sample_event_id"), col("event_count"))
+      .unionByName(deltaAgg)
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("sample_event_id")).as("sample_event_id"),
+        sum(col("event_count")).as("event_count"))
+      .select(
+        surrogateKey(col("event_type")).as("event_type_key"),
+        col("event_type"), col("sample_event_id"), col("event_count"))
+  }
+
+  /** Mergeable form of [[dimDate]]: the calendar is a pure function of its
+    * [min, max] bounds, so the merge widens the old bounds by the delta's
+    * and regenerates — O(days), no fact scan.
+    */
+  def mergeDimDate(oldDim: DataFrame, newEvents: DataFrame): DataFrame = {
+    val oldBounds = oldDim.agg(
+      min(col("date_id")).as("lo"), max(col("date_id")).as("hi"))
+    val deltaBounds = newEvents.agg(
+      min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+    calendarFrom(oldBounds.unionByName(deltaBounds)
+      .agg(min(col("lo")).as("lo"), max(col("hi")).as("hi")))
   }
 }

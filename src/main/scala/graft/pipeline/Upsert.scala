@@ -160,10 +160,27 @@ object Upsert {
     */
   def readTable(spark: SparkSession, tablePath: String,
                 committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
-    val manifest = committer.readManifest(tablePath)
+    val manifest = dataEntries(committer.readManifest(tablePath))
     require(manifest.nonEmpty, s"no committed table at $tablePath")
     spark.read.parquet(manifest.values.map(rel => s"$tablePath/$rel").toSeq: _*)
   }
+
+  /** Manifest entries that reference data dirs — `__`-prefixed keys are
+    * METADATA riding the same atomic commit (e.g. the last-applied stream
+    * batch id, the exactly-once ledger incremental dim maintenance needs):
+    * readers skip them, GC treats their values as referencing nothing.
+    */
+  private def dataEntries(m: Map[String, String]): Map[String, String] =
+    m.filterNot(_._1.startsWith("__"))
+
+  /** The `__`-prefixed metadata committed with the table (empty when none
+    * or the table doesn't exist).
+    */
+  def tableMeta(tablePath: String,
+                committer: SnapshotCommitter = AtomicRenameCommitter): Map[String, String] =
+    committer.readManifest(tablePath).collect {
+      case (k, v) if k.startsWith("__") => k.stripPrefix("__") -> v
+    }
 
   /** Atomic WHOLE-TABLE overwrite snapshot — the reference's CTAS shape
     * with the manifest protocol's crash guarantees: stage the new table
@@ -178,13 +195,18 @@ object Upsert {
     */
   def writeTableAtomic(spark: SparkSession, data: DataFrame,
                        tablePath: String,
-                       committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+                       committer: SnapshotCommitter = AtomicRenameCommitter,
+                       meta: Map[String, String] = Map.empty): Unit = {
     val manifest = committer.readManifest(tablePath)
-    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet)
+    SnapshotGc.gcUnreferenced(tablePath, dataEntries(manifest).values.toSet)
     val rel = s"batch-${java.util.UUID.randomUUID().toString.take(8)}/data"
     data.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
-    committer.commit(tablePath, Map("all" -> rel))
-    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet + rel)
+    // metadata rides the SAME manifest flip — one atomic commit covers the
+    // new snapshot and (e.g.) the batch-id ledger, which is what makes
+    // replay-skip decisions crash-consistent with the data they describe
+    committer.commit(tablePath,
+      Map("all" -> rel) ++ meta.map { case (k, v) => s"__$k" -> v })
+    SnapshotGc.gcUnreferenced(tablePath, dataEntries(manifest).values.toSet + rel)
   }
 
   /** `crashBeforeCommit` is the fault-injection seam: true returns after

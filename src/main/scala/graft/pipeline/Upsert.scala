@@ -138,7 +138,12 @@ object Upsert {
     * therefore exactly the previous committed table — in force
     * (`UpsertSpec` kills a merge inside that window and proves old-only,
     * never mixed). Same key→partition contract as [[upsertPartitions]].
-    * Single writer assumed, as with any filesystem-pointer table format
+    * Single writer assumed with the default committer; a
+    * [[graft.streaming.CasCommitter]] upgrades that to optimistic
+    * concurrency — the loser of an interleaved commit gets a retryable
+    * [[graft.streaming.ConcurrentCommitException]] with the winner's
+    * manifest intact (`CasCommitterSpec`) — as with any
+    * filesystem-pointer table format
     * without a CAS service.
     *
     * The partition column stays IN the data files (staging partitions by a

@@ -79,8 +79,12 @@ private[graft] object SnapshotGc {
 
 object AtomicRenameCommitter extends SnapshotCommitter {
 
-  private def manifestFile(snapshotPath: String) =
+  private[streaming] def manifestFile(snapshotPath: String) =
     new java.io.File(snapshotPath, "MANIFEST")
+
+  private[streaming] def renderManifest(entries: Map[String, String]): String =
+    entries.toSeq.sorted
+      .map { case (d, rel) => s"$d\t$rel" }.mkString("", "\n", "\n")
 
   override def readManifest(snapshotPath: String): Map[String, String] = {
     val f = manifestFile(snapshotPath)
@@ -99,12 +103,79 @@ object AtomicRenameCommitter extends SnapshotCommitter {
     val dir = new java.io.File(snapshotPath)
     dir.mkdirs()
     val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
-    val body = entries.toSeq.sorted
-      .map { case (d, rel) => s"$d\t$rel" }.mkString("", "\n", "\n")
     java.nio.file.Files.write(tmp.toPath,
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      renderManifest(entries).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath, manifestFile(snapshotPath).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** Thrown by [[CasCommitter.commit]] when the manifest changed between this
+  * committer's `readManifest` and its `commit` — the local rendering of an
+  * S3 conditional-put precondition failure. The previously committed
+  * manifest is left in force; the loser retries its whole merge cycle
+  * (re-read → re-merge → re-commit), which every protocol in this repo
+  * supports because merges are idempotent functions of the manifest state
+  * they read.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
+/** Compare-and-swap committer — drops the AtomicRenameCommitter's
+  * single-writer assumption. Each instance remembers the manifest bytes it
+  * last OBSERVED for a path (`readManifest`); `commit` atomically verifies
+  * the on-disk manifest is still byte-identical to that observation before
+  * renaming the replacement in, under an exclusive OS file lock
+  * (`FileChannel.tryLock` on a sidecar LOCK file — advisory, but both
+  * writers in a race go through it). This is exactly the If-Match
+  * conditional put the [[SnapshotCommitter]] trait doc prescribes for
+  * S3-class stores, rendered with POSIX primitives: a concurrent writer's
+  * interleaved commit surfaces as [[ConcurrentCommitException]] with the
+  * winner's manifest intact — never a torn or lost update.
+  *
+  * One instance per writer (the observation is per-instance state);
+  * sharing an instance across writers would let one writer's read satisfy
+  * another's precondition.
+  */
+final class CasCommitter extends SnapshotCommitter {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  // last-observed manifest BYTES per path ("" = observed-absent)
+  private val observed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def currentBytes(snapshotPath: String): String = {
+    val f = AtomicRenameCommitter.manifestFile(snapshotPath)
+    if (!f.exists()) ""
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+  }
+
+  override def readManifest(snapshotPath: String): Map[String, String] = {
+    observed.put(snapshotPath, currentBytes(snapshotPath))
+    AtomicRenameCommitter.readManifest(snapshotPath)
+  }
+
+  override def commit(snapshotPath: String,
+                      entries: Map[String, String]): Unit = {
+    val dir = new java.io.File(snapshotPath)
+    dir.mkdirs()
+    val lockFile = new java.io.File(dir, "MANIFEST.lock")
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock() // blocks until the competing commit finishes
+      try {
+        val expect = observed.getOrDefault(snapshotPath, "")
+        val actual = currentBytes(snapshotPath)
+        if (actual != expect)
+          throw new ConcurrentCommitException(
+            s"manifest at $snapshotPath changed since this writer read it " +
+              "(concurrent commit won the race); re-read and retry the merge")
+        AtomicRenameCommitter.commit(snapshotPath, entries)
+        observed.put(snapshotPath, AtomicRenameCommitter.renderManifest(entries))
+      } finally lock.release()
+    } finally ch.close()
   }
 }

@@ -193,7 +193,10 @@ object StreamDedup {
     * leaves the old manifest — and therefore exactly the old committed
     * state — in force: no day is ever lost or doubled
     * (`FileStreamSpec` kills a merge inside that window and proves both).
-    * Single writer assumed (one foreachBatch sink), as with any
+    * Single writer assumed with the default committer (one foreachBatch
+    * sink); pass a [[CasCommitter]] to turn a concurrent writer's
+    * interleaved commit into a retryable [[ConcurrentCommitException]]
+    * instead — the conditional-put contract, as with any
     * filesystem-pointer table format without a CAS service.
     */
   def mergeBatchIntoSnapshot(spark: org.apache.spark.sql.SparkSession,

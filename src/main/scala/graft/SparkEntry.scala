@@ -232,6 +232,8 @@ object SparkEntry {
     "q_union_ids" -> ((s, d) => Analytics.unionIds(prep(s), d)),
     "extract_window" -> ((s, d) => Analytics.extractWindow(prep(s), d)),
     "q_semi_join" -> ((s, d) => Analytics.semiJoin(prep(s), d)),
+    "q_funnel" -> ((s, d) => Analytics.funnel(prep(s), d)),
+    "q_retention" -> ((s, d) => Analytics.retention(prep(s), d)),
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(prep(s), d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
     // KLL-style quantile sketch (approx_percentile): rows-only — the sketch
@@ -737,6 +739,24 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
     "q_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    // ordered funnel: tₖ = earliest step-k event strictly after tₖ₋₁
+    "q_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'click' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t WHERE e.event_type = 'view' GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT 1 AS step, 'click' AS event_type, count(*) AS users FROM s1 " +
+        "UNION ALL SELECT 2, 'view', count(*) FROM s2 " +
+        "UNION ALL SELECT 3, 'purchase', count(*) FROM s3"),
+    "q_retention" ->
+      (s"WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1), " +
+        "a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "j AS (SELECT c.cohort_date, (a.d - c.cohort_date) AS k FROM c JOIN a ON c.user_id = a.user_id) " +
+        "SELECT cohort_date, count(CASE WHEN k = 0 THEN 1 END) AS cohort_size, " +
+        "count(CASE WHEN k = 1 THEN 1 END) AS retained_d1, " +
+        "count(CASE WHEN k = 7 THEN 1 END) AS retained_d7, " +
+        fxRatioSql("count(CASE WHEN k = 1 THEN 1 END)", "count(CASE WHEN k = 0 THEN 1 END)", 4) + " AS rate_d1, " +
+        fxRatioSql("count(CASE WHEN k = 7 THEN 1 END)", "count(CASE WHEN k = 0 THEN 1 END)", 4) + " AS rate_d7 " +
+        "FROM j GROUP BY 1"),
     "q10_returns" ->
       s"SELECT c_custkey, c_name, n_name, ${fxTotalSql(fxSumSql("l_extendedprice * (1 - l_discount)", 10000L), 10000L, 2)} AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2000-07-01' GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20",
     "q22_wealthy_inactive" ->

@@ -869,4 +869,65 @@ object Analytics {
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
         coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
   }
+
+  /** Ordered-event FUNNEL — the event-analytics staple: how many users
+    * progress through `steps` IN TIME ORDER (each step strictly after the
+    * one before). Semantics: t₁ = a user's earliest step-1 event; tₖ = the
+    * earliest step-k event strictly after tₖ₋₁; a user converts through
+    * step k iff tₖ exists.
+    *
+    * Shape, not a window: each stage is a filtered per-user MIN aggregate
+    * (map-side combining, one row per user out) joined to the previous
+    * stage's single row per user — shuffles carry O(users) rows however
+    * large the event table is, and each stage's filter pushes the
+    * event-type predicate into the scan. A per-user sort window would
+    * shuffle every event instead.
+    */
+  def funnel(spark: SparkSession, dir: String,
+             steps: Seq[String] = Seq("click", "view", "purchase")): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // stage 1: earliest step-1 event per user
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val stages = steps.tail.scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step).withColumnRenamed("ts", "ts2")
+        .join(prev, Seq("user_id"))
+        .filter(col("ts2") > col("t"))
+        .groupBy(col("user_id")).agg(min(col("ts2")).as("t"))
+    }
+    stages.zipWithIndex.map { case (s, i) =>
+      s.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+          col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort RETENTION: users cohorted by first-activity date; for each
+    * cohort, the share still active k days later (any event on exactly
+    * day +k). Two aggregates and one join, all keyed on user/cohort —
+    * the raw event table is touched twice (cohort min, active days),
+    * each collapsing map-side to O(users)/O(user-days) before any
+    * shuffle. Rates via FxMath integer-exact rounding (hash-stable
+    * across engines).
+    */
+  def retention(spark: SparkSession, dir: String,
+                days: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    val activeDays = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val joined = cohort.join(activeDays, Seq("user_id"))
+      .select(col("cohort_date"), datediff(col("d"), col("cohort_date")).as("k"))
+    // distinct user-days guarantee one row per (user, k), so a plain
+    // conditional count is an exact user count — no count_distinct needed
+    val agg = joined
+      .groupBy(col("cohort_date"))
+      .agg(
+        count(when(col("k") === 0, 1)).as("cohort_size"),
+        days.map(k => count(when(col("k") === k, 1)).as(s"retained_d$k")): _*)
+    days.foldLeft(agg) { (df, k) =>
+      df.withColumn(s"rate_d$k",
+        graft.functions.FxMath.ratio(col(s"retained_d$k"), col("cohort_size"), 4))
+    }
+  }
 }

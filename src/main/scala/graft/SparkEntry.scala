@@ -198,6 +198,52 @@ object SparkEntry {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
     }),
+    // Log-sink determinism pin (S8): regenerate the nested run-log fixture
+    // in-session and hash-compare against DuckDB's independent read of the
+    // COMMITTED day_partition-sharded files — the same contract as
+    // gen_vitals_replay, on the nested-struct export shape
+    "gen_runlog_replay" -> ((s, _) =>
+      gen.RunLogGen.runLog(prep(s), 12 * 144, 1704067200L)
+        .select(unix_micros(col("timestamp")).as("ts_us"),
+          col("resource.labels.job_id").as("job_name"),
+          col("httpRequest.status").as("status_raw"),
+          col("httpRequest.requestUrl").as("request_url"),
+          col("severity"), col("day_partition"))),
+    // Warehouse APPEND sink (S2): three overlapping replication batches
+    // land via mode("append") — the reference's landing-table semantics,
+    // duplicates preserved by design (W1 repairs them downstream). The
+    // read-back is oracled against DuckDB recomputing the same three
+    // windowed extracts from the committed generator snapshot: row
+    // multiplicity must match exactly, proving append neither lost nor
+    // collapsed anything.
+    "sink_append" -> ((s, _) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_append_sink"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val oltp = gen.VitalsGen.vitals(prep(s), gen.VitalsGen.FixtureRows,
+        gen.VitalsGen.FixtureStartEpochSec)
+      (1 to 3).foreach { i =>
+        gen.VitalsGen.extractBatch(oltp,
+            gen.VitalsGen.FixtureStartEpochSec + i * 600L, lookbackMinutes = 20)
+          .write.mode("append").parquet(out)
+      }
+      s.read.parquet(out).select(col("event_id"), col("patient_id"),
+        round(col("value_num") * 10).cast("long").as("value_deci"),
+        unix_micros(col("effective_ts")).as("ts_us"),
+        unix_micros(col("created_at")).as("created_us"))
+    }),
+    // SQL view surface (S5): the reference user's workflow — SELECT against
+    // registered view names — answered through Views.registerAll and
+    // spark.sql, oracled against DuckDB computing the same rollup from the
+    // raw table. Exercises view resolution + the star's key joins round-
+    // tripping back to natural keys.
+    "view_sql_daily_type" -> ((s, d) => {
+      pipeline.Views.registerAll(prep(s), d)
+      s.sql("""SELECT d.date_id, t.event_type, count(*) AS n_events
+               FROM fact_events_star f
+               JOIN dim_date d ON f.date_key = d.date_key
+               JOIN dim_event_type t ON f.event_type_key = t.event_type_key
+               GROUP BY d.date_id, t.event_type""")
+    }),
     // Generator-determinism pin (F17/F18/F19 + S7): regenerate the
     // committed vitals snapshot IN-SESSION and hash-compare against
     // DuckDB's independent read of the committed files. All generated
@@ -671,6 +717,19 @@ object SparkEntry {
     // what the original table answers
     "q_zorder_scan" ->
       "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value FROM events WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50.0 AND 150.0",
+    "gen_runlog_replay" ->
+      (s"SELECT epoch_us(timestamp) AS ts_us, resource['labels']['job_id'] AS job_name, " +
+        "httpRequest['status'] AS status_raw, httpRequest['requestUrl'] AS request_url, severity, " +
+        s"CAST(day_partition AS VARCHAR) AS day_partition FROM read_parquet('$RunLogFixture/run_log/*/*.parquet', hive_partitioning=true)"),
+    // append-sink multiplicity: DuckDB recomputes the same three
+    // overlapping windowed extracts from the committed generator snapshot
+    "sink_append" ->
+      (s"WITH o AS (SELECT event_id, patient_id, CAST(round(value_num * 10) AS BIGINT) AS value_deci, epoch_us(effective_ts) AS ts_us FROM read_parquet('$VitalsFixture/vitals/*.parquet')) " +
+        "SELECT event_id, patient_id, value_deci, ts_us, CAST(1704067800000000 AS BIGINT) AS created_us FROM o WHERE ts_us >= 1704066600000000 AND ts_us < 1704067800000000 " +
+        "UNION ALL SELECT event_id, patient_id, value_deci, ts_us, CAST(1704068400000000 AS BIGINT) FROM o WHERE ts_us >= 1704067200000000 AND ts_us < 1704068400000000 " +
+        "UNION ALL SELECT event_id, patient_id, value_deci, ts_us, CAST(1704069000000000 AS BIGINT) FROM o WHERE ts_us >= 1704067800000000 AND ts_us < 1704069000000000"),
+    "view_sql_daily_type" ->
+      s"$FactCte SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events FROM fact GROUP BY 1, 2",
     // determinism pin: the oracle is DuckDB's independent read of the
     // COMMITTED snapshot — the Spark side regenerates; equality means the
     // generator reproduced the committed bytes exactly

@@ -231,6 +231,19 @@ object SparkEntry {
         unix_micros(col("effective_ts")).as("ts_us"),
         unix_micros(col("created_at")).as("created_us"))
     }),
+    // Partition introspection (F20): write the events day-partitioned,
+    // then answer "which partitions exist" FROM THE LAYOUT — the projection
+    // touches only the partition column, so the scan reads directory
+    // structure, not data pages (ReadSchema is empty). Oracle = the same
+    // distinct-days question asked of the raw data.
+    "partition_introspection" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_partintro_" +
+        Integer.toHexString(d.hashCode)
+      Tables.events(prep(s), d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      s.read.parquet(out).select(col("event_date")).distinct()
+    }),
     // SQL view surface (S5): the reference user's workflow — SELECT against
     // registered view names — answered through Views.registerAll and
     // spark.sql, oracled against DuckDB computing the same rollup from the
@@ -730,6 +743,8 @@ object SparkEntry {
         "UNION ALL SELECT event_id, patient_id, value_deci, ts_us, CAST(1704069000000000 AS BIGINT) FROM o WHERE ts_us >= 1704067800000000 AND ts_us < 1704069000000000"),
     "view_sql_daily_type" ->
       s"$FactCte SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events FROM fact GROUP BY 1, 2",
+    "partition_introspection" ->
+      "SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events",
     // determinism pin: the oracle is DuckDB's independent read of the
     // COMMITTED snapshot — the Spark side regenerates; equality means the
     // generator reproduced the committed bytes exactly

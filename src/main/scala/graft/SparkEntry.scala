@@ -83,6 +83,19 @@ object SparkEntry {
     prep(spark).read.schema(schema).parquet(RunLogFixture + "/run_log")
   }
 
+  /** Staged copy of the normalized events table for the §2.9 streaming
+    * oracle queries: `readStream` needs a declared schema, and the
+    * fixture's physical `ts` type varies by generation (ns-long / µs-NTZ —
+    * see [[Tables.events]]), so the stream reads a once-per-session staged
+    * parquet of the NORMALIZED table instead of the raw fixture. Harness
+    * glue standing in for "what has landed" — see [[streaming.StreamOracle]].
+    */
+  private def stagedEvents(spark: SparkSession, dir: String,
+                           numFiles: Int = 1): String =
+    streaming.StreamOracle.stage(prep(spark),
+      Tables.events(spark, dir), s"events_${Integer.toHexString(dir.hashCode)}",
+      numFiles)
+
   /** Key-mapping dims for star construction. Surrogate-key↔natural-key
     * mappings are dedup-invariant (duplicates add no new keys), so the dim
     * branches of a star query can skip the dedup window — saves 3 window
@@ -256,6 +269,89 @@ object SparkEntry {
                JOIN dim_date d ON f.date_key = d.date_key
                JOIN dim_event_type t ON f.event_type_key = t.event_type_key
                GROUP BY d.date_id, t.event_type""")
+    }),
+    // ---- §2.9 streaming operators as ORACLED queries: drain with
+    // Trigger.AvailableNow into a parquet sink, read the sink back, and
+    // hash-compare against batch-equivalent DuckDB SQL over the same rows
+    // (StreamOracle scaladoc carries the determinism contract). These are
+    // the continuous forms of the reference's cron-driven micro-batch
+    // refresh (reference README.md:364,382,688-692). ----
+    // §2.9b exactly-once repair: the three overlapping 20-min-lookback
+    // extracts streamed through the watermarked dropDuplicates. The
+    // payload projection drops the per-extract created_at, so every copy
+    // of a duplicated event_id is IDENTICAL and keep-first is
+    // order-independent — the oracle is DISTINCT over the same windows.
+    "stream_dedup" -> ((s, _) => {
+      val in = streaming.StreamOracle.stage(prep(s), {
+        val oltp = gen.VitalsGen.vitals(s, gen.VitalsGen.FixtureRows,
+          gen.VitalsGen.FixtureStartEpochSec)
+        (1 to 3).map(i => gen.VitalsGen.extractBatch(oltp,
+            gen.VitalsGen.FixtureStartEpochSec + i * 600L, lookbackMinutes = 20)
+            .select(col("event_id"), col("patient_id"),
+              round(col("value_num") * 10).cast("long").as("value_deci"),
+              col("effective_ts").as("ts")))
+          .reduce(_.unionAll(_))
+      }, "vitals_overlap")
+      val deduped = streaming.StreamDedup.dedupStream(
+        streaming.StreamOracle.fileStream(s, in), "20 minutes")
+      streaming.StreamOracle.drainAppend(s, deduped)
+        .select(col("event_id"), col("patient_id"), col("value_deci"),
+          unix_micros(col("ts")).as("ts_us"))
+    }),
+    // §2.9c tumbling event-time aggregation: the daily rollup as a
+    // watermarked 1-day window, value summed in fixed-point cents so the
+    // sum is order-exact. Single-batch drain ⇒ final watermark =
+    // max(ts) − 20 min; append mode emits exactly the closed windows —
+    // the oracle recomputes the same cutoff from max(ts).
+    "stream_daily_counts" -> ((s, d) => {
+      val ev = streaming.StreamOracle.fileStream(s, stagedEvents(s, d))
+        .withColumn("value", expr("CAST(round(value * 100) AS LONG)"))
+      streaming.StreamOracle.drainAppend(s,
+          streaming.StreamDedup.dailyCounts(ev, "20 minutes"))
+        .select(to_date(col("day_start")).as("date_id"), col("event_type"),
+          col("n_events"), col("sum_value").as("sum_value_cents"))
+    }),
+    // §2.9e native session windows: gap-merged per-user sessions via
+    // session_window; append mode emits sessions whose close (last event
+    // + gap) the final watermark has passed — the oracle replays the
+    // same gaps-and-islands merge and cutoff.
+    "stream_sessions" -> ((s, d) =>
+      streaming.StreamOracle.drainAppend(s,
+        streaming.StreamDedup.sessionCounts(
+          streaming.StreamOracle.fileStream(s, stagedEvents(s, d)), 30, "30 minutes"))),
+    // §2.9d custom keyed state: running per-user totals via
+    // mapGroupsWithState (update mode). Single-batch drain ⇒ the one
+    // emitted update per key IS the final total — a plain GROUP BY in the
+    // oracle. Cents-in-double keeps the fold exact and order-free.
+    "stream_user_totals" -> ((s, d) => {
+      import s.implicits._
+      val ev = streaming.StreamOracle.fileStream(s, stagedEvents(s, d))
+        .select(col("user_id"),
+          expr("CAST(CAST(round(value * 100) AS LONG) AS DOUBLE)").as("value"))
+        .as[streaming.Stateful.UserEvent]
+      streaming.StreamOracle.drainUpdateViaForeachBatch(s,
+          streaming.Stateful.runningUserTotals(ev).toDF())
+        .select(col("user_id"), col("n_events"),
+          col("sum_value").cast("long").as("sum_value_cents"))
+    }),
+    // §2.9a+f closing the loop ON DISK: the foreachBatch-maintained star
+    // (fact merge → dims → touched-day partition replace, all manifest-
+    // committed) drained over THREE per-file micro-batches — the result
+    // read back from the committed table must equal the batch star SQL.
+    // Batch-split independence is the merge's idempotence contract, so
+    // rate-limited multi-batch draining is safe here (unlike under an
+    // append-mode aggregation).
+    "stream_star_disk" -> ((s, d) => {
+      val in = stagedEvents(s, d, numFiles = 3)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_star").toString
+      streaming.StreamStar.maintainStar(s,
+        streaming.StreamOracle.fileStream(s, in, maxFilesPerTrigger = Some(1)),
+        root, s"$root/_ckpt").awaitTermination()
+      pipeline.Upsert.readTable(s, s"$root/fact_events_star")
+        .select(col("user_key"), col("event_type_key"),
+          col("date_key").cast("long").as("date_key"), col("event_id"),
+          col("measure_value"), col("ts_us"))
     }),
     // Generator-determinism pin (F17/F18/F19 + S7): regenerate the
     // committed vitals snapshot IN-SESSION and hash-compare against
@@ -745,6 +841,32 @@ object SparkEntry {
       s"$FactCte SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events FROM fact GROUP BY 1, 2",
     "partition_introspection" ->
       "SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events",
+    // ---- §2.9 streaming oracles: batch-equivalent SQL + the append-mode
+    // emission cutoff recomputed from the final watermark (max(ts) − delay;
+    // single-batch drain, see StreamOracle) ----
+    "stream_dedup" ->
+      (s"WITH o AS (SELECT event_id, patient_id, CAST(round(value_num * 10) AS BIGINT) AS value_deci, epoch_us(effective_ts) AS ts_us FROM read_parquet('$VitalsFixture/vitals/*.parquet')), " +
+        "u AS (SELECT * FROM o WHERE ts_us >= 1704066600000000 AND ts_us < 1704067800000000 " +
+        "UNION ALL SELECT * FROM o WHERE ts_us >= 1704067200000000 AND ts_us < 1704068400000000 " +
+        "UNION ALL SELECT * FROM o WHERE ts_us >= 1704067800000000 AND ts_us < 1704069000000000) " +
+        "SELECT DISTINCT event_id, patient_id, value_deci, ts_us FROM u"),
+    "stream_daily_counts" ->
+      ("WITH g AS (SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2), " +
+        "mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events) " +
+        "SELECT date_id, event_type, n_events, sum_value_cents FROM g, mx " +
+        "WHERE CAST(date_id AS TIMESTAMP) + INTERVAL 1 DAY <= m - INTERVAL 20 MINUTE"),
+    "stream_sessions" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id FROM events), " +
+        "m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM m), " +
+        "g AS (SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) + 1800000000 AS session_end_us, count(*) AS n_events FROM s GROUP BY user_id, seq), " +
+        "mx AS (SELECT max(ts_us) AS m FROM e) " +
+        "SELECT user_id, session_start_us, session_end_us, n_events FROM g, mx " +
+        "WHERE session_end_us <= m - 1800000000"),
+    "stream_user_totals" ->
+      "SELECT user_id, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1",
+    "stream_star_disk" ->
+      s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact",
     // determinism pin: the oracle is DuckDB's independent read of the
     // COMMITTED snapshot — the Spark side regenerates; equality means the
     // generator reproduced the committed bytes exactly

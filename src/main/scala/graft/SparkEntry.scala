@@ -40,6 +40,14 @@ object SparkEntry {
     */
   val AnnIndexFixture = "/root/repo/fixtures/annidx"
 
+  /** Committed token→xxhash64(seed 42) dictionary (gen.SimHashDictGen)
+    * over the fixture corpora's document vocabulary — DuckDB cannot
+    * compute seeded xxhash64, but given the committed per-token hashes it
+    * replays the entire SimHash operator (bit votes → majority pack →
+    * band join → Hamming refine) exactly.
+    */
+  val SimHashFixture = "/root/repo/fixtures/simhash"
+
   /** Committed vitals-generator snapshot (gen.VitalsGen.main): pins the
     * generator's determinism contract — regeneration in the current session
     * must bit-match this parquet, read independently by DuckDB.
@@ -1125,6 +1133,24 @@ object SparkEntry {
     // same exact pairwise SQL (at the query's 0.7 threshold) — verified
     // identical at sf0.001/0.01/0.1 (MinhashProbe; SimilaritySpec gates it)
     "dedup_minhash" -> jaccardPairsOracleSql(0.7),
+    // exact SimHash replay from the committed token-hash dictionary
+    // (gen.SimHashDictGen): per-occurrence bit votes over the dict's
+    // xxhash64 values, signed 64-bit majority pack (bit 63 contributes
+    // −2⁶³), the same 4×16-bit band candidate join, Hamming ≤ 8 refine.
+    // `(h >> j) & 1` extracts bit j under either shift-fill convention.
+    "dedup_simhash" ->
+      (s"WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "t AS (SELECT doc_id, unnest(toks) AS tok FROM d), " +
+        s"h AS (SELECT t.doc_id, dict.h FROM t JOIN read_parquet('$SimHashFixture/dict/*.parquet') dict USING (tok)), " +
+        "bits AS (SELECT doc_id, j, CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        "THEN CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT) ELSE CAST((CAST(1 AS BIGINT) << j) AS HUGEINT) END " +
+        "ELSE CAST(0 AS HUGEINT) END AS b FROM h CROSS JOIN generate_series(0, 63) g(j) GROUP BY doc_id, j), " +
+        "sh AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS sh FROM bits GROUP BY doc_id), " +
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE ((a.sh >> 0) & 65535) = ((b.sh >> 0) & 65535) OR ((a.sh >> 16) & 65535) = ((b.sh >> 16) & 65535) " +
+        "OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535) OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535)) " +
+        "SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8"),
     "dedup_clusters" -> dedupClustersOracleSql(0.7),
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",

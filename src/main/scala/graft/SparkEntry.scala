@@ -398,14 +398,28 @@ object SparkEntry {
     "q_funnel" -> ((s, d) => Analytics.funnel(prep(s), d)),
     "q_retention" -> ((s, d) => Analytics.retention(prep(s), d)),
     "q_anti_join" -> ((s, d) => Analytics.antiJoin(prep(s), d)),
+    // engine-owned KMV sketch: the approximation itself is auditable —
+    // DuckDB replays hash, k-minimum retention, and estimator exactly
+    // (Sketches scaladoc; native HLL++ stays as PropertySpec comparison)
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
-    // KLL-style quantile sketch (approx_percentile): rows-only — the sketch
-    // has no cross-engine oracle; PropertySpec pins the rank-error bound
-    // against the exact distribution, the way q_approx_distinct is pinned
-    "q_approx_quantiles" -> ((s, d) => Tables.events(prep(s), d)
-      .groupBy(col("event_type"))
-      .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 1000)").as("qs"))
-      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "v")))),
+    "q_approx_distinct_est" -> ((s, d) => Analytics.approxDistinctEventsKmv(prep(s), d)),
+    // approximate per-group quantiles via a deterministic bottom-k-by-hash
+    // sample + exact interpolated percentile over it — O(k) state per
+    // group like a rank sketch, but the sampled subset (and thus the
+    // estimate) is exactly replayable in DuckDB: row_number() over
+    // (h, value) picks the identical rows, quantile_cont the same values
+    "q_approx_quantiles" -> ((s, d) => {
+      val sk = graft.functions.expr.Sketches
+      Tables.events(prep(s), d)
+        .groupBy(col("event_type"))
+        .agg(sk.bottomKSample(sk.mhash61(col("event_id")), col("value"), 512)
+          .as("sample"))
+        .select(col("event_type"), explode(col("sample")).as("v"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("qs"))
+        .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "v")))
+        .withColumn("v", round(col("v"), 4))
+    }),
     "q_exact_distinct_daily" -> ((s, d) => Analytics.exactDistinctUsersDaily(prep(s), d)),
     // exact interpolated per-group percentiles (the grouped companion of
     // corpus_token_quantiles' global digest): one hash agg, merge-combining
@@ -515,6 +529,10 @@ object SparkEntry {
     // rows-only here; PropertySpec gates its rank error vs exact at sf0.1
     "corpus_token_quantiles_sketch" -> ((s, d) =>
       TextOps.tokenQuantilesSketch(Tables.documents(prep(s), d))),
+    // the sketch's REPLAYABLE companion: bottom-k-by-hash sample + exact
+    // percentiles — same O(k) state, but DuckDB reproduces the estimate
+    "corpus_token_quantiles_sample" -> ((s, d) =>
+      TextOps.tokenQuantilesSample(Tables.documents(prep(s), d))),
     "quality_deciles" -> ((s, d) =>
       TextOps.qualityDeciles(Tables.documents(prep(s), d))),
     "doc_sample_hash" -> ((s, d) =>
@@ -703,6 +721,21 @@ object SparkEntry {
   private def fxRatioSql(num: String, den: String, k: Int): String = {
     val s = math.pow(10, k).toLong
     s"(CAST(${fxDivSql(s"($num) * $s", den)} AS DOUBLE) / $s)"
+  }
+
+  /** DuckDB replay of the KMV distinct sketch over `events` grouped by
+    * event_type ([[graft.functions.expr.Sketches]]): distinct hashes,
+    * k-minimum retention via row_number, exact-below-k fallback or the
+    * k-th-minimum estimator — the same arithmetic in the same order as
+    * the aggregate's eval, so the ESTIMATE hash-matches.
+    */
+  private def kmvOracleSql(keyCol: String, k: Int, outName: String): String = {
+    val h = graft.functions.expr.Sketches.mhash61Sql(keyCol)
+    val m = graft.functions.expr.Sketches.M
+    s"WITH hh AS (SELECT DISTINCT event_type, $h AS h FROM events), " +
+      "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM hh) " +
+      s"SELECT event_type, CAST(CASE WHEN n < $k THEN n ELSE round((${k - 1} * CAST($m AS DOUBLE)) / CAST(h AS DOUBLE)) END AS BIGINT) AS $outName " +
+      s"FROM r WHERE rn = (CASE WHEN n < $k THEN 1 ELSE $k END)"
   }
 
   /** per-row fixed-point sum (mirrors Analytics.fxSum). */
@@ -1044,6 +1077,25 @@ object SparkEntry {
       "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_filter(string_split(text, ''), c -> c != ''), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 131 + c) % 2147483647) AS rolling_hash FROM documents",
     "corpus_token_quantiles" ->
       "SELECT round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 4) AS p50, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9), 4) AS p90, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99), 4) AS p99 FROM documents",
+    // replay of the bottom-k-by-hash sample (Sketches): the identical
+    // sampled subset via row_number over (h, value), then the same exact
+    // interpolated percentiles over it
+    "corpus_token_quantiles_sample" ->
+      (s"WITH t AS (SELECT DISTINCT ${graft.functions.expr.Sketches.mhash61Sql("doc_id")} AS h, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY h, n) AS rn FROM t), smp AS (SELECT n FROM r WHERE rn <= 256) " +
+        "SELECT round(quantile_cont(n, 0.5), 4) AS p50, round(quantile_cont(n, 0.9), 4) AS p90, round(quantile_cont(n, 0.99), 4) AS p99 FROM smp"),
+    "q_approx_quantiles" ->
+      (s"WITH t AS (SELECT DISTINCT event_type, ${graft.functions.expr.Sketches.mhash61Sql("event_id")} AS h, value FROM events), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, value) AS rn FROM t), " +
+        "smp AS (SELECT event_type, value FROM r WHERE rn <= 512), " +
+        "q AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS q50, round(quantile_cont(value, 0.9), 4) AS q90, round(quantile_cont(value, 0.99), 4) AS q99 FROM smp GROUP BY 1) " +
+        "SELECT event_type, CAST(0 AS INTEGER) AS pos, q50 AS v FROM q " +
+        "UNION ALL SELECT event_type, CAST(1 AS INTEGER), q90 FROM q " +
+        "UNION ALL SELECT event_type, CAST(2 AS INTEGER), q99 FROM q"),
+    // KMV replay (Sketches): distinct hashes → k-minimum retention via
+    // row_number → exact-below-k / k-th-minimum estimator, all in SQL
+    "q_approx_distinct" -> kmvOracleSql("user_id", 1024, "approx_users"),
+    "q_approx_distinct_est" -> kmvOracleSql("event_id", 256, "approx_events"),
     "quality_deciles" -> {
       val n = "len(string_split(text, ' '))"
       val stops = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"

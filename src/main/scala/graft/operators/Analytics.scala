@@ -293,14 +293,33 @@ object Analytics {
         count(lit(1)).as("n_items"))
   }
 
-  /** HLL sketch distinct (SURVEY §7.5 extension) — approximate, so
-    * rows-only (no cross-engine oracle). The deterministic exact companion
-    * is [[exactDistinctUsersDaily]], which carries the oracle.
+  /** Approximate distinct users per type via the engine-owned KMV sketch
+    * (SURVEY §7.5 extension) — bounded mergeable state like the native
+    * HLL++, but with every step specified arithmetic, so the ESTIMATE
+    * itself is exactly replayable in DuckDB (see
+    * [[graft.functions.expr.Sketches]] — auditable approximation; the
+    * native `approx_count_distinct` black box stays property-gated in
+    * PropertySpec as the comparison point). k=1024 ⇒ rsd ≈ 3%; groups
+    * under k report exact distinct-hash counts. The deterministic exact
+    * companion is [[exactDistinctUsersDaily]].
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(graft.functions.expr.Sketches.kmvDistinct(
+        graft.functions.expr.Sketches.mhash61(col("user_id")), 1024)
+        .as("approx_users"))
+
+  /** The KMV ESTIMATOR path exercised at every fixture scale: distinct
+    * event_ids per type exceed k=256, so the k-th-minimum estimate (not
+    * the exact small-set fallback) is what the oracle replays.
+    */
+  def approxDistinctEventsKmv(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.expr.Sketches.kmvDistinct(
+        graft.functions.expr.Sketches.mhash61(col("event_id")), 256)
+        .as("approx_events"))
 
   /** Trailing-7-day moving volume per day — a RANGE window frame over the
     * day number (every day sums the week ending on it, gaps handled by

@@ -91,6 +91,30 @@ object TextOps {
     * `PropertySpec` (no cross-engine oracle — sketch internals differ
     * between engines by design).
     */
+  /** [[tokenQuantilesSketch]]'s REPLAYABLE companion: a deterministic
+    * bottom-k-by-hash sample of per-doc token counts + exact interpolated
+    * percentiles over the sample — O(k) aggregation state like the rank
+    * sketch, but the sampled subset (and thus the estimate) is exactly
+    * reproducible in DuckDB (`row_number() OVER (ORDER BY h, n) <= k`),
+    * so this form carries a hash-match oracle where the KLL black box
+    * cannot (see [[graft.functions.expr.Sketches]]). Sampling is over
+    * distinct (hash, count) pairs; doc_id is injective so the
+    * distinction is vacuous here.
+    */
+  def tokenQuantilesSample(documents: DataFrame, k: Int = 256): DataFrame = {
+    val sk = graft.functions.expr.Sketches
+    documents
+      .select(sk.mhash61(col("doc_id")).as("h"),
+        size(TextFns.tokens(col("text"))).cast("double").as("n_tokens"))
+      .agg(sk.bottomKSample(col("h"), col("n_tokens"), k).as("sample"))
+      .select(explode(col("sample")).as("n"))
+      .agg(expr("percentile(n, array(0.5D, 0.9D, 0.99D))").as("qs"))
+      .select(
+        round(element_at(col("qs"), 1), 4).as("p50"),
+        round(element_at(col("qs"), 2), 4).as("p90"),
+        round(element_at(col("qs"), 3), 4).as("p99"))
+  }
+
   def tokenQuantilesSketch(documents: DataFrame, accuracy: Int = 10000): DataFrame =
     documents
       .select(size(TextFns.tokens(col("text"))).cast("double").as("n_tokens"))

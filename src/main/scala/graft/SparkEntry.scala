@@ -327,6 +327,21 @@ object SparkEntry {
       streaming.StreamOracle.drainAppend(s,
         streaming.StreamDedup.sessionCounts(
           streaming.StreamOracle.fileStream(s, stagedEvents(s, d)), 30, "30 minutes"))),
+    // §2.9d custom keyed state, sessionization form: the
+    // flatMapGroupsWithState + event-time-timeout operator. Single-batch
+    // drain ⇒ per user every gap-separated span except the last emits in
+    // the data batch; the open span emits via timeout iff the final
+    // watermark passes its close (timeout fires on STRICT
+    // `timeoutTs < watermark`, both in ms — the oracle mirrors the ms
+    // floors and the strict inequality).
+    "stream_sessions_custom" -> ((s, d) => {
+      import s.implicits._
+      val ev = streaming.StreamOracle.fileStream(s, stagedEvents(s, d))
+        .select(col("user_id"), col("ts"))
+        .as[streaming.Stateful.SessionEvent]
+      streaming.StreamOracle.drainAppend(s,
+        streaming.Stateful.streamingSessions(ev, 30).toDF())
+    }),
     // §2.9d custom keyed state: running per-user totals via
     // mapGroupsWithState (update mode). Single-batch drain ⇒ the one
     // emitted update per key IS the final total — a plain GROUP BY in the
@@ -906,6 +921,14 @@ object SparkEntry {
         "WHERE session_end_us <= m - 1800000000"),
     "stream_user_totals" ->
       "SELECT user_id, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1",
+    "stream_sessions_custom" ->
+      ("WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id FROM events), " +
+        "m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), " +
+        "s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq FROM m), " +
+        "g AS (SELECT user_id, seq, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us, count(*) AS n_events, max(seq) OVER (PARTITION BY user_id) AS max_seq FROM s GROUP BY user_id, seq), " +
+        "mx AS (SELECT max(ts_us) AS m FROM e) " +
+        "SELECT user_id, session_start_us, session_end_us, n_events FROM g, mx " +
+        "WHERE seq < max_seq OR (session_end_us // 1000 + 1800000) < (m // 1000 - 1800000)"),
     "stream_star_disk" ->
       s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact",
     // determinism pin: the oracle is DuckDB's independent read of the

@@ -56,7 +56,13 @@ object Stateful {
             state.remove()
             Iterator(CompletedSession(user, s.start_us, s.end_us, s.n))
           } else {
-            val times = evs.map(_.ts.getTime * 1000L).toArray.sorted
+            // full µs from the Timestamp's (second, nano) pair — getTime is
+            // ms-floored and would silently quantize µs event times,
+            // breaking ≡ with the µs batch operator on sub-ms data
+            val times = evs.map { e =>
+              val i = e.ts.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }.toArray.sorted
             val batchSpans = scala.collection.mutable.ArrayBuffer.empty[SessionState]
             times.foreach { t =>
               if (batchSpans.nonEmpty && t - batchSpans.last.end_us <= gapUs) {

@@ -701,6 +701,19 @@ object SparkEntry {
     "mm_pixel_stats" -> ((s, _) =>
       Multimodal.extractPixelStats(prep(s),
         s.read.parquet(MediaFixture + "/pixel_blobs")).toDF()),
+    // fixed-point integer PageRank (10 damped rounds) on the purchase
+    // graph — link-structure quality prior; exact long arithmetic makes
+    // the iteration bit-replayable in the oracle
+    "graph_pagerank" -> ((s, d) => Graph.purchaseRank(prep(s), d)),
+    // exact sparse TF-cosine pairs via inverted-index join; integer
+    // cross-norm comparison (dot²·1e6 ≥ t²·‖a‖²‖b‖²), no float anywhere
+    "sim_join_cosine" -> ((s, d) =>
+      SparseSim.cosineTfJoin(Tables.documents(prep(s), d), 800L)),
+    // blocked entity resolution: exact block equi-join + levenshtein
+    // refine on part names (0 = exact duplicate record, ≤3 = typo-range)
+    "er_blocked_match" -> ((s, d) =>
+      EntityResolution.blockedFuzzyJoin(Tables.part(prep(s), d),
+        Seq("p_brand", "p_size"), "p_partkey", "p_name", 3)),
   )
 
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
@@ -1310,5 +1323,52 @@ object SparkEntry {
       s"SELECT doc_id, track_id, handler, width, height FROM '$MediaFixture/expected_tracks/*.parquet'",
     "mm_pixel_stats" ->
       s"SELECT doc_id, width, height, n_pixels, sum_r, sum_g, sum_b, max_r, max_g, max_b FROM '$MediaFixture/expected_pixels/*.parquet'",
+    "graph_pagerank" -> pageRankOracleSql(10),
+    // TF-cosine pairs, all-integer: 2·df ≤ n is exactly df ≤ ⌊n/2⌋; sums
+    // cast back to BIGINT (DuckDB sums BIGINT → HUGEINT)
+    "sim_join_cosine" ->
+      ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), " +
+        "dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n_docs FROM documents), " +
+        "k AS (SELECT tf.doc_id, tf.token, tf.tf FROM tf JOIN dft USING (token) CROSS JOIN nn WHERE 2 * df <= n_docs), " +
+        "n2 AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2 FROM k GROUP BY 1), " +
+        "dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot " +
+        "FROM k a JOIN k b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, dot, na.norm2 AS norm2_a, nb.norm2 AS norm2_b " +
+        "FROM dots JOIN n2 na ON na.doc_id = dots.doc_a JOIN n2 nb ON nb.doc_id = dots.doc_b " +
+        "WHERE 1000000 * dot * dot >= 800 * 800 * na.norm2 * nb.norm2"),
+    "er_blocked_match" ->
+      ("SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, " +
+        "a.p_name AS text_a, b.p_name AS text_b, " +
+        "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist " +
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size " +
+        "AND a.p_partkey < b.p_partkey WHERE levenshtein(a.p_name, b.p_name) <= 3"),
   )
+
+  /** DuckDB replay of [[graft.operators.Graph.purchaseRank]]: the same
+    * fixed-point integer iteration unrolled as chained CTEs (r1..rK), floor
+    * division `//` matching Spark's `div` on the all-positive ranks.
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val T = graft.operators.Graph.TotalMass
+    val head =
+      "WITH links AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+        "e AS (SELECT src, dst FROM links UNION ALL SELECT dst, src FROM links), " +
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
+        s"pr AS (SELECT $T // count(*) AS init, ($T - (85 * $T) // 100) // count(*) AS base FROM nodes), " +
+        "r0 AS (SELECT node, init AS rank FROM nodes CROSS JOIN pr)"
+    val rounds = (1 to iterations).map { k =>
+      s"r$k AS (SELECT n.node, CAST(p.base + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank " +
+        "FROM nodes n CROSS JOIN pr p LEFT JOIN (" +
+        "SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s " +
+        s"FROM r${k - 1} r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src " +
+        "GROUP BY e.dst) c ON c.node = n.node)"
+    }.mkString(", ", ", ", " ")
+    head + rounds +
+      "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, " +
+      s"node // 2 AS entity_key, rank FROM r$iterations"
+  }
 }

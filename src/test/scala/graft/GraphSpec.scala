@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Fixed-point PageRank semantics: mass conservation up to floor loss,
+  * limit behavior on analytically-solvable graphs, determinism across
+  * partitionings, and the hub-dominance property the ranking exists for.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 10): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("symmetric pair splits the mass exactly in half") {
+    // 1↔2: by symmetry every iteration keeps rank(1) = rank(2) = T/2
+    // exactly (all divisions land on even numbers), so the fixed point is
+    // reached at round 0 and held through all 10 damped rounds
+    val got = ranksOf(Seq((1L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> Graph.TotalMass / 2, 2L -> Graph.TotalMass / 2))
+  }
+
+  test("mass is conserved up to floor loss on a symmetric graph") {
+    // undirected triangle + pendant: no dangling nodes, so the only mass
+    // leak is the ≤1-unit-per-node-per-round floor loss
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val edges = und ++ und.map(_.swap)
+    val got = ranksOf(edges)
+    val total = got.values.sum
+    val maxLoss = 10L * (got.size + edges.size) // div floors per round
+    assert(total <= Graph.TotalMass && total >= Graph.TotalMass - maxLoss,
+      s"mass $total outside [${Graph.TotalMass - maxLoss}, ${Graph.TotalMass}]")
+  }
+
+  test("the hub of a star graph dominates the leaves") {
+    // star: 0 ↔ each of 1..8 — the hub receives every leaf's full rank,
+    // each leaf only a 1/8 share of the hub's
+    val spokes = (1L to 8L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val got = ranksOf(spokes)
+    val leaves = (1L to 8L).map(got)
+    assert(leaves.distinct.size == 1, "symmetric leaves must tie exactly")
+    assert(got(0L) > 3 * leaves.head,
+      s"hub ${got(0L)} should dominate leaf ${leaves.head}")
+  }
+
+  test("rank flows along direction: a pure sink outranks its sources") {
+    // directed 2-source funnel 1→3, 2→3 (3 dangling: its mass leaks, the
+    // documented simplification): 3 accumulates both contributions
+    val got = ranksOf(Seq((1L, 3L), (2L, 3L)))
+    assert(got(1L) == got(2L))
+    assert(got(3L) > got(1L))
+  }
+
+  test("identical ranks regardless of input partitioning") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val edges = und ++ und.map(_.swap)
+    val one = Graph.pageRank(edges.toDF("src", "dst").coalesce(1))
+      .as[(Long, Long)].collect().toMap
+    val many = Graph.pageRank(edges.toDF("src", "dst").repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(one == many)
+  }
+
+  test("purchase graph namespaces customers even / suppliers odd") {
+    val dir = "/root/testdata/sf0.001"
+    val kinds = Graph.purchaseRank(spark, dir)
+      .groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(kinds.keySet == Set("customer", "supplier"))
+    assert(kinds("customer") > kinds("supplier"),
+      "TPC-H has 15 customers per supplier — the node split must reflect it")
+  }
+}

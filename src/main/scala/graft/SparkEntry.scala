@@ -714,6 +714,35 @@ object SparkEntry {
     "er_blocked_match" -> ((s, d) =>
       EntityResolution.blockedFuzzyJoin(Tables.part(prep(s), d),
         Seq("p_brand", "p_size"), "p_partkey", "p_name", 3)),
+    // TIME TRAVEL through the VersionedCommitter: three overlapping
+    // ts-window batches upserted as versions 1..3, then the table read AS
+    // OF VERSION 2 — the oracle recomputes that state from `events`
+    // directly (keep-latest over batches 1∪2, ties to the later batch),
+    // so a wrong manifest archive, a GC that ate history, or as-of
+    // resolving the wrong version all hash-mismatch
+    "table_time_travel" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
+        Integer.toHexString(d.hashCode)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val e = Tables.events(prep(s), d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      val Array(lo, hi) = e.agg(min("ts_us"), max("ts_us")).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = hi - lo
+      val windows = Seq( // quarters of the ts range, overlapping
+        (lo, lo + span / 2), (lo + span / 4, lo + 3 * span / 4), (lo + span / 2, hi))
+      val c = new graft.streaming.VersionedCommitter
+      windows.foreach { case (a, b) =>
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          e.filter(col("ts_us") > a || lit(a == lo)).filter(col("ts_us") <= b),
+          out, "bucket", keys = Seq("event_id"),
+          order = Seq("ts_us", "value_cents"), committer = c)
+      }
+      pipeline.Upsert.readTableAsOf(s, out, 2L, c)
+    }),
   )
 
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
@@ -1344,6 +1373,17 @@ object SparkEntry {
         "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist " +
         "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size " +
         "AND a.p_partkey < b.p_partkey WHERE levenshtein(a.p_name, b.p_name) <= 3"),
+    // version-2 state recomputed from the source: keep-latest per key over
+    // batches 1∪2 (the same overlapping ts-quarter windows), ties to the
+    // later batch — integer µs window arithmetic matches Spark's long div
+    "table_time_travel" ->
+      ("WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM events), " +
+        "b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e), " +
+        "w AS (SELECT e.*, 1 AS batch FROM e, b WHERE ts_us <= lo + (hi - lo) // 2 " +
+        "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) " +
+        "SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1"),
   )
 
   /** DuckDB replay of [[graft.operators.Graph.purchaseRank]]: the same

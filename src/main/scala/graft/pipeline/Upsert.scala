@@ -170,6 +170,20 @@ object Upsert {
     spark.read.parquet(manifest.values.map(rel => s"$tablePath/$rel").toSeq: _*)
   }
 
+  /** TIME TRAVEL: the table exactly as committed at `version` (a
+    * [[graft.streaming.VersionedCommitter.versions]] entry). Works because
+    * data dirs are immutable and the GC retains every reference of every
+    * retained version ([[graft.streaming.SnapshotCommitter.retainedReferences]])
+    * — resolving an old manifest is all there is to it, the same read path
+    * table formats call "snapshot isolation for free".
+    */
+  def readTableAsOf(spark: SparkSession, tablePath: String, version: Long,
+                    committer: graft.streaming.VersionedCommitter): DataFrame = {
+    val manifest = dataEntries(committer.readManifestAsOf(tablePath, version))
+    require(manifest.nonEmpty, s"version $version of $tablePath has no data entries")
+    spark.read.parquet(manifest.values.map(rel => s"$tablePath/$rel").toSeq: _*)
+  }
+
   /** Manifest entries that reference data dirs — `__`-prefixed keys are
     * METADATA riding the same atomic commit (e.g. the last-applied stream
     * batch id, the exactly-once ledger incremental dim maintenance needs):
@@ -203,7 +217,8 @@ object Upsert {
                        committer: SnapshotCommitter = AtomicRenameCommitter,
                        meta: Map[String, String] = Map.empty): Unit = {
     val manifest = committer.readManifest(tablePath)
-    SnapshotGc.gcUnreferenced(tablePath, dataEntries(manifest).values.toSet)
+    SnapshotGc.gcUnreferenced(tablePath,
+      dataEntries(manifest).values.toSet ++ committer.retainedReferences(tablePath))
     val rel = s"batch-${java.util.UUID.randomUUID().toString.take(8)}/data"
     data.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
     // metadata rides the SAME manifest flip — one atomic commit covers the
@@ -211,7 +226,8 @@ object Upsert {
     // replay-skip decisions crash-consistent with the data they describe
     committer.commit(tablePath,
       Map("all" -> rel) ++ meta.map { case (k, v) => s"__$k" -> v })
-    SnapshotGc.gcUnreferenced(tablePath, dataEntries(manifest).values.toSet + rel)
+    SnapshotGc.gcUnreferenced(tablePath,
+      dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath))
   }
 
   /** `crashBeforeCommit` is the fault-injection seam: true returns after
@@ -268,7 +284,8 @@ object Upsert {
       partCol: String, parts: Seq[String], crashBeforeCommit: Boolean,
       committer: SnapshotCommitter): Boolean = {
     val manifest = committer.readManifest(tablePath)
-    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet)
+    SnapshotGc.gcUnreferenced(tablePath,
+      manifest.values.toSet ++ committer.retainedReferences(tablePath))
 
     val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     data.withColumn("__part", col(partCol).cast("string"))
@@ -289,7 +306,8 @@ object Upsert {
     val newManifest = (manifest -- parts) ++
       writtenParts.map(v => v -> s"$batchDirName/__part=$v")
     committer.commit(tablePath, newManifest)
-    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++ newManifest.values)
+    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
+      newManifest.values ++ committer.retainedReferences(tablePath))
     true
   }
 }

@@ -34,6 +34,14 @@ trait SnapshotCommitter {
     * with the old manifest still in force (all-or-nothing, see trait doc).
     */
   def commit(snapshotPath: String, entries: Map[String, String]): Unit
+
+  /** Data references (relative dirs) the staging GC must retain BEYOND the
+    * current manifest — the hook that lets a history-keeping committer
+    * ([[VersionedCommitter]]) protect snapshots that are no longer current
+    * but still readable as-of an earlier version. The default (no history)
+    * retains nothing extra. Every GC call site unions this in.
+    */
+  def retainedReferences(snapshotPath: String): Set[String] = Set.empty
 }
 
 /** Default committer for filesystems with atomic rename (local, HDFS):
@@ -109,6 +117,124 @@ object AtomicRenameCommitter extends SnapshotCommitter {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+}
+
+/** Snapshot-versioned committer — TIME TRAVEL on the manifest protocol,
+  * the same device every pointer-table format uses (Iceberg snapshot log,
+  * Delta's _delta_log): since data dirs are immutable and visibility is
+  * one pointer, keeping the SUPERSEDED pointers around IS the whole
+  * feature. Each commit also writes an immutable `MANIFEST.v<NNNNNN>`
+  * copy; [[versions]] lists them, [[readManifestAsOf]] resolves one, and
+  * [[retainedReferences]] reports every retained version's data refs so
+  * the staging GC ([[SnapshotGc]]) keeps historical snapshots readable.
+  *
+  * Ordering: the CURRENT flip (`inner.commit`) remains the commit point;
+  * the version copy is written after it. A crash between the two leaves
+  * current state correct but that version missing from history — healed
+  * at the next commit ([[healHistory]] archives the on-disk manifest if
+  * no version file matches it), so history is complete up to the last
+  * crash window, and never WRONG (a version file is only ever a
+  * byte-copy of a manifest that was current).
+  *
+  * `retain` bounds history: older version files are pruned at commit, and
+  * their exclusively-referenced data dirs are released by the next GC
+  * cycle — the table-format "expire snapshots" lifecycle. Layered over
+  * any inner committer (rename or CAS), single writer per table assumed
+  * for version numbering (the CAS inner still protects the current flip).
+  */
+final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
+                               retain: Int = 10) extends SnapshotCommitter {
+  import java.nio.charset.StandardCharsets.UTF_8
+  require(retain >= 1, "retain at least the newest version")
+
+  private val VersionRe = "MANIFEST\\.v(\\d{6})".r
+
+  private def versionFiles(snapshotPath: String): Seq[(Long, java.io.File)] =
+    Option(new java.io.File(snapshotPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        f.getName match {
+          case VersionRe(n) => Some((n.toLong, f))
+          case _            => None
+        }
+      }.toSeq.sortBy(_._1)
+
+  /** Committed version numbers, oldest first. */
+  def versions(snapshotPath: String): Seq[Long] =
+    versionFiles(snapshotPath).map(_._1)
+
+  /** The manifest as of `version` (a [[versions]] entry); throws if that
+    * version was never committed or has been expired past `retain`.
+    */
+  def readManifestAsOf(snapshotPath: String, version: Long): Map[String, String] = {
+    val f = new java.io.File(snapshotPath, f"MANIFEST.v$version%06d")
+    require(f.exists(),
+      s"version $version of $snapshotPath does not exist (expired or never committed); " +
+        s"available: ${versions(snapshotPath).mkString(",")}")
+    parse(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
+  }
+
+  private def parse(body: String): Map[String, String] =
+    body.split("\n").filter(_.nonEmpty).map { l =>
+      val Array(k, rel) = l.split("\t", 2); k -> rel
+    }.toMap
+
+  private def currentBytes(snapshotPath: String): Option[String] = {
+    val f = AtomicRenameCommitter.manifestFile(snapshotPath)
+    if (!f.exists()) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
+  }
+
+  private def writeVersion(snapshotPath: String, version: Long, body: String): Unit = {
+    val dir = new java.io.File(snapshotPath)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes(UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, f"MANIFEST.v$version%06d").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** If the CURRENT manifest matches no version file (a crash between
+    * flip and archive, or a history-unaware writer touched the table),
+    * archive it now as the next version.
+    */
+  private def healHistory(snapshotPath: String): Unit =
+    currentBytes(snapshotPath).foreach { cur =>
+      val vs = versionFiles(snapshotPath)
+      val archived = vs.exists { case (_, f) =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8) == cur
+      }
+      if (!archived)
+        writeVersion(snapshotPath, vs.lastOption.map(_._1 + 1).getOrElse(1L), cur)
+    }
+
+  override def readManifest(snapshotPath: String): Map[String, String] =
+    inner.readManifest(snapshotPath)
+
+  override def commit(snapshotPath: String,
+                      entries: Map[String, String]): Unit = {
+    healHistory(snapshotPath)
+    inner.commit(snapshotPath, entries) // the commit point
+    val next = versionFiles(snapshotPath).lastOption.map(_._1 + 1).getOrElse(1L)
+    writeVersion(snapshotPath, next,
+      AtomicRenameCommitter.renderManifest(entries))
+    // expire history beyond the retention window; the expired versions'
+    // exclusive data dirs fall out of retainedReferences and the next GC
+    // cycle releases them
+    versionFiles(snapshotPath).dropRight(retain).foreach(_._2.delete())
+  }
+
+  /** Every retained version's data refs (`__`-prefixed metadata keys
+    * reference nothing and are skipped) — what keeps time travel readable
+    * through the staging GC.
+    */
+  override def retainedReferences(snapshotPath: String): Set[String] =
+    versionFiles(snapshotPath).flatMap { case (_, f) =>
+      parse(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
+        .collect { case (k, rel) if !k.startsWith("__") => rel }
+    }.toSet
 }
 
 /** Thrown by [[CasCommitter.commit]] when the manifest changed between this

@@ -256,7 +256,8 @@ object StreamDedup {
     // GC leftovers of a crashed predecessor (uncommitted batch dirs) and
     // day dirs superseded by the PREVIOUS merge, whose one-cycle reader
     // grace window ends here
-    gcUnreferenced(snapshotPath, manifest.values.toSet)
+    gcUnreferenced(snapshotPath,
+      manifest.values.toSet ++ committer.retainedReferences(snapshotPath))
 
     // manifest-level pruning — the object-store equivalent of partition
     // pruning: only the touched days' committed paths are ever listed/read
@@ -292,7 +293,8 @@ object StreamDedup {
     // release superseded data ONE CYCLE LATE: keep everything either
     // manifest references, so in-flight readers of the just-replaced
     // snapshot never lose files mid-scan (see gcUnreferenced)
-    gcUnreferenced(snapshotPath, manifest.values.toSet ++ newManifest.values)
+    gcUnreferenced(snapshotPath, manifest.values.toSet ++
+      newManifest.values ++ committer.retainedReferences(snapshotPath))
     readDays
   }
 }

@@ -723,27 +723,49 @@ object SparkEntry {
     "table_time_travel" -> ((s, d) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
         Integer.toHexString(d.hashCode)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
-      val e = Tables.events(prep(s), d).select(
-        col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("user_id"), col("event_type"),
-        round(col("value") * 100).cast("long").as("value_cents"),
-        pmod(col("event_id"), lit(8L)).as("bucket"))
-      val Array(lo, hi) = e.agg(min("ts_us"), max("ts_us")).head()
-        .toSeq.map(_.asInstanceOf[Long]).toArray
-      val span = hi - lo
-      val windows = Seq( // quarters of the ts range, overlapping
-        (lo, lo + span / 2), (lo + span / 4, lo + 3 * span / 4), (lo + span / 2, hi))
-      val c = new graft.streaming.VersionedCommitter
-      windows.foreach { case (a, b) =>
-        pipeline.Upsert.upsertPartitionsAtomic(s,
-          e.filter(col("ts_us") > a || lit(a == lo)).filter(col("ts_us") <= b),
-          out, "bucket", keys = Seq("event_id"),
-          order = Seq("ts_us", "value_cents"), committer = c)
-      }
+      val c = buildVersionedDemo(s, d, out)
       pipeline.Upsert.readTableAsOf(s, out, 2L, c)
     }),
+    // CHANGE DATA FEED v2→v3 of the same versioned table: inserts are the
+    // batch-3-exclusive keys, update_post the keys whose winning row
+    // changed — oracled as the SQL diff of the two recomputed states
+    "table_changes" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tc_" +
+        Integer.toHexString(d.hashCode)
+      val c = buildVersionedDemo(s, d, out)
+      pipeline.Upsert.tableChanges(s, out, 2L, 3L, Seq("event_id"), c)
+    }),
   )
+
+  /** The versioned demo table behind `table_time_travel`/`table_changes`:
+    * three OVERLAPPING ts-quarter windows of `events` upserted as versions
+    * 1..3 (key = event_id, order = ts_us/value_cents, ties to the later
+    * batch), bucket-partitioned so the key→partition contract holds by
+    * construction. Rebuilt from scratch per call — each query owns its dir,
+    * no cross-query coupling.
+    */
+  private def buildVersionedDemo(s: SparkSession, d: String,
+                                 out: String): graft.streaming.VersionedCommitter = {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    val e = Tables.events(prep(s), d).select(
+      col("event_id"), unix_micros(col("ts")).as("ts_us"),
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      pmod(col("event_id"), lit(8L)).as("bucket"))
+    val Array(lo, hi) = e.agg(min("ts_us"), max("ts_us")).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = hi - lo
+    val windows = Seq( // quarters of the ts range, overlapping
+      (lo, lo + span / 2), (lo + span / 4, lo + 3 * span / 4), (lo + span / 2, hi))
+    val c = new graft.streaming.VersionedCommitter
+    windows.foreach { case (a, b) =>
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        e.filter(col("ts_us") > a || lit(a == lo)).filter(col("ts_us") <= b),
+        out, "bucket", keys = Seq("event_id"),
+        order = Seq("ts_us", "value_cents"), committer = c)
+    }
+    c
+  }
 
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
   private val FactCte =
@@ -1384,6 +1406,27 @@ object SparkEntry {
         "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) " +
         "SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1"),
+    // CDF oracle: both version states recomputed, keyed full-outer diff;
+    // IS DISTINCT FROM mirrors the engine's null-safe struct compare
+    "table_changes" ->
+      ("WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM events), " +
+        "b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e), " +
+        "w AS (SELECT e.*, 1 AS batch FROM e, b WHERE ts_us <= lo + (hi - lo) // 2 " +
+        "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4 " +
+        "UNION ALL SELECT e.*, 3 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 2), " +
+        "s2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w WHERE batch <= 2) WHERE rn = 1), " +
+        "s3 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) WHERE rn = 1) " +
+        "SELECT * FROM (SELECT COALESCE(s3.event_id, s2.event_id) AS event_id, " +
+        "CASE WHEN s3.event_id IS NULL THEN s2.ts_us ELSE s3.ts_us END AS ts_us, " +
+        "CASE WHEN s3.event_id IS NULL THEN s2.user_id ELSE s3.user_id END AS user_id, " +
+        "CASE WHEN s3.event_id IS NULL THEN s2.event_type ELSE s3.event_type END AS event_type, " +
+        "CASE WHEN s3.event_id IS NULL THEN s2.value_cents ELSE s3.value_cents END AS value_cents, " +
+        "CASE WHEN s3.event_id IS NULL THEN s2.bucket ELSE s3.bucket END AS bucket, " +
+        "CASE WHEN s2.event_id IS NULL THEN 'insert' WHEN s3.event_id IS NULL THEN 'delete' " +
+        "WHEN (s2.ts_us, s2.user_id, s2.event_type, s2.value_cents, s2.bucket) IS DISTINCT FROM (s3.ts_us, s3.user_id, s3.event_type, s3.value_cents, s3.bucket) THEN 'update_post' END AS change_type " +
+        "FROM s2 FULL OUTER JOIN s3 ON s2.event_id = s3.event_id) " +
+        "WHERE change_type IS NOT NULL"),
   )
 
   /** DuckDB replay of [[graft.operators.Graph.purchaseRank]]: the same

@@ -88,6 +88,67 @@ class TimeTravelSpec extends AnyFunSuite {
       Set(("d1", 1L, 102L)))
   }
 
+  test("change feed classifies inserts, updates, and deletes between versions") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    upsert(path, c, ("d1", 1L, 100L), ("d1", 2L, 100L), ("d2", 3L, 100L)) // v1
+    // v2: update key 1, insert key 4; key 3's partition rewritten WITHOUT
+    // key 3 → a delete (replacePartitions semantics via a d2-only delta
+    // that drops it): simulate by replacing d2 with key 5 only
+    graft.pipeline.Upsert.replacePartitionsAtomic(spark,
+      delta(("d1", 1L, 101L), ("d1", 2L, 100L), ("d1", 4L, 101L), ("d2", 5L, 101L)),
+      path, "day", Seq("d1", "d2"), committer = c)
+
+    val got = graft.pipeline.Upsert.tableChanges(spark, path, 1L, 2L,
+        Seq("id"), c)
+      .selectExpr("id", "version", "change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 101L, "update_post"),
+      (4L, 101L, "insert"),
+      (5L, 101L, "insert"),
+      (3L, 100L, "delete"))) // pre-image values for the delete
+    // key 2 unchanged → absent from the feed (checked by exact set above)
+  }
+
+  test("change feed post-image keeps legitimate nulls (no per-column pre leak)") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    def write(v: (String, Long, java.lang.Double, Long)*): Unit =
+      Upsert.writeTableAtomic(spark,
+        v.toDF("day", "id", "value", "version"), path, committer = c)
+    write(("d1", 1L, 10.0, 100L))
+    write(("d1", 1L, null, 101L)) // update nulls the value column
+    val got = graft.pipeline.Upsert.tableChanges(spark, path, 1L, 2L,
+        Seq("id"), c)
+      .selectExpr("id", "value", "version", "change_type")
+      .as[(Long, Option[Double], Long, String)].collect().toSet
+    assert(got == Set((1L, None, 101L, "update_post")),
+      "the post-image's null value must survive, not coalesce back to 10.0")
+  }
+
+  test("streaming snapshot merges produce per-micro-batch history") {
+    import java.sql.Timestamp
+    val path = Files.createTempDirectory("graft-tt").toString + "/snap"
+    val c = new VersionedCommitter
+    def batch(rows: (Long, String, Double)*) = rows.toSeq
+      .map { case (id, ts, v) => (id, Timestamp.valueOf(ts), v) }
+      .toDF("event_id", "ts", "value")
+    graft.streaming.StreamDedup.mergeBatchIntoSnapshot(spark,
+      batch((1L, "2024-03-01 10:00:00", 1.0)), path, "event_id", "ts", c)
+    graft.streaming.StreamDedup.mergeBatchIntoSnapshot(spark,
+      batch((1L, "2024-03-01 11:00:00", 2.0), (2L, "2024-03-02 09:00:00", 3.0)),
+      path, "event_id", "ts", c)
+    assert(c.versions(path) == Seq(1L, 2L))
+    val v1 = spark.read.parquet(
+        c.readManifestAsOf(path, 1L).values.map(r => s"$path/$r").toSeq: _*)
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().toSet
+    assert(v1 == Set((1L, 1.0)), "version 1 must still be the pre-merge state")
+    val cur = graft.streaming.StreamDedup.readSnapshot(spark, path, c)
+      .selectExpr("event_id", "value").as[(Long, Double)].collect().toSet
+    assert(cur == Set((1L, 2.0), (2L, 3.0)))
+  }
+
   test("whole-table atomic snapshots version the same way") {
     val path = Files.createTempDirectory("graft-tt").toString + "/t"
     val c = new VersionedCommitter

@@ -490,6 +490,7 @@ object SparkEntry {
     }),
     "q_rollup" -> ((s, d) => Analytics.ordersRollup(prep(s), d)),
     "q_cube" -> ((s, d) => Analytics.ordersCube(prep(s), d)),
+    "q_grouping_sets" -> ((s, d) => Analytics.ordersGroupingSets(prep(s), d)),
     "q_window_analytics" -> ((s, d) => Analytics.userWindowAnalytics(prep(s), d)),
     "q_pivot" -> ((s, d) => Analytics.dailyTypePivot(prep(s), d)),
     "q_unpivot" -> ((s, d) => Analytics.dailyTypeUnpivot(prep(s), d)),
@@ -1133,6 +1134,8 @@ object SparkEntry {
       s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY ROLLUP(1, 2)",
     "q_cube" ->
       s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY CUBE(1, 2)",
+    "q_grouping_sets" ->
+      s"SELECT CAST(year(o_orderdate) AS INTEGER) AS year, o_orderpriority, count(*) AS n_orders, ${fxTotalSql(fxSumSql("o_totalprice", 100L), 100L, 2)} AS total_price FROM orders GROUP BY GROUPING SETS ((1), (2), ())",
     "q_window_analytics" ->
       "WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events) SELECT user_id, event_id, ts_us, CAST(ntile(4) OVER w AS INTEGER) AS quartile, percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume, nth_value(value, 3) OVER w AS third_value, lead(value, 2) OVER w AS value_after_next FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)",
     "q_pivot" ->

@@ -255,6 +255,25 @@ object Analytics {
       .agg(count(lit(1)).as("n_orders"),
         fxTotal(col("o_totalprice"), 100L, 2).as("total_price"))
 
+  /** GROUPING SETS companion to rollup/cube — the general form: an
+    * EXPLICIT set list, here two independent 1-D rollups plus the grand
+    * total in ONE pass ((year), (priority), ()) — what would otherwise be
+    * three scans unioned. Same Expand planning as cube: the shuffle
+    * carries one row per (set, group), and sets that would be dead weight
+    * in the 2^n cube lattice are simply not generated.
+    */
+  def ordersGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      // the set-list expressions must be EXPRESSION-equal to the grouping
+      // columns (an alias on one side breaks the match and silently nulls
+      // that column in every set), so alias after the aggregate instead
+      .groupingSets(
+        Seq(Seq(year(col("o_orderdate"))), Seq(col("o_orderpriority")), Seq.empty),
+        year(col("o_orderdate")), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        fxTotal(col("o_totalprice"), 100L, 2).as("total_price"))
+      .withColumnRenamed("year(o_orderdate)", "year")
+
   /** TPC-H Q18 shape: large orders (HAVING-filtered aggregate driving a
     * semi join back into the detail). The HAVING-filtered aggregate is
     * selective but still keyed on orderkey (linear in SF), so no hint — AQE

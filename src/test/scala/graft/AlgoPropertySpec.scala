@@ -79,7 +79,32 @@ object AlgoPropertySpec extends Properties("graft-algo") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     DedupApprox.jaccardJoin(empty, 0.5).count() == 0 &&
       DedupApprox.minhashPairs(empty, 0.5).count() == 0 &&
+      graft.operators.SparseSim.cosineTfJoin(empty, 800L).count() == 0 &&
       graft.operators.Dedup.keepLatestAgg(
         Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"), Seq(col("v"))).count() == 0
   }
+
+  property("inverted-index cosine join equals brute force over the pruned space") =
+    forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.SparseSim.cosineTfJoin(docs, 700L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // brute reference: tf maps over the df ≤ n/2 space, all pairs scored
+      val n = texts.length
+      val tfs = texts.map(_.split(" ").groupBy(identity).view.mapValues(_.length.toLong).toMap)
+      val df = tfs.flatMap(_.keys).groupBy(identity).view.mapValues(_.size).toMap
+      val kept = tfs.map(_.filter { case (tok, _) => df(tok) * 2 <= n })
+      val expected = (for {
+        a <- kept.indices; b <- kept.indices if a < b
+        dot = kept(a).keySet.intersect(kept(b).keySet).toSeq
+          .map(t => kept(a)(t) * kept(b)(t)).sum
+        if dot > 0
+        n2a = kept(a).values.map(v => v * v).sum
+        n2b = kept(b).values.map(v => v * v).sum
+        if 1000000L * dot * dot >= 700L * 700L * n2a * n2b
+      } yield (a.toLong, b.toLong, dot, n2a, n2b)).toSet
+      got == expected
+    }
 }

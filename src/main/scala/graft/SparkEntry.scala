@@ -722,21 +722,33 @@ object SparkEntry {
     // so a wrong manifest archive, a GC that ate history, or as-of
     // resolving the wrong version all hash-mismatch
     "table_time_travel" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
-        Integer.toHexString(d.hashCode)
-      val c = buildVersionedDemo(s, d, out)
+      val (out, c) = versionedDemo(s, d)
       pipeline.Upsert.readTableAsOf(s, out, 2L, c)
     }),
     // CHANGE DATA FEED v2→v3 of the same versioned table: inserts are the
     // batch-3-exclusive keys, update_post the keys whose winning row
     // changed — oracled as the SQL diff of the two recomputed states
     "table_changes" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tc_" +
-        Integer.toHexString(d.hashCode)
-      val c = buildVersionedDemo(s, d, out)
+      val (out, c) = versionedDemo(s, d)
       pipeline.Upsert.tableChanges(s, out, 2L, 3L, Seq("event_id"), c)
     }),
   )
+
+  /** Process-level memo for the versioned demo table: both table_* queries
+    * read the SAME committed, immutable build, so constructing it once per
+    * (session, sf dir) is sharing a deterministic on-disk artifact — the
+    * subtreeCache precedent, extended to a written table. Deleted and
+    * rebuilt on first touch per process, so stale state never leaks in.
+    */
+  private val versionedDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, graft.streaming.VersionedCommitter)]
+
+  private def versionedDemo(s: SparkSession, d: String): (String, graft.streaming.VersionedCommitter) =
+    versionedDemoCache.computeIfAbsent((s, d), _ => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
+        Integer.toHexString(d.hashCode)
+      (out, buildVersionedDemo(s, d, out))
+    })
 
   /** The versioned demo table behind `table_time_travel`/`table_changes`:
     * three OVERLAPPING ts-quarter windows of `events` upserted as versions

@@ -28,7 +28,7 @@ object DedupApprox {
     * set size `n` — the shared substrate of candidate generation and exact
     * refinement.
     */
-  private def shingleIndex(documents: DataFrame): DataFrame =
+  private[operators] def shingleIndex(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), TextFns.shingleSet(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
@@ -43,8 +43,8 @@ object DedupApprox {
     * (A candidate pair sharing zero shingles drops out of the inner join —
     * correct at any threshold > 0, since its Jaccard is 0.)
     */
-  private def exactJaccardRefine(candidates: DataFrame, inv: DataFrame,
-                                 threshold: Double): DataFrame =
+  private[operators] def exactJaccardRefine(candidates: DataFrame, inv: DataFrame,
+                                            threshold: Double): DataFrame =
     candidates
       .join(inv.select(col("doc_id").as("doc_a"), col("n").as("na"), col("shingle")), Seq("doc_a"))
       .join(inv.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("shingle")), Seq("doc_b", "shingle"))
@@ -135,15 +135,23 @@ object DedupApprox {
     * candidate generation is a groupBy/join on (band, band-hash), i.e. a
     * plain shuffle key, never an all-pairs comparison.
     */
-  private def minhashCandidates(documents: DataFrame): DataFrame = {
+  /** Per-document LSH band keys `(doc_id, band, bh)` — the constant
+    * `Bands` rows per doc that candidate generation (and the persisted
+    * [[DedupIndex]]) shuffle/store instead of content.
+    */
+  private[graft] def bandKeys(documents: DataFrame): DataFrame = {
     val sigs = documents.select(
       col("doc_id"),
       minhashSignature(TextFns.shingleSet(col("text"))).as("sig"))
     val bandStructs = (0 until Bands).map(b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * Rows + 1, Rows)).as("bh")))
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  private def minhashCandidates(documents: DataFrame): DataFrame = {
+    val banded = bandKeys(documents)
     banded.as("a").join(banded.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

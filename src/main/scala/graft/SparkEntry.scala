@@ -717,6 +717,10 @@ object SparkEntry {
     // graph — link-structure quality prior; exact long arithmetic makes
     // the iteration bit-replayable in the oracle
     "graph_pagerank" -> ((s, d) => Graph.purchaseRank(prep(s), d)),
+    // degree-oriented triangle census of the part co-occurrence graph —
+    // wedge join bounded by Σ outdeg² = O(E^1.5), not hub-degree²
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangleCount(Graph.coPurchaseEdges(prep(s), d))),
     // exact sparse TF-cosine pairs via inverted-index join; integer
     // cross-norm comparison (dot²·1e6 ≥ t²·‖a‖²‖b‖²), no float anywhere
     "sim_join_cosine" -> ((s, d) =>
@@ -1423,6 +1427,18 @@ object SparkEntry {
     "mm_pixel_stats" ->
       s"SELECT doc_id, width, height, n_pixels, sum_r, sum_g, sum_b, max_r, max_g, max_b FROM '$MediaFixture/expected_pixels/*.parquet'",
     "graph_pagerank" -> pageRankOracleSql(10),
+    // identical degree orientation (rank = deg·2^32 + id) and rank-ordered
+    // wedge pairing, closure via EXISTS on the oriented edge set
+    "graph_triangles" ->
+      ("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM lineitem a " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT n, count(*) AS c FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1), " +
+        "o AS (SELECT CASE WHEN ru < rv THEN u ELSE v END AS s, CASE WHEN ru < rv THEN v ELSE u END AS d, greatest(ru, rv) AS rd " +
+        "FROM (SELECT e.u, e.v, du.c * 4294967296 + e.u AS ru, dv.c * 4294967296 + e.v AS rv " +
+        "FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v)), " +
+        "w AS (SELECT a.d AS y, b.d AS z FROM o a JOIN o b ON a.s = b.s AND a.rd < b.rd) " +
+        "SELECT (SELECT count(*) FROM deg) AS n_nodes, (SELECT count(*) FROM e) AS n_edges, " +
+        "(SELECT count(*) FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.s = w.y AND o.d = w.z)) AS n_triangles"),
     // TF-cosine pairs, all-integer: 2·df ≤ n is exactly df ≤ ⌊n/2⌋; sums
     // cast back to BIGINT (DuckDB sums BIGINT → HUGEINT)
     "sim_join_cosine" ->

@@ -97,6 +97,60 @@ object Graph {
     ranks
   }
 
+  /** Triangle census of an undirected graph — the graph-quality metric
+    * (clustering structure) curation stacks compute next to degree and
+    * rank. Input: distinct undirected edges as (`u` < `v`). Returns ONE
+    * row (n_nodes, n_edges, n_triangles).
+    *
+    * Algorithm: degree orientation (Chiba–Nishizeki / the MapReduce
+    * triangle-count standard): every edge points from its lower-RANK
+    * endpoint to the higher, rank = deg·2³² + id — a total order, so the
+    * oriented graph is a DAG and each triangle has exactly one source
+    * node with out-edges to the other two. Wedges pair a node's
+    * out-neighbors in rank order; a closing oriented edge completes the
+    * triangle. The point at scale: out-degree is bounded by O(√E) under
+    * degree orientation, so the wedge join is Σ outdeg² = O(E^1.5) worst
+    * case instead of Σ deg² — the hub that would explode the naive wedge
+    * count points INTO the hub, not out of it. All joins are scalar
+    * equi-joins; rank arithmetic is exact long (deg < 2³¹, id < 2³²).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+    val ranked = e
+      .join(deg.select(col("n").as("u"), (col("c") * 4294967296L + col("u")).as("ru")), "u")
+      .join(deg.select(col("n").as("v"), (col("c") * 4294967296L + col("v")).as("rv")), "v")
+    val oriented = ranked.select(
+        when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("d"),
+        greatest(col("ru"), col("rv")).as("rd"))
+      .localCheckpoint(true)
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.s") === col("b.s") && col("a.rd") < col("b.rd"))
+      .select(col("a.d").as("y"), col("b.d").as("z"))
+    val triangles = wedges.join(oriented.select(col("s").as("y"), col("d").as("z")),
+      Seq("y", "z"), "left_semi")
+    val nNodes = deg.count()
+    val nEdges = e.count()
+    triangles.agg(count(lit(1)).as("n_triangles"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        col("n_triangles"))
+  }
+
+  /** The part co-occurrence (market-basket) graph: two parts are linked
+    * iff some order contains both. Non-bipartite by construction — the
+    * graph triangles live on.
+    */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    l.as("a").join(l.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
   /** The purchase graph: customer c and supplier s are linked iff some
     * order of c contains a line item supplied by s. Node ids are
     * namespaced into one long space — customers even (`2*custkey`),

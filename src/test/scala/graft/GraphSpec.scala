@@ -65,6 +65,28 @@ class GraphSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  private def triangles(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+    Graph.triangleCount(edges.toDF("u", "v"))
+      .as[(Long, Long, Long)].head()
+
+  test("triangle census on hand-countable graphs") {
+    // one triangle
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == ((3L, 3L, 1L)))
+    // a square has wedges but no triangle
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == ((4L, 4L, 0L)))
+    // K4 has C(4,3) = 4 triangles
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(triangles(k4) == ((4L, 6L, 4L)))
+  }
+
+  test("degree orientation counts triangles whose id order disagrees with rank order") {
+    // triangle {1,2,3} with pendants on 1 and 2: deg(1)=deg(2)=3, deg(3)=2
+    // → rank order 3 < 1 < 2 while id order is 1 < 2 < 3; a wedge pairing
+    // by raw ids instead of rank would miss the closing oriented edge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 10L), (2L, 11L))
+    assert(triangles(edges) == ((5L, 5L, 1L)))
+  }
+
   test("purchase graph namespaces customers even / suppliers odd") {
     val dir = "/root/testdata/sf0.001"
     val kinds = Graph.purchaseRank(spark, dir)

@@ -720,7 +720,7 @@ object SparkEntry {
     // degree-oriented triangle census of the part co-occurrence graph —
     // wedge join bounded by Σ outdeg² = O(E^1.5), not hub-degree²
     "graph_triangles" -> ((s, d) =>
-      Graph.triangleCount(Graph.coPurchaseEdges(prep(s), d))),
+      Graph.triangleCount(Graph.coPurchaseEdges(prep(s), d, orderMod = 3))),
     // exact sparse TF-cosine pairs via inverted-index join; integer
     // cross-norm comparison (dot²·1e6 ≥ t²·‖a‖²‖b‖²), no float anywhere
     "sim_join_cosine" -> ((s, d) =>
@@ -1431,7 +1431,8 @@ object SparkEntry {
     // wedge pairing, closure via EXISTS on the oriented edge set
     "graph_triangles" ->
       ("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM lineitem a " +
-        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "WHERE a.l_orderkey % 3 = 0), " +
         "deg AS (SELECT n, count(*) AS c FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1), " +
         "o AS (SELECT CASE WHEN ru < rv THEN u ELSE v END AS s, CASE WHEN ru < rv THEN v ELSE u END AS d, greatest(ru, rv) AS rd " +
         "FROM (SELECT e.u, e.v, du.c * 4294967296 + e.u AS ru, dv.c * 4294967296 + e.v AS rv " +

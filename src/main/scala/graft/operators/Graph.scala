@@ -140,10 +140,15 @@ object Graph {
 
   /** The part co-occurrence (market-basket) graph: two parts are linked
     * iff some order contains both. Non-bipartite by construction — the
-    * graph triangles live on.
+    * graph triangles live on. `orderMod` deterministically samples 1/mod
+    * of the orders (pushed into the scan on both engines) — co-occurrence
+    * graphs densify superlinearly in the order count, so demo queries
+    * scope the basket set rather than the pair stage.
     */
-  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+  def coPurchaseEdges(spark: SparkSession, dir: String,
+                      orderMod: Long = 1): DataFrame = {
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+      .filter(pmod(col("l_orderkey"), lit(orderMod)) === 0)
     l.as("a").join(l.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))

@@ -225,6 +225,41 @@ object Upsert {
         col("change_type"): _*)
   }
 
+  /** Apply a change feed ([[tableChanges]] output: rows + `change_type`)
+    * to a partitioned manifest REPLICA — the downstream-consumer half of
+    * the CDF contract: instead of re-reading the source table, a replica
+    * (materialized view, downstream mart, cross-region copy) advances by
+    * merging the feed. Inserts/updates merge keep-latest by `keys` (feed
+    * wins order ties, so replaying a feed is idempotent); deletes
+    * anti-join their keys out. Work is partition-granular: only the
+    * partitions carrying change rows are read and atomically replaced
+    * ([[replacePartitionsAtomic]]) — O(feed partitions), not O(replica).
+    * Applying `tableChanges(v_i, v_j)` to a replica at `v_i` yields
+    * exactly the source at `v_j` (`TimeTravelSpec` pins the equivalence,
+    * deletes included). Same key→partition contract as
+    * [[upsertPartitions]].
+    */
+  def applyChanges(spark: SparkSession, changes: DataFrame, tablePath: String,
+                   partCol: String, keys: Seq[String], order: Seq[String],
+                   committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val upserts = changes.filter(col("change_type") =!= "delete")
+      .drop("change_type")
+    val dels = changes.filter(col("change_type") === "delete")
+      .select(keys.map(col): _*)
+    val touched = touchedPartitionsOf(
+      changes.drop("change_type"), partCol, keys)
+    val manifest = committer.readManifest(tablePath)
+    val existingPaths = touched.flatMap(manifest.get)
+      .map(rel => s"$tablePath/$rel")
+    val existing =
+      if (existingPaths.nonEmpty)
+        spark.read.schema(upserts.schema).parquet(existingPaths: _*)
+      else upserts.limit(0)
+    val kept = existing.join(dels, keys, "left_anti")
+    val merged = mergeByKey(kept, upserts, keys, order)
+    replacePartitionsAtomic(spark, merged, tablePath, partCol, touched, committer)
+  }
+
   /** Manifest entries that reference data dirs — `__`-prefixed keys are
     * METADATA riding the same atomic commit (e.g. the last-applied stream
     * batch id, the exactly-once ledger incremental dim maintenance needs):

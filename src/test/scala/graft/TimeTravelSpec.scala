@@ -111,6 +111,33 @@ class TimeTravelSpec extends AnyFunSuite {
     // key 2 unchanged → absent from the feed (checked by exact set above)
   }
 
+  test("applying the change feed advances a replica to exactly the source state") {
+    val src = Files.createTempDirectory("graft-tt").toString + "/src"
+    val rep = Files.createTempDirectory("graft-tt").toString + "/rep"
+    val c = new VersionedCommitter
+    val cr = new VersionedCommitter
+    // v1 on both sides (the replica's seed copy)
+    val v1 = Seq(("d1", 1L, 100L), ("d1", 2L, 100L), ("d2", 3L, 100L))
+    upsert(src, c, v1: _*)
+    Upsert.upsertPartitionsAtomic(spark, delta(v1: _*), rep, "day",
+      keys = Seq("id"), order = Seq("version"), committer = cr)
+    // source advances: update 1, insert 4, delete 3 (d2 replaced without it)
+    graft.pipeline.Upsert.replacePartitionsAtomic(spark,
+      delta(("d1", 1L, 101L), ("d1", 2L, 100L), ("d1", 4L, 101L), ("d2", 5L, 101L)),
+      src, "day", Seq("d1", "d2"), committer = c)
+
+    val feed = Upsert.tableChanges(spark, src, 1L, 2L, Seq("id"), c)
+    Upsert.applyChanges(spark, feed, rep, "day",
+      keys = Seq("id"), order = Seq("version"), committer = cr)
+    assert(rows(Upsert.readTable(spark, rep, cr)) ==
+      rows(Upsert.readTable(spark, src, c)))
+    // replaying the same feed is a no-op (feed wins ties → idempotent)
+    Upsert.applyChanges(spark, feed, rep, "day",
+      keys = Seq("id"), order = Seq("version"), committer = cr)
+    assert(rows(Upsert.readTable(spark, rep, cr)) ==
+      rows(Upsert.readTable(spark, src, c)))
+  }
+
   test("change feed post-image keeps legitimate nulls (no per-column pre leak)") {
     val path = Files.createTempDirectory("graft-tt").toString + "/t"
     val c = new VersionedCommitter

@@ -176,6 +176,25 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(cur == Set((1L, 2.0), (2L, 3.0)))
   }
 
+  test("versioning composes with CAS: the race loser fails cleanly, history stays linear") {
+    import graft.streaming.{CasCommitter, ConcurrentCommitException}
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    // two independent writers, each versioned over its own CAS observer
+    val w1 = new VersionedCommitter(new CasCommitter)
+    val w2 = new VersionedCommitter(new CasCommitter)
+    upsert(path, w1, ("d1", 1L, 100L)) // v1 (w1 wins the empty table)
+    w2.readManifest(path)              // w2's CAS observation of v1...
+    upsert(path, w1, ("d1", 1L, 101L)) // ...v2 moves the manifest under w2
+    intercept[ConcurrentCommitException] {
+      // w2's commit must fail its If-Match precondition; no version file
+      // is written for it (the archive happens only after the flip)
+      w2.commit(path, Map("d9" -> "batch-stale/__part=d9"))
+    }
+    assert(w1.versions(path) == Seq(1L, 2L),
+      "history must contain only the winner's commits")
+    assert(rows(Upsert.readTable(spark, path, w1)) == Set(("d1", 1L, 101L)))
+  }
+
   test("whole-table atomic snapshots version the same way") {
     val path = Files.createTempDirectory("graft-tt").toString + "/t"
     val c = new VersionedCommitter

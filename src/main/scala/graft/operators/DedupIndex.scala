@@ -90,6 +90,27 @@ object DedupIndex {
     DedupApprox.exactJaccardRefine(candidates, inv, threshold)
   }
 
+  /** Admit a probed batch into the index — the lifecycle's third step
+    * (probe → retain survivors → EXTEND): the batch's fingerprints append
+    * into the same bucket layout, so the next batch's probe sees this one
+    * as corpus. Appends are new files in existing bucket dirs — no
+    * rewrite of prior index data, O(batch) I/O. Caller admits whichever
+    * doc set survived its retention policy (typically the probe's
+    * non-duplicates, or everything when near-dups are kept and only
+    * clustered downstream). Same id-disjointness contract as
+    * [[probeDelta]].
+    */
+  def appendToIndex(documents: DataFrame, indexPath: String): Unit = {
+    DedupApprox.bandKeys(documents)
+      .withColumn("band_bucket", pmod(col("bh"), lit(BandBuckets.toLong)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("band_bucket").parquet(s"$indexPath/bands")
+    DedupApprox.shingleIndex(documents)
+      .withColumn("doc_bucket", pmod(col("doc_id"), lit(DocBuckets.toLong)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("doc_bucket").parquet(s"$indexPath/shingles")
+  }
+
   /** Candidate generation against the band index: the corpus side is read
     * with a `band_bucket` partition filter resolved from the delta's own
     * band hashes. Delta side 'a' ⇒ every candidate touches the delta;

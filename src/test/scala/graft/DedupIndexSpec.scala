@@ -77,6 +77,25 @@ class DedupIndexSpec extends AnyFunSuite {
       s"expected band_bucket membership pruning in:\n$candPlan")
   }
 
+  test("append extends the index: the next batch probes against the admitted one") {
+    val idx = Files.createTempDirectory("graft-lshidx").toString
+    DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx)
+    DedupIndex.appendToIndex(deltaDocs.toDF("doc_id", "text"), idx)
+    // batch 2 duplicates a batch-1 doc (104) and a corpus doc (1)
+    val batch2 = Seq(
+      (201L, "a duplicated delta document that repeats its phrasing almost word for word"),
+      (202L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (203L, "fresh batch two material sharing nothing with anything seen before"))
+    val got = pairsOf(DedupIndex.probeDelta(spark, idx,
+      batch2.toDF("doc_id", "text"), 0.6))
+    assert(got.contains((104L, 201L)),
+      "batch-2 dup of an ADMITTED batch-1 doc must surface")
+    assert(got.contains((1L, 202L)),
+      "batch-2 dup of an original corpus doc must still surface")
+    assert(!got.exists { case (a, b) => a <= 111L && b <= 111L },
+      "pairs not touching batch 2 are not the probe's business")
+  }
+
   test("an empty delta probes to an empty result") {
     val idx = Files.createTempDirectory("graft-lshidx").toString
     DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx)

@@ -23,16 +23,19 @@ import graft.sources.Tables
   * Floor rounding loses ≤1 unit per edge per round (≤E·1e-12 of the mass):
   * immaterial for ranking, essential for exactness.
   *
-  * Scale shape: each iteration is ONE shuffle round — an equi-join of the
-  * out-degree-annotated edge list (E rows, checkpointed once, reused every
-  * round) with the rank frame (V rows) on the source id, then a
-  * map-side-combining sum by destination. Both sides hash-partition on the
-  * same key width, so AQE reuses the exchange layout across rounds; on a
-  * real cluster the edge list would be bucketed by `src` once and every
-  * iteration's join would be shuffle-free on the edge side. Lineage is cut
-  * per round (`localCheckpoint`, same device as [[Components]]) so round k
-  * plans O(1) deep instead of O(k). No driver-side graph state — V and E
-  * stay distributed.
+  * Scale shape: each iteration is one equi-join of the out-degree-
+  * annotated edge list (E rows, checkpointed once, reused every round)
+  * with the rank frame (V rows) on the source id, then one
+  * map-side-combining sum by destination — two keyed shuffles, nothing
+  * else. Both sides hash-partition on the same key width, so AQE reuses
+  * the exchange layout across rounds; on a real cluster the edge list
+  * would be bucketed by `src` once and every iteration's join would be
+  * shuffle-free on the edge side. Lineage is cut every `checkpointEvery`
+  * rounds (`localCheckpoint`, same device as [[Components]]; the measured
+  * best cadence is 2 — per-round eager cuts serialize the scheduler,
+  * unbounded chains grow AQE re-analysis) so round k plans O(1) deep
+  * instead of O(k). No driver-side graph state — V and E stay
+  * distributed.
   *
   * Iteration count is FIXED (no convergence probe): deterministic replay
   * and a bounded job DAG matter more at 100 TB than squeezing the last

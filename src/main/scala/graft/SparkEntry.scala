@@ -721,6 +721,10 @@ object SparkEntry {
     // wedge join bounded by Σ outdeg² = O(E^1.5), not hub-degree²
     "graph_triangles" -> ((s, d) =>
       Graph.triangleCount(Graph.coPurchaseEdges(prep(s), d, orderMod = 3))),
+    // market-basket top-3 co-items per part: bounded TopKByScore ranking,
+    // never a corpus-wide window sort
+    "recs_copurchase" -> ((s, d) =>
+      Graph.coPurchaseRecommendations(prep(s), d, 3)),
     // exact sparse TF-cosine pairs via inverted-index join; integer
     // cross-norm comparison (dot²·1e6 ≥ t²·‖a‖²‖b‖²), no float anywhere
     "sim_join_cosine" -> ((s, d) =>
@@ -1427,6 +1431,14 @@ object SparkEntry {
     "mm_pixel_stats" ->
       s"SELECT doc_id, width, height, n_pixels, sum_r, sum_g, sum_b, max_r, max_g, max_b FROM '$MediaFixture/expected_pixels/*.parquet'",
     "graph_pagerank" -> pageRankOracleSql(10),
+    // distinct-order votes, symmetric expansion, (count desc, id asc) rank
+    "recs_copurchase" ->
+      ("WITH p AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "c AS (SELECT u, v, count(*) AS n FROM p GROUP BY 1, 2), " +
+        "s AS (SELECT u AS part, v AS rec, n FROM c UNION ALL SELECT v, u, n FROM c), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY n DESC, rec) AS rk FROM s) " +
+        "SELECT part, rec AS rec_part, CAST(n AS BIGINT) AS n_orders, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"),
     // identical degree orientation (rank = deg·2^32 + id) and rank-ordered
     // wedge pairing, closure via EXISTS on the oriented edge set
     "graph_triangles" ->

@@ -159,6 +159,43 @@ object Graph {
       .distinct()
   }
 
+  /** Item-item co-occurrence recommendations — "orders with X also
+    * contain Y", the classic market-basket collaborative filter: score =
+    * the number of distinct orders containing both parts, top-`k`
+    * co-items per part by (count desc, part asc). The per-part ranking
+    * goes through the bounded [[graft.functions.TopKByScore]] aggregate —
+    * map-side k-entry heaps, shuffle ≤ k rows per (part × partition) —
+    * not a window sort over every scored pair; the co-occurrence count
+    * itself is one distinct + one map-side-combining count on the (u, v)
+    * key. Counts are exact integers (carried through the Double score
+    * losslessly below 2^53), so the oracle replays the ranking verbatim.
+    */
+  def coPurchaseRecommendations(spark: SparkSession, dir: String,
+                                k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    // one row per (order, u, v): a part appearing on several lines of one
+    // order must not inflate that order's vote
+    val pairs = l.as("a").join(l.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val counts = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
+    val sym = counts.select(col("u").as("part"), col("v").as("rec"), col("n"))
+      .union(counts.select(col("v").as("part"), col("u").as("rec"), col("n")))
+    sym.select(col("part"), col("rec"), col("n").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
+      .toDF("part", "topk")
+      .select(col("part"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("part"), col("e.id").as("rec_part"),
+        col("e.score").cast("long").as("n_orders"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** The purchase graph: customer c and supplier s are linked iff some
     * order of c contains a line item supplied by s. Node ids are
     * namespaced into one long space — customers even (`2*custkey`),

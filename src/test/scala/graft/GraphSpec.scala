@@ -87,6 +87,33 @@ class GraphSpec extends AnyFunSuite {
     assert(triangles(edges) == ((5L, 5L, 1L)))
   }
 
+  test("co-purchase recommendations rank by distinct-order votes with id tiebreak") {
+    val recs = Graph.coPurchaseRecommendations(spark, "/root/testdata/sf0.001", 3)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(recs.nonEmpty)
+    val byPart = recs.groupBy(_._1)
+    byPart.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val ordered = rs.sortBy(_._4).toSeq
+      // rank order is (votes desc, rec id asc), ranks 1..k dense
+      assert(ordered.map(_._4) == (1 to ordered.length))
+      ordered.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"rank order violated: $a then $b")
+        case _ =>
+      }
+    }
+    // symmetry: if Y is scored for X with n votes, X is scored for Y with n
+    // (both may or may not make top-k, but the underlying counts agree via
+    // a planted check: every pair must appear consistently when both rank)
+    val asPairs = recs.map(r => ((r._1, r._2), r._3)).toMap
+    recs.foreach { case (p, r, n, _) =>
+      asPairs.get((r, p)).foreach(n2 => assert(n2 == n,
+        s"asymmetric votes for ($p,$r): $n vs $n2"))
+    }
+  }
+
   test("purchase graph namespaces customers even / suppliers odd") {
     val dir = "/root/testdata/sf0.001"
     val kinds = Graph.purchaseRank(spark, dir)

@@ -725,6 +725,12 @@ object SparkEntry {
     // never a corpus-wide window sort
     "recs_copurchase" -> ((s, d) =>
       Graph.coPurchaseRecommendations(prep(s), d, 3)),
+    // first-order Markov transition matrix over per-user event streams —
+    // one lag window + pair counts, row-conditional p integer-exact
+    "markov_transitions" -> ((s, d) => Analytics.eventTransitions(prep(s), d)),
+    // lift-normalized variant: votes·N/(orders_u·orders_v) in micro units
+    "recs_lift" -> ((s, d) =>
+      Graph.coPurchaseLiftRecommendations(prep(s), d, 3)),
     // exact sparse TF-cosine pairs via inverted-index join; integer
     // cross-norm comparison (dot²·1e6 ≥ t²·‖a‖²‖b‖²), no float anywhere
     "sim_join_cosine" -> ((s, d) =>
@@ -1431,6 +1437,14 @@ object SparkEntry {
     "mm_pixel_stats" ->
       s"SELECT doc_id, width, height, n_pixels, sum_r, sum_g, sum_b, max_r, max_g, max_b FROM '$MediaFixture/expected_pixels/*.parquet'",
     "graph_pagerank" -> pageRankOracleSql(10),
+    "markov_transitions" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events), " +
+        "s AS (SELECT event_type AS next_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e), " +
+        "c AS (SELECT prev_type, next_type, count(*) AS n FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+        "t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1) " +
+        "SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n, " +
+        fxRatioSql("c.n", "t.row_n", 4) + " AS p " +
+        "FROM c JOIN t ON t.prev_type = c.prev_type"),
     // distinct-order votes, symmetric expansion, (count desc, id asc) rank
     "recs_copurchase" ->
       ("WITH p AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v " +
@@ -1439,6 +1453,21 @@ object SparkEntry {
         "s AS (SELECT u AS part, v AS rec, n FROM c UNION ALL SELECT v, u, n FROM c), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY n DESC, rec) AS rk FROM s) " +
         "SELECT part, rec AS rec_part, CAST(n AS BIGINT) AS n_orders, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"),
+    // lift = votes·N/(ou·ov) in half-up micro units; same symmetric
+    // expansion + (score desc, id asc) ranking as recs_copurchase
+    "recs_lift" ->
+      ("WITH p AS (SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "c AS (SELECT u, v, count(*) AS votes FROM p GROUP BY 1, 2), " +
+        "pp AS (SELECT l_partkey, count(*) AS orders_p FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) GROUP BY 1), " +
+        "nn AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem), " +
+        "lf AS (SELECT c.u, c.v, CAST(" +
+        fxDivSql("c.votes * nn.n_orders * 1000000", "pu.orders_p * pv.orders_p") +
+        " AS BIGINT) AS lift_micro FROM c, nn " +
+        "JOIN pp pu ON pu.l_partkey = c.u JOIN pp pv ON pv.l_partkey = c.v), " +
+        "s AS (SELECT u AS part, v AS rec, lift_micro FROM lf UNION ALL SELECT v, u, lift_micro FROM lf), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY part ORDER BY lift_micro DESC, rec) AS rk FROM s) " +
+        "SELECT part, rec AS rec_part, lift_micro, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"),
     // identical degree orientation (rank = deg·2^32 + id) and rank-ordered
     // wedge pairing, closure via EXISTS on the oriented edge set
     "graph_triangles" ->

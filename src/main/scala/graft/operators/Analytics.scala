@@ -851,6 +851,33 @@ object Analytics {
       lead(col("value"), 2).over(w).as("value_after_next"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-analytics "what follows what" view (and the n-gram
+    * transition statistic sequence-model pipelines compute over action
+    * logs). One lag window per user stream (single shuffle on user_id,
+    * totally ordered by (ts, event_id)), then a map-side-combining count
+    * per (prev, next) pair; the row-conditional probability is integer-
+    * exact ([[graft.functions.FxMath.ratio]]) so the matrix hash-matches
+    * across engines. Transitions never cross users; each user's first
+    * event has no predecessor and contributes nothing.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val counts = steps.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("row_n"))
+    counts.join(rowTotals, "prev_type") // 5-row side: AQE broadcasts
+      .select(col("prev_type"), col("next_type"), col("n"),
+        graft.functions.FxMath.ratio(col("n"), col("row_n"), 4).as("p"))
+  }
+
   /** The fixture's closed event-type domain. Pivoting on an EXPLICIT value
     * list matters at scale: `pivot(col)` without values runs a blocking
     * distinct-collect over the whole input before planning; with the list,

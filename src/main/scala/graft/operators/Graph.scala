@@ -196,6 +196,50 @@ object Graph {
         (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** [[coPurchaseRecommendations]] with LIFT scoring — raw co-occurrence
+    * votes favor whatever is popular everywhere; lift = P(u,v)/(P(u)·P(v))
+    * = votes·N / (orders_u · orders_v) normalizes that out, the
+    * association-rule-mining standard (and PMI's exponential). Scored in
+    * integer MICRO units via the half-up integer division
+    * ([[graft.functions.FxMath.roundedDiv]]) so the ranking replays
+    * exactly cross-engine. Overflow audit: votes·N·10⁶ ≤ 10⁴·10⁶·10⁶ ≪
+    * 2^63. Same bounded [[graft.functions.TopKByScore]] ranking; the
+    * per-part order totals join is a dim-sized side AQE broadcasts.
+    */
+  def coPurchaseLiftRecommendations(spark: SparkSession, dir: String,
+                                    k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = l.as("a").join(l.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val counts = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("votes"))
+    val perPart = l.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("orders_p"))
+    val nOrders = l.select(col("l_orderkey")).distinct().count()
+    val lifted = counts
+      .join(perPart.select(col("l_partkey").as("u"), col("orders_p").as("ou")), "u")
+      .join(perPart.select(col("l_partkey").as("v"), col("orders_p").as("ov")), "v")
+      .select(col("u"), col("v"),
+        graft.functions.FxMath.roundedDiv(
+          col("votes") * lit(nOrders) * lit(1000000L),
+          col("ou") * col("ov")).as("lift_micro"))
+    val sym = lifted.select(col("u").as("part"), col("v").as("rec"), col("lift_micro"))
+      .union(lifted.select(col("v").as("part"), col("u").as("rec"), col("lift_micro")))
+    sym.select(col("part"), col("rec"), col("lift_micro").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
+      .toDF("part", "topk")
+      .select(col("part"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("part"), col("e.id").as("rec_part"),
+        col("e.score").cast("long").as("lift_micro"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
   /** The purchase graph: customer c and supplier s are linked iff some
     * order of c contains a line item supplied by s. Node ids are
     * namespaced into one long space — customers even (`2*custkey`),

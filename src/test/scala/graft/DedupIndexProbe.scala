@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupApprox, DedupIndex}
+
+/** Scale measurement behind the BASELINE.md incremental-dedup row: the
+  * same planted-structure synthetic corpus as `DedupScaleProbe` (groups
+  * of 5 over splitmix64 bases), split 90% committed corpus / 10% arriving
+  * batch. Compares the per-batch cost of the persisted-index probe
+  * against re-running the whole-corpus minhash join (what a
+  * non-incremental pipeline pays every cycle), and set-verifies the probe
+  * against the whole-corpus pairs restricted to the batch.
+  *
+  * Run: `sbt "Test/runMain graft.DedupIndexProbe [nDocs]"`.
+  */
+object DedupIndexProbe {
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val deltaMod = args.drop(1).headOption.map(_.toLong).getOrElse(10L)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vocab = 20000
+    val docLen = 40
+    val docs = spark.range(n).select(col("id").as("doc_id")).mapPartitions { it =>
+      it.map { row =>
+        val docId = row.getLong(0)
+        val g = docId / 5
+        val slot = (docId % 5).toInt
+        val base = Array.tabulate(docLen)(p =>
+          math.floorMod(mix(g * docLen + p), vocab))
+        val nMut = slot match {
+          case 0 => 0
+          case 1 | 2 => 1
+          case _ => 10
+        }
+        val rnd = new scala.util.Random(31L * docId + 17L)
+        val toks = base.clone()
+        var i = 0
+        while (i < nMut) {
+          toks(rnd.nextInt(docLen)) = vocab + rnd.nextInt(vocab)
+          i += 1
+        }
+        (docId, toks.map(t => s"w$t").mkString(" "))
+      }
+    }.toDF("doc_id", "text").persist()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0).persist()
+    val delta = docs.filter(pmod(col("doc_id"), lit(deltaMod)) === 0).persist()
+    println(s"[dedupidx] corpus=${corpus.count()} delta=${delta.count()}")
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[dedupidx] $name%-34s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      out
+    }
+
+    val idx = java.nio.file.Files.createTempDirectory("dedupidxprobe").toString
+    timed("buildIndex (one-time, corpus)") {
+      DedupIndex.buildIndex(corpus, idx)
+    }
+    val probed = timed("probeDelta (per batch)") {
+      val p = DedupIndex.probeDelta(spark, idx, delta, 0.8)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      println(s"[dedupidx] probe pairs = ${p.size}")
+      p
+    }
+    val whole = timed("whole-corpus minhash (per batch, non-incremental)") {
+      val all = DedupApprox.minhashPairs(docs, 0.8)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      println(s"[dedupidx] whole-corpus pairs = ${all.size}")
+      all
+    }
+    val expected = whole.filter { case (a, b) =>
+      a % deltaMod == 0 || b % deltaMod == 0 }
+    println(s"[dedupidx] probe == whole-restricted-to-delta: ${probed == expected} " +
+      s"(probe ${probed.size} vs expected ${expected.size})")
+    spark.stop()
+  }
+}

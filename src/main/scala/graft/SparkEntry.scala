@@ -643,6 +643,23 @@ object SparkEntry {
       DedupIndex.probeDelta(s, idx,
         docs.filter(pmod(col("doc_id"), lit(4L)) === 0), 0.7)
     }),
+    // bloom-prefiltered incremental EXACT dedup: batch docs (quarter
+    // split) whose content is new vs the corpus — exact regardless of the
+    // bloom's false positives (verification anti-join). The batch is
+    // boosted with a PLANTED byte-identical copy of corpus doc 1 under a
+    // fresh id, so the bloom-hit → verify → reject path is exercised by
+    // data and a broken membership path cannot hash-match the oracle
+    "dedup_exact_incremental" -> ((s, d) => {
+      val docs = Tables.documents(prep(s), d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+      val planted = corpus.filter(col("doc_id") === 1)
+        .select(lit(1000000L).as("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      Dedup.bloomNewContent(corpus,
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 0).unionByName(planted),
+          "text")
+        .select(col("doc_id"), col("n_chars"))
+    }),
     "dedup_simhash" -> ((s, d) =>
       DedupApprox.simhashPairs(Tables.documents(prep(s), d), 8)),
     // pair set → transitive closure: the cluster-level retention decision
@@ -1328,6 +1345,14 @@ object SparkEntry {
     // same exact pairwise SQL (at the query's 0.7 threshold) — verified
     // identical at sf0.001/0.01/0.1 (MinhashProbe; SimilaritySpec gates it)
     "dedup_minhash" -> jaccardPairsOracleSql(0.7),
+    // hash equality ⟺ text equality: the oracle verifies by TEXT match,
+    // so a bloom false positive surviving into the output (or a hash
+    // mismatch) cannot self-confirm
+    "dedup_exact_incremental" ->
+      ("WITH b AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 4 = 0 " +
+        "UNION ALL SELECT 1000000 AS doc_id, text, n_chars FROM documents WHERE doc_id = 1) " +
+        "SELECT b.doc_id, b.n_chars FROM b " +
+        "WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.doc_id % 4 <> 0 AND c.text = b.text)"),
     // the full exact pair set restricted to pairs touching the delta
     // quarter (doc_id ≡ 0 mod 4) — the probe's contract
     "dedup_incremental" ->

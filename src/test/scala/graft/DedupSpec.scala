@@ -67,4 +67,31 @@ class DedupSpec extends AnyFunSuite {
     val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
+
+  test("bloom-prefiltered incremental exact dedup rejects corpus duplicates only") {
+    val corpus = Seq((1L, "alpha text body"), (2L, "beta text body"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha text body"),  // byte-identical to corpus 1 → rejected
+      (11L, "gamma fresh body"), // new → kept
+      (12L, "beta text body"),  // identical to corpus 2 → rejected
+      (13L, "alpha text body?")  // one char off → kept (EXACT dedup)
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomNewContent(corpus, batch, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L))
+  }
+
+  test("bloom false positives never change the result (saturated sketch)") {
+    // fpp = 0.5 on a 2-doc corpus → a nearly saturated few-bit sketch:
+    // batch docs bloom-hit spuriously and must be saved by the exact
+    // verification join, not the sketch
+    val corpus = Seq((1L, "kept in corpus"), (2L, "also kept in corpus"))
+      .toDF("doc_id", "text")
+    val batch = (10L to 40L).map(i => (i, s"unique text number $i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomNewContent(corpus, batch, "text", fpp = 0.5)
+      .count()
+    assert(got == 31L, "every unique batch doc must survive a saturated bloom")
+  }
 }

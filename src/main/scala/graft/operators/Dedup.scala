@@ -86,18 +86,27 @@ object Dedup {
     // the bloom keys on the codegen'd 64-bit content hash (Spark 4's
     // sketch builder is long-keyed); a 64-bit collision is just one more
     // false positive for the verification join, which compares the full
-    // 256-bit hash — exactness never rests on the sketch
+    // 256-bit hash — exactness never rests on the sketch.
+    // Materialized ONCE (localCheckpoint): the count job, the sketch
+    // build, and the verification join all read it — unmaterialized, each
+    // would re-scan and re-hash the whole corpus
     val hashes = corpus.select(sha2(col(contentCol), 256).as("h"),
-      xxhash64(col(contentCol)).as("xh"))
-    // expectedNumItems: corpus row count (one cheap count job; a real
-    // deployment carries this in table stats)
+      xxhash64(col(contentCol)).as("xh")).localCheckpoint(true)
+    // expectedNumItems: corpus row count (cheap on the checkpointed
+    // hashes; a real deployment carries this in table stats)
     val n = math.max(1L, hashes.count())
     val bloom = hashes.stat.bloomFilter("xh", n, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val might = udf((xh: Long) => bc.value.mightContainLong(xh))
     val withH = batch
       .withColumn("__h", sha2(col(contentCol), 256))
-      .withColumn("__maybe", might(xxhash64(col(contentCol))))
+      // null content: xxhash64(null) is null, the UDF yields null, and a
+      // null __maybe would fail BOTH branch filters — the row would
+      // silently vanish. Null content is definitionally "not present in
+      // the corpus" here (SQL equality never matches null), so route it
+      // to the definitely-new branch
+      .withColumn("__maybe",
+        coalesce(might(xxhash64(col(contentCol))), lit(false)))
     val definitelyNew = withH.filter(!col("__maybe"))
     val verifiedNew = withH.filter(col("__maybe"))
       .join(hashes.select(col("h").as("__h")).distinct(), Seq("__h"), "left_anti")

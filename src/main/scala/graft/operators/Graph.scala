@@ -172,27 +172,48 @@ object Graph {
     */
   def coPurchaseRecommendations(spark: SparkSession, dir: String,
                                 k: Int = 3): DataFrame = {
-    import spark.implicits._
+    val counts = coOccurrenceVotes(spark, dir)
+    rankTopKPerPart(
+      symmetric(counts, "n"), scoreCol = "n", outCol = "n_orders", k)
+  }
+
+  /** Distinct-order votes per (u < v) part pair — one row per (order, u,
+    * v) first (a part on several lines of one order must not inflate that
+    * order's vote), then a map-side-combining count on the pair key.
+    */
+  private def coOccurrenceVotes(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    // one row per (order, u, v): a part appearing on several lines of one
-    // order must not inflate that order's vote
-    val pairs = l.as("a").join(l.as("b"),
+    l.as("a").join(l.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_orderkey").as("ok"),
         col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-    val counts = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
-    val sym = counts.select(col("u").as("part"), col("v").as("rec"), col("n"))
-      .union(counts.select(col("v").as("part"), col("u").as("rec"), col("n")))
-    sym.select(col("part"), col("rec"), col("n").cast("double"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Both directions of a (u, v, score) pair frame as (part, rec, score). */
+  private def symmetric(pairs: DataFrame, scoreCol: String): DataFrame =
+    pairs.select(col("u").as("part"), col("v").as("rec"), col(scoreCol))
+      .union(pairs.select(col("v").as("part"), col("u").as("rec"), col(scoreCol)))
+
+  /** Top-`k` recs per part by (score desc, id asc) through the bounded
+    * [[graft.functions.TopKByScore]] aggregate; the long score column is
+    * carried losslessly through the Double heap (< 2^53) and emitted
+    * under `outCol`.
+    */
+  private def rankTopKPerPart(sym: DataFrame, scoreCol: String,
+                              outCol: String, k: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.select(col("part"), col("rec"), col(scoreCol).cast("double"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
       .toDF("part", "topk")
       .select(col("part"), posexplode(col("topk")).as(Seq("pos", "e")))
       .select(col("part"), col("e.id").as("rec_part"),
-        col("e.score").cast("long").as("n_orders"),
+        col("e.score").cast("long").as(outCol),
         (col("pos") + 1).cast("int").as("rk"))
   }
 
@@ -208,36 +229,19 @@ object Graph {
     */
   def coPurchaseLiftRecommendations(spark: SparkSession, dir: String,
                                     k: Int = 3): DataFrame = {
-    import spark.implicits._
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
-    val pairs = l.as("a").join(l.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_orderkey").as("ok"),
-        col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
-    val counts = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("votes"))
-    val perPart = l.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val perPart = l.distinct()
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("orders_p"))
     val nOrders = l.select(col("l_orderkey")).distinct().count()
-    val lifted = counts
+    val lifted = coOccurrenceVotes(spark, dir)
       .join(perPart.select(col("l_partkey").as("u"), col("orders_p").as("ou")), "u")
       .join(perPart.select(col("l_partkey").as("v"), col("orders_p").as("ov")), "v")
       .select(col("u"), col("v"),
         graft.functions.FxMath.roundedDiv(
-          col("votes") * lit(nOrders) * lit(1000000L),
+          col("n") * lit(nOrders) * lit(1000000L),
           col("ou") * col("ov")).as("lift_micro"))
-    val sym = lifted.select(col("u").as("part"), col("v").as("rec"), col("lift_micro"))
-      .union(lifted.select(col("v").as("part"), col("u").as("rec"), col("lift_micro")))
-    sym.select(col("part"), col("rec"), col("lift_micro").cast("double"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
-      .toDF("part", "topk")
-      .select(col("part"), posexplode(col("topk")).as(Seq("pos", "e")))
-      .select(col("part"), col("e.id").as("rec_part"),
-        col("e.score").cast("long").as("lift_micro"),
-        (col("pos") + 1).cast("int").as("rk"))
+    rankTopKPerPart(symmetric(lifted, "lift_micro"),
+      scoreCol = "lift_micro", outCol = "lift_micro", k)
   }
 
   /** The purchase graph: customer c and supplier s are linked iff some

@@ -268,6 +268,12 @@ object Multimodal {
     * for PNG — `mm_pixel_stats` oracles the decode against the
     * generator's chosen pixel values (gen.MediaGen.pngWithPixels).
     */
+  /** Decoded-raster allocation cap (256 MB ≈ a 9k×9k RGB frame): any IHDR
+    * claiming more is rejected as undecodable rather than allocated —
+    * per-row memory safety against adversarial headers.
+    */
+  val MaxDecodedBytes: Long = 256L << 20
+
   def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     def u8(i: Int): Int = b(i) & 0xff
     def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
@@ -297,15 +303,25 @@ object Multimodal {
     }
     if (!ok || z.size() == 0) return None
     val bpp = 3
+    // raw buffer sized in LONG first: adversarial IHDR dimensions (e.g.
+    // 40000×40000) overflow `h*(1+3w)` in Int to a negative size (crash)
+    // or demand multi-GB allocations (OOM) — both must be a clean None,
+    // an undecodable blob, never a task kill
+    val rawLen = h.toLong * (1L + w.toLong * bpp)
+    if (rawLen > MaxDecodedBytes) return None
     val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
+    val raw = new Array[Byte](rawLen.toInt)
     try {
       val inf = new java.util.zip.Inflater()
       inf.setInput(z.toByteArray)
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 = no forward progress: truncated stream (needsInput), or
+        // one this decoder cannot drive at all — e.g. an FDICT zlib
+        // header demanding a preset dictionary, where needsInput stays
+        // false and the previous needsInput-only check spun forever
+        if (n == 0) return None
         off += n
       }
       inf.end()

@@ -252,9 +252,10 @@ final class ConcurrentCommitException(msg: String)
   * single-writer assumption. Each instance remembers the manifest bytes it
   * last OBSERVED for a path (`readManifest`); `commit` atomically verifies
   * the on-disk manifest is still byte-identical to that observation before
-  * renaming the replacement in, under an exclusive OS file lock
-  * (`FileChannel.tryLock` on a sidecar LOCK file — advisory, but both
-  * writers in a race go through it). This is exactly the If-Match
+  * renaming the replacement in, under a JVM-global per-path monitor (two
+  * writers in one process) plus an exclusive OS file lock on a sidecar
+  * LOCK file (writers in other processes — advisory, but every committer
+  * goes through it). This is exactly the If-Match
   * conditional put the [[SnapshotCommitter]] trait doc prescribes for
   * S3-class stores, rendered with POSIX primitives: a concurrent writer's
   * interleaved commit surfaces as [[ConcurrentCommitException]] with the
@@ -286,22 +287,38 @@ final class CasCommitter extends SnapshotCommitter {
                       entries: Map[String, String]): Unit = {
     val dir = new java.io.File(snapshotPath)
     dir.mkdirs()
-    val lockFile = new java.io.File(dir, "MANIFEST.lock")
-    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock = ch.lock() // blocks until the competing commit finishes
+    // two-level mutual exclusion: the JVM-global per-path monitor
+    // serializes committer instances in THIS process (the JVM's file-lock
+    // table would otherwise throw OverlappingFileLockException at the
+    // second ch.lock() — a crash, not a wait — for exactly the two-writer
+    // race this class exists for), and the OS file lock serializes
+    // against OTHER processes
+    val monitor = CasCommitter.pathMonitors
+      .computeIfAbsent(new java.io.File(snapshotPath).getAbsolutePath, _ => new Object)
+    monitor.synchronized {
+      val lockFile = new java.io.File(dir, "MANIFEST.lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
       try {
-        val expect = observed.getOrDefault(snapshotPath, "")
-        val actual = currentBytes(snapshotPath)
-        if (actual != expect)
-          throw new ConcurrentCommitException(
-            s"manifest at $snapshotPath changed since this writer read it " +
-              "(concurrent commit won the race); re-read and retry the merge")
-        AtomicRenameCommitter.commit(snapshotPath, entries)
-        observed.put(snapshotPath, AtomicRenameCommitter.renderManifest(entries))
-      } finally lock.release()
-    } finally ch.close()
+        val lock = ch.lock() // blocks until a competing PROCESS finishes
+        try {
+          val expect = observed.getOrDefault(snapshotPath, "")
+          val actual = currentBytes(snapshotPath)
+          if (actual != expect)
+            throw new ConcurrentCommitException(
+              s"manifest at $snapshotPath changed since this writer read it " +
+                "(concurrent commit won the race); re-read and retry the merge")
+          AtomicRenameCommitter.commit(snapshotPath, entries)
+          observed.put(snapshotPath, AtomicRenameCommitter.renderManifest(entries))
+        } finally lock.release()
+      } finally ch.close()
+    }
   }
+}
+
+private object CasCommitter {
+  /** JVM-global per-path commit monitors (see [[CasCommitter.commit]]). */
+  val pathMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

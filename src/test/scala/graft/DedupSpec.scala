@@ -82,6 +82,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set(11L, 13L))
   }
 
+  test("null-content batch rows are classified new, not silently dropped") {
+    val corpus = Seq((1L, "kept in corpus")).toDF("doc_id", "text")
+    val batch = Seq((10L, "kept in corpus"), (11L, null.asInstanceOf[String]),
+      (12L, "fresh")).toDF("doc_id", "text")
+    val got = Dedup.bloomNewContent(corpus, batch, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L),
+      "the null-text row must surface as new (nothing equals null), not vanish")
+  }
+
   test("bloom false positives never change the result (saturated sketch)") {
     // fpp = 0.5 on a 2-doc corpus → a nearly saturated few-bit sketch:
     // batch docs bloom-hit spuriously and must be saved by the exact

@@ -189,6 +189,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial PNGs: FDICT streams and overflow dimensions reject cleanly") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("ISO-8859-1")); crc.update(payload)
+      be32(payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload ++
+        be32(crc.getValue)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def ihdr(w: Long, h: Long): Array[Byte] =
+      be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+
+    // FDICT zlib header (0x78 0x3F: CM=8, FDICT bit set, checksum-valid):
+    // inflate() returns 0 with needsInput=false forever — the pre-fix loop
+    // spun; must now return None (in bounded time, by construction)
+    val fdict = sig ++ chunk("IHDR", ihdr(4, 4)) ++
+      chunk("IDAT", Array[Byte](0x78, 0x3f, 1, 2, 3, 4)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePngPixels(fdict).isEmpty)
+
+    // 40000×40000 IHDR: h*(1+3w) overflows Int to a negative array size —
+    // pre-fix a NegativeArraySizeException killed the task; must be None
+    val huge = sig ++ chunk("IHDR", ihdr(40000, 40000)) ++
+      chunk("IDAT", Array[Byte](0x78, 0x01, 1)) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Multimodal.decodePngPixels(huge).isEmpty)
+  }
+
   test("resize planning caps the long edge and preserves aspect ratio") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(spark, docs)

@@ -195,6 +195,40 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(rows(Upsert.readTable(spark, path, w1)) == Set(("d1", 1L, 101L)))
   }
 
+  test("two same-JVM CAS writers racing on one table: loser gets the retryable exception, never a lock crash") {
+    import graft.streaming.{CasCommitter, ConcurrentCommitException}
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val w1 = new CasCommitter
+    val w2 = new CasCommitter
+    w1.readManifest(path); w2.readManifest(path) // both observe empty
+    // truly concurrent commits from two threads: the JVM's file-lock table
+    // would throw OverlappingFileLockException at the second ch.lock()
+    // without the per-path monitor — the loser must instead see the
+    // documented ConcurrentCommitException (or win; exactly one of each)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    def attempt(c: CasCommitter, tag: String) = pool.submit(
+      new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          go.await()
+          try { c.commit(path, Map("d" -> s"batch-$tag/data")); None }
+          catch { case t: Throwable => Some(t) }
+        }
+      })
+    val f1 = attempt(w1, "one"); val f2 = attempt(w2, "two")
+    go.countDown()
+    val results = Seq(f1, f2).map(_.get(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    val failures = results.flatten
+    assert(failures.length == 1, s"exactly one loser expected, got $results")
+    assert(failures.head.isInstanceOf[ConcurrentCommitException],
+      s"loser must get the retryable CAS exception, got ${failures.head}")
+    // the winner's manifest is committed and intact
+    val committed = graft.streaming.AtomicRenameCommitter.readManifest(path)
+    assert(committed.size == 1 && committed("d").startsWith("batch-"))
+  }
+
   test("whole-table atomic snapshots version the same way") {
     val path = Files.createTempDirectory("graft-tt").toString + "/t"
     val c = new VersionedCommitter

@@ -84,6 +84,35 @@ object AlgoPropertySpec extends Properties("graft-algo") {
         Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"), Seq(col("v"))).count() == 0
   }
 
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.filter { case (a, b) => a != b }.distinct)
+      .suchThat(_.nonEmpty)
+
+  property("fixed-point pagerank tracks the floating-point definition") =
+    forAll(graphGen) { edges =>
+      import graft.operators.Graph
+      val got = Graph.pageRank(edges.toDF("src", "dst"), 10)
+        .as[(Long, Long)].collect().toMap
+        .map { case (n, r) => n -> r.toDouble / Graph.TotalMass }
+      // driver-side reference: the same damped iteration in Doubles
+      // (same init, same dangling-mass-leak semantics)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val n = nodes.size
+      var ranks = nodes.map(_ -> 1.0 / n).toMap
+      val base = (1.0 - 0.85) / n
+      for (_ <- 1 to 10) {
+        val contribs = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+          ranks(s) / outDeg(s) }.sum).toMap
+        ranks = nodes.map(v => v -> (base + 0.85 * contribs.getOrElse(v, 0.0))).toMap
+      }
+      // floor loss is ≤1e-12 per contribution per round — far inside 1e-6
+      got.keySet == ranks.keySet && got.forall { case (v, r) =>
+        math.abs(r - ranks(v)) < 1e-6
+      }
+    }
+
   property("inverted-index cosine join equals brute force over the pruned space") =
     forAll(docGen) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

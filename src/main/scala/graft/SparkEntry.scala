@@ -418,6 +418,10 @@ object SparkEntry {
     // (Sketches scaladoc; native HLL++ stays as PropertySpec comparison)
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinctUsers(prep(s), d)),
     "q_approx_distinct_est" -> ((s, d) => Analytics.approxDistinctEventsKmv(prep(s), d)),
+    // re-aggregatable sketch rollup: per-day KMV states merged over the
+    // trailing week (the HLL_COUNT.INIT/MERGE pattern), exact count rides
+    // along as the error reference
+    "sketch_merge_7d" -> ((s, d) => Analytics.kmvMergedDistinct7d(prep(s), d)),
     // approximate per-group quantiles via a deterministic bottom-k-by-hash
     // sample + exact interpolated percentile over it — O(k) state per
     // group like a rank sketch, but the sampled subset (and thus the
@@ -1256,6 +1260,23 @@ object SparkEntry {
     // row_number → exact-below-k / k-th-minimum estimator, all in SQL
     "q_approx_distinct" -> kmvOracleSql("user_id", 1024, "approx_users"),
     "q_approx_distinct_est" -> kmvOracleSql("event_id", 256, "approx_events"),
+    // per-day k-min states → union-dedup-rank merge over the trailing
+    // week, the same (k−1)·M/h_k estimator; exact distinct alongside
+    "sketch_merge_7d" -> {
+      val h = graft.functions.expr.Sketches.mhash61Sql("user_id")
+      val m = graft.functions.expr.Sketches.M
+      // k = 64 so the ESTIMATOR path (not the exact-below-k fallback) is
+      // the one the sf0.01 oracle replays (150 users in the window)
+      val k = 64
+      s"WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date, $h AS h FROM events), " +
+        "st AS (SELECT event_date, h FROM (SELECT event_date, h, row_number() OVER (PARTITION BY event_date ORDER BY h) AS rn FROM dh) " +
+        s"WHERE rn <= $k), " +
+        "cut AS (SELECT max(CAST(ts AS DATE)) - 6 AS c FROM events), " +
+        "mg AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (SELECT DISTINCT st.h FROM st, cut WHERE st.event_date >= cut.c)), " +
+        s"est AS (SELECT CASE WHEN max(rn) < $k THEN max(rn) ELSE CAST(round((${k - 1} * CAST($m AS DOUBLE)) / CAST(min(CASE WHEN rn = $k THEN h END) AS DOUBLE)) AS BIGINT) END AS approx_users_7d FROM mg), " +
+        "ex AS (SELECT count(DISTINCT user_id) AS exact_users_7d FROM events, cut WHERE CAST(ts AS DATE) >= cut.c) " +
+        "SELECT approx_users_7d, exact_users_7d FROM est, ex"
+    },
     "quality_deciles" -> {
       val n = "len(string_split(text, ' '))"
       val stops = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"

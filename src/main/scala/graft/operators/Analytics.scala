@@ -340,6 +340,55 @@ object Analytics {
         graft.functions.expr.Sketches.mhash61(col("event_id")), 256)
         .as("approx_events"))
 
+  /** Re-aggregatable sketch rollup — the warehouse pattern BigQuery ships
+    * as `HLL_COUNT.INIT / MERGE`: per-DAY distinct-count sketch STATES are
+    * materialized once, and any date range's distinct count comes from
+    * merging the tiny states instead of rescanning the fact. KMV states
+    * merge by "union the k-minimum hash sets, dedup, keep the k smallest"
+    * — pure integer set algebra on the replayable mhash61, so the merged
+    * ESTIMATE (same `(k−1)·M / h_k` estimator as
+    * [[approxDistinctEventsKmv]]) is bit-reproducible in DuckDB.
+    *
+    * Shape: one distinct on (day, hash), a per-day rank to keep ≤ k
+    * hashes (hash-partitioned by day — each day's state is O(k)), then
+    * the trailing-7-day merge touches ≤ 7k rows total. The exact distinct
+    * over the same window rides along as the error reference. At 100 TB
+    * the states ARE the stored rollup table; re-ranging is O(days·k),
+    * never a fact rescan.
+    */
+  def kmvMergedDistinct7d(spark: SparkSession, dir: String,
+                          k: Int = 64): DataFrame = {
+    import graft.functions.expr.Sketches
+    val dayHash = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"),
+        Sketches.mhash61(col("user_id")).as("h"),
+        col("user_id"))
+    val distinctDayHash = dayHash.select("event_date", "h").distinct()
+    val perDay = Window.partitionBy(col("event_date")).orderBy(col("h"))
+    val states = distinctDayHash
+      .withColumn("rn", row_number().over(perDay))
+      .filter(col("rn") <= k)
+    val cutoff = dayHash.agg(date_sub(max(col("event_date")), 6).as("cut"))
+    val window = states.crossJoin(broadcast(cutoff)) // 1-row cutoff
+      .filter(col("event_date") >= col("cut"))
+    // merge: union of day states, dedup, global k-minimum. The
+    // partition-less window is safe HERE by construction: its input is
+    // ≤ 7·k rows (the merged states), never data-sized
+    val merged = window.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+    val est = merged
+      .agg(max(col("rn")).as("n"),
+        min(when(col("rn") === k, col("h"))).as("hk"))
+      .select(when(col("n") < k, col("n"))
+        .otherwise(round(lit((k - 1).toDouble * Sketches.M.toDouble) / col("hk")
+          .cast("double")).cast("long"))
+        .as("approx_users_7d"))
+    val exact = dayHash.crossJoin(broadcast(cutoff))
+      .filter(col("event_date") >= col("cut"))
+      .agg(countDistinct(col("user_id")).as("exact_users_7d"))
+    est.crossJoin(exact) // two 1-row frames
+  }
+
   /** Trailing-7-day moving volume per day — a RANGE window frame over the
     * day number (every day sums the week ending on it, gaps handled by
     * value, not row position). Expressed as a RANGE-bucketized self-join of

@@ -106,4 +106,22 @@ class SketchesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KMV states are mergeable: k-min of union equals merge of truncated states") {
+    // the soundness property behind the sketch_merge_7d rollup: keeping
+    // only each partition's k smallest hashes loses NOTHING for the
+    // merged k-minimum — the global k smallest each survive their own
+    // partition's cut (they are among its k smallest by definition)
+    val k = 16
+    val rnd = new scala.util.Random(42)
+    val partA = Seq.fill(200)(rnd.nextLong().abs % 1000000L).distinct
+    val partB = Seq.fill(200)(rnd.nextLong().abs % 1000000L).distinct
+    def kmin(xs: Seq[Long]): Seq[Long] = xs.distinct.sorted.take(k)
+    val direct = kmin(partA ++ partB)
+    val merged = kmin(kmin(partA) ++ kmin(partB))
+    assert(direct == merged)
+    // and the estimator over the merged state is the estimator over the
+    // direct union (same k-th minimum)
+    assert(direct.lift(k - 1) == merged.lift(k - 1))
+  }
 }

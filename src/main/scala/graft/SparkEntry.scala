@@ -796,19 +796,22 @@ object SparkEntry {
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
 
+  // Paths are Files.createTempDirectory-unique per cache ENTRY, never
+  // derived from dir.hashCode: the cache keys on (session, dir), so a
+  // hashCode-derived path would let a second session (or a colliding data
+  // dir) deleteDirectory+rebuild a path another cached entry is serving
+  // reads from (the StreamOracle.stage precedent).
   private def lshIndex(s: SparkSession, d: String, corpus: DataFrame): String =
     lshIndexCache.computeIfAbsent((s, d), _ => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
-        Integer.toHexString(d.hashCode)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
-      DedupIndex.buildIndex(corpus, out)
-      out
+      val out = java.nio.file.Files.createTempDirectory("graft_lshidx_")
+      org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
+      DedupIndex.buildIndex(corpus, out.toString)
+      out.toString
     })
 
   private def versionedDemo(s: SparkSession, d: String): (String, graft.streaming.VersionedCommitter) =
     versionedDemoCache.computeIfAbsent((s, d), _ => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
-        Integer.toHexString(d.hashCode)
+      val out = java.nio.file.Files.createTempDirectory("graft_tt_").toString
       (out, buildVersionedDemo(s, d, out))
     })
 
@@ -886,7 +889,10 @@ object SparkEntry {
   private def kmvOracleSql(keyCol: String, k: Int, outName: String): String = {
     val h = graft.functions.expr.Sketches.mhash61Sql(keyCol)
     val m = graft.functions.expr.Sketches.M
-    s"WITH hh AS (SELECT DISTINCT event_type, $h AS h FROM events), " +
+    // IS NOT NULL mirrors KmvDistinctAgg.update's null-skip: without it a
+    // NULL key contributes a NULL hash row that inflates the window n and
+    // can itself become the rn=k row under NULLS LAST
+    s"WITH hh AS (SELECT DISTINCT event_type, $h AS h FROM events WHERE $keyCol IS NOT NULL), " +
       "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM hh) " +
       s"SELECT event_type, CAST(CASE WHEN n < $k THEN n ELSE round((${k - 1} * CAST($m AS DOUBLE)) / CAST(h AS DOUBLE)) END AS BIGINT) AS $outName " +
       s"FROM r WHERE rn = (CASE WHEN n < $k THEN 1 ELSE $k END)"

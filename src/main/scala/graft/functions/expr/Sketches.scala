@@ -116,8 +116,16 @@ case class MersenneHash61(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "mhash61"
 
-  override protected def nullSafeEval(v: Any): Any =
-    java.lang.Long.valueOf(Sketches.hash(v.asInstanceOf[Long]))
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[Long]
+    // fail fast: for x < 0, Scala's % and the unsigned 128-bit fold diverge
+    // from the DuckDB mhash61Sql mirror — a silent sketch-replay break that
+    // would only surface as a distant downstream hash mismatch
+    if (x < 0)
+      throw new IllegalArgumentException(
+        s"mhash61 requires a non-negative input, got $x")
+    java.lang.Long.valueOf(Sketches.hash(x))
+  }
 
   override protected def withNewChildInternal(c: Expression): MersenneHash61 =
     copy(child = c)

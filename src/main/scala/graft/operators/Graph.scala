@@ -134,7 +134,18 @@ object Graph {
       .select(col("a.d").as("y"), col("b.d").as("z"))
     val triangles = wedges.join(oriented.select(col("s").as("y"), col("d").as("z")),
       Seq("y", "z"), "left_semi")
-    val nNodes = deg.count()
+    // the deg·2³² + id packing is exact ONLY for id < 2³² and deg < 2³¹;
+    // beyond that ranks silently collide (wrong orientation, wrong count).
+    // Enforce the bound where it's stated — folded into the node-count
+    // aggregate the method already pays for, so the guard is free.
+    val hdr = deg.agg(count(lit(1)), min(col("n").cast("long")),
+      max(col("n").cast("long")), max(col("c"))).head()
+    val (nNodes, minId, maxId, maxDeg) =
+      (hdr.getLong(0), hdr.getLong(1), hdr.getLong(2), hdr.getLong(3))
+    require(minId >= 0 && maxId < 4294967296L,
+      s"triangleCount rank packing requires node ids in [0, 2^32), got [$minId, $maxId]")
+    require(maxDeg < 2147483648L,
+      s"triangleCount rank packing requires degree < 2^31, got max degree $maxDeg")
     val nEdges = e.count()
     triangles.agg(count(lit(1)).as("n_triangles"))
       .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
@@ -150,8 +161,13 @@ object Graph {
     */
   def coPurchaseEdges(spark: SparkSession, dir: String,
                       orderMod: Long = 1): DataFrame = {
+    // dedupe the (order, part) incidence before the self-join: repeated
+    // lines of one part in one order multiply the pair fan-out for free
+    // (the post-join distinct still collapses across ORDERS — that one is
+    // the edge semantics and stays)
     val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
       .filter(pmod(col("l_orderkey"), lit(orderMod)) === 0)
+      .distinct()
     l.as("a").join(l.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
@@ -177,18 +193,21 @@ object Graph {
       symmetric(counts, "n"), scoreCol = "n", outCol = "n_orders", k)
   }
 
-  /** Distinct-order votes per (u < v) part pair — one row per (order, u,
-    * v) first (a part on several lines of one order must not inflate that
-    * order's vote), then a map-side-combining count on the pair key.
+  /** Distinct-order votes per (u < v) part pair — a part on several lines
+    * of one order must not inflate that order's vote, so the (order, part)
+    * incidence is deduped BEFORE the self-join: with distinct inputs the
+    * joined (order, u, v) triples are distinct by construction, and the
+    * dedup shuffle runs on the O(lines) incidence instead of the O(Σ
+    * basket²) pairs frame it used to run after. The count is then one
+    * map-side-combining aggregate on the pair key.
     */
   private def coOccurrenceVotes(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
     l.as("a").join(l.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_orderkey").as("ok"),
-        col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
   }
 

@@ -311,8 +311,11 @@ object Multimodal {
     if (rawLen > MaxDecodedBytes) return None
     val stride = w * bpp
     val raw = new Array[Byte](rawLen.toInt)
+    // inf.end() must run on EVERY exit (early returns, DataFormatException):
+    // Inflater holds native zlib state outside the JVM heap, so a leak per
+    // corrupt blob accumulates off-heap pressure across a long scan
+    val inf = new java.util.zip.Inflater()
     try {
-      val inf = new java.util.zip.Inflater()
       inf.setInput(z.toByteArray)
       var off = 0
       while (off < raw.length && !inf.finished()) {
@@ -324,9 +327,9 @@ object Multimodal {
         if (n == 0) return None
         off += n
       }
-      inf.end()
       if (off != raw.length) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
     // invert the per-scanline filters in place into `out`
     def paeth(a: Int, bb: Int, c: Int): Int = {
       val p = a + bb - c

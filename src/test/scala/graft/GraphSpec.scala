@@ -79,6 +79,18 @@ class GraphSpec extends AnyFunSuite {
     assert(triangles(k4) == ((4L, 6L, 4L)))
   }
 
+  test("triangle census rejects node ids outside the rank-packing bound") {
+    // deg·2³² + id is exact only for id ∈ [0, 2³²): beyond that ranks can
+    // collide silently (wrong orientation → wrong count), so the operator
+    // must fail loudly instead of returning a plausible wrong number
+    val tooBig = Seq((1L, 2L), (2L, 1L << 33), (1L, 1L << 33))
+    val eBig = intercept[IllegalArgumentException](triangles(tooBig))
+    assert(eBig.getMessage.contains("2^32"))
+    val negative = Seq((-1L, 2L), (2L, 3L), (-1L, 3L))
+    val eNeg = intercept[IllegalArgumentException](triangles(negative))
+    assert(eNeg.getMessage.contains("2^32"))
+  }
+
   test("degree orientation counts triangles whose id order disagrees with rank order") {
     // triangle {1,2,3} with pendants on 1 and 2: deg(1)=deg(2)=3, deg(3)=2
     // → rank order 3 < 1 < 2 while id order is 1 < 2 < 3; a wedge pairing

@@ -33,6 +33,21 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("mhash61 fails fast on negative input instead of silently diverging") {
+    // for x < 0 the JVM arithmetic and the DuckDB SQL mirror disagree, so
+    // the sketch would stop being cross-engine replayable with no local
+    // symptom — the contract violation must surface at the source
+    import spark.implicits._
+    // local-relation eval surfaces the IAE directly; a parquet-backed scan
+    // wraps it in SparkException — accept either, require the message
+    val e = intercept[Exception] {
+      Seq(-1L).toDF("x").select(Sketches.mhash61(col("x"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("non-negative")), msgs.mkString(" | "))
+  }
+
   test("kmv and bottom-k sample are partition-layout invariant") {
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
       .select(col("event_type"), Sketches.mhash61(col("event_id")).as("h"),

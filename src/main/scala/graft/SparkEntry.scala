@@ -399,6 +399,13 @@ object SparkEntry {
         Dims.dimUser(raw), Dims.dimEventType(raw), Dims.dimDate(raw))
     }),
     "qa_count_parity" -> ((s, d) => Quality.countParity(fact(s, d), starOf(s, d))),
+    // table profiling: per-column null/distinct/min/max in ONE pass
+    // (Catalyst expand + two-phase agg), the pre-trust ANALYZE step
+    "profile_columns" -> ((s, d) =>
+      Quality.profileColumns(Tables.events(prep(s), d))),
+    // IQR-fence (Tukey) outlier screen per event_type over exact cents
+    "quality_outliers" -> ((s, d) =>
+      Quality.valueOutliers(Tables.events(prep(s), d))),
     // ---- analytical breadth (SURVEY §7 step 4) ----
     "q1_pricing" -> ((s, d) => Analytics.pricingSummary(prep(s), d)),
     "q6_forecast" -> ((s, d) => Analytics.forecastRevenue(prep(s), d)),
@@ -440,6 +447,10 @@ object SparkEntry {
         .withColumn("v", round(col("v"), 4))
     }),
     "q_exact_distinct_daily" -> ((s, d) => Analytics.exactDistinctUsersDaily(prep(s), d)),
+    // calendar densification: per-user daily frame with explicit zero days
+    "q_gapfill_daily" -> ((s, d) => Analytics.gapFillDaily(prep(s), d)),
+    // LOCF forward fill over the densified frame
+    "q_locf_daily" -> ((s, d) => Analytics.locfDaily(prep(s), d)),
     // exact interpolated per-group percentiles (the grouped companion of
     // corpus_token_quantiles' global digest): one hash agg, merge-combining
     "q_group_median" -> ((s, d) => Tables.events(prep(s), d)
@@ -880,6 +891,15 @@ object SparkEntry {
     s"(CAST(${fxDivSql(s"($num) * $s", den)} AS DOUBLE) / $s)"
   }
 
+  /** Shared densification CTEs for the gap-fill / LOCF oracles: per-user
+    * daily aggregate, activity spans, and the generated per-user calendar
+    * (DuckDB generate_series ≡ Spark explode(sequence(...))).
+    */
+  private val GapFillCte: String =
+    "WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events, max(CAST(round(value * 100) AS BIGINT)) AS day_max_cents FROM events GROUP BY 1, 2), " +
+      "spans AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1), " +
+      "cal AS (SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM spans) "
+
   /** DuckDB replay of the KMV distinct sketch over `events` grouped by
     * event_type ([[graft.functions.expr.Sketches]]): distinct hashes,
     * k-minimum retention via row_number, exact-below-k fallback or the
@@ -1126,6 +1146,28 @@ object SparkEntry {
       "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
     "q_exact_distinct_daily" ->
       "SELECT CAST(ts AS DATE) AS event_date, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1",
+    "profile_columns" -> {
+      val cols = Seq("event_id", "user_id", "event_type", "value_cents", "ts_us")
+      val base = "SELECT event_id, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events"
+      cols.map { c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct, CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM e"
+      }.mkString(s"WITH e AS ($base) ", " UNION ALL ", "")
+    },
+    "quality_outliers" ->
+      ("WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "f AS (SELECT event_type, quantile_cont(cents, 0.25) AS q1_cents, quantile_cont(cents, 0.75) AS q3_cents FROM e GROUP BY 1) " +
+        "SELECT e.event_type, q1_cents, q3_cents, count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN cents < q1_cents - 1.5 * (q3_cents - q1_cents) OR cents > q3_cents + 1.5 * (q3_cents - q1_cents) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "max(CASE WHEN cents > q3_cents + 1.5 * (q3_cents - q1_cents) THEN cents END) AS max_outlier_cents " +
+        "FROM e JOIN f USING(event_type) GROUP BY 1, 2, 3"),
+    "q_gapfill_daily" ->
+      (GapFillCte +
+        "SELECT c.user_id, c.day, coalesce(d.n_events, 0) AS n_events, d.day_max_cents " +
+        "FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day"),
+    "q_locf_daily" ->
+      (GapFillCte +
+        ", g AS (SELECT c.user_id, c.day, coalesce(d.n_events, 0) AS n_events, d.day_max_cents FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day) " +
+        "SELECT user_id, day, n_events, last_value(day_max_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_max_cents FROM g"),
     "q_group_median" ->
       "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value, round(quantile_cont(value, 0.9), 4) AS p90_value, count(*) AS n FROM events GROUP BY 1",
     "q_moving_7d" ->

@@ -460,6 +460,55 @@ object Analytics {
       .groupBy(to_date(col("ts")).as("event_date"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
 
+  /** Calendar densification (gap fill) — the time-series prerequisite the
+    * warehouse family lacked: per user, one row for EVERY day between that
+    * user's first and last activity, zero-filled where nothing happened
+    * (reporting over sparse activity needs explicit zero days, e.g. the
+    * reference's daily monitoring rollups read wrong without them). The
+    * per-group calendar generalizes dim_date's global
+    * `explode(sequence(...))` (reference sql/bq_dim_time.sql:14-19, F15).
+    *
+    * Scale shape: the daily aggregate is map-side-combining on (user, day);
+    * spans are an O(users) aggregate; the calendar explode is NARROW over
+    * spans (no shuffle — each user's row fans out in place); the final
+    * equi-join shuffles on the composite (user, day) key. Fan-out is
+    * bounded by span·users, the size of the ANSWER — no operator holds a
+    * user's whole calendar in memory except the generated array (span
+    * days ≤ tens of thousands, an explicit bound worth noting).
+    * `day_max_cents` is carried for [[locfDaily]]; exact integer cents so
+    * both the fill and its oracle replay bit-for-bit.
+    */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(round(col("value") * 100).cast("long")).as("day_max_cents"))
+    val spans = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    spans.select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("day_max_cents"))
+  }
+
+  /** LOCF (last observation carried forward) over [[gapFillDaily]]'s
+    * densified frame: each user's gap days inherit the most recent observed
+    * `day_max_cents`. One ranking window per user (running `last` with
+    * ignoreNulls over the unbounded-preceding frame) — the same
+    * shuffle-on-user shape as [[runningUserTotals]]; no leading nulls by
+    * construction because every span starts on an observed day.
+    */
+  def locfDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gapFillDaily(spark, dir)
+      .select(col("user_id"), col("day"), col("n_events"),
+        last(col("day_max_cents"), ignoreNulls = true).over(w)
+          .as("filled_max_cents"))
+  }
+
   /** TPC-H Q22 shape: anti join + scalar-average threshold — wealthy
     * customers (balance above the positive-balance average) who never
     * ordered. The global average joins in as a broadcast 1-row aggregate

@@ -47,4 +47,67 @@ object Quality {
     fact.agg(count(lit(1)).as("fact_rows"))
       .crossJoin(star.agg(count(lit(1)).as("star_rows")))
       .withColumn("delta", col("fact_rows") - col("star_rows"))
+
+  /** Table profiling — the "ANALYZE TABLE" every pipeline runs before
+    * trusting a new drop: per column, null count, exact distinct count,
+    * min and max, plus the table row count. ONE pass over the data: the
+    * multi-column COUNT(DISTINCT) plans as Catalyst's expand + two-phase
+    * aggregate (each input row fans out once per profiled column — cost
+    * is (columns × rows) map-side, one shuffle of partial states), then
+    * the single result row explodes into the tall (column, stats) shape.
+    * Min/max aggregate on the NATIVE type and cast to string only at the
+    * edge (a string min over numeric renderings would order "10" < "9").
+    */
+  def profileColumns(events: DataFrame): DataFrame = {
+    val e = events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      unix_micros(col("ts")).as("ts_us"))
+    val cols = Seq("event_id", "user_id", "event_type", "value_cents", "ts_us")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    e.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_s"),
+          col(s"${c}__max").as("max_s"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"),
+        col("p.min_s").as("min_s"), col("p.max_s").as("max_s"))
+  }
+
+  /** IQR-fence outlier screen (Tukey) per event_type over exact integer
+    * cents: rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR]. Quartiles use
+    * Catalyst's exact interpolated `percentile` — with integer inputs and
+    * quarter fractions every q1/q3/fence value is EXACT in double, so the
+    * DuckDB `quantile_cont` replay and the fence comparisons agree
+    * bit-for-bit (same device as q_group_median; see SCALE CAVEAT on
+    * exact percentile at [[TextOps]] — the sketch form is the 100-TB
+    * default, this is the per-type screen where value cardinality is
+    * bounded). Two scans: fences are an O(types) aggregate broadcast back
+    * (dim-keyed — hint-policy-safe); the flagging pass streams.
+    */
+  def valueOutliers(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val fences = e.groupBy(col("event_type"))
+      .agg(expr("percentile(cents, 0.25D)").as("q1_cents"),
+        expr("percentile(cents, 0.75D)").as("q3_cents"))
+      .select(col("event_type"), col("q1_cents"), col("q3_cents"),
+        (col("q1_cents") - (col("q3_cents") - col("q1_cents")) * 1.5).as("lo_fence"),
+        (col("q3_cents") + (col("q3_cents") - col("q1_cents")) * 1.5).as("hi_fence"))
+    e.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"), col("q1_cents"), col("q3_cents"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cents") < col("lo_fence") ||
+          col("cents") > col("hi_fence"), 1L).otherwise(0L)).as("n_outliers"),
+        max(when(col("cents") > col("hi_fence"), col("cents"))).as("max_outlier_cents"))
+  }
 }

@@ -40,6 +40,14 @@ object SparkEntry {
     */
   val AnnIndexFixture = "/root/repo/fixtures/annidx"
 
+  /** Committed PCA rotation fixture (gen.PcaGen): eigenvalue-descending,
+    * sign-pinned components of the sf0.01 embedding covariance, with the
+    * centering constant μ·w precomputed per component so DuckDB replays
+    * the projection with the identical float op order
+    * (`list_inner_product(emb, w) − mu_dot_w`).
+    */
+  val PcaFixture = "/root/repo/fixtures/pca"
+
   /** Committed token→xxhash64(seed 42) dictionary (gen.SimHashDictGen)
     * over the fixture corpora's document vocabulary — DuckDB cannot
     * compute seeded xxhash64, but given the committed per-token hashes it
@@ -708,6 +716,14 @@ object SparkEntry {
     // a pure float→double cast, bit-identical in both engines
     "emb_quantize" -> ((s, d) =>
       Ann.quantizeEmbeddings(Tables.embeddings(prep(s), d))),
+    // PCA projection against the committed rotation (gen.PcaGen): one
+    // narrow map stage per row — the committed-model device of the IVF
+    // family applied to dimensionality reduction
+    "emb_pca_project" -> ((s, d) =>
+      Pca.projectFromFixture(prep(s),
+        Tables.embeddings(prep(s), d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+        PcaFixture)),
     // top-k via orderBy+limit, which Spark plans as TakeOrderedAndProject
     // (per-partition top-k + k-row merge on the driver) — a global ranking
     // window here would funnel every distinct bigram through one partition
@@ -1447,6 +1463,10 @@ object SparkEntry {
         "OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535) OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535)) " +
         "SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8"),
     "dedup_clusters" -> dedupClustersOracleSql(0.7),
+    "emb_pca_project" ->
+      (s"WITH c AS (SELECT comp, w, mu_dot_w FROM read_parquet('$PcaFixture/components/*.parquet')), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) " +
+        "SELECT e.vec_id, CAST(c.comp AS INTEGER) AS comp, round(list_inner_product(e.emb, c.w) - c.mu_dot_w, 6) AS proj FROM e CROSS JOIN c"),
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
     // exact IVF mirror from the committed quantizer: DuckDB re-derives the

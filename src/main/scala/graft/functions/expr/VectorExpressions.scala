@@ -582,6 +582,50 @@ case class PqAdcCosine(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** PCA projection against a driver-trained model carried in the closure
+  * (the [[PqEncode]] pattern): for each of the k committed components,
+  * `dot(x, w_c) − (μ·w_c)` with the dot accumulated in index order — the
+  * same sequential fold DuckDB's `list_inner_product` uses, and the
+  * centering rewritten as a PRECOMPUTED per-component constant (`μ·w_c`)
+  * so neither engine sums `(x_j − μ_j)·w_j` in a different order. One
+  * narrow pass per row, no join, no shuffle: at 100 TB this is a map-only
+  * projection stage. Returns null for a wrong-length vector.
+  */
+case class PcaProject(child: Expression, components: Array[Array[Double]],
+                      muDots: Array[Double])
+  extends UnaryExpression with CodegenFallback {
+
+  require(components.nonEmpty && components.length == muDots.length,
+    "one mu-dot per component")
+  private val dim = components(0).length
+  require(components.forall(_.length == dim),
+    "all components must share the embedding dimension")
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pca_project"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    if (x.length != dim) return null
+    val out = new Array[Double](components.length)
+    var c = 0
+    while (c < components.length) {
+      val w = components(c)
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += x(j) * w(j); j += 1 }
+      out(c) = dot - muDots(c)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PcaProject =
+    copy(child = c)
+}
+
 /** Column-API façade. */
 object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
@@ -606,6 +650,9 @@ object VectorExpressions {
                   ksub: Int): Column =
     ColumnBridge.column(PqAdcCosine(ColumnBridge.expression(codes),
       ColumnBridge.expression(lut), cwNorms2, ksub))
+  def pcaProject(emb: Column, components: Array[Array[Double]],
+                 muDots: Array[Double]): Column =
+    ColumnBridge.column(PcaProject(ColumnBridge.expression(emb), components, muDots))
   def polyRollingHash(text: Column): Column =
     ColumnBridge.column(PolyRollingHash(ColumnBridge.expression(text)))
   def bigramStats(text: Column): Column =

@@ -1,0 +1,51 @@
+package graft.gen
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Pca
+
+/** Writes the committed PCA rotation fixture (`fixtures/pca`) — the same
+  * committed-model device as [[AnnIndexGen]]: the rotation is trained ONCE
+  * on the sf0.01 embedding corpus (deterministic moments + cyclic Jacobi,
+  * sign-pinned eigenvectors) and frozen as parquet, so the projection
+  * query is exactly replayable by DuckDB (`list_inner_product(emb, w) −
+  * mu_dot_w` — the centering constant is precomputed here to keep the
+  * float op order identical cross-engine).
+  *
+  * Layout:
+  *  - `components`: comp INT, w ARRAY<DOUBLE>[dim], mu_dot_w DOUBLE,
+  *    eigenvalue DOUBLE (rows 0..k−1, eigenvalue-descending)
+  *  - `mean`: j INT, mu DOUBLE (for reconstruction / whitening tests)
+  */
+object PcaGen {
+  val K = 8
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.drop(1).headOption.getOrElse("fixtures/pca")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val model = Pca.trainPca(corpus, K)
+    val muDots = model.muDots
+    model.components.zipWithIndex.map { case (w, c) =>
+      (c, w.toSeq, muDots(c), model.eigenvalues(c))
+    }.toSeq.toDF("comp", "w", "mu_dot_w", "eigenvalue")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/components")
+    model.mean.zipWithIndex.map { case (m, j) => (j, m) }.toSeq
+      .toDF("j", "mu")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/mean")
+    println(s"[pca] k=$K dim=${model.mean.length} " +
+      s"eigenvalues=${model.eigenvalues.map(v => f"$v%.4f").mkString(",")}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expr.VectorExpressions
+
+/** PCA over the embedding corpus — the dimensionality-reduction /
+  * whitening step embedding pipelines run before indexing (shrinks ANN
+  * index footprint, decorrelates dimensions for PQ; e.g. Jégou et al.'s
+  * PCA-then-PQ pipelines). Spark-first split, same as the IVF/PQ family:
+  *
+  *  - TRAIN on the distributed corpus in ONE aggregation pass — the
+  *    d-vector sum and the d×d raw second-moment matrix are associatively
+  *    partial-aggregated per partition and merged (`treeAggregate`);
+  *    aggregate state is O(d²) doubles (32 KB at d=64), independent of
+  *    corpus size. The eigendecomposition runs on the DRIVER over the d×d
+  *    covariance (cyclic Jacobi — deterministic, no randomness), because
+  *    a d×d eigenproblem is O(d³) scalar work, not a data-scale problem.
+  *  - COMMIT the rotation as a parquet fixture (gen.PcaGen), the same
+  *    committed-model device as the IVF quantizer: queries project
+  *    against the frozen model, and DuckDB replays the projection exactly.
+  *  - PROJECT as a narrow codegen-stage map ([[graft.functions.expr.PcaProject]]):
+  *    `dot(x, w_c) − μ·w_c` with the centering folded into a precomputed
+  *    constant so the float op ORDER is identical cross-engine.
+  */
+object Pca {
+
+  /** Trained model: mean vector, eigenvalues (desc), row-major components
+    * (orthonormal rows, sign-normalized so each row's largest-|w|
+    * coordinate is positive — eigenvectors are defined up to sign, and an
+    * unpinned sign would make the committed fixture nondeterministic).
+    */
+  case class PcaModel(mean: Array[Double], eigenvalues: Array[Double],
+                      components: Array[Array[Double]]) {
+    def muDots: Array[Double] =
+      components.map(w => w.indices.foldLeft(0.0)((s, j) => s + mean(j) * w(j)))
+  }
+
+  /** One-pass distributed moments → driver-side Jacobi. `corpus` must have
+    * (vec_id LONG, emb ARRAY<DOUBLE>); rows with the wrong dimension are
+    * rejected (a silent skip would bias the moments).
+    */
+  def trainPca(corpus: DataFrame, k: Int): PcaModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("emb")).as[Array[Double]]
+    val dim = vecs.head().length
+    // Per-partition moment partials (n, sum[d], raw-second-moment upper
+    // triangle [d(d+1)/2]), folded on the DRIVER in partition-index order:
+    // float addition is order-dependent, and a treeAggregate's combine
+    // order varies run to run — this keeps retraining bit-reproducible,
+    // the determinism contract the committed fixture (gen.PcaGen) pins.
+    // Partial state is O(d²) per partition; the driver fold is O(P·d²).
+    val partials = vecs.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n0 = 0L
+      val s0 = new Array[Double](dim)
+      val g0 = new Array[Double](dim * (dim + 1) / 2)
+      it.foreach { x =>
+        require(x.length == dim, s"embedding dim ${x.length} != $dim")
+        var j = 0
+        while (j < dim) {
+          s0(j) += x(j)
+          var i = 0
+          val base = j * (j + 1) / 2
+          while (i <= j) { g0(base + i) += x(i) * x(j); i += 1 }
+          j += 1
+        }
+        n0 += 1
+      }
+      Iterator.single((pid, n0, s0, g0))
+    }.collect().sortBy(_._1)
+    var n = 0L
+    val s = new Array[Double](dim)
+    val g = new Array[Double](dim * (dim + 1) / 2)
+    partials.foreach { case (_, n0, s0, g0) =>
+      n += n0
+      var j = 0
+      while (j < dim) { s(j) += s0(j); j += 1 }
+      var t = 0
+      while (t < g.length) { g(t) += g0(t); t += 1 }
+    }
+    require(n > 1, "PCA needs at least two vectors")
+    val mean = s.map(_ / n)
+    // covariance C = G/n − μμᵀ (population form; the fixture pins scale)
+    val cov = Array.ofDim[Double](dim, dim)
+    var j = 0
+    while (j < dim) {
+      var i = 0
+      val base = j * (j + 1) / 2
+      while (i <= j) {
+        val c = g(base + i) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        i += 1
+      }
+      j += 1
+    }
+    val (vals, vecsM) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => (-vals(i), i)).take(k)
+    val comps = order.map { i =>
+      val w = Array.tabulate(dim)(r => vecsM(r)(i))
+      // sign pin: largest-|w| coordinate positive (first index on ties)
+      val pivot = w.indices.maxBy(j => (math.abs(w(j)), -j))
+      if (w(pivot) < 0) w.map(-_) else w
+    }.toArray
+    PcaModel(mean, order.map(vals).toArray, comps)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: sweeps of
+    * (p,q) rotations until the off-diagonal mass is below tolerance.
+    * Deterministic (fixed sweep order, no pivot search), O(d³) per sweep —
+    * driver-side work on a d×d matrix, never data-scale. Returns
+    * (eigenvalues, column-eigenvector matrix V with A·V = V·diag(λ)).
+    */
+  private[graft] def jacobiEigen(aIn: Array[Array[Double]],
+                                     maxSweeps: Int = 64,
+                                     tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = Array.tabulate(d, d)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val scale = math.max(1e-300, aIn.map(_.map(math.abs).max).max)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol * scale) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > tol * scale * 1e-3) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case sg  => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sI = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - sI * arq
+              a(r)(q) = sI * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - sI * aqr
+              a(q)(r) = sI * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - sI * vrq
+              v(r)(q) = sI * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Load the committed rotation (gen.PcaGen layout: `components` with
+    * comp / w / mu_dot_w / eigenvalue) and project the embedding table —
+    * output long-form (vec_id, comp, proj) with proj rounded at 6 (the
+    * ANN-family edge-rounding convention). The model is O(k·d) in the
+    * closure; the projection is one narrow map stage.
+    */
+  def projectFromFixture(spark: SparkSession, embeddings: DataFrame,
+                         fixturePath: String): DataFrame = {
+    import spark.implicits._
+    val comps = spark.read.parquet(s"$fixturePath/components")
+      .select(col("comp"), col("w"), col("mu_dot_w"))
+      .as[(Int, Array[Double], Double)].collect().sortBy(_._1)
+    val w = comps.map(_._2)
+    val muDots = comps.map(_._3)
+    embeddings
+      .select(col("vec_id"),
+        VectorExpressions.pcaProject(col("emb"), w, muDots).as("p"))
+      .select(col("vec_id"), posexplode(col("p")).as(Seq("comp", "proj")))
+      .select(col("vec_id"), col("comp").cast("int").as("comp"),
+        round(col("proj"), 6).as("proj"))
+  }
+}

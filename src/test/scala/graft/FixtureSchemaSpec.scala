@@ -55,6 +55,12 @@ class FixtureSchemaSpec extends AnyFunSuite {
       spark.read.parquet(s"${SparkEntry.MediaFixture}/expected_pixels"),
       "doc_id:bigint,width:int,height:int,n_pixels:bigint," +
         "sum_r:bigint,sum_g:bigint,sum_b:bigint,max_r:int,max_g:int,max_b:int"),
+    ("pca/components",
+      spark.read.parquet(s"${SparkEntry.PcaFixture}/components"),
+      "comp:int,w:array<double>,mu_dot_w:double,eigenvalue:double"),
+    ("pca/mean",
+      spark.read.parquet(s"${SparkEntry.PcaFixture}/mean"),
+      "j:int,mu:double"),
     ("vitalsgen/vitals",
       spark.read.parquet(s"${SparkEntry.VitalsFixture}/vitals"),
       "event_id:string,patient_id:string,loinc_code:string,code_display:string," +

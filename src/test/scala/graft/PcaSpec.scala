@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pca
+
+/** PCA contracts: the Jacobi solver against analytically-known spectra,
+  * orthonormal sign-pinned components, projection variance equal to the
+  * eigenvalue (the defining property of a principal axis), retraining
+  * determinism (the committed-fixture contract), and the committed
+  * fixture's internal consistency (mu_dot_w really is μ·w).
+  */
+class PcaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def corpus = spark.read
+    .parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  test("Jacobi matches the analytic spectrum of a hand matrix") {
+    // [[2,1],[1,2]] has eigenpairs (3, (1,1)/√2) and (1, (1,−1)/√2)
+    val (vals, vecs) = Pca.jacobiEigen(Array(
+      Array(2.0, 1.0), Array(1.0, 2.0)))
+    val order = vals.indices.sortBy(i => -vals(i))
+    assert(math.abs(vals(order(0)) - 3.0) < 1e-12)
+    assert(math.abs(vals(order(1)) - 1.0) < 1e-12)
+    val v0 = Array(vecs(0)(order(0)), vecs(1)(order(0)))
+    assert(math.abs(math.abs(v0(0)) - 1 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(v0(0) - v0(1)) < 1e-12, "top eigenvector is (1,1)/√2 up to sign")
+  }
+
+  test("components are orthonormal, eigenvalue-descending, sign-pinned") {
+    val model = Pca.trainPca(corpus, 8)
+    val w = model.components
+    assert(w.length == 8 && w.forall(_.length == 64))
+    for (a <- w.indices; b <- a until w.length) {
+      val dot = (0 until 64).map(j => w(a)(j) * w(b)(j)).sum
+      val expected = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expected) < 1e-9, s"W[$a]·W[$b] = $dot")
+    }
+    assert(model.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-15))
+    assert(model.eigenvalues.forall(_ >= -1e-12))
+    w.foreach { row =>
+      val pivot = row.indices.maxBy(j => (math.abs(row(j)), -j))
+      assert(row(pivot) > 0, "largest-|w| coordinate must be positive")
+    }
+  }
+
+  test("projection variance along each component equals its eigenvalue") {
+    import spark.implicits._
+    val model = Pca.trainPca(corpus, 4)
+    val data = corpus.select(col("emb")).as[Array[Double]].collect()
+    model.components.zip(model.eigenvalues).foreach { case (w, ev) =>
+      val projs = data.map(x =>
+        x.indices.foldLeft(0.0)((s, j) => s + (x(j) - model.mean(j)) * w(j)))
+      val mu = projs.sum / projs.length
+      val variance = projs.map(p => (p - mu) * (p - mu)).sum / projs.length
+      assert(math.abs(variance - ev) < 1e-9 * math.max(1.0, ev),
+        s"var $variance vs eigenvalue $ev")
+    }
+  }
+
+  test("retraining is bit-reproducible (the committed-fixture contract)") {
+    val m1 = Pca.trainPca(corpus, 8)
+    val m2 = Pca.trainPca(corpus, 8)
+    assert(m1.mean.sameElements(m2.mean))
+    assert(m1.eigenvalues.sameElements(m2.eigenvalues))
+    assert(m1.components.zip(m2.components).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("committed fixture is internally consistent: mu_dot_w = μ·w") {
+    import spark.implicits._
+    val mean = spark.read.parquet(s"${SparkEntry.PcaFixture}/mean")
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val comps = spark.read.parquet(s"${SparkEntry.PcaFixture}/components")
+      .select(col("comp"), col("w"), col("mu_dot_w"), col("eigenvalue"))
+      .as[(Int, Array[Double], Double, Double)].collect().sortBy(_._1)
+    assert(comps.map(_._1).toSeq == comps.indices.toSeq)
+    comps.foreach { case (c, w, muDot, ev) =>
+      val expect = w.indices.foldLeft(0.0)((s, j) => s + mean(j) * w(j))
+      assert(expect == muDot, s"comp $c mu_dot_w")
+      assert(ev >= 0)
+    }
+  }
+}

@@ -724,6 +724,13 @@ object SparkEntry {
         Tables.embeddings(prep(s), d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
         PcaFixture)),
+    // ANN through the PCA bottleneck: reduced-space candidates (k/d of the
+    // per-pair flops), full-precision re-rank of the short list only
+    "ann_pca_topk" -> ((s, d) =>
+      Pca.annPcaTopK(prep(s),
+        Tables.embeddings(prep(s), d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+        PcaFixture)),
     // top-k via orderBy+limit, which Spark plans as TakeOrderedAndProject
     // (per-partition top-k + k-row merge on the driver) — a global ranking
     // window here would funnel every distinct bigram through one partition
@@ -1467,6 +1474,19 @@ object SparkEntry {
       (s"WITH c AS (SELECT comp, w, mu_dot_w FROM read_parquet('$PcaFixture/components/*.parquet')), " +
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) " +
         "SELECT e.vec_id, CAST(c.comp AS INTEGER) AS comp, round(list_inner_product(e.emb, c.w) - c.mu_dot_w, 6) AS proj FROM e CROSS JOIN c"),
+    // exact replay of the reduced-candidates + full-re-rank pipeline from
+    // the committed rotation: per-vector projection lists (comp order),
+    // reduced round-6 cosine short list, full cosine over candidates only
+    "ann_pca_topk" ->
+      (s"WITH c AS (SELECT comp, w, mu_dot_w FROM read_parquet('$PcaFixture/components/*.parquet')), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "pv AS (SELECT e.vec_id, list(list_inner_product(e.emb, c.w) - c.mu_dot_w ORDER BY c.comp) AS p FROM e CROSS JOIN c GROUP BY e.vec_id), " +
+        "q AS (SELECT vec_id AS q_id, p AS q_p FROM pv WHERE vec_id < 10), " +
+        "qe AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), " +
+        "sr AS (SELECT q.q_id, pv.vec_id, round(list_inner_product(pv.p, q.q_p) / nullif(sqrt(list_inner_product(pv.p, pv.p)) * sqrt(list_inner_product(q.q_p, q.q_p)), 0), 6) AS cos_r FROM pv CROSS JOIN q WHERE pv.vec_id <> q.q_id), " +
+        "cand AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn FROM sr WHERE cos_r IS NOT NULL) WHERE rn <= 20), " +
+        "sc AS (SELECT cand.q_id, cand.vec_id, round(list_inner_product(e.emb, qe.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(qe.q_emb, qe.q_emb)), 0), 6) AS cos FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN qe ON cand.q_id = qe.q_id) " +
+        annTopKSql("sc", 5)),
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
     // exact IVF mirror from the committed quantizer: DuckDB re-derives the

@@ -164,6 +164,47 @@ object Pca {
     (Array.tabulate(d)(i => a(i)(i)), v)
   }
 
+  /** ANN through the PCA bottleneck — what the rotation is FOR: stage-1
+    * candidate generation scores cosines in the k-dim reduced space (k/d
+    * of the flops and bytes per pair — at production scale the reduced
+    * vectors are the only thing the candidate pass touches), stage-2
+    * re-ranks only the `refine` short-listed candidates per query with the
+    * full-precision cosine — the same candidates-then-refine split as
+    * IVF-PQ's ADC + re-rank. Both stages use the (cos DESC, vec_id) total
+    * order on round-6 scores, so given the committed rotation DuckDB
+    * replays candidate sets and final ranks exactly.
+    */
+  def annPcaTopK(spark: SparkSession, embeddings: DataFrame,
+                 fixturePath: String, nQueries: Int = 10, refine: Int = 20,
+                 k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val comps = spark.read.parquet(s"$fixturePath/components")
+      .select(col("comp"), col("w"), col("mu_dot_w"))
+      .as[(Int, Array[Double], Double)].collect().sortBy(_._1)
+    val proj = embeddings.select(col("vec_id"), col("emb"),
+      VectorExpressions.pcaProject(col("emb"), comps.map(_._2),
+        comps.map(_._3)).as("p"))
+    val queries = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("p").as("q_p"),
+        col("emb").as("q_emb"))
+    val scoredReduced = proj.select(col("vec_id"), col("p"))
+      .crossJoin(broadcast(queries.select(col("q_id"), col("q_p"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.SimFns.cosine(col("p"), col("q_p")), 6).as("cos"))
+    val cands = Ann.topKPerQuery(scoredReduced, refine)
+      .select(col("q_id"), col("vec_id"))
+    // full-precision re-rank of refine·nQueries rows: the candidate list is
+    // O(refine·queries) — broadcast side — and full vectors are touched
+    // only for the short list (the disk-resident-vectors shape)
+    val rescored = broadcast(cands)
+      .join(embeddings.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+    Ann.topKPerQuery(rescored, k)
+  }
+
   /** Load the committed rotation (gen.PcaGen layout: `components` with
     * comp / w / mu_dot_w / eigenvalue) and project the embedding table —
     * output long-form (vec_id, comp, proj) with proj rounded at 6 (the

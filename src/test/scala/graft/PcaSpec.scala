@@ -70,6 +70,27 @@ class PcaSpec extends AnyFunSuite {
     assert(m1.components.zip(m2.components).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("PCA-bottleneck ANN recall vs exact brute force") {
+    import spark.implicits._
+    val got = operators.Pca.annPcaTopK(spark, corpus, SparkEntry.PcaFixture,
+      nQueries = 10, refine = 20, k = 5)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = operators.Ann.bruteTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 5)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 8-of-64 dims over near-isotropic fixture vectors is PCA's worst
+    // case (flat spectrum — see gen.PcaGen eigenvalues); the gate pins
+    // that the bottleneck still beats random short-listing by a wide
+    // margin (random 20-of-499 would land ≈ 0.04)
+    assert(mean >= 0.3, s"mean recall@5 $mean")
+  }
+
   test("committed fixture is internally consistent: mu_dot_w = μ·w") {
     import spark.implicits._
     val mean = spark.read.parquet(s"${SparkEntry.PcaFixture}/mean")

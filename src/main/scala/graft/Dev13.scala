@@ -18,6 +18,16 @@ object Dev13 {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     val names = if (args.nonEmpty) args.toSeq else Seq("recs_copurchase", "recs_lift")
+    if (sys.env.contains("DEV13_EXPLAIN")) {
+      names.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.queryExecution.toRdd.count()
+        println(s"=== $name ===")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      spark.stop(); return
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val runs = (1 to 2).map { _ =>

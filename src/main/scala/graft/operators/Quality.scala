@@ -64,14 +64,25 @@ object Quality {
       round(col("value") * 100).cast("long").as("value_cents"),
       unix_micros(col("ts")).as("ts_us"))
     val cols = Seq("event_id", "user_id", "event_type", "value_cents", "ts_us")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(
-        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    e.agg(aggs.head, aggs.tail: _*)
+    // TWO aggregates instead of one: a string min/max buffer is immutable,
+    // so mixing it into the count-distinct pipeline demoted the WHOLE
+    // expand (5 rows per input row) to SortAggregate — a full sort of 5·N
+    // rows. Split, the distinct pass keeps its expand on HashAggregate
+    // (group key = (gid, value), primitive buffers) and the min/max pass
+    // is grouping-free (no grouping keys → no sort requirement). Both
+    // 1-row results broadcast-join back together.
+    val minMax = e.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap { c =>
+        Seq(
+          (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }: _*)
+    val distincts = e.agg(
+      countDistinct(col(cols.head)).as(s"${cols.head}__distinct"),
+      cols.tail.map(c => countDistinct(col(c)).as(s"${c}__distinct")): _*)
+    minMax.crossJoin(broadcast(distincts))
       .select(col("n_rows"), explode(array(cols.map(c => struct(
           lit(c).as("col_name"),
           col(s"${c}__nulls").as("n_nulls"),

@@ -834,18 +834,28 @@ object SparkEntry {
   // derived from dir.hashCode: the cache keys on (session, dir), so a
   // hashCode-derived path would let a second session (or a colliding data
   // dir) deleteDirectory+rebuild a path another cached entry is serving
-  // reads from (the StreamOracle.stage precedent).
+  // reads from (the StreamOracle.stage precedent). Each created dir is
+  // registered for JVM-exit cleanup so repeated runs don't accumulate
+  // index/demo dirs in the system temp dir.
+  private def cachedTempDir(prefix: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      catch { case _: Throwable => () }))
+    out
+  }
+
   private def lshIndex(s: SparkSession, d: String, corpus: DataFrame): String =
     lshIndexCache.computeIfAbsent((s, d), _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_lshidx_")
-      org.apache.commons.io.FileUtils.deleteDirectory(out.toFile)
-      DedupIndex.buildIndex(corpus, out.toString)
-      out.toString
+      val out = cachedTempDir("graft_lshidx_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      DedupIndex.buildIndex(corpus, out)
+      out
     })
 
   private def versionedDemo(s: SparkSession, d: String): (String, graft.streaming.VersionedCommitter) =
     versionedDemoCache.computeIfAbsent((s, d), _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft_tt_").toString
+      val out = cachedTempDir("graft_tt_")
       (out, buildVersionedDemo(s, d, out))
     })
 

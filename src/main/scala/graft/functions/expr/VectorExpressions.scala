@@ -589,7 +589,10 @@ case class PqAdcCosine(left: Expression, right: Expression,
   * centering rewritten as a PRECOMPUTED per-component constant (`μ·w_c`)
   * so neither engine sums `(x_j − μ_j)·w_j` in a different order. One
   * narrow pass per row, no join, no shuffle: at 100 TB this is a map-only
-  * projection stage. Returns null for a wrong-length vector.
+  * projection stage. A wrong-length vector FAILS the query (matching
+  * `Pca.trainPca`'s contract — a silent null would be dropped by the
+  * downstream posexplode and surface only as an opaque row-count
+  * mismatch against the oracle).
   */
 case class PcaProject(child: Expression, components: Array[Array[Double]],
                       muDots: Array[Double])
@@ -608,7 +611,8 @@ case class PcaProject(child: Expression, components: Array[Array[Double]],
 
   override protected def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData].toDoubleArray()
-    if (x.length != dim) return null
+    require(x.length == dim,
+      s"pca_project: embedding dim ${x.length} != model dim $dim")
     val out = new Array[Double](components.length)
     var c = 0
     while (c < components.length) {

@@ -140,12 +140,14 @@ object Graph {
     // aggregate the method already pays for, so the guard is free.
     val hdr = deg.agg(count(lit(1)), min(col("n").cast("long")),
       max(col("n").cast("long")), max(col("c"))).head()
-    val (nNodes, minId, maxId, maxDeg) =
-      (hdr.getLong(0), hdr.getLong(1), hdr.getLong(2), hdr.getLong(3))
-    require(minId >= 0 && maxId < 4294967296L,
-      s"triangleCount rank packing requires node ids in [0, 2^32), got [$minId, $maxId]")
-    require(maxDeg < 2147483648L,
-      s"triangleCount rank packing requires degree < 2^31, got max degree $maxDeg")
+    val nNodes = hdr.getLong(0)
+    if (nNodes > 0) { // empty graph: min/max are null, and there is nothing to guard
+      val (minId, maxId, maxDeg) = (hdr.getLong(1), hdr.getLong(2), hdr.getLong(3))
+      require(minId >= 0 && maxId < 4294967296L,
+        s"triangleCount rank packing requires node ids in [0, 2^32), got [$minId, $maxId]")
+      require(maxDeg < 2147483648L,
+        s"triangleCount rank packing requires degree < 2^31, got max degree $maxDeg")
+    }
     val nEdges = e.count()
     triangles.agg(count(lit(1)).as("n_triangles"))
       .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),

@@ -79,6 +79,12 @@ class GraphSpec extends AnyFunSuite {
     assert(triangles(k4) == ((4L, 6L, 4L)))
   }
 
+  test("triangle census of the empty graph is the zero row") {
+    // regression: the rank-packing guard must short-circuit when there are
+    // no nodes (min/max of an empty aggregate are null, not a violation)
+    assert(triangles(Seq.empty) == ((0L, 0L, 0L)))
+  }
+
   test("triangle census rejects node ids outside the rank-packing bound") {
     // deg·2³² + id is exact only for id ∈ [0, 2³²): beyond that ranks can
     // collide silently (wrong orientation → wrong count), so the operator

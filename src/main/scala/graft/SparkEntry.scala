@@ -812,6 +812,30 @@ object SparkEntry {
       val (out, c) = versionedDemo(s, d)
       pipeline.Upsert.tableChanges(s, out, 2L, 3L, Seq("event_id"), c)
     }),
+    // COMPACTION (OPTIMIZE): the deduped fact staged FRAGMENTED (16-task
+    // fan-out into 8 bucket partitions — the small-file debt a micro-batch
+    // cadence accrues), bin-packed by Maintenance.compact behind ONE atomic
+    // manifest flip, then read back through the committed manifest. The
+    // oracle recomputes the fact state from `events` directly, so a
+    // compaction that lost, duplicated, or mixed rows hash-mismatches;
+    // the layout / crash / time-travel properties are pinned in
+    // MaintenanceSpec.
+    "table_compacted" -> ((s, d) => {
+      val out = cachedTempDir("graft_cpt_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state.repartition(16), out,
+        "bucket", (0L until 8L).map(_.toString), committer = c)
+      val stats = pipeline.Maintenance.compact(s, out, committer = c)
+      require(stats.committed && stats.filesAfter < stats.filesBefore,
+        s"compaction demo must rewrite the fragmented layout: $stats")
+      pipeline.Upsert.readTable(s, out, c)
+    }),
   )
 
   /** Process-level memo for the versioned demo table: both table_* queries
@@ -1677,6 +1701,10 @@ object SparkEntry {
         "WHEN (s2.ts_us, s2.user_id, s2.event_type, s2.value_cents, s2.bucket) IS DISTINCT FROM (s3.ts_us, s3.user_id, s3.event_type, s3.value_cents, s3.bucket) THEN 'update_post' END AS change_type " +
         "FROM s2 FULL OUTER JOIN s3 ON s2.event_id = s3.event_id) " +
         "WHERE change_type IS NOT NULL"),
+    // compaction is content-preserving: read-back of the bin-packed table
+    // must equal the recomputed fact state, row for row
+    "table_compacted" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
   )
 
   /** DuckDB replay of [[graft.operators.Graph.purchaseRank]]: the same

@@ -1,0 +1,145 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+import graft.streaming.{AtomicRenameCommitter, SnapshotCommitter, SnapshotGc}
+
+/** Small-file compaction (OPTIMIZE) for manifest-committed tables — the
+  * maintenance operator the incremental write paths make necessary: the
+  * streaming star ([[graft.streaming.StreamStar]]) and the partition
+  * upserts ([[Upsert.upsertPartitionsAtomic]]) land files per
+  * micro-batch/delta, so at a 10-minute cadence a year of operation is
+  * ~50k files per table (the reference's answer — a full CTAS rebuild on
+  * every refresh, scheduler semantics in its README — is exactly what the
+  * incremental path exists to avoid). Compaction restores the read-side
+  * layout without giving up the write-side incrementality:
+  *
+  *  - '''bin-packing per partition''': each manifest partition whose file
+  *    count exceeds its bin-packed target (`ceil(bytes / targetFileBytes)`,
+  *    floor 1) is rewritten to exactly that many files with `coalesce` —
+  *    a file-merge is IO-bound, so the rewrite deliberately avoids a
+  *    shuffle (`repartition` would add one for nothing); optional
+  *    `zorderCols` upgrades the rewrite to a [[Layout.zorderWrite]]
+  *    (range shuffle + in-file sort) so compaction doubles as
+  *    re-clustering, the OPTIMIZE ... ZORDER BY shape.
+  *  - '''atomicity''': rewritten partitions land in a fresh immutable
+  *    `batch-<uuid>/` staging dir; visibility is ONE manifest replace
+  *    covering every compacted partition at once (the
+  *    [[graft.streaming.SnapshotCommitter]] seam shared with the upsert
+  *    and streaming merges) — readers see the whole compaction or none of
+  *    it, never a mix, and a crash anywhere before the flip leaves the
+  *    previous manifest byte-identical ([[MaintenanceSpec]] kills a
+  *    compaction inside that window).
+  *  - '''time travel survives''': under a
+  *    [[graft.streaming.VersionedCommitter]] the compaction is just the
+  *    next version; pre-compaction versions keep their (immutable,
+  *    GC-retained) data dirs, so as-of reads across the compaction commit
+  *    resolve the OLD file layout with the same bytes.
+  *  - '''content-preserving by construction''': the rewrite is
+  *    read → coalesce/sort → write of the same rows; the correctness row
+  *    (`table_compacted`) pins read-back ≡ the recomputed table state.
+  *
+  * Scale shape: partitions compact independently (the driver loop issues
+  * one distributed job per selected partition — at cluster scale these
+  * parallelize trivially across a job pool), selection metadata is
+  * O(partitions), and untouched partitions are never listed, read, or
+  * rewritten — work scales with the small-file debt, not the table.
+  */
+object Maintenance {
+
+  /** Per-partition file-layout stats of a committed manifest table. */
+  case class PartitionFiles(key: String, rel: String, nFiles: Int, bytes: Long)
+
+  case class CompactStats(compacted: Seq[String], filesBefore: Long,
+                          filesAfter: Long, bytesRewritten: Long,
+                          committed: Boolean)
+
+  /** Data-file layout per committed partition (manifest data entries only;
+    * `__`-metadata entries reference no dirs). Local-FS listing here; on an
+    * object store this is the same per-prefix LIST the read path does.
+    */
+  def tableFileStats(tablePath: String,
+                     committer: SnapshotCommitter = AtomicRenameCommitter): Seq[PartitionFiles] =
+    committer.readManifest(tablePath).toSeq
+      .filterNot(_._1.startsWith("__")).sortBy(_._1)
+      .map { case (k, rel) =>
+        val fs = dataFiles(s"$tablePath/$rel")
+        PartitionFiles(k, rel, fs.length, fs.map(_.length()).sum)
+      }
+
+  private def dataFiles(dir: String): Array[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+
+  /** Bin-packed file-count target for a partition: one file per
+    * `targetFileBytes` of data, floor one file.
+    */
+  private def targetFiles(bytes: Long, targetFileBytes: Long): Int =
+    math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+  def compact(spark: SparkSession, tablePath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              zorderCols: Seq[String] = Nil,
+              committer: SnapshotCommitter = AtomicRenameCommitter): CompactStats =
+    compactImpl(spark, tablePath, targetFileBytes, zorderCols,
+      crashBeforeCommit = false, committer)
+
+  /** `crashBeforeCommit` is the fault-injection seam (staging written, no
+    * manifest flip) — the window the commit protocol must tolerate.
+    */
+  private[graft] def compactImpl(spark: SparkSession, tablePath: String,
+                                 targetFileBytes: Long, zorderCols: Seq[String],
+                                 crashBeforeCommit: Boolean,
+                                 committer: SnapshotCommitter): CompactStats = {
+    val manifest = committer.readManifest(tablePath)
+    val dataRefs = manifest.collect {
+      case (k, rel) if !k.startsWith("__") => rel
+    }.toSet
+    // collect a crashed predecessor's staging and data superseded by the
+    // previous commit (its one-cycle reader grace window ends here)
+    SnapshotGc.gcUnreferenced(tablePath,
+      dataRefs ++ committer.retainedReferences(tablePath))
+
+    val stats = tableFileStats(tablePath, committer)
+    val selected = stats.filter(p =>
+      p.nFiles > targetFiles(p.bytes, targetFileBytes))
+    if (selected.isEmpty)
+      return CompactStats(Nil, stats.map(_.nFiles.toLong).sum,
+        stats.map(_.nFiles.toLong).sum, 0L, committed = false)
+
+    val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rewritten = selected.zipWithIndex.map { case (p, i) =>
+      // dir name is index-unique and path-safe regardless of the key's
+      // characters ('=' excluded so nothing ever hive-parses it)
+      val sub = s"cpt$i-${p.key.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      val dest = s"$tablePath/$batchDirName/$sub"
+      val df = spark.read.parquet(s"$tablePath/${p.rel}")
+      val n = targetFiles(p.bytes, targetFileBytes)
+      if (zorderCols.nonEmpty) Layout.zorderWrite(df, dest, zorderCols, n)
+      else df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(dest)
+      (p, s"$batchDirName/$sub")
+    }
+    val afterSelected = rewritten.map { case (_, rel) =>
+      dataFiles(s"$tablePath/$rel").length.toLong
+    }.sum
+    val untouchedFiles = stats.filterNot(p => selected.exists(_.key == p.key))
+      .map(_.nFiles.toLong).sum
+
+    if (crashBeforeCommit)
+      return CompactStats(selected.map(_.key), stats.map(_.nFiles.toLong).sum,
+        untouchedFiles + afterSelected, selected.map(_.bytes).sum,
+        committed = false)
+
+    // one flip re-points every compacted partition; `__` metadata entries
+    // ride along untouched
+    committer.commit(tablePath,
+      manifest ++ rewritten.map { case (p, rel) => p.key -> rel })
+    // release the superseded layout one merge cycle late (reader grace)
+    SnapshotGc.gcUnreferenced(tablePath, dataRefs ++ rewritten.map(_._2) ++
+      committer.retainedReferences(tablePath))
+    CompactStats(selected.map(_.key), stats.map(_.nFiles.toLong).sum,
+      untouchedFiles + afterSelected, selected.map(_.bytes).sum,
+      committed = true)
+  }
+}

@@ -731,6 +731,16 @@ object SparkEntry {
         Tables.embeddings(prep(s), d)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
         PcaFixture)),
+    // IVF composed with the PCA bottleneck: the coarse quantizer is
+    // trained AND probed in the reduced space (committed as
+    // centroids_reduced beside the rotation), candidates keep IVF's
+    // bucket-pruned shape but cost k/d per pair, full-precision re-rank
+    // touches the refine short list only
+    "ann_ivf_pca_topk" -> ((s, d) =>
+      Pca.ivfPcaTopK(prep(s),
+        Tables.embeddings(prep(s), d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+        PcaFixture)),
     // top-k via orderBy+limit, which Spark plans as TakeOrderedAndProject
     // (per-partition top-k + k-row merge on the driver) — a global ranking
     // window here would funnel every distinct bigram through one partition
@@ -1059,9 +1069,14 @@ object SparkEntry {
     * (sequential dot, sqrt, one divide), so the doubles are bit-identical
     * and the argmax/rank decisions agree.
     */
+  /** Unrounded cosine in DuckDB with Spark's exact op order (sequential
+    * dot, separate sqrt norms) — shared by the ANN-family oracles.
+    */
+  private def cosRawSql(a: String, b: String): String =
+    s"(list_inner_product($a, $b) / nullif(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)), 0))"
+
   private val AnnIvfCtes = {
-    val cosRaw = (a: String, b: String) =>
-      s"(list_inner_product($a, $b) / nullif(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)), 0))"
+    val cosRaw = (a: String, b: String) => cosRawSql(a, b)
     s"WITH cent AS (SELECT c_id, CAST(c_emb AS DOUBLE[]) AS c_emb FROM read_parquet('$AnnIndexFixture/centroids/*.parquet')), " +
       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
       s"asg AS (SELECT vec_id, emb, c_id AS bucket FROM (SELECT e.vec_id, e.emb, c.c_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosRaw("e.emb", "c.c_emb")} DESC NULLS LAST, c.c_id DESC) AS rn FROM e CROSS JOIN cent c) WHERE rn = 1), " +
@@ -1520,6 +1535,24 @@ object SparkEntry {
         "sr AS (SELECT q.q_id, pv.vec_id, round(list_inner_product(pv.p, q.q_p) / nullif(sqrt(list_inner_product(pv.p, pv.p)) * sqrt(list_inner_product(q.q_p, q.q_p)), 0), 6) AS cos_r FROM pv CROSS JOIN q WHERE pv.vec_id <> q.q_id), " +
         "cand AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn FROM sr WHERE cos_r IS NOT NULL) WHERE rn <= 20), " +
         "sc AS (SELECT cand.q_id, cand.vec_id, round(list_inner_product(e.emb, qe.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(qe.q_emb, qe.q_emb)), 0), 6) AS cos FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN qe ON cand.q_id = qe.q_id) " +
+        annTopKSql("sc", 5)),
+    // exact replay of IVF-in-the-reduced-space from BOTH committed
+    // fixtures: projection lists, reduced-centroid assignment (unrounded
+    // argmax, tie → larger c_id), round-6 probe set (tie → smaller c_id),
+    // probed-bucket reduced candidates, refine short list, full re-rank —
+    // the ann_ivf_topk pipeline with every quantizer-side double in k-dim
+    "ann_ivf_pca_topk" ->
+      (s"WITH c AS (SELECT comp, w, mu_dot_w FROM read_parquet('$PcaFixture/components/*.parquet')), " +
+        s"rc AS (SELECT c_id, CAST(c_p AS DOUBLE[]) AS c_p FROM read_parquet('$PcaFixture/centroids_reduced/*.parquet')), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+        "pv AS (SELECT e.vec_id, list(list_inner_product(e.emb, c.w) - c.mu_dot_w ORDER BY c.comp) AS p FROM e CROSS JOIN c GROUP BY e.vec_id), " +
+        s"asg AS (SELECT vec_id, p, c_id AS bucket FROM (SELECT pv.vec_id, pv.p, rc.c_id, row_number() OVER (PARTITION BY pv.vec_id ORDER BY ${cosRawSql("pv.p", "rc.c_p")} DESC NULLS LAST, rc.c_id DESC) AS rn FROM pv CROSS JOIN rc) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS q_id, p AS q_p FROM pv WHERE vec_id < 10), " +
+        "qe AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), " +
+        s"pr AS (SELECT q_id, q_p, c_id AS bucket FROM (SELECT q.q_id, q.q_p, rc.c_id, row_number() OVER (PARTITION BY q.q_id ORDER BY round(${cosRawSql("q.q_p", "rc.c_p")}, 6) DESC NULLS LAST, rc.c_id ASC) AS rn FROM q CROSS JOIN rc) WHERE rn <= 8), " +
+        s"sr AS (SELECT pr.q_id, a.vec_id, round(${cosRawSql("a.p", "pr.q_p")}, 6) AS cos_r FROM asg a JOIN pr ON a.bucket = pr.bucket WHERE a.vec_id <> pr.q_id), " +
+        "cand AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn FROM sr WHERE cos_r IS NOT NULL) WHERE rn <= 20), " +
+        s"sc AS (SELECT cand.q_id, cand.vec_id, round(${cosRawSql("e.emb", "qe.q_emb")}, 6) AS cos FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN qe ON cand.q_id = qe.q_id) " +
         annTopKSql("sc", 5)),
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",

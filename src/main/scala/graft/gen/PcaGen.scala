@@ -44,7 +44,19 @@ object PcaGen {
     model.mean.zipWithIndex.map { case (m, j) => (j, m) }.toSeq
       .toDF("j", "mu")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/mean")
+    // the reduced-space coarse quantizer (same nlist/Lloyd discipline as
+    // AnnIndexGen): trained on the PCA-projected corpus so IVF assignment
+    // and probing run entirely in the k-dim space (operators.Pca.ivfPcaTopK)
+    val proj = corpus.select(col("vec_id"),
+      graft.functions.expr.VectorExpressions.pcaProject(
+        col("emb"), model.components, muDots).as("emb"))
+    val rcents = graft.operators.Ann.trainCentroids(proj,
+      AnnIndexGen.NumCentroids, AnnIndexGen.LloydIters)
+    rcents.toSeq.map { case (id, e) => (id, e.toSeq) }.toDF("c_id", "c_p")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/centroids_reduced")
     println(s"[pca] k=$K dim=${model.mean.length} " +
+      s"reduced_centroids=${rcents.length} " +
       s"eigenvalues=${model.eigenvalues.map(v => f"$v%.4f").mkString(",")}")
     spark.stop()
   }

@@ -205,6 +205,141 @@ object Pca {
     Ann.topKPerQuery(rescored, k)
   }
 
+  /** Load the committed REDUCED-SPACE coarse quantizer (gen.PcaGen layout:
+    * `centroids_reduced` with c_id / c_p) — k-dim centroids trained on the
+    * PCA-projected corpus, driver-held (nlist rows, tiny by construction).
+    */
+  def loadReducedCentroids(spark: SparkSession,
+                           fixturePath: String): Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$fixturePath/centroids_reduced").select("c_id", "c_p")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, e) => (id, e.toArray) }
+  }
+
+  /** Rotation + reduced centroids loaded from the committed fixture. */
+  private def loadModels(spark: SparkSession, fixturePath: String) = {
+    import spark.implicits._
+    val comps = spark.read.parquet(s"$fixturePath/components")
+      .select(col("comp"), col("w"), col("mu_dot_w"))
+      .as[(Int, Array[Double], Double)].collect().sortBy(_._1)
+    (comps.map(_._2), comps.map(_._3), loadReducedCentroids(spark, fixturePath))
+  }
+
+  /** IVF with the coarse quantizer IN the PCA-reduced space — the
+    * production composition of the two committed models (the Jégou et al.
+    * PCA→quantizer lineage): where [[annPcaTopK]] brute-scans the reduced
+    * space, this keeps IVF's bucket-pruned candidate shape, and where
+    * plain IVF ([[Ann.ivfTopKWithCentroids]]) assigns/probes over d-dim
+    * vectors, every quantizer-side operation here — assignment argmax,
+    * probe selection, candidate cosine — runs over the k-dim projections
+    * (k/d of the flops and bytes). Candidates come only from the nprobe
+    * probed inverted lists, are scored with the reduced round-6 cosine,
+    * and the `refine` short list per query is re-ranked with the
+    * full-precision cosine — so full vectors are touched for
+    * O(refine·queries) rows, never the corpus. Every stage is
+    * deterministic arithmetic over the two committed fixtures, which is
+    * what lets DuckDB replay assignment, probes, candidates, and final
+    * ranks exactly (`ann_ivf_pca_topk`).
+    */
+  def ivfPcaTopK(spark: SparkSession, embeddings: DataFrame,
+                 fixturePath: String, nQueries: Int = 10, refine: Int = 20,
+                 k: Int = 5, nprobe: Int = 8): DataFrame = {
+    val (w, muDots, cents) = loadModels(spark, fixturePath)
+    val proj = embeddings.select(col("vec_id"), col("emb"),
+      VectorExpressions.pcaProject(col("emb"), w, muDots).as("p"))
+    val assigned = proj.select(col("vec_id"), col("p"),
+      VectorExpressions.nearestCentroid(col("p"), cents.map(_._1),
+        cents.map(_._2)).as("bucket"))
+    val queries = proj.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("p").as("q_p"),
+        col("emb").as("q_emb"))
+    rerankReducedCandidates(
+      reducedBucketCandidates(assigned, queries, cents, nprobe, refine),
+      embeddings, queries, k)
+  }
+
+  /** Probe the reduced quantizer, score probed-bucket candidates with the
+    * reduced cosine, shortlist `refine` per query. `assigned` carries
+    * (vec_id, p, bucket); `queries` (q_id, q_p, ...).
+    */
+  private def reducedBucketCandidates(assigned: DataFrame, queries: DataFrame,
+                                      cents: Array[(Long, Array[Double])],
+                                      nprobe: Int, refine: Int): DataFrame = {
+    val probes = Ann.probesFor(
+        queries.select(col("q_id"), col("q_p").as("q_emb")), cents, nprobe)
+      .select(col("q_id"), col("q_emb").as("q_p"), col("bucket"))
+    val scoredReduced = assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.SimFns.cosine(col("p"), col("q_p")), 6).as("cos"))
+    Ann.topKPerQuery(scoredReduced, refine).select(col("q_id"), col("vec_id"))
+  }
+
+  /** Full-precision re-rank of the candidate short list (the
+    * disk-resident-vectors shape shared with [[annPcaTopK]]): candidates
+    * are O(refine·queries) — broadcast side — and full vectors are joined
+    * in for the short list only.
+    */
+  private def rerankReducedCandidates(cands: DataFrame, corpus: DataFrame,
+                                      queries: DataFrame, k: Int): DataFrame = {
+    val rescored = broadcast(cands)
+      .join(corpus.select(col("vec_id"), col("emb")), "vec_id")
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+    Ann.topKPerQuery(rescored, k)
+  }
+
+  /** Persist the reduced-space IVF index: postings carry ONLY
+    * `(vec_id, p)` — the k-dim projections, k/d of the bytes of a
+    * full-precision posting list — partitioned one directory per inverted
+    * list ([[Ann.buildIvfIndex]]'s layout). Full vectors stay in the
+    * source table and are read only for the re-rank short list.
+    */
+  def buildIvfIndexPca(embeddings: DataFrame, path: String,
+                       fixturePath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val (w, muDots, cents) = loadModels(spark, fixturePath)
+    embeddings.select(col("vec_id"),
+        VectorExpressions.pcaProject(col("emb"), w, muDots).as("p"))
+      .select(col("vec_id"), col("p"),
+        VectorExpressions.nearestCentroid(col("p"), cents.map(_._1),
+          cents.map(_._2)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** Query a persisted reduced-space IVF index: the postings scan is
+    * filtered to the probed bucket ids — a partition-column `IN` list, so
+    * unprobed inverted lists are pruned at planning time and never read
+    * (same contract as [[Ann.ivfTopKFromIndex]], at k/d the bytes per
+    * posting). `queries`/`corpus` carry `(vec_id, emb)` full-precision;
+    * `corpus` is touched only for the re-rank short list.
+    */
+  def ivfPcaTopKFromIndex(spark: SparkSession, path: String,
+                          fixturePath: String, queries: DataFrame,
+                          corpus: DataFrame, k: Int = 5, refine: Int = 20,
+                          nprobe: Int = 8): DataFrame = {
+    val (w, muDots, cents) = loadModels(spark, fixturePath)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("emb").as("q_emb"),
+      VectorExpressions.pcaProject(col("emb"), w, muDots).as("q_p"))
+    val probes = Ann.probesFor(
+        q.select(col("q_id"), col("q_p").as("q_emb")), cents, nprobe)
+      .select(col("q_id"), col("q_emb").as("q_p"), col("bucket"))
+    val probedBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0)) // nQueries × nprobe ids — driver-tiny
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(probedBuckets.toSeq: _*))
+    val scoredReduced = postings.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.SimFns.cosine(col("p"), col("q_p")), 6).as("cos"))
+    val cands = Ann.topKPerQuery(scoredReduced, refine)
+      .select(col("q_id"), col("vec_id"))
+    rerankReducedCandidates(cands, corpus, q, k)
+  }
+
   /** Load the committed rotation (gen.PcaGen layout: `components` with
     * comp / w / mu_dot_w / eigenvalue) and project the embedding table —
     * output long-form (vec_id, comp, proj) with proj rounded at 6 (the

@@ -91,6 +91,55 @@ class PcaSpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean recall@5 $mean")
   }
 
+  private def topkPairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+    import spark.implicits._
+    df.select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  private def meanRecall(got: Map[Long, Set[Long]],
+                         ref: Map[Long, Set[Long]]): Double = {
+    val rs = ref.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    rs.sum / rs.size
+  }
+
+  test("reduced-space IVF: pruning loses little vs the brute reduced scan, and holds the bottleneck floor vs exact") {
+    val ivfPca = topkPairs(Pca.ivfPcaTopK(spark, corpus, SparkEntry.PcaFixture))
+    val bruteReduced = topkPairs(Pca.annPcaTopK(spark, corpus, SparkEntry.PcaFixture))
+    val exact = topkPairs(operators.Ann.bruteTopK(
+      spark.read.parquet(s"$dir/embeddings.parquet"), nQueries = 10, k = 5))
+    // vs the UN-pruned reduced pipeline: isolates what the nprobe/nlist
+    // bucket pruning costs — the same 0.9 floor the plain-IVF gate pins
+    // (coverage 8/10 lists on this weakly clustered fixture)
+    val vsReduced = meanRecall(ivfPca, bruteReduced)
+    info(s"ivf-pca recall@5 vs brute-reduced = $vsReduced")
+    assert(vsReduced >= 0.9, s"IVF pruning loss: recall $vsReduced vs reduced brute")
+    // vs exact full-precision brute: bounded by the PCA bottleneck itself
+    // (8-of-64 dims over near-isotropic vectors — the annPcaTopK gate)
+    val vsExact = meanRecall(ivfPca, exact)
+    info(s"ivf-pca recall@5 vs exact = $vsExact")
+    assert(vsExact >= 0.3, s"mean recall@5 $vsExact below the bottleneck floor")
+  }
+
+  test("persisted reduced-space IVF index answers identically to the inline path, reading only probed buckets") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpca").toString
+    Pca.buildIvfIndexPca(corpus, path, SparkEntry.PcaFixture)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val fromIndex = Pca.ivfPcaTopKFromIndex(spark, path, SparkEntry.PcaFixture,
+      queries, corpus, k = 5)
+    val inline = Pca.ivfPcaTopK(spark, corpus, SparkEntry.PcaFixture)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rk"))).toSet
+    assert(rows(fromIndex) == rows(inline),
+      "same committed models — disk must answer exactly like inline")
+    val scan = fromIndex.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"postings scan must prune on the bucket partition column:\n$scan")
+  }
+
   test("committed fixture is internally consistent: mu_dot_w = μ·w") {
     import spark.implicits._
     val mean = spark.read.parquet(s"${SparkEntry.PcaFixture}/mean")

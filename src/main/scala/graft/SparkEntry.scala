@@ -365,6 +365,26 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"),
           col("sum_value").cast("long").as("sum_value_cents"))
     }),
+    // §2.9 stream⋈stream watermarked interval join (attribution shape):
+    // clicks and purchases stream independently, each click matched to the
+    // same user's purchases within 6 h. Both sides watermarked — with the
+    // two-sided time bound that is what lets the engine evict join state —
+    // and inner-join emission is not watermark-gated, so the single-batch
+    // drain equals the batch interval join exactly (the oracle).
+    "stream_stream_join" -> ((s, d) => {
+      val in = stagedEvents(s, d)
+      val clicks = streaming.StreamOracle.fileStream(s, in)
+        .filter(col("event_type") === "click")
+      val purchases = streaming.StreamOracle.fileStream(s, in)
+        .filter(col("event_type") === "purchase")
+      streaming.StreamOracle.drainAppend(s,
+          streaming.StreamJoin.intervalJoin(clicks, purchases, 360, "30 minutes"))
+        .select(col("user_id"), col("l_id").as("click_id"),
+          unix_micros(col("l_ts")).as("click_ts_us"),
+          col("r_id").as("purchase_id"),
+          unix_micros(col("r_ts")).as("purchase_ts_us"),
+          round(col("r_value") * 100).cast("long").as("purchase_value_cents"))
+    }),
     // §2.9a+f closing the loop ON DISK: the foreachBatch-maintained star
     // (fact merge → dims → touched-day partition replace, all manifest-
     // committed) drained over THREE per-file micro-batches — the result
@@ -1143,6 +1163,15 @@ object SparkEntry {
         "UNION ALL SELECT * FROM o WHERE ts_us >= 1704067200000000 AND ts_us < 1704068400000000 " +
         "UNION ALL SELECT * FROM o WHERE ts_us >= 1704067800000000 AND ts_us < 1704069000000000) " +
         "SELECT DISTINCT event_id, patient_id, value_deci, ts_us FROM u"),
+    // inner stream-stream join emission is not watermark-gated, so the
+    // single-batch drain IS the batch interval join — µs-exact bounds
+    "stream_stream_join" ->
+      ("SELECT l.user_id, l.event_id AS click_id, epoch_us(CAST(l.ts AS TIMESTAMP)) AS click_ts_us, " +
+        "r.event_id AS purchase_id, epoch_us(CAST(r.ts AS TIMESTAMP)) AS purchase_ts_us, " +
+        "CAST(round(r.value * 100) AS BIGINT) AS purchase_value_cents " +
+        "FROM events l JOIN events r ON l.user_id = r.user_id " +
+        "AND l.event_type = 'click' AND r.event_type = 'purchase' " +
+        "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR"),
     "stream_daily_counts" ->
       ("WITH g AS (SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2), " +
         "mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events) " +

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream watermarked interval join — the attribution shape (each
+  * click joined to the same user's purchases within an event-time window),
+  * the one Structured-Streaming operator family §2.9 lacked: both sides
+  * are unbounded, so unlike the stream⋈static dim joins the engine must
+  * BUFFER each side keyed by user and match across micro-batch boundaries.
+  *
+  * What bounds the state at scale — the reason this form works at 100 TB:
+  *  - watermarks on BOTH event-time columns, plus
+  *  - the two-sided time constraint (`r_ts ∈ [l_ts, l_ts + window]`)
+  *
+  * together let the engine compute, per side, the oldest row that could
+  * still match anything (left rows age out `window` past the watermark,
+  * right rows at the watermark), and evict everything older. Without the
+  * time bound the join state would grow without limit; with it, state is
+  * O(rows per watermark-delay + window span) regardless of stream length.
+  * An inner join's emission is NOT watermark-gated — a match emits in the
+  * micro-batch where both rows are first present — so a single-batch
+  * drain's output is exactly the batch interval join, which is what makes
+  * `stream_stream_join` exactly oracle-able (the same device as the
+  * `stream_dedup` drain).
+  *
+  * `left`/`right` carry `(user_id, event_id, ts, value)`; output one row
+  * per qualifying (left, right) pair with both ids and timestamps.
+  */
+object StreamJoin {
+
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   windowMinutes: Int, delay: String): DataFrame = {
+    val l = left
+      .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", delay)
+    val r = right
+      .select(col("user_id").as("r_user_id"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+      .withWatermark("r_ts", delay)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "inner")
+      .drop("r_user_id")
+  }
+}

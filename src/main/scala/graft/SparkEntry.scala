@@ -866,6 +866,37 @@ object SparkEntry {
         s"compaction demo must rewrite the fragmented layout: $stats")
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // SCHEMA EVOLUTION across a mixed-version history: v1 commits buckets
+    // 0-3 of the deduped fact under the original schema, v2 commits
+    // buckets 4-7 WITH an added nullable column — so the CURRENT table is
+    // half pre-evolution data dirs (whose parquet footers lack the column)
+    // and half post-evolution. readTable binds the committed (v2) schema,
+    // back-filling the added column as null on the old dirs; the oracle
+    // recomputes exactly that shape from `events`, so a read that bound
+    // the wrong schema, dropped old dirs, or lost the back-fill
+    // hash-mismatches. The as-of/reject/CDF sides are pinned in
+    // TimeTravelSpec's evolution case.
+    "table_schema_evolution" -> ((s, d) => {
+      val out = cachedTempDir("graft_se_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        state.filter(col("bucket") < 4), out, "bucket",
+        keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+        committer = c)
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        state.filter(col("bucket") >= 4)
+          .withColumn("event_type_uc", upper(col("event_type"))),
+        out, "bucket",
+        keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+        committer = c)
+      pipeline.Upsert.readTable(s, out, c)
+    }),
   )
 
   /** Process-level memo for the versioned demo table: both table_* queries
@@ -1767,6 +1798,10 @@ object SparkEntry {
     // must equal the recomputed fact state, row for row
     "table_compacted" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
+    // mixed-version read under the evolved schema: pre-evolution rows
+    // (buckets 0-3, committed before the column existed) carry NULL
+    "table_schema_evolution" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket, CASE WHEN event_id % 8 >= 4 THEN upper(event_type) END AS event_type_uc FROM fact",
   )
 
   /** DuckDB replay of [[graft.operators.Graph.purchaseRank]]: the same

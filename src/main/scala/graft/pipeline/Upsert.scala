@@ -165,9 +165,10 @@ object Upsert {
     */
   def readTable(spark: SparkSession, tablePath: String,
                 committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
-    val manifest = dataEntries(committer.readManifest(tablePath))
-    require(manifest.nonEmpty, s"no committed table at $tablePath")
-    spark.read.parquet(manifest.values.map(rel => s"$tablePath/$rel").toSeq: _*)
+    val manifest = committer.readManifest(tablePath)
+    val data = dataEntries(manifest)
+    require(data.nonEmpty, s"no committed table at $tablePath")
+    readBound(spark, manifest, data.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
   /** TIME TRAVEL: the table exactly as committed at `version` (a
@@ -179,9 +180,10 @@ object Upsert {
     */
   def readTableAsOf(spark: SparkSession, tablePath: String, version: Long,
                     committer: graft.streaming.VersionedCommitter): DataFrame = {
-    val manifest = dataEntries(committer.readManifestAsOf(tablePath, version))
-    require(manifest.nonEmpty, s"version $version of $tablePath has no data entries")
-    spark.read.parquet(manifest.values.map(rel => s"$tablePath/$rel").toSeq: _*)
+    val manifest = committer.readManifestAsOf(tablePath, version)
+    val data = dataEntries(manifest)
+    require(data.nonEmpty, s"version $version of $tablePath has no data entries")
+    readBound(spark, manifest, data.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
   /** CHANGE DATA FEED between two committed versions — the Delta-CDF /
@@ -203,11 +205,19 @@ object Upsert {
   def tableChanges(spark: SparkSession, tablePath: String,
                    fromVersion: Long, toVersion: Long, keys: Seq[String],
                    committer: graft.streaming.VersionedCommitter): DataFrame = {
-    val pre = readTableAsOf(spark, tablePath, fromVersion, committer)
+    val preRaw = readTableAsOf(spark, tablePath, fromVersion, committer)
     val post = readTableAsOf(spark, tablePath, toVersion, committer)
-    val others = pre.columns.filterNot(keys.contains).toSeq
-    require(others == post.columns.filterNot(keys.contains).toSeq,
-      s"schema drift between versions $fromVersion and $toVersion is not diffable")
+    // add-column evolution between the versions is diffable: align the old
+    // state to the new schema (added columns null on every pre row — a row
+    // whose only change is a non-null added value reads as update_post,
+    // which is exactly the CDF a consumer needs to back-fill the column)
+    require(preRaw.columns.toSet.subsetOf(post.columns.toSet),
+      s"schema drift between versions $fromVersion and $toVersion is not " +
+        "diffable (only add-column evolution is)")
+    val pre = post.columns.foldLeft(preRaw)((df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(post.schema(c).dataType)))
+    val others = post.columns.filterNot(keys.contains).toSeq
     def packed(df: DataFrame, tag: String) = df.select(
       keys.map(col) :+ struct(others.map(col): _*).as(tag): _*)
     packed(pre, "__pre").join(packed(post, "__post"), keys, "full_outer")
@@ -268,6 +278,51 @@ object Upsert {
   private def dataEntries(m: Map[String, String]): Map[String, String] =
     m.filterNot(_._1.startsWith("__"))
 
+  /** SCHEMA EVOLUTION metadata key: every commit records the table schema
+    * (compact Spark JSON — single line, tab-free, safe in the manifest's
+    * line format) under the same atomic flip as the data it describes.
+    * Readers bind the COMMITTED schema instead of inferring from files:
+    * that is the whole add-column mechanism — a data dir written before a
+    * column existed simply lacks it in its footers, and an explicit-schema
+    * parquet read back-fills the missing column as null. As-of reads bind
+    * the schema committed WITH that version, so history keeps its
+    * contemporaneous shape (an old version never grows columns).
+    */
+  private val SchemaKey = "__schema"
+
+  private def committedSchema(manifest: Map[String, String]): Option[org.apache.spark.sql.types.StructType] =
+    manifest.get(SchemaKey).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Add-only evolution contract: every committed column must survive with
+    * its type (a drop or type change would make old data unreadable under
+    * the new schema), and added columns must be nullable (their value on
+    * pre-evolution rows IS null).
+    */
+  private def validateEvolution(oldSchema: org.apache.spark.sql.types.StructType,
+                                newSchema: org.apache.spark.sql.types.StructType): Unit = {
+    oldSchema.fields.foreach { f =>
+      val nf = newSchema.fields.find(_.name == f.name)
+      require(nf.isDefined,
+        s"schema evolution is add-only: committed column ${f.name} is missing from the new schema")
+      require(nf.get.dataType == f.dataType,
+        s"schema evolution is add-only: column ${f.name} changed type ${f.dataType} -> ${nf.get.dataType}")
+    }
+    newSchema.fields.filterNot(f => oldSchema.fields.exists(_.name == f.name))
+      .foreach(f => require(f.nullable,
+        s"added column ${f.name} must be nullable (old rows back-fill as null)"))
+  }
+
+  /** Committed-schema read: bind the manifest's schema when one was
+    * recorded (pre-schema-metadata tables fall back to file inference).
+    */
+  private def readBound(spark: SparkSession, manifest: Map[String, String],
+                        paths: Seq[String]): DataFrame = {
+    val r = committedSchema(manifest).fold(spark.read)(s => spark.read.schema(s))
+    r.parquet(paths: _*)
+  }
+
   /** The `__`-prefixed metadata committed with the table (empty when none
     * or the table doesn't exist).
     */
@@ -293,6 +348,7 @@ object Upsert {
                        committer: SnapshotCommitter = AtomicRenameCommitter,
                        meta: Map[String, String] = Map.empty): Unit = {
     val manifest = committer.readManifest(tablePath)
+    committedSchema(manifest).foreach(validateEvolution(_, data.schema))
     SnapshotGc.gcUnreferenced(tablePath,
       dataEntries(manifest).values.toSet ++ committer.retainedReferences(tablePath))
     val rel = s"batch-${java.util.UUID.randomUUID().toString.take(8)}/data"
@@ -301,7 +357,8 @@ object Upsert {
     // new snapshot and (e.g.) the batch-id ledger, which is what makes
     // replay-skip decisions crash-consistent with the data they describe
     committer.commit(tablePath,
-      Map("all" -> rel) ++ meta.map { case (k, v) => s"__$k" -> v })
+      Map("all" -> rel, SchemaKey -> data.schema.json) ++
+        meta.map { case (k, v) => s"__$k" -> v })
     SnapshotGc.gcUnreferenced(tablePath,
       dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath))
   }
@@ -317,6 +374,11 @@ object Upsert {
       committer: SnapshotCommitter = AtomicRenameCommitter): UpsertStats = {
     val touched = touchedPartitionsOf(delta, partCol, keys)
     val manifest = committer.readManifest(tablePath)
+    // evolution gate BEFORE the existing read: the pruned scan binds the
+    // delta's schema (add-only ⇒ it is the widest — pre-evolution rows
+    // back-fill the added columns as null), so a delta that silently
+    // dropped a committed column would otherwise drop it from the merge
+    committedSchema(manifest).foreach(validateEvolution(_, delta.schema))
 
     // manifest-level pruning: only the touched partitions' committed
     // paths are listed/read — I/O is O(delta partitions), not O(table)
@@ -360,6 +422,9 @@ object Upsert {
       partCol: String, parts: Seq[String], crashBeforeCommit: Boolean,
       committer: SnapshotCommitter): Boolean = {
     val manifest = committer.readManifest(tablePath)
+    // the add-only evolution gate: a commit may widen the committed schema
+    // but never drop or retype a column old data dirs still carry
+    committedSchema(manifest).foreach(validateEvolution(_, data.schema))
     SnapshotGc.gcUnreferenced(tablePath,
       manifest.values.toSet ++ committer.retainedReferences(tablePath))
 
@@ -380,7 +445,8 @@ object Upsert {
     // left drops out); untouched partitions keep their entries; then
     // release superseded data one cycle late
     val newManifest = (manifest -- parts) ++
-      writtenParts.map(v => v -> s"$batchDirName/__part=$v")
+      writtenParts.map(v => v -> s"$batchDirName/__part=$v") +
+      (SchemaKey -> data.schema.json) // the schema rides the same flip
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
       newManifest.values ++ committer.retainedReferences(tablePath))

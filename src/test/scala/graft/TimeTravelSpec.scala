@@ -88,6 +88,50 @@ class TimeTravelSpec extends AnyFunSuite {
       Set(("d1", 1L, 102L)))
   }
 
+  test("add-column evolution: new commits widen, old rows back-fill null, as-of keeps the old shape") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    upsert(path, c, ("d1", 1L, 100L), ("d2", 2L, 100L)) // v1: old schema
+    // v2 adds a nullable `tag` column, touching ONLY d1 — d2's data dir
+    // keeps its pre-evolution footers
+    val widened = Seq(("d1", 1L, 101.0, 101L, "a"))
+      .toDF("day", "id", "value", "version", "tag")
+    Upsert.upsertPartitionsAtomic(spark, widened, path, "day",
+      keys = Seq("id"), order = Seq("version"), committer = c)
+
+    // current read binds the committed (new) schema: untouched d2 rows
+    // back-fill tag as null
+    val cur = Upsert.readTable(spark, path, c)
+    assert(cur.columns.contains("tag"))
+    assert(cur.selectExpr("id", "tag").as[(Long, Option[String])].collect().toSet ==
+      Set((1L, Some("a")), (2L, None)))
+    // as-of v1 binds the schema committed WITH v1 — history keeps its shape
+    assert(!Upsert.readTableAsOf(spark, path, 1L, c).columns.contains("tag"))
+    // the change feed diffs across the evolution: key 1's update carries
+    // the post-image tag; key 2 is unchanged (null == null) and silent
+    val ch = Upsert.tableChanges(spark, path, 1L, 2L, Seq("id"), c)
+      .selectExpr("id", "tag", "change_type").as[(Long, Option[String], String)]
+      .collect().toSet
+    assert(ch == Set((1L, Some("a"), "update_post")))
+
+    // drops and retypes are rejected loudly — old data dirs still carry
+    // the committed columns
+    val dropped = Seq(("d1", 1L, 102L)).map { case (d, i, v) => (d, i, v.toDouble, v) }
+      .toDF("day", "id", "value", "version") // no tag
+    val eDrop = intercept[IllegalArgumentException] {
+      Upsert.upsertPartitionsAtomic(spark, dropped, path, "day",
+        keys = Seq("id"), order = Seq("version"), committer = c)
+    }
+    assert(eDrop.getMessage.contains("add-only"))
+    val retyped = Seq(("d1", 1L, 102.0, 102L, 7L))
+      .toDF("day", "id", "value", "version", "tag") // tag LONG, was STRING
+    val eType = intercept[IllegalArgumentException] {
+      Upsert.upsertPartitionsAtomic(spark, retyped, path, "day",
+        keys = Seq("id"), order = Seq("version"), committer = c)
+    }
+    assert(eType.getMessage.contains("changed type"))
+  }
+
   test("change feed classifies inserts, updates, and deletes between versions") {
     val path = Files.createTempDirectory("graft-tt").toString + "/t"
     val c = new VersionedCommitter

@@ -111,7 +111,9 @@ class UpsertSpec extends AnyFunSuite {
     Upsert.upsertPartitionsAtomic(spark, base, path, "day",
       keys = Seq("id"), order = Seq("version"))
     val manifestBefore = graft.streaming.AtomicRenameCommitter.readManifest(path)
-    assert(manifestBefore.keySet == Set("d1", "d2", "d3"))
+    // data entries only — `__`-prefixed keys are commit-riding metadata
+    // (the committed schema, since the evolution support)
+    assert(manifestBefore.keySet.filterNot(_.startsWith("__")) == Set("d1", "d2", "d3"))
 
     val delta = Seq(
       ("d2", 3L, 31.0, 101L),  // update
@@ -204,7 +206,9 @@ class UpsertSpec extends AnyFunSuite {
     assert(rows() == Set((1L, "a2"), (3L, "c")))
     val graceManifest = graft.streaming.AtomicRenameCommitter.readManifest(path)
     Upsert.writeTableAtomic(spark, v2, path)
-    val live = graft.streaming.AtomicRenameCommitter.readManifest(path).values.toSet
+    // data refs only — the `__schema` metadata value is not a dir
+    val live = graft.streaming.AtomicRenameCommitter.readManifest(path)
+      .collect { case (k, v) if !k.startsWith("__") => v }.toSet
     val staged = new java.io.File(path).listFiles()
       .filter(b => b.isDirectory && b.getName.startsWith("batch-"))
       .flatMap(b => b.listFiles().filter(_.isDirectory).map(d => s"${b.getName}/${d.getName}"))

@@ -178,6 +178,17 @@ object SparkEntry {
           col("date_key").cast("long").as("date_key"), col("event_id"),
           col("measure_value"), col("ts_us"))
     }),
+    // S4 at the big-dimension regime ON DISK: fact and user dim land
+    // bucketBy(8, user_id)+sortBy as tables and the star is rebuilt from
+    // those scans exchange-free (sort-merge over co-located buckets — the
+    // layout for when dim_user outgrows broadcast). Same semantics as
+    // fact_star, but answered from the bucketed round trip, so bucket
+    // hash drift, sort-order loss, or co-location bugs break the hash;
+    // the zero-shuffle plan shape is asserted in BucketingSpec.
+    "star_bucketed_disk" -> ((s, d) => {
+      val out = cachedTempDir("graft_bkt_")
+      pipeline.Pipeline.runBucketedStar(prep(s), d, out)
+    }),
     // ---- monitoring views (SURVEY §2 monitoring suite) ----
     "mon_results" -> ((s, d) => Monitoring.results(Tables.events(prep(s), d))),
     "mon_last_status" -> ((s, d) => Monitoring.lastStatus(Tables.events(prep(s), d))),
@@ -1151,6 +1162,10 @@ object SparkEntry {
     "dim_date" ->
       s"$FactCte, days AS (SELECT CAST(unnest(generate_series((SELECT min(CAST(ts AS DATE)) FROM fact), (SELECT max(CAST(ts AS DATE)) FROM fact), INTERVAL 1 DAY)) AS DATE) AS d) SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_key, d AS date_id, CAST(year(d) AS INTEGER) AS year, CAST(quarter(d) AS INTEGER) AS quarter, CAST(month(d) AS INTEGER) AS month, monthname(d) AS month_name, CAST(week(d) AS INTEGER) AS iso_week, CAST(day(d) AS INTEGER) AS day_of_month, CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week, dayname(d) AS day_name, dayofweek(d) IN (0, 6) AS is_weekend FROM days",
     "fact_star" ->
+      s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact",
+    // the bucketed rebuild must answer exactly like the in-memory star —
+    // the oracle is the same star SQL, the Spark side the bucketed layout
+    "star_bucketed_disk" ->
       s"$FactCte SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, sha256(event_type) AS event_type_key, CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS BIGINT) AS date_key, event_id, value AS measure_value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM fact",
     // same star semantics as fact_star, restricted to the trailing 7 days
     // (8 calendar days inclusive, mirroring mon_7d_summary's cutoff shape):

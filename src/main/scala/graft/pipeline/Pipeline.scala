@@ -119,9 +119,15 @@ object Pipeline {
     val fact = Dedup.latestEvents(Tables.events(spark, srcDir))
     spark.sql("DROP TABLE IF EXISTS fact_events_bkt")
     spark.sql("DROP TABLE IF EXISTS dim_user_bkt")
+    // EXTERNAL tables under the caller's outDir: a managed location in the
+    // session warehouse outlives the in-memory catalog, so a fresh session
+    // rerunning this would hit LOCATION_ALREADY_EXISTS on the leftover dir
+    // (the catalog's DROP can't see a table it never registered)
     fact.write.bucketBy(buckets, "user_id").sortBy("user_id")
+      .option("path", s"$outDir/fact_events_bkt")
       .mode(SaveMode.Overwrite).saveAsTable("fact_events_bkt")
     Dims.dimUser(fact).write.bucketBy(buckets, "user_id").sortBy("user_id")
+      .option("path", s"$outDir/dim_user_bkt")
       .mode(SaveMode.Overwrite).saveAsTable("dim_user_bkt")
     // tiny dims: plain parquet, read back (so the rebuild plan below is all
     // scans — no aggregation exchanges from dim construction lineage)

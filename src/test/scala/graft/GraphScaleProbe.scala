@@ -32,7 +32,9 @@ object GraphScaleProbe {
         .localCheckpoint(true)
     }
 
-    for (e <- Seq(2000000L, 20000000L)) {
+    val sizes = sys.env.getOrElse("GRAPH_PROBE_SIZES", "2000000,20000000")
+      .split(",").toSeq.map(_.trim.toLong)
+    for (e <- sizes) {
       val g = graph(e)
       val ne = g.count()
       for (iters <- Seq(5, 10); pass <- 1 to 2) {
@@ -41,6 +43,31 @@ object GraphScaleProbe {
         println(f"[graph-scale] E=$ne iters=$iters pass=$pass nodes=$n " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+    }
+
+    // incremental warm start: the round-count savings claim behind
+    // Graph.pageRankWarmStart — cold-converge the base graph, add a ~1%
+    // edge delta, and compare the rounds (= full E⋈V passes) a cold rerun
+    // needs against the warm restart from the committed ranks, at the same
+    // residual tolerance
+    {
+      val e = 2000000L
+      val g = graph(e)
+      val noWarm = spark.range(0).selectExpr("id AS node", "id AS rank")
+      val (ranks0, r0, _) = graft.operators.Graph.pageRankWarmStart(g, noWarm, 40)
+      val delta = spark.range(e / 100).select(
+        pmod(xxhash64(col("id") + 7), lit(e / 10)).as("src"),
+        pmod(xxhash64(col("id") + 13), lit(100L)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val g2 = g.union(delta).distinct().localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val (_, rCold, _) = graft.operators.Graph.pageRankWarmStart(g2, noWarm, 40)
+      val tCold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (_, rWarm, _) = graft.operators.Graph.pageRankWarmStart(g2, ranks0, 40)
+      val tWarm = (System.nanoTime() - t1) / 1e9
+      println(f"[graph-scale] warm-start: base converged in $r0 rounds; " +
+        f"1%% delta cold=$rCold rounds ($tCold%.2f s) warm=$rWarm rounds ($tWarm%.2f s)")
     }
     spark.stop()
   }

@@ -65,6 +65,43 @@ class GraphSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  test("warm-started PageRank absorbs an edge delta in fewer rounds, landing on the cold fixpoint") {
+    import graft.operators.Graph
+    // a 200-node directed ring with 10 hub shortcuts — enough structure
+    // that convergence to the 1e-3-mass tolerance takes several rounds
+    val ring = (0L until 200L).map(i => (i, (i + 1) % 200))
+    val hubs = (0L until 200L by 20).map(i => (i, 7L))
+    val edges1 = (ring ++ hubs).distinct
+    val noWarm = Seq.empty[(Long, Long)].toDF("node", "rank")
+
+    val (ranks1, _, _) = Graph.pageRankWarmStart(edges1.toDF("src", "dst"), noWarm, maxIterations = 40)
+
+    // warm start on the UNCHANGED graph: already at the fixpoint orbit —
+    // the probe round confirms and exits at once
+    val (_, roundsNoop, _) = Graph.pageRankWarmStart(edges1.toDF("src", "dst"), ranks1, maxIterations = 40)
+    assert(roundsNoop <= 2, s"restart at the fixpoint must exit fast, took $roundsNoop")
+
+    // absorb a small delta: two new shortcut edges + one new node
+    val edges2 = edges1 ++ Seq((13L, 99L), (42L, 200L), (200L, 0L))
+    val (cold, roundsCold, movedCold) =
+      Graph.pageRankWarmStart(edges2.toDF("src", "dst"), noWarm, maxIterations = 40)
+    val (warm, roundsWarm, movedWarm) =
+      Graph.pageRankWarmStart(edges2.toDF("src", "dst"), ranks1, maxIterations = 40)
+    info(s"cold=$roundsCold rounds, warm=$roundsWarm rounds")
+    assert(roundsWarm < roundsCold,
+      s"warm start must save rounds: warm=$roundsWarm cold=$roundsCold")
+
+    // both runs are within moved·d/(1−d) of the shared fixpoint (damped
+    // contraction), so their L1 gap is bounded by the sum of those radii
+    val cm = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wm = warm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cm.keySet == wm.keySet)
+    val l1 = cm.keysIterator.map(k => math.abs(cm(k) - wm(k))).sum
+    val radius = (movedCold + movedWarm) * Graph.DampNum / (Graph.DampDen - Graph.DampNum)
+    assert(l1 <= radius + cm.size, // +1 unit/node floor-rounding slack
+      s"warm and cold must agree within the contraction bound: l1=$l1 bound=$radius")
+  }
+
   private def triangles(edges: Seq[(Long, Long)]): (Long, Long, Long) =
     Graph.triangleCount(edges.toDF("u", "v"))
       .as[(Long, Long, Long)].head()

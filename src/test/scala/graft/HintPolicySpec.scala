@@ -85,6 +85,14 @@ class HintPolicySpec extends AnyFunSuite {
     *  - dedup_embedding is the deliberately-quadratic oracle baseline and
     *    REFUSES inputs > 100k rows (Ann.embeddingNearDup's guard), so its
     *    broadcast side is input-capped; the LSH path is the scale story.
+    *  - star_bucketed_disk broadcasts the MATERIALIZED event-type/date
+    *    dims (plain parquet scans of tables the same query just wrote from
+    *    dim-keyed aggregates — O(|event types|) / O(days) by
+    *    construction). The structural evidence lives in the writer's
+    *    lineage, which the disk round trip deliberately severs: that
+    *    severing is the pipeline's no-aggregate-in-lineage contract
+    *    (dims land before the star reads them), the same reason
+    *    `Pipeline.run`'s star is built from materialized dims.
     *
     * doc_contamination / doc_decontaminated used to sit here (their
     * broadcast eval side was bounded only by a scaladoc contract); since
@@ -92,7 +100,7 @@ class HintPolicySpec extends AnyFunSuite {
     * their hints carry structural evidence and the walk verifies them like
     * any other query.
     */
-  private val exceptions = Set("dedup_embedding")
+  private val exceptions = Set("dedup_embedding", "star_bucketed_disk")
 
   test("every broadcast hint sits over an O(1)/O(dims) subtree") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

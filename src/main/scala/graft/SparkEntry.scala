@@ -877,6 +877,31 @@ object SparkEntry {
         s"compaction demo must rewrite the fragmented layout: $stats")
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // ROW-LEVEL DELETE (the GDPR / right-to-be-forgotten shape): the
+    // deduped fact committed bucket-partitioned, then
+    // DELETE WHERE event_type = 'error' — one column-pruned scan finds the
+    // matching partitions, only those rewrite, one atomic flip publishes.
+    // The oracle recomputes the fact minus the deleted class (null-keeping
+    // SQL DELETE semantics), so a delete that missed rows, dropped
+    // non-matching rows, or left a stale partition hash-mismatches; the
+    // partition-surgery details (emptied-partition drop, untouched-entry
+    // identity, null predicate) are pinned in MaintenanceSpec.
+    "table_delete_where" -> ((s, d) => {
+      val out = cachedTempDir("graft_del_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      val stats = pipeline.Upsert.deleteWhere(s, out, "bucket",
+        col("event_type") === "error", c)
+      require(stats.deletedRows > 0, "delete demo must delete something")
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // SCHEMA EVOLUTION across a mixed-version history: v1 commits buckets
     // 0-3 of the deduped fact under the original schema, v2 commits
     // buckets 4-7 WITH an added nullable column — so the CURRENT table is
@@ -1813,6 +1838,10 @@ object SparkEntry {
     // must equal the recomputed fact state, row for row
     "table_compacted" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
+    // the fact minus the deleted class (SQL DELETE keeps null-evaluating
+    // rows — mirrored with the explicit IS NULL arm)
+    "table_delete_where" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
     // mixed-version read under the evolved schema: pre-evolution rows
     // (buckets 0-3, committed before the column existed) carry NULL
     "table_schema_evolution" ->

@@ -78,6 +78,25 @@ object Maintenance {
   private def targetFiles(bytes: Long, targetFileBytes: Long): Int =
     math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
 
+  /** Retention maintenance (VACUUM / expire-snapshots): expire history
+    * down to the newest `keepLast` versions and release the data dirs no
+    * retained version references. The versioned committer's `retain`
+    * bound does this at COMMIT time; a table that stops being written —
+    * or a compliance delete ([[Upsert.deleteWhere]]) whose pre-delete
+    * rows must stop being resolvable — needs the standalone form.
+    * Returns the expired version numbers.
+    */
+  def expireVersions(tablePath: String, keepLast: Int,
+                     committer: graft.streaming.VersionedCommitter): Seq[Long] = {
+    val expired = committer.expire(tablePath, keepLast)
+    val current = committer.readManifest(tablePath).collect {
+      case (k, rel) if !k.startsWith("__") => rel
+    }.toSet
+    SnapshotGc.gcUnreferenced(tablePath,
+      current ++ committer.retainedReferences(tablePath))
+    expired
+  }
+
   def compact(spark: SparkSession, tablePath: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               zorderCols: Seq[String] = Nil,

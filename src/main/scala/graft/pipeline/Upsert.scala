@@ -332,6 +332,49 @@ object Upsert {
       case (k, v) if k.startsWith("__") => k.stripPrefix("__") -> v
     }
 
+  case class DeleteStats(touchedPartitions: Seq[String], deletedRows: Long)
+
+  /** Row-level `DELETE ... WHERE` over a manifest table — copy-on-write at
+    * partition granularity, the GDPR / right-to-be-forgotten shape:
+    *
+    *  1. ONE column-pruned scan of the committed table finds the
+    *     partitions carrying matching rows (the predicate's columns plus
+    *     `partCol`, which lives IN the data files by the staging
+    *     protocol's design — no per-partition probe jobs);
+    *  2. only those partitions are re-read and rewritten WITHOUT the
+    *     matching rows, published as one atomic manifest flip
+    *     ([[replacePartitionsAtomic]] — a partition deleted empty drops
+    *     out of the manifest entirely);
+    *  3. untouched partitions are never read or rewritten — work scales
+    *     with the data that matches, not the table.
+    *
+    * SQL DELETE null semantics: only rows where the predicate is TRUE are
+    * deleted; NULL-evaluating rows are kept. Under a versioned committer
+    * the pre-delete state remains readable as-of (deletion-for-compliance
+    * then also requires [[graft.pipeline.Maintenance.expireVersions]] to
+    * retire the history that still references the rows).
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String, partCol: String,
+                  predicate: org.apache.spark.sql.Column,
+                  committer: SnapshotCommitter = AtomicRenameCommitter): DeleteStats = {
+    val manifest = committer.readManifest(tablePath)
+    val table = readTable(spark, tablePath, committer)
+    val touched = table.filter(predicate)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return DeleteStats(Nil, 0L)
+    val touchedPaths = touched.flatMap(manifest.get)
+      .map(rel => s"$tablePath/$rel")
+    val scoped = readBound(spark, manifest, touchedPaths)
+    val deleted = scoped.filter(predicate).count()
+    // keep rows where the predicate is FALSE or NULL (SQL DELETE deletes
+    // only TRUE — a bare !predicate would silently drop null-evaluating
+    // rows too)
+    val kept = scoped.filter(coalesce(!predicate, lit(true)))
+    replacePartitionsAtomic(spark, kept, tablePath, partCol, touched, committer)
+    DeleteStats(touched, deleted)
+  }
+
   /** Atomic WHOLE-TABLE overwrite snapshot — the reference's CTAS shape
     * with the manifest protocol's crash guarantees: stage the new table
     * under an immutable `batch-<uuid>/data` dir, flip the one-entry

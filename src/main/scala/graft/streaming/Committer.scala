@@ -226,6 +226,21 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     versionFiles(snapshotPath).dropRight(retain).foreach(_._2.delete())
   }
 
+  /** Expire history down to the newest `keepLast` versions NOW — the
+    * standalone VACUUM: `retain` prunes at commit time, but a table that
+    * stops being written keeps its history forever without this. Returns
+    * the expired version numbers; their exclusively-referenced data dirs
+    * fall out of [[retainedReferences]] and the next staging-GC cycle
+    * releases them ([[graft.pipeline.Maintenance.expireVersions]] runs
+    * both steps).
+    */
+  def expire(snapshotPath: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "keep at least the newest version")
+    val dropped = versionFiles(snapshotPath).dropRight(keepLast)
+    dropped.foreach(_._2.delete())
+    dropped.map(_._1)
+  }
+
   /** Every retained version's data refs (`__`-prefixed metadata keys
     * reference nothing and are skipped) — what keeps time travel readable
     * through the staging GC.

@@ -107,6 +107,66 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows(Upsert.readTableAsOf(spark, path, 1L, c)) == v1.toSet)
   }
 
+  test("deleteWhere rewrites only matching partitions, drops emptied ones, keeps null-evaluating rows") {
+    val path = Files.createTempDirectory("graft-del").toString + "/t"
+    val c = AtomicRenameCommitter
+    // d1: mixed keep/delete; d2: fully deleted; d3: untouched
+    val data = Seq(
+      ("d1", 1L, 100L), ("d1", 2L, 600L), ("d2", 3L, 700L), ("d3", 4L, 100L))
+    upsertFragmented(path, c, 4, data: _*)
+    val d3EntryBefore = c.readManifest(path)("d3")
+
+    val s = Upsert.deleteWhere(spark, path, "day",
+      org.apache.spark.sql.functions.col("version") > 500L, c)
+    assert(s.touchedPartitions == Seq("d1", "d2") && s.deletedRows == 2L)
+    assert(rows(Upsert.readTable(spark, path, c)) ==
+      Set(("d1", 1L, 100L), ("d3", 4L, 100L)))
+    val m = c.readManifest(path)
+    assert(!m.contains("d2"), "fully-deleted partition must drop from the manifest")
+    assert(m("d3") == d3EntryBefore, "untouched partition must keep its entry verbatim")
+
+    // SQL DELETE null semantics: null-evaluating rows are kept
+    val withNull = Seq(("d4", 5L, Some(900L)), ("d4", 6L, None))
+      .toDF("day", "id", "version")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .select("day", "id", "value", "version")
+    Upsert.replacePartitionsAtomic(spark, withNull, path, "day", Seq("d4"), c)
+    val s2 = Upsert.deleteWhere(spark, path, "day",
+      org.apache.spark.sql.functions.col("version") > 500L, c)
+    assert(s2.deletedRows == 1L)
+    assert(Upsert.readTable(spark, path, c).filter("day = 'd4'")
+      .selectExpr("id").as[Long].collect().toSeq == Seq(6L),
+      "the NULL-version row must survive the delete")
+
+    // no-match predicate is a free no-op
+    val s3 = Upsert.deleteWhere(spark, path, "day",
+      org.apache.spark.sql.functions.col("version") > 99999L, c)
+    assert(s3.touchedPartitions.isEmpty && s3.deletedRows == 0L)
+  }
+
+  test("expireVersions retires history on demand and releases its exclusive data") {
+    val path = Files.createTempDirectory("graft-exp").toString + "/t"
+    val c = new VersionedCommitter(retain = 10)
+    upsertFragmented(path, c, 2, ("d1", 1L, 100L)) // v1
+    upsertFragmented(path, c, 2, ("d1", 1L, 101L)) // v2 — v1's dir now exclusive
+    upsertFragmented(path, c, 2, ("d1", 1L, 102L)) // v3
+    assert(c.versions(path) == Seq(1L, 2L, 3L))
+
+    val expired = Maintenance.expireVersions(path, keepLast = 1, c)
+    assert(expired == Seq(1L, 2L))
+    assert(c.versions(path) == Seq(3L))
+    intercept[IllegalArgumentException] {
+      Upsert.readTableAsOf(spark, path, 2L, c)
+    }
+    // the current state survives, and only its batch dir remains on disk
+    assert(rows(Upsert.readTable(spark, path, c)) == Set(("d1", 1L, 102L)))
+    val batchDirs = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    assert(batchDirs.length == 1,
+      s"expired versions' exclusive dirs must be released: ${batchDirs.map(_.getName).mkString(",")}")
+  }
+
   test("z-order compaction re-clusters while preserving content") {
     val path = Files.createTempDirectory("graft-cpt").toString + "/t"
     val c = AtomicRenameCommitter

@@ -396,6 +396,26 @@ object SparkEntry {
           unix_micros(col("r_ts")).as("purchase_ts_us"),
           round(col("r_value") * 100).cast("long").as("purchase_value_cents"))
     }),
+    // LEFT OUTER stream⋈stream: matches emit as they meet, but a click
+    // with no purchase null-extends only when the final watermark proves
+    // its 6 h window closed (strictly — the StreamJoinSpec boundary) —
+    // the watermark-gated append discipline of the session windows,
+    // applied to join state. The oracle replays the same cutoff: per-side
+    // max event time floored to ms, min across sides, minus the delay.
+    "stream_stream_join_outer" -> ((s, d) => {
+      val in = stagedEvents(s, d)
+      val clicks = streaming.StreamOracle.fileStream(s, in)
+        .filter(col("event_type") === "click")
+      val purchases = streaming.StreamOracle.fileStream(s, in)
+        .filter(col("event_type") === "purchase")
+      streaming.StreamOracle.drainAppend(s,
+          streaming.StreamJoin.intervalJoinLeftOuter(clicks, purchases, 360, "30 minutes"))
+        .select(col("user_id"), col("l_id").as("click_id"),
+          unix_micros(col("l_ts")).as("click_ts_us"),
+          col("r_id").as("purchase_id"),
+          unix_micros(col("r_ts")).as("purchase_ts_us"),
+          round(col("r_value") * 100).cast("long").as("purchase_value_cents"))
+    }),
     // §2.9a+f closing the loop ON DISK: the foreachBatch-maintained star
     // (fact merge → dims → touched-day partition replace, all manifest-
     // committed) drained over THREE per-file micro-batches — the result
@@ -902,6 +922,27 @@ object SparkEntry {
       require(stats.deletedRows > 0, "delete demo must delete something")
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // ROW-LEVEL UPDATE: same partition surgery as the delete, with the
+    // assignments evaluated against the pre-update row — error events'
+    // value zeroed in place, everything else byte-identical. Oracle is
+    // the CASE-mapped fact state.
+    "table_update_where" -> ((s, d) => {
+      val out = cachedTempDir("graft_upd_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      val stats = pipeline.Upsert.updateWhere(s, out, "bucket",
+        col("event_type") === "error",
+        Map("value_cents" -> lit(0L)), c)
+      require(stats.updatedRows > 0, "update demo must update something")
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // SCHEMA EVOLUTION across a mixed-version history: v1 commits buckets
     // 0-3 of the deduped fact under the original schema, v2 commits
     // buckets 4-7 WITH an added nullable column — so the CURRENT table is
@@ -1243,6 +1284,19 @@ object SparkEntry {
         "FROM events l JOIN events r ON l.user_id = r.user_id " +
         "AND l.event_type = 'click' AND r.event_type = 'purchase' " +
         "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR"),
+    // matched pairs = the batch interval join; null-extensions gated on
+    // the final watermark (per-side ms-floored max, min across sides,
+    // minus delay; close STRICTLY before — the pinned boundary)
+    "stream_stream_join_outer" ->
+      ("WITH l AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'click'), " +
+        "r AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'purchase'), " +
+        "wm AS (SELECT least((SELECT epoch_ms(max(ts)) FROM l), (SELECT epoch_ms(max(ts)) FROM r)) - 1800000 AS wm_ms), " +
+        "m AS (SELECT l.user_id, l.event_id AS click_id, epoch_us(l.ts) AS click_ts_us, r.event_id AS purchase_id, epoch_us(r.ts) AS purchase_ts_us, CAST(round(r.value * 100) AS BIGINT) AS purchase_value_cents " +
+        "FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR), " +
+        "u AS (SELECT l.user_id, l.event_id AS click_id, epoch_us(l.ts) AS click_ts_us, CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS purchase_ts_us, CAST(NULL AS BIGINT) AS purchase_value_cents " +
+        "FROM l, wm WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR) " +
+        "AND epoch_ms(l.ts) + 21600000 < wm.wm_ms) " +
+        "SELECT * FROM m UNION ALL SELECT * FROM u"),
     "stream_daily_counts" ->
       ("WITH g AS (SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents FROM events GROUP BY 1, 2), " +
         "mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events) " +
@@ -1842,6 +1896,10 @@ object SparkEntry {
     // rows — mirrored with the explicit IS NULL arm)
     "table_delete_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
+    // the CASE-mapped fact state: updated class zeroed, everything else
+    // identical
+    "table_update_where" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact",
     // mixed-version read under the evolved schema: pre-evolution rows
     // (buckets 0-3, committed before the column existed) carry NULL
     "table_schema_evolution" ->

@@ -375,6 +375,47 @@ object Upsert {
     DeleteStats(touched, deleted)
   }
 
+  case class UpdateStats(touchedPartitions: Seq[String], updatedRows: Long)
+
+  /** Row-level `UPDATE ... SET ... WHERE` — the same partition-granular
+    * copy-on-write surgery as [[deleteWhere]]: one column-pruned scan
+    * finds the partitions carrying TRUE-matching rows, only those rewrite
+    * with the assignments applied (non-matching and NULL-evaluating rows
+    * pass through unchanged — SQL UPDATE semantics), one atomic flip
+    * publishes. `set` maps column name → new-value expression (evaluated
+    * against the pre-update row, so swaps like `a = b, b = a` see
+    * consistent inputs). The partition column cannot be assigned — a
+    * partition-moving update is an upsert-after-delete, not a rewrite in
+    * place (the [[upsertPartitions]] key→partition contract).
+    */
+  def updateWhere(spark: SparkSession, tablePath: String, partCol: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  committer: SnapshotCommitter = AtomicRenameCommitter): UpdateStats = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    require(!set.contains(partCol),
+      s"cannot assign the partition column $partCol — a partition-moving " +
+        "update is a delete + upsert, not an in-place rewrite")
+    val manifest = committer.readManifest(tablePath)
+    val table = readTable(spark, tablePath, committer)
+    set.keys.foreach(c => require(table.columns.contains(c),
+      s"UPDATE target column $c does not exist"))
+    val touched = table.filter(predicate)
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (touched.isEmpty) return UpdateStats(Nil, 0L)
+    val touchedPaths = touched.flatMap(manifest.get)
+      .map(rel => s"$tablePath/$rel")
+    val scoped = readBound(spark, manifest, touchedPaths)
+    val updated = scoped.filter(predicate).count()
+    // one select evaluates every assignment against the PRE-update row
+    val applied = scoped.select(scoped.columns.map { c =>
+      set.get(c).fold(col(c))(e => when(predicate, e).otherwise(col(c)).as(c))
+    }.toIndexedSeq: _*)
+    replacePartitionsAtomic(spark, applied, tablePath, partCol, touched, committer)
+    UpdateStats(touched, updated)
+  }
+
   /** Atomic WHOLE-TABLE overwrite snapshot — the reference's CTAS shape
     * with the manifest protocol's crash guarantees: stage the new table
     * under an immutable `batch-<uuid>/data` dir, flip the one-entry

@@ -30,7 +30,27 @@ import org.apache.spark.sql.functions._
 object StreamJoin {
 
   def intervalJoin(left: DataFrame, right: DataFrame,
-                   windowMinutes: Int, delay: String): DataFrame = {
+                   windowMinutes: Int, delay: String): DataFrame =
+    joined(left, right, windowMinutes, delay, "inner")
+
+  /** LEFT OUTER form — "every click, with its purchases if any": matches
+    * emit as they meet (like the inner form), but a click with NO match
+    * can only emit null-extended once the engine PROVES no future purchase
+    * can close the window — i.e. when the watermark passes the click's
+    * join-window close and its buffered state is evicted. That makes the
+    * null-extension set watermark-gated (unlike inner emission), which is
+    * exactly the session-window append-mode discipline: under a
+    * single-batch drain the final watermark is a pure function of the
+    * data, and the oracle replays the same cutoff
+    * (`StreamJoinSpec` pins the boundary: close STRICTLY before the
+    * watermark emits, close == watermark stays open).
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            windowMinutes: Int, delay: String): DataFrame =
+    joined(left, right, windowMinutes, delay, "left_outer")
+
+  private def joined(left: DataFrame, right: DataFrame, windowMinutes: Int,
+                     delay: String, joinType: String): DataFrame = {
     val l = left
       .select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
       .withWatermark("l_ts", delay)
@@ -39,10 +59,10 @@ object StreamJoin {
         col("ts").as("r_ts"), col("value").as("r_value"))
       .withWatermark("r_ts", delay)
     l.join(r,
-        col("user_id") === col("r_user_id") &&
+        l("user_id") === col("r_user_id") &&
           col("r_ts") >= col("l_ts") &&
           col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
-        "inner")
+        joinType)
       .drop("r_user_id")
   }
 }

@@ -144,6 +144,37 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(s3.touchedPartitions.isEmpty && s3.deletedRows == 0L)
   }
 
+  test("updateWhere rewrites only matching partitions; assignments see the pre-update row") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = Files.createTempDirectory("graft-upd").toString + "/t"
+    val c = AtomicRenameCommitter
+    val data = Seq(("d1", 1L, 600L), ("d1", 2L, 100L), ("d2", 3L, 100L))
+    upsertFragmented(path, c, 2, data: _*)
+    val d2EntryBefore = c.readManifest(path)("d2")
+
+    val s = Upsert.updateWhere(spark, path, "day", col("version") > 500L,
+      Map("version" -> lit(0L)), c)
+    assert(s.touchedPartitions == Seq("d1") && s.updatedRows == 1L)
+    assert(rows(Upsert.readTable(spark, path, c)) ==
+      Set(("d1", 1L, 0L), ("d1", 2L, 100L), ("d2", 3L, 100L)))
+    assert(c.readManifest(path)("d2") == d2EntryBefore,
+      "untouched partition must keep its entry verbatim")
+
+    // swap semantics: both assignments evaluate against the PRE-update row
+    val s2 = Upsert.updateWhere(spark, path, "day", col("id") === 2L,
+      Map("id" -> col("version"), "version" -> col("id")), c)
+    assert(s2.updatedRows == 1L)
+    assert(rows(Upsert.readTable(spark, path, c)).contains(("d1", 100L, 2L)),
+      "a = b, b = a must swap, not chain")
+
+    // the partition column is not assignable
+    val e = intercept[IllegalArgumentException] {
+      Upsert.updateWhere(spark, path, "day", col("id") === 1L,
+        Map("day" -> lit("d9")), c)
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
   test("expireVersions retires history on demand and releases its exclusive data") {
     val path = Files.createTempDirectory("graft-exp").toString + "/t"
     val c = new VersionedCommitter(retain = 10)

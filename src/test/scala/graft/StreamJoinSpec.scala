@@ -104,6 +104,30 @@ class StreamJoinSpec extends AnyFunSuite {
       "late purchase must be dropped; on-time one must match")
   }
 
+  test("left-outer emission boundary: null-extension requires close strictly before the final watermark") {
+    // window 30 min, delay 1 h; both sides carry a 23:00 row so the final
+    // watermark is 22:00. Clicks: c1 closes 10:30 (≪ wm → null-emits),
+    // c2 closes exactly 22:00 (== wm → stays open, not emitted),
+    // c3 matches (emits matched regardless of watermark)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 21:30:00"), 2L, "click", 0.0),
+      (3L, ts("2024-01-01 21:40:00"), 3L, "click", 0.0),
+      (30L, ts("2024-01-01 21:41:00"), 3L, "purchase", 5.0),
+      (90L, ts("2024-01-01 23:00:00"), 9L, "click", 0.0),
+      (91L, ts("2024-01-01 23:00:00"), 8L, "purchase", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val staged = graft.streaming.StreamOracle.stage(spark, ev, "sj_outer_boundary")
+    def side(t: String) = graft.streaming.StreamOracle
+      .fileStream(spark, staged).filter(col("event_type") === t)
+    val out = graft.streaming.StreamOracle.drainAppend(spark,
+        StreamJoin.intervalJoinLeftOuter(side("click"), side("purchase"), 30, "1 hour"))
+      .collect().map(r => (r.getAs[Long]("l_id"),
+        Option(r.getAs[java.lang.Long]("r_id")).map(_.toLong))).toSet
+    assert(out == Set((1L, None), (3L, Some(30L))),
+      s"c1 null-emits, c2 (close == wm) stays open, c3 matches: got $out")
+  }
+
   test("single-batch drain equals the batch interval join (the oracle contract)") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.sources.Tables.events(spark, dir)

@@ -178,6 +178,18 @@ object Upsert {
     * — resolving an old manifest is all there is to it, the same read path
     * table formats call "snapshot isolation for free".
     */
+  /** [[readTableAsOf]] by TAG name — "the audited Q3 snapshot" instead of
+    * a version number; tagged versions are retention-pinned, so the name
+    * stays resolvable however many commits later.
+    */
+  def readTableAsOfTag(spark: SparkSession, tablePath: String, tagName: String,
+                       committer: graft.streaming.VersionedCommitter): DataFrame = {
+    val manifest = committer.readManifestAsOfTag(tablePath, tagName)
+    val data = dataEntries(manifest)
+    require(data.nonEmpty, s"tag $tagName of $tablePath has no data entries")
+    readBound(spark, manifest, data.values.map(rel => s"$tablePath/$rel").toSeq)
+  }
+
   def readTableAsOf(spark: SparkSession, tablePath: String, version: Long,
                     committer: graft.streaming.VersionedCommitter): DataFrame = {
     val manifest = committer.readManifestAsOf(tablePath, version)

@@ -220,25 +220,88 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     val next = versionFiles(snapshotPath).lastOption.map(_._1 + 1).getOrElse(1L)
     writeVersion(snapshotPath, next,
       AtomicRenameCommitter.renderManifest(entries))
-    // expire history beyond the retention window; the expired versions'
-    // exclusive data dirs fall out of retainedReferences and the next GC
-    // cycle releases them
-    versionFiles(snapshotPath).dropRight(retain).foreach(_._2.delete())
+    // expire history beyond the retention window (tagged versions are
+    // pinned); the expired versions' exclusive data dirs fall out of
+    // retainedReferences and the next GC cycle releases them
+    val pinned = tags(snapshotPath).values.toSet
+    versionFiles(snapshotPath).dropRight(retain)
+      .filterNot { case (v, _) => pinned.contains(v) }
+      .foreach(_._2.delete())
   }
 
   /** Expire history down to the newest `keepLast` versions NOW — the
     * standalone VACUUM: `retain` prunes at commit time, but a table that
-    * stops being written keeps its history forever without this. Returns
-    * the expired version numbers; their exclusively-referenced data dirs
-    * fall out of [[retainedReferences]] and the next staging-GC cycle
-    * releases them ([[graft.pipeline.Maintenance.expireVersions]] runs
-    * both steps).
+    * stops being written keeps its history forever without this. TAGGED
+    * versions are never expired (a tag is a retention pin — delete the
+    * tag first). Returns the expired version numbers; their
+    * exclusively-referenced data dirs fall out of [[retainedReferences]]
+    * and the next staging-GC cycle releases them
+    * ([[graft.pipeline.Maintenance.expireVersions]] runs both steps).
     */
   def expire(snapshotPath: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "keep at least the newest version")
+    val pinned = tags(snapshotPath).values.toSet
     val dropped = versionFiles(snapshotPath).dropRight(keepLast)
+      .filterNot { case (v, _) => pinned.contains(v) }
     dropped.foreach(_._2.delete())
     dropped.map(_._1)
+  }
+
+  // ---- named refs (tags) — the Iceberg-tag idea on the version log:
+  // a human name pinned to a version number, stored in a TAGS sidecar
+  // (same tab-separated line format and atomic-rename replace as the
+  // manifest). A tagged version is exempt from retention/expiry until the
+  // tag is deleted, so "the audited Q3 snapshot" stays resolvable however
+  // many commits later. Single writer per table assumed, like version
+  // numbering itself.
+
+  private def tagsFile(snapshotPath: String) =
+    new java.io.File(snapshotPath, "TAGS")
+
+  /** Committed tag name → version. Empty when none. */
+  def tags(snapshotPath: String): Map[String, Long] = {
+    val f = tagsFile(snapshotPath)
+    if (!f.exists()) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+      .split("\n").filter(_.nonEmpty).map { l =>
+        val Array(n, v) = l.split("\t", 2); n -> v.toLong
+      }.toMap
+  }
+
+  private def writeTags(snapshotPath: String, t: Map[String, Long]): Unit = {
+    val dir = new java.io.File(snapshotPath)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath,
+      t.toSeq.sorted.map { case (n, v) => s"$n\t$v" }
+        .mkString("", "\n", "\n").getBytes(UTF_8))
+    java.nio.file.Files.move(tmp.toPath, tagsFile(snapshotPath).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Pin `name` to `version` (which must currently exist). Re-tagging an
+    * existing name moves it.
+    */
+  def tag(snapshotPath: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
+      s"invalid tag name '$name'")
+    require(versions(snapshotPath).contains(version),
+      s"cannot tag version $version of $snapshotPath — not in history " +
+        s"(available: ${versions(snapshotPath).mkString(",")})")
+    writeTags(snapshotPath, tags(snapshotPath) + (name -> version))
+  }
+
+  /** Remove the pin; the version becomes expirable again. */
+  def deleteTag(snapshotPath: String, name: String): Unit =
+    writeTags(snapshotPath, tags(snapshotPath) - name)
+
+  /** Resolve a tag to its manifest ([[readManifestAsOf]] by name). */
+  def readManifestAsOfTag(snapshotPath: String, name: String): Map[String, String] = {
+    val t = tags(snapshotPath)
+    require(t.contains(name),
+      s"no tag '$name' on $snapshotPath (tags: ${t.keys.toSeq.sorted.mkString(",")})")
+    readManifestAsOf(snapshotPath, t(name))
   }
 
   /** Every retained version's data refs (`__`-prefixed metadata keys

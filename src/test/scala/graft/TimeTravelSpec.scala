@@ -88,6 +88,40 @@ class TimeTravelSpec extends AnyFunSuite {
       Set(("d1", 1L, 102L)))
   }
 
+  test("tags pin versions through retention; deleting the tag releases them") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter(retain = 2)
+    upsert(path, c, ("d1", 1L, 100L)) // v1
+    c.tag(path, "audited-q3", 1L)
+    upsert(path, c, ("d1", 1L, 101L)) // v2
+    upsert(path, c, ("d1", 1L, 102L)) // v3 — retain=2 would expire v1, but it's pinned
+    upsert(path, c, ("d1", 1L, 103L)) // v4 — v2 expires normally
+
+    assert(c.versions(path) == Seq(1L, 3L, 4L),
+      "the tagged v1 survives retention, the untagged v2 does not")
+    // the name resolves to the pinned state, by tag and by number
+    assert(rows(Upsert.readTableAsOfTag(spark, path, "audited-q3", c)) ==
+      Set(("d1", 1L, 100L)))
+    assert(rows(Upsert.readTableAsOf(spark, path, 1L, c)) ==
+      Set(("d1", 1L, 100L)))
+    // ...and its data dir survives the staging GC (retainedReferences
+    // includes every surviving version file's refs)
+    upsert(path, c, ("d1", 1L, 104L)) // v5: another GC cycle passes
+    assert(rows(Upsert.readTableAsOfTag(spark, path, "audited-q3", c)) ==
+      Set(("d1", 1L, 100L)))
+
+    // tagging an unknown version or resolving an unknown tag fails loudly
+    intercept[IllegalArgumentException](c.tag(path, "nope", 99L))
+    intercept[IllegalArgumentException](c.readManifestAsOfTag(path, "missing"))
+
+    // untag → the pin is gone; explicit expiry now retires v1 and the
+    // next cycle releases its exclusive data
+    c.deleteTag(path, "audited-q3")
+    val expired = graft.pipeline.Maintenance.expireVersions(path, keepLast = 2, c)
+    assert(expired.contains(1L))
+    intercept[IllegalArgumentException](Upsert.readTableAsOf(spark, path, 1L, c))
+  }
+
   test("add-column evolution: new commits widen, old rows back-fill null, as-of keeps the old shape") {
     val path = Files.createTempDirectory("graft-tt").toString + "/t"
     val c = new VersionedCommitter

@@ -344,6 +344,73 @@ object Upsert {
       case (k, v) if k.startsWith("__") => k.stripPrefix("__") -> v
     }
 
+  /** CHECK-constraint metadata key prefix: `__check.<name>` → SQL boolean
+    * expression, riding the manifest like the committed schema. SQL CHECK
+    * semantics: a row violates only when the expression is FALSE — NULL
+    * passes. Enforced on every partition-staging commit by reading back
+    * the STAGED files (one scan of the delta, validating the actual bytes
+    * about to become visible) before the flip; a violation abandons the
+    * staging with the previous manifest untouched.
+    */
+  private val CheckPrefix = "__check."
+
+  /** The table's committed CHECK constraints (name → SQL expression). */
+  def constraints(tablePath: String,
+                  committer: SnapshotCommitter = AtomicRenameCommitter): Map[String, String] =
+    committer.readManifest(tablePath).collect {
+      case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
+    }
+
+  /** Add (or replace) a CHECK constraint. The EXISTING committed table is
+    * validated first — a constraint the current data violates is rejected,
+    * so a committed constraint is always an invariant, never an aspiration.
+    */
+  def addConstraint(spark: SparkSession, tablePath: String, name: String,
+                    exprSql: String,
+                    committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid constraint name '$name'")
+    require(!exprSql.contains("\t") && !exprSql.contains("\n"),
+      "constraint expression must be a single line")
+    val manifest = committer.readManifest(tablePath)
+    if (manifest.exists(e => !e._1.startsWith("__"))) {
+      val bad = violationCounts(readTable(spark, tablePath, committer),
+        Map(name -> exprSql))
+      require(bad.isEmpty,
+        s"existing rows violate CHECK $name ($exprSql): ${bad(name)} rows")
+    }
+    committer.commit(tablePath, manifest + (s"$CheckPrefix$name" -> exprSql))
+  }
+
+  def dropConstraint(tablePath: String, name: String,
+                     committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val manifest = committer.readManifest(tablePath)
+    committer.commit(tablePath, manifest - s"$CheckPrefix$name")
+  }
+
+  /** Per-constraint violating-row counts over `df`, ALL constraints in one
+    * aggregate pass (empty map = all pass). NULL passes (SQL CHECK).
+    */
+  private def violationCounts(df: DataFrame,
+                              checks: Map[String, String]): Map[String, Long] = {
+    if (checks.isEmpty) return Map.empty
+    val named = checks.toSeq.sortBy(_._1)
+    val aggs = named.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    named.indices.flatMap { i =>
+      val c = if (row.isNullAt(i)) 0L else row.getLong(i) // empty df → null sums
+      if (c > 0) Some(named(i)._1 -> c) else None
+    }.toMap
+  }
+
+  /** Thrown when a commit's staged rows violate committed CHECKs. */
+  final class CheckViolationException(val counts: Map[String, Long], checks: Map[String, String])
+    extends RuntimeException(
+      "CHECK constraint violation(s), commit aborted: " +
+        counts.toSeq.sorted.map { case (n, c) => s"$n (${checks(n)}): $c rows" }
+          .mkString("; "))
+
   case class DeleteStats(touchedPartitions: Seq[String], deletedRows: Long)
 
   /** Row-level `DELETE ... WHERE` over a manifest table — copy-on-write at
@@ -449,11 +516,23 @@ object Upsert {
       dataEntries(manifest).values.toSet ++ committer.retainedReferences(tablePath))
     val rel = s"batch-${java.util.UUID.randomUUID().toString.take(8)}/data"
     data.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
+    val checks = manifest.collect {
+      case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
+    }
+    if (checks.nonEmpty) {
+      val bad = violationCounts(spark.read.parquet(s"$tablePath/$rel"), checks)
+      if (bad.nonEmpty) {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$tablePath/$rel").getParentFile)
+        throw new CheckViolationException(bad, checks)
+      }
+    }
     // metadata rides the SAME manifest flip — one atomic commit covers the
     // new snapshot and (e.g.) the batch-id ledger, which is what makes
     // replay-skip decisions crash-consistent with the data they describe
     committer.commit(tablePath,
       Map("all" -> rel, SchemaKey -> data.schema.json) ++
+        checks.map { case (n, e) => s"$CheckPrefix$n" -> e } ++
         meta.map { case (k, v) => s"__$k" -> v })
     SnapshotGc.gcUnreferenced(tablePath,
       dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath))
@@ -534,6 +613,23 @@ object Upsert {
       .map(_.getName.stripPrefix("__part=")).toSet
     require(writtenParts.subsetOf(parts.toSet),
       s"data carries partitions outside the replace set: ${writtenParts -- parts.toSet}")
+
+    // CHECK enforcement against the STAGED bytes (what would become
+    // visible), before the flip; a violation abandons the staging with
+    // the previous manifest untouched
+    val checks = manifest.collect {
+      case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
+    }
+    if (checks.nonEmpty && writtenParts.nonEmpty) {
+      val staged = spark.read.parquet(
+        writtenParts.map(v => s"$tablePath/$batchDirName/__part=$v").toSeq: _*)
+      val bad = violationCounts(staged, checks)
+      if (bad.nonEmpty) {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$tablePath/$batchDirName"))
+        throw new CheckViolationException(bad, checks)
+      }
+    }
 
     if (crashBeforeCommit) return false
 

@@ -437,6 +437,9 @@ object Upsert {
                   predicate: org.apache.spark.sql.Column,
                   committer: SnapshotCommitter = AtomicRenameCommitter): DeleteStats = {
     val manifest = committer.readManifest(tablePath)
+    // a table whose rows have all been deleted has no data entries left —
+    // DELETE on it is a no-op, not an error
+    if (!dataEntries(manifest).exists(_ => true)) return DeleteStats(Nil, 0L)
     val table = readTable(spark, tablePath, committer)
     val touched = table.filter(predicate)
       .select(col(partCol).cast("string")).distinct()
@@ -476,6 +479,7 @@ object Upsert {
       s"cannot assign the partition column $partCol — a partition-moving " +
         "update is a delete + upsert, not an in-place rewrite")
     val manifest = committer.readManifest(tablePath)
+    if (!dataEntries(manifest).exists(_ => true)) return UpdateStats(Nil, 0L)
     val table = readTable(spark, tablePath, committer)
     set.keys.foreach(c => require(table.columns.contains(c),
       s"UPDATE target column $c does not exist"))

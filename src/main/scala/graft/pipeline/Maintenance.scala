@@ -128,17 +128,33 @@ object Maintenance {
         stats.map(_.nFiles.toLong).sum, 0L, committed = false)
 
     val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
-    val rewritten = selected.zipWithIndex.map { case (p, i) =>
-      // dir name is index-unique and path-safe regardless of the key's
-      // characters ('=' excluded so nothing ever hive-parses it)
-      val sub = s"cpt$i-${p.key.replaceAll("[^A-Za-z0-9._-]", "_")}"
-      val dest = s"$tablePath/$batchDirName/$sub"
-      val df = spark.read.parquet(s"$tablePath/${p.rel}")
-      val n = targetFiles(p.bytes, targetFileBytes)
-      if (zorderCols.nonEmpty) Layout.zorderWrite(df, dest, zorderCols, n)
-      else df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(dest)
-      (p, s"$batchDirName/$sub")
-    }
+    // partitions compact independently — submit their rewrite jobs
+    // CONCURRENTLY (bounded driver pool; the cluster parallelizes within
+    // each job) so a long tail of small-file partitions doesn't serialize
+    // on job-submission latency. Each job writes its own immutable dest
+    // dir, so concurrency changes nothing about the result or the commit.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, selected.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rewritten = try {
+      val fs = selected.zipWithIndex.map { case (p, i) =>
+        scala.concurrent.Future {
+          // dir name is index-unique and path-safe regardless of the key's
+          // characters ('=' excluded so nothing ever hive-parses it)
+          val sub = s"cpt$i-${p.key.replaceAll("[^A-Za-z0-9._-]", "_")}"
+          val dest = s"$tablePath/$batchDirName/$sub"
+          val df = spark.read.parquet(s"$tablePath/${p.rel}")
+          val n = targetFiles(p.bytes, targetFileBytes)
+          if (zorderCols.nonEmpty) Layout.zorderWrite(df, dest, zorderCols, n)
+          else df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(dest)
+          (p, s"$batchDirName/$sub")
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     val afterSelected = rewritten.map { case (_, rel) =>
       dataFiles(s"$tablePath/$rel").length.toLong
     }.sum

@@ -123,6 +123,16 @@ class PcaSpec extends AnyFunSuite {
     assert(vsExact >= 0.3, s"mean recall@5 $vsExact below the bottleneck floor")
   }
 
+  test("sf0.1 gate: reduced-space IVF pruning loss stays at the floor") {
+    val corpusBig = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val ivfPca = topkPairs(Pca.ivfPcaTopK(spark, corpusBig, SparkEntry.PcaFixture))
+    val bruteReduced = topkPairs(Pca.annPcaTopK(spark, corpusBig, SparkEntry.PcaFixture))
+    val vsReduced = meanRecall(ivfPca, bruteReduced)
+    info(s"sf0.1 ivf-pca recall@5 vs brute-reduced = $vsReduced")
+    assert(vsReduced >= 0.9, s"IVF pruning loss at sf0.1: recall $vsReduced")
+  }
+
   test("persisted reduced-space IVF index answers identically to the inline path, reading only probed buckets") {
     val path = java.nio.file.Files.createTempDirectory("graft-ivfpca").toString
     Pca.buildIvfIndexPca(corpus, path, SparkEntry.PcaFixture)

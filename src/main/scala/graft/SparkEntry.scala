@@ -943,6 +943,35 @@ object SparkEntry {
       require(stats.updatedRows > 0, "update demo must update something")
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // MANIFEST ZONE MAPS: the fact committed day-partitioned with
+    // per-partition ts_us ranges; the week-window read prunes by the
+    // committed stats BEFORE any listing, then applies the exact
+    // predicate. The oracle recomputes the window from `events` directly,
+    // so a zone map that wrongly SKIPS a partition (the dangerous failure
+    // — the exact filter can't restore rows never read) hash-mismatches;
+    // the superset/never-wrongly-skip mechanics are pinned in ZoneMapSpec.
+    "table_zone_pruned" -> ((s, d) => {
+      val out = cachedTempDir("graft_zm_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      pipeline.Upsert.enableRangeStats(out, Seq("ts_us"), c)
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        date_format(col("ts"), "yyyyMMdd").as("day"))
+      val days = state.select("day").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "day", days,
+        committer = c)
+      val lo = state.agg(min(col("ts_us"))).head().getLong(0)
+      val hi = lo + 7L * 86400L * 1000000L
+      val m = c.readManifest(out)
+      require(pipeline.Upsert.rangePrunedEntries(m, "ts_us", lo.toDouble, hi.toDouble).size
+        < days.size, "the week window must actually prune day partitions")
+      pipeline.Upsert.readTableRangePruned(s, out, "ts_us", lo.toDouble,
+          hi.toDouble, c)
+        .filter(col("ts_us").between(lo, hi))
+    }),
     // SCHEMA EVOLUTION across a mixed-version history: v1 commits buckets
     // 0-3 of the deduped fact under the original schema, v2 commits
     // buckets 4-7 WITH an added nullable column — so the CURRENT table is
@@ -1896,6 +1925,12 @@ object SparkEntry {
     // rows — mirrored with the explicit IS NULL arm)
     "table_delete_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
+    // the first committed week of the deduped fact — a wrongful zone-map
+    // skip loses rows the exact filter cannot restore
+    "table_zone_pruned" ->
+      (s"$FactCte, w AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo FROM fact) " +
+        "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, strftime(CAST(ts AS DATE), '%Y%m%d') AS day " +
+        "FROM fact, w WHERE epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN w.lo AND w.lo + 604800000000"),
     // the CASE-mapped fact state: updated class zeroed, everything else
     // identical
     "table_update_where" ->

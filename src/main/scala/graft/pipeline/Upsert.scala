@@ -411,6 +411,103 @@ object Upsert {
         counts.toSeq.sorted.map { case (n, c) => s"$n (${checks(n)}): $c rows" }
           .mkString("; "))
 
+  // ---- manifest-level ZONE MAPS: per-partition [min,max] column ranges
+  // riding the commit as `__range.<partition>` metadata, recorded for the
+  // columns named by `__rangeCols`. Pruning ABOVE the file listing — the
+  // Delta/Iceberg file-stats idea lifted to the manifest: parquet footers
+  // already skip row groups once a file is OPENED, but at a 50k-file table
+  // the manifest read replaces listing-and-opening every footer whose
+  // partition cannot match. Stats are recomputed whenever a partition is
+  // rewritten (upsert / replace / delete / update all stage through the
+  // same path); compaction preserves content, so its entries stay valid
+  // verbatim. Numeric/timestamp columns, compared as double.
+
+  private val RangeColsKey = "__rangeCols"
+  private val RangeKeyPrefix = "__range."
+
+  /** Enable zone maps for `cols` on this table: every LATER
+    * partition-staging commit records each written partition's ranges
+    * (one aggregate over the staged bytes); partitions written before
+    * enabling gain stats when next rewritten (absent stats = read, never
+    * wrongly skipped).
+    */
+  def enableRangeStats(tablePath: String, cols: Seq[String],
+                       committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    require(cols.nonEmpty && cols.forall(c => !c.contains(",") && !c.contains("\t")),
+      "invalid stats column list")
+    val manifest = committer.readManifest(tablePath)
+    committer.commit(tablePath, manifest + (RangeColsKey -> cols.mkString(",")))
+  }
+
+  private def rangeStatsCols(manifest: Map[String, String]): Seq[String] =
+    manifest.get(RangeColsKey).map(_.split(",").toSeq).getOrElse(Nil)
+
+  /** Committed [min,max] of `column` in `partition`, if recorded (None =
+    * no stats, or an all-null column — both mean "cannot prune").
+    */
+  private[graft] def rangeOf(manifest: Map[String, String], partition: String,
+                                column: String): Option[(Double, Double)] =
+    manifest.get(s"$RangeKeyPrefix$partition").flatMap { json =>
+      val re = ("\"" + java.util.regex.Pattern.quote(column) +
+        "\":\\[([-0-9.eE]+),([-0-9.eE]+)\\]").r
+      re.findFirstMatchIn(json).map(m => (m.group(1).toDouble, m.group(2).toDouble))
+    }
+
+  /** Data entries surviving range pruning on `column` ∩ [lo, hi]:
+    * a partition is skipped only when its committed range PROVES no row
+    * can match; missing stats keep it (pruning is a superset).
+    */
+  private[graft] def rangePrunedEntries(manifest: Map[String, String],
+                                           column: String, lo: Double,
+                                           hi: Double): Map[String, String] =
+    dataEntries(manifest).filter { case (p, _) =>
+      rangeOf(manifest, p, column).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+
+  /** Range-pruned read: partitions whose committed zone map cannot
+    * intersect [lo, hi] on `column` are skipped without being listed or
+    * opened. The result is a SUPERSET of the matching rows — callers
+    * still apply their exact predicate (same contract as any zone map).
+    */
+  def readTableRangePruned(spark: SparkSession, tablePath: String,
+                           column: String, lo: Double, hi: Double,
+                           committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
+    val manifest = committer.readManifest(tablePath)
+    require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+    val kept = rangePrunedEntries(manifest, column, lo, hi)
+    if (kept.isEmpty) {
+      val schema = committedSchema(manifest).getOrElse(
+        spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readBound(spark, manifest, kept.values.map(rel => s"$tablePath/$rel").toSeq)
+  }
+
+  /** Per-written-partition `__range.<p>` entries over the staged dirs
+    * (one union-read + one grouped aggregate; empty when stats are not
+    * enabled). min/max serialized as JSON doubles; an all-null column
+    * serializes as null and never prunes.
+    */
+  private def stagedRangeEntries(spark: SparkSession, manifest: Map[String, String],
+                                 batchDir: String, writtenParts: Set[String],
+                                 dataCols: Seq[String]): Map[String, String] = {
+    val cols0 = rangeStatsCols(manifest).filter(dataCols.contains)
+    if (cols0.isEmpty || writtenParts.isEmpty) return Map.empty
+    val staged = writtenParts.toSeq.sorted.map { p =>
+      spark.read.parquet(s"$batchDir/__part=$p").withColumn("__part", lit(p))
+    }.reduce(_ unionByName _)
+    val aggs = cols0.flatMap(c => Seq(
+      min(col(c).cast("double")), max(col(c).cast("double"))))
+    staged.groupBy(col("__part")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val body = cols0.zipWithIndex.map { case (c, i) =>
+          val mn = r.get(1 + 2 * i); val mx = r.get(2 + 2 * i)
+          if (mn == null || mx == null) s""""$c":null"""
+          else s""""$c":[$mn,$mx]"""
+        }.mkString("{", ",", "}")
+        s"$RangeKeyPrefix${r.getString(0)}" -> body
+      }.toMap
+  }
+
   case class DeleteStats(touchedPartitions: Seq[String], deletedRows: Long)
 
   /** Row-level `DELETE ... WHERE` over a manifest table — copy-on-write at
@@ -637,11 +734,16 @@ object Upsert {
 
     if (crashBeforeCommit) return false
 
+    // zone-map entries for the rewritten partitions (empty unless enabled)
+    val ranges = stagedRangeEntries(spark, manifest,
+      s"$tablePath/$batchDirName", writtenParts, data.columns.toSeq)
+
     // replaced partitions re-point to the new batch dir (one with no rows
-    // left drops out); untouched partitions keep their entries; then
-    // release superseded data one cycle late
-    val newManifest = (manifest -- parts) ++
-      writtenParts.map(v => v -> s"$batchDirName/__part=$v") +
+    // left drops out, and its stale zone map goes with it); untouched
+    // partitions keep their entries; then release superseded data one
+    // cycle late
+    val newManifest = (manifest -- parts -- parts.map(p => s"$RangeKeyPrefix$p")) ++
+      writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges +
       (SchemaKey -> data.schema.json) // the schema rides the same flip
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++

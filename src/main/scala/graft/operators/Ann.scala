@@ -369,6 +369,32 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** ADMIT a batch into a persisted IVF index — the index lifecycle's
+    * other half (the [[graft.operators.DedupIndex.appendToIndex]] shape
+    * for vectors): new vectors are assigned with the index's OWN committed
+    * quantizer (including its recorded spill factor — an append must not
+    * change the replication discipline queries assume) and their postings
+    * APPEND into the existing bucket-partitioned layout. Per-batch cost is
+    * one narrow assignment pass + one append write, O(batch), never a
+    * rebuild; the quantizer is deliberately NOT retrained — production
+    * IVF re-trains on a schedule, not per admission, so recall on drifted
+    * data is a re-index decision, not a side effect.
+    */
+  def appendToIvfIndex(embeddings: DataFrame, path: String): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centTable = spark.read.parquet(s"$path/centroids")
+    val centRows =
+      (if (centTable.columns.contains("spill")) centTable
+       else centTable.withColumn("spill", lit(1)))
+        .select("c_id", "c_emb", "spill")
+        .as[(Long, Seq[Double], Int)].collect().sortBy(_._1)
+    val cents = centRows.map { case (id, e, _) => (id, e.toArray) }
+    val spill = centRows.headOption.map(_._3).getOrElse(1)
+    assignBucketsSpill(emb(embeddings), cents, spill)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
   /** Query a persisted IVF index. `queries` carries `(vec_id, embedding)`;
     * same output schema as [[bruteTopK]]. The postings scan is filtered to
     * the probed bucket ids — a partition-column `IN` list, so unprobed

@@ -130,6 +130,30 @@ class AnnSpec extends AnyFunSuite {
       s"codes scan must prune on the bucket partition column:\n$scan")
   }
 
+  test("appending a batch to the persisted IVF index answers like an index built on the union") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)   // 3/4 indexed up front
+    val batch = emb.filter(col("vec_id") % 4 === 0)  // the admitted delta
+    val incPath = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    Ann.buildIvfIndex(base, incPath)
+    Ann.appendToIvfIndex(batch, incPath)
+    // reference: the same quantizer TRAINING INPUT matters — rebuild the
+    // full index from base's training (same seeds, same corpus) would
+    // retrain on base only; instead compare answers: the appended index
+    // must rank the union exactly as an index whose postings are the union
+    // under the SAME centroids
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromAppended = Ann.ivfTopKFromIndex(spark, incPath, queries, k = 5)
+    import spark.implicits._
+    val cents = Ann.loadCentroids(spark, incPath)
+    val inlineUnion = Ann.ivfTopKWithCentroids(emb, cents, 10, 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rk"))).toSet
+    assert(rows(fromAppended) == rows(inlineUnion),
+      "append must be invisible to queries vs assigning the union inline")
+  }
+
   test("Lloyd refinement keeps recall at the production floor (vs ++-init alone)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -951,26 +951,23 @@ object SparkEntry {
     // — the exact filter can't restore rows never read) hash-mismatches;
     // the superset/never-wrongly-skip mechanics are pinned in ZoneMapSpec.
     "table_zone_pruned" -> ((s, d) => {
-      val out = cachedTempDir("graft_zm_")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
-      val c = new graft.streaming.VersionedCommitter
-      pipeline.Upsert.enableRangeStats(out, Seq("ts_us"), c)
-      val state = fact(s, d).select(
-        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
-        round(col("value") * 100).cast("long").as("value_cents"),
-        date_format(col("ts"), "yyyyMMdd").as("day"))
-      val days = state.select("day").distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "day", days,
-        committer = c)
-      val lo = state.agg(min(col("ts_us"))).head().getLong(0)
-      val hi = lo + 7L * 86400L * 1000000L
-      val m = c.readManifest(out)
-      require(pipeline.Upsert.rangePrunedEntries(m, "ts_us", lo.toDouble, hi.toDouble).size
-        < days.size, "the week window must actually prune day partitions")
+      val (out, c, lo, hi) = zoneDemo(s, d)
       pipeline.Upsert.readTableRangePruned(s, out, "ts_us", lo.toDouble,
           hi.toDouble, c)
         .filter(col("ts_us").between(lo, hi))
+    }),
+    // the DECLARATIVE form of the same read: a plain .filter over the
+    // ManifestFileIndex relation — Catalyst pushes the range predicate
+    // into the custom FileIndex, which consults the committed zone maps
+    // during scan planning and never lists the skipped day partitions
+    // (numFiles-metric-asserted in ManifestIndexSpec). Same oracle as the
+    // explicit form: identical rows, pruning invisible to results.
+    "table_zone_pruned_auto" -> ((s, d) => {
+      val (out, c, lo, hi) = zoneDemo(s, d)
+      sources.ManifestTable.readTableIndexed(s, out, c)
+        .filter(col("ts_us").between(lo, hi))
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("value_cents"), col("day"))
     }),
     // SCHEMA EVOLUTION across a mixed-version history: v1 commits buckets
     // 0-3 of the deduped fact under the original schema, v2 commits
@@ -1048,6 +1045,37 @@ object SparkEntry {
     versionedDemoCache.computeIfAbsent((s, d), _ => {
       val out = cachedTempDir("graft_tt_")
       (out, buildVersionedDemo(s, d, out))
+    })
+
+  /** Process-level memo for the zone-map demo table (the deduped fact
+    * committed day-partitioned with ts_us range stats): built once per
+    * (session, dir) — it is immutable after build, and BOTH zone-pruning
+    * queries (explicit + declarative) read the same committed state.
+    * Returns (path, committer, window lo µs, window hi µs).
+    */
+  private val zoneDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, graft.streaming.VersionedCommitter, Long, Long)]
+
+  private def zoneDemo(s: SparkSession, d: String): (String, graft.streaming.VersionedCommitter, Long, Long) =
+    zoneDemoCache.computeIfAbsent((s, d), _ => {
+      val out = cachedTempDir("graft_zm_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      pipeline.Upsert.enableRangeStats(out, Seq("ts_us"), c)
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        date_format(col("ts"), "yyyyMMdd").as("day"))
+      val days = state.select("day").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "day", days,
+        committer = c)
+      val lo = state.agg(min(col("ts_us"))).head().getLong(0)
+      val hi = lo + 7L * 86400L * 1000000L
+      require(pipeline.Upsert.rangePrunedEntries(c.readManifest(out), "ts_us",
+          lo.toDouble, hi.toDouble).size < days.size,
+        "the week window must actually prune day partitions")
+      (out, c, lo, hi)
     })
 
   /** The versioned demo table behind `table_time_travel`/`table_changes`:
@@ -1925,6 +1953,12 @@ object SparkEntry {
     // rows — mirrored with the explicit IS NULL arm)
     "table_delete_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
+    // the declarative (pushed-filter FileIndex) read must answer exactly
+    // like the explicit pruned read — same recomputed week window
+    "table_zone_pruned_auto" ->
+      (s"$FactCte, w AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo FROM fact) " +
+        "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, strftime(CAST(ts AS DATE), '%Y%m%d') AS day " +
+        "FROM fact, w WHERE epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN w.lo AND w.lo + 604800000000"),
     // the first committed week of the deduped fact — a wrongful zone-map
     // skip loses rows the exact filter cannot restore
     "table_zone_pruned" ->

@@ -271,7 +271,7 @@ object Upsert {
     val touched = touchedPartitionsOf(
       changes.drop("change_type"), partCol, keys)
     val manifest = committer.readManifest(tablePath)
-    val existingPaths = touched.flatMap(manifest.get)
+    val existingPaths = touched.flatMap(t => manifest.get(partKey(t)))
       .map(rel => s"$tablePath/$rel")
     val existing =
       if (existingPaths.nonEmpty)
@@ -306,6 +306,22 @@ object Upsert {
     manifest.get(SchemaKey).map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The one schema-metadata contract, shared with the declarative read
+    * path ([[graft.sources.ManifestFileIndex]]) so key name and encoding
+    * can never desynchronize between writer and reader.
+    */
+  private[graft] def committedSchemaOf(manifest: Map[String, String]): Option[org.apache.spark.sql.types.StructType] =
+    committedSchema(manifest)
+
+  /** Manifest partition KEY for a raw partition value — the key must match
+    * the staged directory name, which `partitionBy` writes Hive-ESCAPED
+    * (':', '%', ' ', '#', … encoded). Every lookup from a raw value goes
+    * through this; forgetting it would make a delete/upsert of a
+    * special-character partition a silent no-op against an escaped key.
+    */
+  private def partKey(raw: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(raw)
 
   /** Add-only evolution contract: every committed column must survive with
     * its type (a drop or type change would make old data unreadable under
@@ -542,7 +558,7 @@ object Upsert {
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return DeleteStats(Nil, 0L)
-    val touchedPaths = touched.flatMap(manifest.get)
+    val touchedPaths = touched.flatMap(t => manifest.get(partKey(t)))
       .map(rel => s"$tablePath/$rel")
     val scoped = readBound(spark, manifest, touchedPaths)
     val deleted = scoped.filter(predicate).count()
@@ -584,7 +600,7 @@ object Upsert {
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return UpdateStats(Nil, 0L)
-    val touchedPaths = touched.flatMap(manifest.get)
+    val touchedPaths = touched.flatMap(t => manifest.get(partKey(t)))
       .map(rel => s"$tablePath/$rel")
     val scoped = readBound(spark, manifest, touchedPaths)
     val updated = scoped.filter(predicate).count()
@@ -634,6 +650,10 @@ object Upsert {
     committer.commit(tablePath,
       Map("all" -> rel, SchemaKey -> data.schema.json) ++
         checks.map { case (n, e) => s"$CheckPrefix$n" -> e } ++
+        // the stats declaration survives a whole-table overwrite like the
+        // checks do (per-partition __range entries don't apply to the
+        // single "all" snapshot and are rebuilt by later partition commits)
+        manifest.get(RangeColsKey).map(RangeColsKey -> _) ++
         meta.map { case (k, v) => s"__$k" -> v })
     SnapshotGc.gcUnreferenced(tablePath,
       dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath))
@@ -658,7 +678,7 @@ object Upsert {
 
     // manifest-level pruning: only the touched partitions' committed
     // paths are listed/read — I/O is O(delta partitions), not O(table)
-    val existingPaths = touched.flatMap(manifest.get)
+    val existingPaths = touched.flatMap(t => manifest.get(partKey(t)))
       .map(rel => s"$tablePath/$rel")
     val existing =
       if (existingPaths.nonEmpty)
@@ -697,6 +717,9 @@ object Upsert {
       spark: SparkSession, data: DataFrame, tablePath: String,
       partCol: String, parts: Seq[String], crashBeforeCommit: Boolean,
       committer: SnapshotCommitter): Boolean = {
+    // normalize RAW partition values to manifest keys up front: staged dir
+    // names (and therefore every committed key) are Hive-escaped
+    val partsEsc = parts.map(partKey)
     val manifest = committer.readManifest(tablePath)
     // the add-only evolution gate: a commit may widen the committed schema
     // but never drop or retype a column old data dirs still carry
@@ -712,8 +735,8 @@ object Upsert {
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("__part="))
       .map(_.getName.stripPrefix("__part=")).toSet
-    require(writtenParts.subsetOf(parts.toSet),
-      s"data carries partitions outside the replace set: ${writtenParts -- parts.toSet}")
+    require(writtenParts.subsetOf(partsEsc.toSet),
+      s"data carries partitions outside the replace set: ${writtenParts -- partsEsc.toSet}")
 
     // CHECK enforcement against the STAGED bytes (what would become
     // visible), before the flip; a violation abandons the staging with
@@ -742,7 +765,7 @@ object Upsert {
     // left drops out, and its stale zone map goes with it); untouched
     // partitions keep their entries; then release superseded data one
     // cycle late
-    val newManifest = (manifest -- parts -- parts.map(p => s"$RangeKeyPrefix$p")) ++
+    val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")) ++
       writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges +
       (SchemaKey -> data.schema.json) // the schema rides the same flip
     committer.commit(tablePath, newManifest)

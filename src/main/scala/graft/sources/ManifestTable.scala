@@ -24,11 +24,11 @@ import graft.streaming.{AtomicRenameCommitter, SnapshotCommitter}
   * consult table metadata; this engine's tables speak DataSourceV1's
   * `FileIndex`, the seam the parquet relation already planned through).
   *
-  * Conservative by construction: only single-column comparisons against
-  * foldable numeric literals prune (Cast-wrapped attributes unwrapped,
-  * conjunctions split); anything else — and any partition without
-  * recorded stats — keeps the partition. Pruning never changes results,
-  * only which dirs get listed.
+  * Conservative by construction: only BARE-column comparisons against
+  * foldable numeric literals prune (conjunctions split; cast-wrapped
+  * attributes refused — see [[ManifestTable.boundOf]]); anything else —
+  * and any partition without recorded stats — keeps the partition.
+  * Pruning never changes results, only which dirs get listed.
   */
 object ManifestTable {
 
@@ -51,14 +51,20 @@ object ManifestTable {
   }
 
   /** Allowed interval [lo, hi] a single comparison conjunct imposes on a
-    * named column, if it is of the prunable shape. Equality pins a point;
-    * strict bounds are treated inclusively (safe: pruning may only ever
-    * KEEP more).
+    * named column, if it is of the prunable shape — a BARE attribute
+    * compared to a foldable numeric literal, in either operand order.
+    * Cast-wrapped attributes deliberately do NOT prune: a truncating or
+    * narrowing cast (`col("x").cast("long") <= 5`) changes the value the
+    * predicate sees, so comparing the RAW column's zone map against the
+    * literal could skip a partition that holds matching rows — the one
+    * failure direction zone maps must never have. (Literal-side casts are
+    * fine: the literal is evaluated through its cast.) Equality pins a
+    * point; strict bounds are treated inclusively (safe: pruning may only
+    * ever KEEP more).
     */
-  private[sources] def boundOf(e: Expression): Option[(String, Double, Double)] = {
+  private[graft] def boundOf(e: Expression): Option[(String, Double, Double)] = {
     def attrName(x: Expression): Option[String] = x match {
       case a: Attribute => Some(a.name)
-      case Cast(a: Attribute, _, _, _) => Some(a.name)
       case _ => None
     }
     def litVal(x: Expression): Option[Double] = x match {
@@ -68,17 +74,27 @@ object ManifestTable {
       case Cast(l: Literal, t, _, _) if l.value != null => litValCast(l, t)
       case _ => None
     }
+    // (attr-bound for attr-first form, attr-bound for literal-first form)
+    def sided(a: Expression, v: Expression,
+              attrFirst: Double => (Double, Double),
+              litFirst: Double => (Double, Double)): Option[(String, Double, Double)] =
+      (attrName(a), litVal(v)) match {
+        case (Some(n), Some(x)) => val (lo, hi) = attrFirst(x); Some((n, lo, hi))
+        case _ => (attrName(v), litVal(a)) match {
+          case (Some(n), Some(x)) => val (lo, hi) = litFirst(x); Some((n, lo, hi))
+          case _ => None
+        }
+      }
     e match {
-      case GreaterThanOrEqual(a, v) => for (n <- attrName(a); x <- litVal(v)) yield (n, x, Double.MaxValue)
-      case GreaterThan(a, v)        => for (n <- attrName(a); x <- litVal(v)) yield (n, x, Double.MaxValue)
-      case LessThanOrEqual(a, v)    => for (n <- attrName(a); x <- litVal(v)) yield (n, Double.MinValue, x)
-      case LessThan(a, v)           => for (n <- attrName(a); x <- litVal(v)) yield (n, Double.MinValue, x)
-      case EqualTo(a, v)            => for (n <- attrName(a); x <- litVal(v)) yield (n, x, x)
-      // flipped literal-first forms
-      case GreaterThanOrEqual(v, a) if attrName(a).isDefined => for (n <- attrName(a); x <- litVal(v)) yield (n, Double.MinValue, x)
-      case GreaterThan(v, a) if attrName(a).isDefined        => for (n <- attrName(a); x <- litVal(v)) yield (n, Double.MinValue, x)
-      case LessThanOrEqual(v, a) if attrName(a).isDefined    => for (n <- attrName(a); x <- litVal(v)) yield (n, x, Double.MaxValue)
-      case LessThan(v, a) if attrName(a).isDefined           => for (n <- attrName(a); x <- litVal(v)) yield (n, x, Double.MaxValue)
+      case GreaterThanOrEqual(a, v) =>
+        sided(a, v, x => (x, Double.MaxValue), x => (Double.MinValue, x))
+      case GreaterThan(a, v) =>
+        sided(a, v, x => (x, Double.MaxValue), x => (Double.MinValue, x))
+      case LessThanOrEqual(a, v) =>
+        sided(a, v, x => (Double.MinValue, x), x => (x, Double.MaxValue))
+      case LessThan(a, v) =>
+        sided(a, v, x => (Double.MinValue, x), x => (x, Double.MaxValue))
+      case EqualTo(a, v) => sided(a, v, x => (x, x), x => (x, x))
       case _ => None
     }
   }
@@ -87,7 +103,7 @@ object ManifestTable {
     try Option(Cast(l, t).eval(null)).map(_.toString.toDouble)
     catch { case _: Throwable => None }
 
-  private[sources] def splitConjuncts(e: Expression): Seq[Expression] = e match {
+  private[graft] def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other     => Seq(other)
   }
@@ -106,12 +122,27 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     manifest.filterNot(_._1.startsWith("__"))
   require(entries.nonEmpty, s"no committed table at $tablePath")
 
+  // one schema-metadata contract: the write path's helper, not a re-parse
   private[sources] def committedSchema: Option[StructType] =
-    manifest.get("__schema").map(j =>
-      DataType.fromJson(j).asInstanceOf[StructType])
+    graft.pipeline.Upsert.committedSchemaOf(manifest)
 
   private[sources] def dataPaths: Seq[String] =
     entries.values.map(rel => s"$tablePath/$rel").toSeq
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith(".") && !name.startsWith("_")
+
+  // the manifest snapshot is immutable for this index's lifetime, so the
+  // full listing (planning statistics + inputFiles) happens ONCE — the
+  // per-query path is listFiles, which lists only surviving partitions
+  private lazy val allFiles: Array[org.apache.hadoop.fs.FileStatus] = {
+    val fs = new Path(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    dataPaths.flatMap { d =>
+      fs.listStatus(new Path(d)).filter(st =>
+        st.isFile && isDataFile(st.getPath.getName))
+    }.toArray
+  }
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
 
@@ -131,29 +162,15 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
       .getFileSystem(spark.sessionState.newHadoopConf())
     kept.toSeq.sortBy(_._1).map { case (_, rel) =>
       val dir = new Path(s"$tablePath/$rel")
-      val files = fs.listStatus(dir).filter { st =>
-        st.isFile && !st.getPath.getName.startsWith(".") &&
-          !st.getPath.getName.startsWith("_")
-      }
+      val files = fs.listStatus(dir).filter(st =>
+        st.isFile && isDataFile(st.getPath.getName))
       PartitionDirectory(InternalRow.empty, files)
     }
   }
 
-  override def inputFiles: Array[String] = {
-    val fs = new Path(tablePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    dataPaths.flatMap { d =>
-      fs.listStatus(new Path(d)).filter(_.isFile).map(_.getPath.toString)
-    }.toArray
-  }
+  override def inputFiles: Array[String] = allFiles.map(_.getPath.toString)
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = {
-    val fs = new Path(tablePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    dataPaths.map { d =>
-      fs.listStatus(new Path(d)).filter(_.isFile).map(_.getLen).sum
-    }.sum
-  }
+  override def sizeInBytes: Long = allFiles.map(_.getLen).sum
 }

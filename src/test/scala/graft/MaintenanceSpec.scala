@@ -175,6 +175,34 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition column"))
   }
 
+  test("partition values with Hive-escaped characters round-trip through surgery and upserts") {
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("graft-esc").toString + "/t"
+    val c = AtomicRenameCommitter
+    // ':' is Hive-escaped in dir names — the manifest key must be the
+    // ESCAPED form, and every raw-value lookup must normalize to it
+    // (before the partKey fix, surgery on such a partition was a silent
+    // no-op against the escaped key)
+    Upsert.replacePartitionsAtomic(spark,
+      Seq(("a:b", 1L, 1.0, 100L), ("a:b", 2L, 1.0, 600L), ("plain", 3L, 1.0, 100L))
+        .toDF("day", "id", "value", "version"),
+      path, "day", Seq("a:b", "plain"), c)
+    assert(c.readManifest(path).keySet.exists(_.contains("%3A")),
+      "the committed key must be the escaped dir name")
+
+    val s = Upsert.deleteWhere(spark, path, "day", col("version") > 500L, c)
+    assert(s.deletedRows == 1L, "the escaped partition's row must actually delete")
+    assert(rows(Upsert.readTable(spark, path, c)) ==
+      Set(("a:b", 1L, 100L), ("plain", 3L, 100L)))
+
+    Upsert.upsertPartitionsAtomic(spark,
+      Seq(("a:b", 1L, 1.0, 101L)).toDF("day", "id", "value", "version"),
+      path, "day", keys = Seq("id"), order = Seq("version"), committer = c)
+    assert(rows(Upsert.readTable(spark, path, c)) ==
+      Set(("a:b", 1L, 101L), ("plain", 3L, 100L)),
+      "an upsert must MERGE into the escaped partition, not duplicate beside it")
+  }
+
   test("expireVersions retires history on demand and releases its exclusive data") {
     val path = Files.createTempDirectory("graft-exp").toString + "/t"
     val c = new VersionedCommitter(retain = 10)

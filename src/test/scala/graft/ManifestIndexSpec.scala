@@ -71,6 +71,29 @@ class ManifestIndexSpec extends AnyFunSuite {
     assert(scanFiles(eq) == 1L, "equality should pin d3 alone")
   }
 
+  test("literal-first comparisons prune like attribute-first ones") {
+    import org.apache.spark.sql.functions.lit
+    val path = build()
+    val t = ManifestTable.readTableIndexed(spark, path)
+    val q = t.filter(lit(150L) >= col("version") && lit(100L) <= col("version"))
+    assert(q.as[(String, Long, Long)].collect().toSet ==
+      Set(("d2", 3L, 100L), ("d2", 4L, 110L)))
+    assert(scanFiles(q) == 1L, s"flipped operand order must still prune")
+  }
+
+  test("boundOf refuses cast-wrapped attributes (a truncating cast would make pruning lossy)") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val x = AttributeReference("x", DoubleType)()
+    // cast(x as long) <= 5 matches x = 5.2, but the raw zone map [5.2, 5.9]
+    // vs literal 5 would prune the partition — so no bound may be derived
+    assert(ManifestTable.boundOf(
+      LessThanOrEqual(Cast(x, LongType), Literal(5L))).isEmpty)
+    // the bare form still derives its interval
+    assert(ManifestTable.boundOf(
+      LessThanOrEqual(x, Literal(5.0))).contains(("x", Double.MinValue, 5.0)))
+  }
+
   test("stat-less tables read everything and answer correctly") {
     val path = Files.createTempDirectory("graft-mfi").toString + "/t"
     Upsert.replacePartitionsAtomic(spark,

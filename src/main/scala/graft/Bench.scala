@@ -172,7 +172,9 @@ object Bench {
     val failed = results.collect { case (n, rs) if rs.isEmpty => "\"" + n + "\"" }
     // retried = adjudicated at end-of-run; their third runs_total_sec entry
     // is the retry pass. retried_total_sec is the suite total WITH the
-    // adjudicated minima (identical to total_sec when nothing was retried).
+    // adjudicated minima (= total_sec by construction — kept under the
+    // name the adjudication contract specifies); the pre/post pair a
+    // reader should compare is preretry_total_sec vs total_sec.
     val retriedJson = toRetry.map { n =>
       "\"" + n + "\":" + retriedRuns.get(n).map(r => r3(r.totalSec)).getOrElse("null")
     }.mkString("{", ",", "}")

@@ -969,6 +969,33 @@ object SparkEntry {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("value_cents"), col("day"))
     }),
+    // BLOOM-FILTER DATA SKIPPING: the deduped fact committed under
+    // USER-bucket partitioning — every bucket's event_id range spans the
+    // whole key space, so zone maps can never prune a point lookup — with
+    // per-partition bloom sidecars; the max-event_id lookup reads only the
+    // partitions whose filter admits it (pruning engagement required at
+    // build). The oracle recomputes the same lookup from `events`
+    // directly, so a bloom that wrongly skipped the key's home partition
+    // (the one failure direction membership stats must never have)
+    // hash-mismatches; the never-false-negative property, sidecar
+    // lifecycle, and compaction carry-over are pinned in BloomSkipSpec.
+    "table_bloom_pruned" -> ((s, d) => {
+      val (out, c, target) = bloomDemo(s, d)
+      pipeline.Upsert.readTablePointPruned(s, out, "event_id", Seq(target), c)
+        .filter(col("event_id") === target)
+    }),
+    // the DECLARATIVE form: a plain `=` filter over the ManifestFileIndex
+    // relation — Catalyst pushes the equality to the custom FileIndex,
+    // which consults the committed bloom sidecars during scan planning and
+    // never lists the rejected buckets (numFiles-asserted in
+    // BloomSkipSpec). Same oracle as the explicit form.
+    "table_bloom_pruned_auto" -> ((s, d) => {
+      val (out, c, target) = bloomDemo(s, d)
+      sources.ManifestTable.readTableIndexed(s, out, c)
+        .filter(col("event_id") === target)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("value_cents"), col("bucket"))
+    }),
     // SCHEMA EVOLUTION across a mixed-version history: v1 commits buckets
     // 0-3 of the deduped fact under the original schema, v2 commits
     // buckets 4-7 WITH an added nullable column — so the CURRENT table is
@@ -1076,6 +1103,37 @@ object SparkEntry {
           lo.toDouble, hi.toDouble).size < days.size,
         "the week window must actually prune day partitions")
       (out, c, lo, hi)
+    })
+
+  /** Process-level memo for the bloom-skipping demo table: the deduped
+    * fact committed USER-bucket-partitioned with event_id/user_id bloom
+    * sidecars. The partitioning is the adversarial case for zone maps —
+    * event_ids interleave across user buckets, so every partition's
+    * [min,max] covers every lookup — and exactly where the bloom's O(1)
+    * membership proof prunes. Returns (path, committer, target event_id).
+    */
+  private val bloomDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, graft.streaming.VersionedCommitter, Long)]
+
+  private def bloomDemo(s: SparkSession, d: String): (String, graft.streaming.VersionedCommitter, Long) =
+    bloomDemoCache.computeIfAbsent((s, d), _ => {
+      val out = cachedTempDir("graft_bf_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      pipeline.Upsert.enableBloomStats(out, Seq("event_id"),
+        expectedItemsPerPartition = 1L << 18, committer = c)
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("user_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      val target = state.agg(max(col("event_id"))).head().getLong(0)
+      val kept = pipeline.Upsert.bloomPrunedEntries(out,
+        c.readManifest(out), "event_id", Seq(target))
+      require(kept.nonEmpty && kept.size < 8,
+        s"the point lookup must actually prune user buckets (kept ${kept.size})")
+      (out, c, target)
     })
 
   /** The versioned demo table behind `table_time_travel`/`table_changes`:
@@ -1969,6 +2027,18 @@ object SparkEntry {
     // identical
     "table_update_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact",
+    // the max-event_id point lookup recomputed from `events` directly — a
+    // bloom that wrongly skipped the key's home bucket loses the row
+    "table_bloom_pruned" ->
+      (s"$FactCte, t AS (SELECT max(event_id) AS tid FROM fact) " +
+        "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, user_id % 8 AS bucket " +
+        "FROM fact, t WHERE event_id = t.tid"),
+    // the declarative (pushed-equality FileIndex) read must answer exactly
+    // like the explicit pruned read
+    "table_bloom_pruned_auto" ->
+      (s"$FactCte, t AS (SELECT max(event_id) AS tid FROM fact) " +
+        "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, user_id % 8 AS bucket " +
+        "FROM fact, t WHERE event_id = t.tid"),
     // mixed-version read under the evolved schema: pre-evolution rows
     // (buckets 0-3, committed before the column existed) carry NULL
     "table_schema_evolution" ->

@@ -148,6 +148,16 @@ object Maintenance {
           val n = targetFiles(p.bytes, targetFileBytes)
           if (zorderCols.nonEmpty) Layout.zorderWrite(df, dest, zorderCols, n)
           else df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(dest)
+          // compaction preserves content, so the source dir's bloom
+          // sidecars stay valid verbatim — carry them into the new dir
+          // (they'd otherwise die with the superseded dir at GC, and the
+          // partition would silently lose its point-lookup skipping)
+          Option(new java.io.File(s"$tablePath/${p.rel}").listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isFile && f.getName.startsWith("_bloom_") &&
+              f.getName.endsWith(".bin"))
+            .foreach(f => org.apache.commons.io.FileUtils
+              .copyFileToDirectory(f, new java.io.File(dest)))
           (p, s"$batchDirName/$sub")
         }
       }

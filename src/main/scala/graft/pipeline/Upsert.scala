@@ -524,6 +524,205 @@ object Upsert {
       }.toMap
   }
 
+  // ---- manifest-level BLOOM FILTERS: per-partition membership sidecars
+  // for point lookups on HIGH-CARDINALITY columns — the skipping zone maps
+  // cannot give. A hash-distributed key (event_id under bucket = user_id%8,
+  // a document digest, a join key) spans [global min, global max] in EVERY
+  // partition, so its range stats never prune; a per-partition bloom
+  // answers "is value v possibly here" in O(1) with no I/O beyond the
+  // sidecar. Same one-sided contract as zone maps: "no" is definite
+  // (skip), "yes" is a maybe (read + exact filter). Sidecars live INSIDE
+  // the committed data dir (`<dir>/_bloom_<col>.bin`): underscore-prefixed
+  // files are invisible to every parquet scan, and the sidecar's lifetime
+  // is exactly its data's — the staging GC, versioned retention, and
+  // atomic flips all apply unchanged, with no manifest bloat (the manifest
+  // carries only the 3-entry declaration). Spark's own
+  // `org.apache.spark.util.sketch.BloomFilter` supplies the bit array
+  // (stable serialized form, mergeable across tasks).
+
+  private val BloomColsKey = "__bloomCols"
+  private val BloomItemsKey = "__bloomItems"
+  private val BloomFppKey = "__bloomFpp"
+
+  /** Enable bloom sidecars for `cols` (integral or string columns): every
+    * LATER partition-staging commit writes each rewritten partition's
+    * filters alongside its data; partitions committed before enabling
+    * gain sidecars when next rewritten (absent sidecar = read, never
+    * wrongly skipped). `expectedItemsPerPartition` sizes every filter
+    * identically (~1.2 bytes/item at fpp 0.01), which is what keeps
+    * task-local partial filters mergeable.
+    */
+  def enableBloomStats(tablePath: String, cols: Seq[String],
+                       expectedItemsPerPartition: Long = 1L << 20,
+                       fpp: Double = 0.01,
+                       committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    require(cols.nonEmpty && cols.forall(c => !c.contains(",") && !c.contains("\t")),
+      "invalid bloom column list")
+    require(expectedItemsPerPartition > 0 && fpp > 0 && fpp < 1,
+      "invalid bloom sizing")
+    val manifest = committer.readManifest(tablePath)
+    committedSchema(manifest).foreach { sch =>
+      cols.foreach { c =>
+        val f = sch.fields.find(_.name == c)
+        require(f.isDefined, s"bloom column $c is not in the committed schema")
+        require(bloomSupported(f.get.dataType),
+          s"bloom stats cover integral and string columns; $c is ${f.get.dataType}")
+      }
+    }
+    committer.commit(tablePath, manifest +
+      (BloomColsKey -> cols.mkString(",")) +
+      (BloomItemsKey -> expectedItemsPerPartition.toString) +
+      (BloomFppKey -> fpp.toString))
+  }
+
+  private def bloomSupported(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  private[graft] def bloomStatsCols(manifest: Map[String, String]): Seq[String] =
+    manifest.get(BloomColsKey).map(_.split(",").toSeq).getOrElse(Nil)
+
+  /** One distributed pass over the staged batch building every
+    * (partition × column) filter: integral values hash as their long
+    * value, strings as their UTF-8 bytes (`putString`), nulls are not
+    * recorded (an equality lookup is never null-matching). Task-local
+    * partial filters merge associatively (identical sizing by
+    * construction), so the aggregate is map-side combining like any sum.
+    * Driver state is O(touched partitions × cols × filter bytes) —
+    * bounded by the batch, not the table. Sidecars land in the staged
+    * partition dirs BEFORE the manifest flip, so a committed dir always
+    * carries its stats from birth.
+    */
+  private def writeStagedBloomSidecars(spark: SparkSession,
+                                       manifest: Map[String, String],
+                                       batchDir: String,
+                                       writtenParts: Set[String],
+                                       dataCols: Seq[String]): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val cols0 = bloomStatsCols(manifest).filter(dataCols.contains)
+    if (cols0.isEmpty || writtenParts.isEmpty) return
+    val items = manifest.get(BloomItemsKey).map(_.toLong).getOrElse(1L << 20)
+    val fpp = manifest.get(BloomFppKey).map(_.toDouble).getOrElse(0.01)
+    val staged = writtenParts.toSeq.sorted.map { p =>
+      spark.read.parquet(s"$batchDir/__part=$p").withColumn("__part", lit(p))
+    }.reduce(_ unionByName _)
+    // silently skipping an unsupported column would ship a table whose
+    // declared stats never materialize — fail the commit loudly instead
+    cols0.foreach { c =>
+      val t = staged.schema(c).dataType
+      require(bloomSupported(t), s"bloom column $c has unsupported type $t")
+    }
+    val proj = staged.select((col("__part") +: cols0.map(col)): _*)
+    val n = cols0.size
+    val merged = proj.rdd.treeAggregate(
+      scala.collection.mutable.HashMap.empty[(String, Int), BloomFilter])(
+      seqOp = { (m, row) =>
+        val part = row.getString(0)
+        var i = 0
+        while (i < n) {
+          val v = row.get(i + 1)
+          if (v != null) {
+            val bf = m.getOrElseUpdate((part, i), BloomFilter.create(items, fpp))
+            v match {
+              case s: String => bf.putString(s)
+              case l: Long   => bf.putLong(l)
+              case x: Int    => bf.putLong(x.toLong)
+              case x: Short  => bf.putLong(x.toLong)
+              case x: Byte   => bf.putLong(x.toLong)
+              case other => throw new IllegalStateException(
+                s"unreachable bloom value type ${other.getClass}")
+            }
+          }
+          i += 1
+        }
+        m
+      },
+      combOp = { (a, b) =>
+        b.foreach { case (k, bf) =>
+          a.get(k) match {
+            case Some(existing) => existing.mergeInPlace(bf)
+            case None           => a.update(k, bf)
+          }
+        }
+        a
+      })
+    merged.foreach { case ((part, i), bf) =>
+      val f = new java.io.File(s"$batchDir/__part=$part/_bloom_${cols0(i)}.bin")
+      val out = new java.io.FileOutputStream(f)
+      try bf.writeTo(out) finally out.close()
+    }
+  }
+
+  /** The committed filter for `column` in the data dir `rel`, if its
+    * sidecar exists (None = partition written before enabling, or stats
+    * not enabled — both mean "cannot prune").
+    */
+  private[graft] def bloomOf(tablePath: String, rel: String,
+                             column: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = new java.io.File(s"$tablePath/$rel/_bloom_$column.bin")
+    if (!f.isFile) None
+    else {
+      val in = new java.io.FileInputStream(f)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  /** Membership probe with the same type dispatch the write side used; an
+    * unrecognized runtime type answers `true` (cannot prune — the
+    * conservative direction).
+    */
+  private[graft] def bloomMightContain(bf: org.apache.spark.util.sketch.BloomFilter,
+                                       value: Any): Boolean = value match {
+    case null => true
+    case s: String => bf.mightContainString(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => bf.mightContainString(u.toString)
+    case l: Long  => bf.mightContainLong(l)
+    case x: Int   => bf.mightContainLong(x.toLong)
+    case x: Short => bf.mightContainLong(x.toLong)
+    case x: Byte  => bf.mightContainLong(x.toLong)
+    case _ => true
+  }
+
+  /** Data entries surviving a point-lookup probe: a partition is skipped
+    * only when its committed filter PROVES none of `values` can be
+    * present; a missing sidecar keeps it.
+    */
+  private[graft] def bloomPrunedEntries(tablePath: String,
+                                        manifest: Map[String, String],
+                                        column: String,
+                                        values: Seq[Any]): Map[String, String] = {
+    if (!bloomStatsCols(manifest).contains(column)) return dataEntries(manifest)
+    dataEntries(manifest).filter { case (_, rel) =>
+      bloomOf(tablePath, rel, column) match {
+        case None     => true
+        case Some(bf) => values.exists(bloomMightContain(bf, _))
+      }
+    }
+  }
+
+  /** Point-lookup read: partitions whose committed bloom filter cannot
+    * contain any of `values` on `column` are skipped without being listed
+    * or opened. The result is a SUPERSET of the matching rows (bloom
+    * false positives keep whole partitions) — callers still apply their
+    * exact predicate, the same contract as [[readTableRangePruned]].
+    */
+  def readTablePointPruned(spark: SparkSession, tablePath: String,
+                           column: String, values: Seq[Any],
+                           committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
+    val manifest = committer.readManifest(tablePath)
+    require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+    val kept = bloomPrunedEntries(tablePath, manifest, column, values)
+    if (kept.isEmpty) {
+      val schema = committedSchema(manifest).getOrElse(
+        spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readBound(spark, manifest, kept.values.map(rel => s"$tablePath/$rel").toSeq)
+  }
+
   case class DeleteStats(touchedPartitions: Seq[String], deletedRows: Long)
 
   /** Row-level `DELETE ... WHERE` over a manifest table — copy-on-write at
@@ -650,10 +849,14 @@ object Upsert {
     committer.commit(tablePath,
       Map("all" -> rel, SchemaKey -> data.schema.json) ++
         checks.map { case (n, e) => s"$CheckPrefix$n" -> e } ++
-        // the stats declaration survives a whole-table overwrite like the
-        // checks do (per-partition __range entries don't apply to the
-        // single "all" snapshot and are rebuilt by later partition commits)
+        // the stats declarations survive a whole-table overwrite like the
+        // checks do (per-partition __range entries / bloom sidecars don't
+        // apply to the single "all" snapshot and are rebuilt by later
+        // partition commits)
         manifest.get(RangeColsKey).map(RangeColsKey -> _) ++
+        manifest.get(BloomColsKey).map(BloomColsKey -> _) ++
+        manifest.get(BloomItemsKey).map(BloomItemsKey -> _) ++
+        manifest.get(BloomFppKey).map(BloomFppKey -> _) ++
         meta.map { case (k, v) => s"__$k" -> v })
     SnapshotGc.gcUnreferenced(tablePath,
       dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath))
@@ -760,6 +963,10 @@ object Upsert {
     // zone-map entries for the rewritten partitions (empty unless enabled)
     val ranges = stagedRangeEntries(spark, manifest,
       s"$tablePath/$batchDirName", writtenParts, data.columns.toSeq)
+    // bloom sidecars land inside the staged dirs before the flip (no-op
+    // unless enabled)
+    writeStagedBloomSidecars(spark, manifest, s"$tablePath/$batchDirName",
+      writtenParts, data.columns.toSeq)
 
     // replaced partitions re-point to the new batch dir (one with no rows
     // left drops out, and its stale zone map goes with it); untouched

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -107,6 +107,33 @@ object ManifestTable {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other     => Seq(other)
   }
+
+  /** The point-lookup values a single conjunct pins a named column to, if
+    * it has the bloom-prunable shape: a BARE attribute `=` a literal (in
+    * either operand order) or `IN` an all-literal list. Same conservatism
+    * as [[boundOf]]: cast-wrapped attributes refuse to prune (the bloom
+    * recorded the RAW column's values), and null literals are dropped
+    * from the list (`=`/`IN` never match null — a partition is skipped
+    * only when every remaining value is provably absent). An emptied list
+    * returns None: "matches nothing" is the exact filter's call, not the
+    * pruner's.
+    */
+  private[graft] def pointsOf(e: Expression): Option[(String, Seq[Any])] = {
+    def bare(x: Expression): Option[String] = x match {
+      case a: Attribute => Some(a.name)
+      case _ => None
+    }
+    val raw: Option[(String, Seq[Any])] = e match {
+      case EqualTo(a: Attribute, l: Literal) => Some((a.name, Seq(l.value)))
+      case EqualTo(l: Literal, a: Attribute) => Some((a.name, Seq(l.value)))
+      case In(a, list) if bare(a).isDefined && list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        Some((bare(a).get, list.map(_.asInstanceOf[Literal].value)))
+      case _ => None
+    }
+    raw.map { case (n, vs) => (n, vs.filter(_ != null)) }
+      .filter(_._2.nonEmpty)
+  }
 }
 
 /** [[FileIndex]] over a committed manifest: `listFiles` resolves the data
@@ -148,14 +175,29 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
 
   override def partitionSchema: StructType = new StructType()
 
+  // committed bloom sidecars, loaded lazily per (dir, col) and memoized
+  // for the index's (immutable-snapshot) lifetime — repeated listFiles
+  // calls never re-read a sidecar
+  private val bloomCols = graft.pipeline.Upsert.bloomStatsCols(manifest).toSet
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+  private def bloomFor(rel: String, colName: String) =
+    bloomCache.getOrElseUpdate((rel, colName),
+      graft.pipeline.Upsert.bloomOf(tablePath, rel, colName))
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val bounds = dataFilters.flatMap(ManifestTable.splitConjuncts)
-      .flatMap(ManifestTable.boundOf)
-    val kept = entries.filter { case (p, _) =>
+    val conjuncts = dataFilters.flatMap(ManifestTable.splitConjuncts)
+    val bounds = conjuncts.flatMap(ManifestTable.boundOf)
+    val points = conjuncts.flatMap(ManifestTable.pointsOf)
+      .filter { case (c, _) => bloomCols.contains(c) }
+    val kept = entries.filter { case (p, rel) =>
       bounds.forall { case (colName, lo, hi) =>
         graft.pipeline.Upsert.rangeOf(manifest, p, colName)
           .forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && points.forall { case (colName, vs) =>
+        bloomFor(rel, colName).forall(bf =>
+          vs.exists(graft.pipeline.Upsert.bloomMightContain(bf, _)))
       }
     }
     val fs = new Path(tablePath)

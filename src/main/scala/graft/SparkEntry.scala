@@ -71,7 +71,7 @@ object SparkEntry {
   private def prep(spark: SparkSession): SparkSession = {
     spark.conf.set(Tables.NanosAsLongConf, "true")
     spark.experimental.extraOptimizations =
-      Seq(graft.plans.RewriteRankOneToMaxBy)
+      Seq(graft.plans.RewriteRankOneToMaxBy, graft.plans.RewriteAggregateToMv)
     spark
   }
 
@@ -969,6 +969,36 @@ object SparkEntry {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("value_cents"), col("day"))
     }),
+    // MATERIALIZED-VIEW REWRITE: the ad-hoc weekly rollup is WRITTEN
+    // against raw `events` — filter + group-by + sum/count over the base
+    // table — and the optimizer re-plans it onto the committed daily
+    // (day, event_type) MV: the filter maps onto the MV's day column, the
+    // coarser event_type group re-aggregates sum→sum(sum) and
+    // count→sum(cnt). Engagement is REQUIRED (the plan must scan only the
+    // MV), and the oracle recomputes from raw events in DuckDB — so an
+    // unsound rewrite (wrong filter mapping, lost roll-up row, count/sum
+    // confusion) hash-mismatches. Match soundness edges are pinned in
+    // MvRewriteSpec.
+    "q_mv_rewrite" -> ((s, d) => {
+      val (mvPath, base, lo) = mvDemo(s, d)
+      val d1 = java.sql.Date.valueOf(lo.plusDays(2))
+      val d2 = java.sql.Date.valueOf(lo.plusDays(9))
+      val q = base.filter(to_date(col("ts")).between(lit(d1), lit(d2)))
+        .groupBy(col("event_type"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          count(lit(1)).as("cnt"))
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains(mvPath)),
+        s"the rollup must re-plan onto the MV (scanned: $scans)")
+      q
+    }),
     // BLOOM-FILTER DATA SKIPPING: the deduped fact committed under
     // USER-bucket partitioning — every bucket's event_id range spans the
     // whole key space, so zone maps can never prune a point lookup — with
@@ -1103,6 +1133,30 @@ object SparkEntry {
           lo.toDouble, hi.toDouble).size < days.size,
         "the week window must actually prune day partitions")
       (out, c, lo, hi)
+    })
+
+  /** Process-level memo for the materialized-view demo: the daily
+    * (day, event_type) rollup of `events` materialized once per
+    * (session, dir) and registered with [[graft.plans.MaterializedViews]],
+    * so the optimizer rewrites matching aggregates over the RAW events
+    * onto it. Returns (mv path, base frame, min event date).
+    */
+  private val mvDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame, java.time.LocalDate)]
+
+  private def mvDemo(s: SparkSession, d: String): (String, DataFrame, java.time.LocalDate) =
+    mvDemoCache.computeIfAbsent((s, d), _ => {
+      val out = cachedTempDir("graft_mv_") + "/mv"
+      val base = Tables.events(prep(s), d)
+      graft.plans.MaterializedViews.create(s, s"daily_rollup_$d", base,
+        groups = Seq("day" -> to_date(col("ts")),
+          "event_type" -> col("event_type")),
+        measures = Seq(("sum_cents", "sum",
+          round(col("value") * 100).cast("long"))),
+        path = out)
+      val lo = base.agg(min(to_date(col("ts")))).head()
+        .getDate(0).toLocalDate
+      (out, base, lo)
     })
 
   /** Process-level memo for the bloom-skipping demo table: the deduped
@@ -2027,6 +2081,12 @@ object SparkEntry {
     // identical
     "table_update_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact",
+    // the MV-rewritten weekly rollup recomputed from raw events — an
+    // unsound view match (filter, group, or measure mapping) mismatches
+    "q_mv_rewrite" ->
+      ("WITH w AS (SELECT min(CAST(ts AS DATE)) AS lo FROM events) " +
+        "SELECT event_type, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents, count(*) AS cnt " +
+        "FROM events, w WHERE CAST(ts AS DATE) BETWEEN w.lo + 2 AND w.lo + 9 GROUP BY event_type"),
     // the max-event_id point lookup recomputed from `events` directly — a
     // bloom that wrongly skipped the key's home bucket loses the row
     "table_bloom_pruned" ->

@@ -72,6 +72,7 @@ object RewriteRankOneToMaxBy extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
+    e.injectOptimizerRule(_ => RewriteAggregateToMv)
     graft.functions.expr.GraftFunctions.functions.foreach(e.injectFunction)
   }
 }

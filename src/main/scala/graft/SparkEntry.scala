@@ -856,6 +856,14 @@ object SparkEntry {
     "er_blocked_match" -> ((s, d) =>
       EntityResolution.blockedFuzzyJoin(Tables.part(prep(s), d),
         Seq("p_brand", "p_size"), "p_partkey", "p_name", 3)),
+    // UNBLOCKED edit-distance self-join (q-gram prefix filter + exact
+    // levenshtein verify): digit-neighbor customer names within 1 edit —
+    // no blocking attribute, candidate pairs generated only through each
+    // name's rarest grams (the hot Customer#000 prefix never joins);
+    // filter-chain completeness is property-pinned in EditDistanceJoinSpec
+    "er_editdist_join" -> ((s, d) =>
+      EntityResolution.editDistanceJoin(Tables.customer(prep(s), d),
+        "c_custkey", "c_name", maxDist = 1)),
     // TIME TRAVEL through the VersionedCommitter: three overlapping
     // ts-window batches upserted as versions 1..3, then the table read AS
     // OF VERSION 2 — the oracle recomputes that state from `events`
@@ -968,6 +976,28 @@ object SparkEntry {
         .filter(col("ts_us").between(lo, hi))
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("value_cents"), col("day"))
+    }),
+    // COMMIT TAILING (CDC replication): a replica of the versioned demo
+    // table bootstraps at VERSION 1, then one catch-up cycle consumes the
+    // change feed 1→3 and merges it partition-granularly — the replica
+    // must land EXACTLY on the source's head state (the keep-latest fact),
+    // cursor committed atomically with the data. The oracle recomputes
+    // that state from `events` directly, so a diff that lost an update,
+    // replayed an insert twice, or resurrected a superseded row
+    // hash-mismatches; bootstrap/delete/replay/evolution mechanics are
+    // pinned in TableTailSpec.
+    "table_replicated" -> ((s, d) => {
+      val (srcOut, c) = versionedDemo(s, d)
+      val rep = cachedTempDir("graft_rep_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(rep))
+      val keys = Seq("event_id"); val order = Seq("ts_us", "value_cents")
+      val s1 = graft.streaming.TableTail.replicate(s, srcOut, c, rep,
+        "bucket", keys, order, bootstrapAt = Some(1L))
+      val s2 = graft.streaming.TableTail.replicate(s, srcOut, c, rep,
+        "bucket", keys, order)
+      require(s1.toVersion == 1L && s2.applied && s2.fromVersion == 1L &&
+        s2.toVersion == 3L, s"tail demo must catch up 1→3: $s1 $s2")
+      pipeline.Upsert.readTable(s, rep)
     }),
     // MATERIALIZED-VIEW REWRITE: the ad-hoc weekly rollup is WRITTEN
     // against raw `events` — filter + group-by + sum/count over the base
@@ -2025,6 +2055,14 @@ object SparkEntry {
         "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist " +
         "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size " +
         "AND a.p_partkey < b.p_partkey WHERE levenshtein(a.p_name, b.p_name) <= 3"),
+    // the unblocked form replayed as the all-pairs quadratic in DuckDB —
+    // a prefix filter that dropped a true pair loses a row
+    "er_editdist_join" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "a.c_name AS text_a, b.c_name AS text_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1"),
     // version-2 state recomputed from the source: keep-latest per key over
     // batches 1∪2 (the same overlapping ts-quarter windows), ties to the
     // later batch — integer µs window arithmetic matches Spark's long div
@@ -2081,6 +2119,11 @@ object SparkEntry {
     // identical
     "table_update_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact",
+    // the replica after catch-up must equal the source head state — the
+    // keep-latest fact (overlapping-window re-sends carry identical
+    // payloads, so the CDF-advanced replica converges to plain dedup)
+    "table_replicated" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
     // the MV-rewritten weekly rollup recomputed from raw events — an
     // unsound view match (filter, group, or measure mapping) mismatches
     "q_mv_rewrite" ->

@@ -263,7 +263,8 @@ object Upsert {
     */
   def applyChanges(spark: SparkSession, changes: DataFrame, tablePath: String,
                    partCol: String, keys: Seq[String], order: Seq[String],
-                   committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+                   committer: SnapshotCommitter = AtomicRenameCommitter,
+                   extraMeta: Map[String, String] = Map.empty): Unit = {
     val upserts = changes.filter(col("change_type") =!= "delete")
       .drop("change_type")
     val dels = changes.filter(col("change_type") === "delete")
@@ -279,7 +280,8 @@ object Upsert {
       else upserts.limit(0)
     val kept = existing.join(dels, keys, "left_anti")
     val merged = mergeByKey(kept, upserts, keys, order)
-    replacePartitionsAtomic(spark, merged, tablePath, partCol, touched, committer)
+    replacePartitionsAtomic(spark, merged, tablePath, partCol, touched,
+      committer, extraMeta)
   }
 
   /** Manifest entries that reference data dirs — `__`-prefixed keys are
@@ -905,9 +907,10 @@ object Upsert {
   def replacePartitionsAtomic(spark: SparkSession, data: DataFrame,
                               tablePath: String, partCol: String,
                               parts: Seq[String],
-                              committer: SnapshotCommitter = AtomicRenameCommitter): Unit =
+                              committer: SnapshotCommitter = AtomicRenameCommitter,
+                              extraMeta: Map[String, String] = Map.empty): Unit =
     replacePartitionsAtomicImpl(spark, data, tablePath, partCol, parts,
-      crashBeforeCommit = false, committer)
+      crashBeforeCommit = false, committer, extraMeta)
 
   /** Stage `data` and commit `(manifest -- parts) ++ written`. Returns
     * true iff the commit happened (false = crash seam exercised). The
@@ -919,7 +922,10 @@ object Upsert {
   private def replacePartitionsAtomicImpl(
       spark: SparkSession, data: DataFrame, tablePath: String,
       partCol: String, parts: Seq[String], crashBeforeCommit: Boolean,
-      committer: SnapshotCommitter): Boolean = {
+      committer: SnapshotCommitter,
+      extraMeta: Map[String, String] = Map.empty): Boolean = {
+    require(extraMeta.keys.forall(_.startsWith("__")),
+      "extraMeta entries are manifest METADATA and must be __-prefixed")
     // normalize RAW partition values to manifest keys up front: staged dir
     // names (and therefore every committed key) are Hive-escaped
     val partsEsc = parts.map(partKey)
@@ -973,7 +979,8 @@ object Upsert {
     // partitions keep their entries; then release superseded data one
     // cycle late
     val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")) ++
-      writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges +
+      writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
+      extraMeta + // e.g. a tail cursor — atomic with the data it describes
       (SchemaKey -> data.schema.json) // the schema rides the same flip
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Upsert
+import graft.streaming.{TableTail, VersionedCommitter}
+
+/** Commit tailing: a replica advances to the source's latest version by
+  * consuming the CDF between its cursor and head — bootstrap, catch-up
+  * across multiple source commits, delete propagation, idempotent replay,
+  * and the cursor riding the same atomic flip as the data.
+  */
+class TableTailSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(t: (String, Long, Long)*) =
+    t.toSeq.toDF("day", "id", "v")
+
+  private def rows(p: String, c: VersionedCommitter): Set[(String, Long, Long)] =
+    Upsert.readTable(spark, p, c).selectExpr("day", "id", "v")
+      .as[(String, Long, Long)].collect().toSet
+  private def rowsPlain(p: String): Set[(String, Long, Long)] =
+    Upsert.readTable(spark, p).selectExpr("day", "id", "v")
+      .as[(String, Long, Long)].collect().toSet
+
+  test("bootstrap, catch up across commits, propagate deletes, replay idempotently") {
+    val dir = Files.createTempDirectory("graft-tail").toString
+    val src = dir + "/src"
+    val rep = dir + "/rep"
+    val sc = new VersionedCommitter
+    val keys = Seq("id"); val order = Seq("v")
+
+    // v1: two days
+    Upsert.upsertPartitionsAtomic(spark,
+      df(("d1", 1L, 10L), ("d2", 2L, 20L)), src, "day", keys, order, sc)
+    // bootstrap the replica at v1
+    val s1 = TableTail.replicate(spark, src, sc, rep, "day", keys, order,
+      bootstrapAt = Some(1L))
+    assert(s1.applied && s1.toVersion == 1L)
+    assert(TableTail.cursor(rep).contains(1L))
+    assert(rowsPlain(rep) == Set(("d1", 1L, 10L), ("d2", 2L, 20L)))
+
+    // v2: update d1/id1, insert d3/id3; v3: delete id2 (d2 empties out)
+    Upsert.upsertPartitionsAtomic(spark,
+      df(("d1", 1L, 11L), ("d3", 3L, 30L)), src, "day", keys, order, sc)
+    Upsert.deleteWhere(spark, src, "day", col("id") === 2L, sc)
+    assert(sc.versions(src).max == 3L)
+
+    // one catch-up cycle jumps the replica 1 -> 3 via the diff
+    val s2 = TableTail.replicate(spark, src, sc, rep, "day", keys, order)
+    assert(s2.applied && s2.fromVersion == 1L && s2.toVersion == 3L)
+    assert(rowsPlain(rep) == rows(src, sc))
+    assert(rowsPlain(rep) == Set(("d1", 1L, 11L), ("d3", 3L, 30L)))
+
+    // current cursor: no-op, no commit (manifest bytes untouched)
+    val before = graft.streaming.AtomicRenameCommitter.readManifest(rep)
+    val s3 = TableTail.replicate(spark, src, sc, rep, "day", keys, order)
+    assert(!s3.applied && s3.fromVersion == 3L)
+    assert(graft.streaming.AtomicRenameCommitter.readManifest(rep) == before)
+
+    // replaying the same catch-up from a stale cursor converges (the
+    // crash-replay contract): force the cursor back and re-run
+    val m = graft.streaming.AtomicRenameCommitter.readManifest(rep)
+    graft.streaming.AtomicRenameCommitter.commit(rep, m + ("__tailFrom" -> "1"))
+    val s4 = TableTail.replicate(spark, src, sc, rep, "day", keys, order)
+    assert(s4.applied && s4.toVersion == 3L)
+    assert(rowsPlain(rep) == rows(src, sc))
+  }
+
+  test("bootstrap defaults to latest; unknown bootstrap version refuses") {
+    val dir = Files.createTempDirectory("graft-tail").toString
+    val src = dir + "/src"
+    val sc = new VersionedCommitter
+    Upsert.upsertPartitionsAtomic(spark, df(("d1", 1L, 1L)), src, "day",
+      Seq("id"), Seq("v"), sc)
+    Upsert.upsertPartitionsAtomic(spark, df(("d1", 1L, 2L)), src, "day",
+      Seq("id"), Seq("v"), sc)
+
+    val rep = dir + "/rep"
+    val s = TableTail.replicate(spark, src, sc, rep, "day", Seq("id"), Seq("v"))
+    assert(s.toVersion == 2L && rowsPlain(rep) == Set(("d1", 1L, 2L)))
+
+    intercept[IllegalArgumentException] {
+      TableTail.replicate(spark, src, sc, dir + "/rep2", "day", Seq("id"),
+        Seq("v"), bootstrapAt = Some(99L))
+    }
+  }
+
+  test("schema evolution flows through the feed") {
+    val dir = Files.createTempDirectory("graft-tail").toString
+    val src = dir + "/src"
+    val rep = dir + "/rep"
+    val sc = new VersionedCommitter
+    Upsert.upsertPartitionsAtomic(spark, df(("d1", 1L, 1L)), src, "day",
+      Seq("id"), Seq("v"), sc)
+    TableTail.replicate(spark, src, sc, rep, "day", Seq("id"), Seq("v"))
+    // v2 adds a nullable column; the replica's merge binds the widened schema
+    Upsert.upsertPartitionsAtomic(spark,
+      df(("d2", 2L, 2L)).withColumn("note",
+        org.apache.spark.sql.functions.when(col("id") >= 0L, lit("n2"))), src, "day",
+      Seq("id"), Seq("v"), sc)
+    TableTail.replicate(spark, src, sc, rep, "day", Seq("id"), Seq("v"))
+    val got = Upsert.readTable(spark, rep)
+      .selectExpr("day", "id", "v", "note")
+      .as[(String, Long, Long, Option[String])].collect().toSet
+    assert(got == Set(("d1", 1L, 1L, None), ("d2", 2L, 2L, Some("n2"))))
+  }
+}

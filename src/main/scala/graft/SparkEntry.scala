@@ -977,6 +977,37 @@ object SparkEntry {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("value_cents"), col("day"))
     }),
+    // CONCURRENT WRITERS (OCC + partition-disjoint rebase): two writers
+    // upsert DISJOINT bucket sets of the deduped fact into one table
+    // simultaneously, each through its own RebasingCasCommitter — an
+    // interleaved commit rebases the loser's manifest delta onto the
+    // winner's instead of re-running its merge. Whatever the interleave,
+    // the final table must be EXACTLY the full fact state (that
+    // determinism is the whole point of OCC); a lost update, clobbered
+    // entry, or GC'd in-flight staging hash-mismatches. The forced-rebase
+    // and forced-refuse interleaves are pinned deterministically in
+    // RebaseCommitterSpec.
+    "table_concurrent_writers" -> ((s, d) => {
+      val out = cachedTempDir("graft_occ_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val halves = Seq(state.filter(col("bucket") < 4),
+        state.filter(col("bucket") >= 4))
+      Await.result(Future.sequence(halves.map(h => Future {
+        pipeline.Upsert.upsertPartitionsAtomic(s, h, out, "bucket",
+          keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+          committer = new graft.streaming.RebasingCasCommitter)
+      })), 10.minutes)
+      pipeline.Upsert.readTable(s, out)
+    }),
     // COMMIT TAILING (CDC replication): a replica of the versioned demo
     // table bootstraps at VERSION 1, then one catch-up cycle consumes the
     // change feed 1→3 and merges it partition-granularly — the replica
@@ -2119,6 +2150,10 @@ object SparkEntry {
     // identical
     "table_update_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact",
+    // whatever the commit interleave, two disjoint-bucket writers must
+    // land exactly the full fact state
+    "table_concurrent_writers" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
     // the replica after catch-up must equal the source head state — the
     // keep-latest fact (overlapping-window re-sends carry identical
     // payloads, so the CDF-advanced replica converges to plain dedup)

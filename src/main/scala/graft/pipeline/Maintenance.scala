@@ -93,7 +93,8 @@ object Maintenance {
       case (k, rel) if !k.startsWith("__") => rel
     }.toSet
     SnapshotGc.gcUnreferenced(tablePath,
-      current ++ committer.retainedReferences(tablePath))
+      current ++ committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
     expired
   }
 
@@ -118,7 +119,8 @@ object Maintenance {
     // collect a crashed predecessor's staging and data superseded by the
     // previous commit (its one-cycle reader grace window ends here)
     SnapshotGc.gcUnreferenced(tablePath,
-      dataRefs ++ committer.retainedReferences(tablePath))
+      dataRefs ++ committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
 
     val stats = tableFileStats(tablePath, committer)
     val selected = stats.filter(p =>
@@ -182,7 +184,8 @@ object Maintenance {
       manifest ++ rewritten.map { case (p, rel) => p.key -> rel })
     // release the superseded layout one merge cycle late (reader grace)
     SnapshotGc.gcUnreferenced(tablePath, dataRefs ++ rewritten.map(_._2) ++
-      committer.retainedReferences(tablePath))
+      committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
     CompactStats(selected.map(_.key), stats.map(_.nFiles.toLong).sum,
       untouchedFiles + afterSelected, selected.map(_.bytes).sum,
       committed = true)

@@ -831,7 +831,8 @@ object Upsert {
     val manifest = committer.readManifest(tablePath)
     committedSchema(manifest).foreach(validateEvolution(_, data.schema))
     SnapshotGc.gcUnreferenced(tablePath,
-      dataEntries(manifest).values.toSet ++ committer.retainedReferences(tablePath))
+      dataEntries(manifest).values.toSet ++ committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
     val rel = s"batch-${java.util.UUID.randomUUID().toString.take(8)}/data"
     data.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
     val checks = manifest.collect {
@@ -861,7 +862,8 @@ object Upsert {
         manifest.get(BloomFppKey).map(BloomFppKey -> _) ++
         meta.map { case (k, v) => s"__$k" -> v })
     SnapshotGc.gcUnreferenced(tablePath,
-      dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath))
+      dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
   }
 
   /** `crashBeforeCommit` is the fault-injection seam: true returns after
@@ -934,7 +936,8 @@ object Upsert {
     // but never drop or retype a column old data dirs still carry
     committedSchema(manifest).foreach(validateEvolution(_, data.schema))
     SnapshotGc.gcUnreferenced(tablePath,
-      manifest.values.toSet ++ committer.retainedReferences(tablePath))
+      manifest.values.toSet ++ committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
 
     val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
     data.withColumn("__part", col(partCol).cast("string"))
@@ -984,7 +987,8 @@ object Upsert {
       (SchemaKey -> data.schema.json) // the schema rides the same flip
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
-      newManifest.values ++ committer.retainedReferences(tablePath))
+      newManifest.values ++ committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
     true
   }
 }

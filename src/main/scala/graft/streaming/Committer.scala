@@ -42,6 +42,17 @@ trait SnapshotCommitter {
     * retains nothing extra. Every GC call site unions this in.
     */
   def retainedReferences(snapshotPath: String): Set[String] = Set.empty
+
+  /** Minimum age (ms) an unreferenced staging dir must reach before the
+    * staging GC may collect it. 0 for single-writer committers (the only
+    * unreferenced dirs are crashed stagings and superseded data — collect
+    * immediately); concurrent-writer committers ([[RebasingCasCommitter]])
+    * return a grace window so one writer's GC pass can never eat another
+    * writer's in-flight staging (which is unreferenced by design until its
+    * commit flips). Crashed stagings still collect, one window late —
+    * Delta's VACUUM-retention idea applied to the staging seam.
+    */
+  def gcGraceMs: Long = 0L
 }
 
 /** Default committer for filesystems with atomic rename (local, HDFS):
@@ -64,11 +75,17 @@ trait SnapshotCommitter {
   * at window = 1.
   */
 private[graft] object SnapshotGc {
-  def gcUnreferenced(snapshotPath: String, liveRel: Set[String]): Unit = {
+  def gcUnreferenced(snapshotPath: String, liveRel: Set[String],
+                     minAgeMs: Long = 0L): Unit = {
     val root = new java.io.File(snapshotPath)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     for {
       b <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       if b.isDirectory && b.getName.startsWith("batch-")
+      // age floor at the batch-dir level: a concurrent writer's staging is
+      // by construction younger than the grace window (staged immediately
+      // before its commit attempt); crashed stagings age past it
+      if b.lastModified() <= cutoff
     } {
       for {
         d <- Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -399,4 +416,90 @@ private object CasCommitter {
   /** JVM-global per-path commit monitors (see [[CasCommitter.commit]]). */
   val pathMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+}
+
+/** Optimistic concurrency with AUTOMATIC partition-disjoint rebase — the
+  * Delta/Iceberg logical-conflict-resolution idea on the manifest seam.
+  * A plain [[CasCommitter]] loser re-runs its whole merge cycle; but two
+  * writers touching DISJOINT partitions are not in semantic conflict at
+  * all: the loser's staged data dirs are untouched by the winner, so its
+  * manifest DELTA (the keys it changed relative to the base it read) can
+  * be patched onto the winner's manifest verbatim and the CAS retried —
+  * no Spark job re-runs, commit latency is the only cost.
+  *
+  * Conflict rules (refuse → [[ConcurrentCommitException]], caller re-runs
+  * the merge like a plain CAS loser):
+  *  - the upstream delta and this writer's delta share ANY key —
+  *    data-partition entries, their `__range.<p>` zone maps, `__schema`
+  *    (both sides evolving concurrently), cursors — semantic conflict;
+  *  - the upstream delta touches a `__check.` constraint — this writer's
+  *    staged data was validated against the OLD constraint set, so the
+  *    commit must re-validate (rebasing would publish unvalidated data).
+  *  - `__schema` equal on both sides drops out of both deltas, so the
+  *    everyday case (same schema, different partitions) rebases freely;
+  *    an upstream add-column evolution this writer didn't make keeps the
+  *    upstream (wider) schema — this writer's dirs simply back-fill null.
+  *
+  * `gcGraceMs` is non-zero: with multiple writers, another writer's
+  * staging GC must never collect THIS writer's in-flight (unreferenced
+  * until committed) staging — see [[SnapshotCommitter.gcGraceMs]].
+  */
+final class RebasingCasCommitter(graceMs: Long = 10L * 60 * 1000,
+                                 maxRetries: Int = 10) extends SnapshotCommitter {
+
+  private val cas = new CasCommitter
+  // the manifest this writer last READ per path — the rebase baseline
+  private val baseline =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  override def gcGraceMs: Long = graceMs
+
+  override def readManifest(snapshotPath: String): Map[String, String] = {
+    val m = cas.readManifest(snapshotPath)
+    baseline.put(snapshotPath, m)
+    m
+  }
+
+  override def commit(snapshotPath: String,
+                      entries: Map[String, String]): Unit = {
+    val base = baseline.getOrDefault(snapshotPath, Map.empty)
+    // this writer's intended delta, fixed once against the base it read
+    val upserts = entries.filter { case (k, v) => !base.get(k).contains(v) }
+    val removals = base.keySet -- entries.keySet
+    val myKeys = upserts.keySet ++ removals
+
+    var attempt = 0
+    var desired = entries
+    while (true) {
+      try {
+        cas.commit(snapshotPath, desired)
+        baseline.put(snapshotPath, desired)
+        return
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val current = cas.readManifest(snapshotPath) // re-observe for CAS
+          val upstreamKeys = (base.keySet ++ current.keySet).filter(k =>
+            base.get(k) != current.get(k))
+          // both-wrote-the-same-value is no conflict (idempotent concurrent
+          // writes — `__schema` from two same-schema writers is the
+          // canonical case); a removal against an upstream change, or
+          // differing values, is
+          val conflicts = (upstreamKeys & myKeys).filter { k =>
+            removals.contains(k) || current.get(k) != upserts.get(k)
+          }
+          if (conflicts.nonEmpty)
+            throw new ConcurrentCommitException(
+              s"semantic conflict at $snapshotPath on keys " +
+                s"${conflicts.toSeq.sorted.take(5).mkString(",")} — " +
+                "re-run the merge against the current manifest")
+          if (upstreamKeys.exists(_.startsWith("__check.")))
+            throw new ConcurrentCommitException(
+              s"constraints changed concurrently at $snapshotPath — staged " +
+                "data must re-validate; re-run the merge")
+          desired = current ++ upserts -- removals
+      }
+    }
+  }
 }

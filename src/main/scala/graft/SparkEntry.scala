@@ -977,6 +977,76 @@ object SparkEntry {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("value_cents"), col("day"))
     }),
+    // INCREMENTAL MV MAINTENANCE: a daily rollup of the day-partitioned
+    // versioned fact advances by partial recompute — bootstrap at v1, then
+    // one refresh consumes the v1→v3 change feed (an overlapping second
+    // window plus a DELETE of the error class) and re-aggregates only the
+    // touched day partitions, cursor atomic with the data. The final MV
+    // must equal the daily rollup of the head state recomputed from
+    // `events` — a refresh that missed a touched day, kept a deleted
+    // row's contribution (the case delta-application breaks on), or
+    // double-counted a replayed batch hash-mismatches. Touched-only
+    // recompute and delete-aware max are pinned in IncrementalMvSpec.
+    "mv_incremental" -> ((s, d) => {
+      val dir = cachedTempDir("graft_imv_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      val src = dir + "/src"; val mv = dir + "/mv"
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        date_format(col("ts"), "yyyyMMdd").as("day"))
+      val Array(lo, hi) = state.agg(min(col("ts_us")), max(col("ts_us")))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val keys = Seq("event_id"); val order = Seq("ts_us", "value_cents")
+      val groups = Seq("day")
+      val aggs = Seq(sum(col("value_cents")).as("sum_cents"),
+        count(lit(1)).as("cnt"))
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        state.filter(col("ts_us") <= lo + 2 * (hi - lo) / 3), src, "day",
+        keys, order, c)
+      val boot = pipeline.IncrementalMv.refresh(s, src, c, mv, "day", keys,
+        groups, aggs)
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        state.filter(col("ts_us") > lo + (hi - lo) / 3), src, "day",
+        keys, order, c)
+      pipeline.Upsert.deleteWhere(s, src, "day",
+        col("event_type") === "error", c)
+      val st = pipeline.IncrementalMv.refresh(s, src, c, mv, "day", keys,
+        groups, aggs)
+      require(boot.toVersion == 1L && st.applied && st.toVersion == 3L,
+        s"incremental refresh must catch up 1→3: $boot $st")
+      pipeline.Upsert.readTable(s, mv)
+    }),
+    // COLUMN RENAME without rewrite (name mapping): the committed fact's
+    // value_cents renames to `cents` as a metadata-only commit — no file
+    // is touched — then a POST-rename delta written under the NEW name
+    // (an idempotent re-send of bucket 0) merges against the pre-rename
+    // dirs, proving the logical↔physical translation on both seams. The
+    // read-back must be the full fact state under the logical name; a
+    // mapping applied on the wrong side (dropped column, null back-fill,
+    // doubled rows) hash-mismatches. Rename/evolution/stats composition
+    // is pinned in TableRenameSpec.
+    "table_renamed_column" -> ((s, d) => {
+      val out = cachedTempDir("graft_ren_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      pipeline.Upsert.renameColumn(out, "value_cents", "cents", c)
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        state.filter(col("bucket") === 0L)
+          .withColumnRenamed("value_cents", "cents"),
+        out, "bucket", keys = Seq("event_id"), order = Seq("ts_us", "cents"),
+        committer = c)
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // CONCURRENT WRITERS (OCC + partition-disjoint rebase): two writers
     // upsert DISJOINT bucket sets of the deduped fact into one table
     // simultaneously, each through its own RebasingCasCommitter — an
@@ -2150,6 +2220,16 @@ object SparkEntry {
     // identical
     "table_update_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact",
+    // the incrementally-maintained rollup must equal the daily rollup of
+    // the head state (fact minus the deleted error class)
+    "mv_incremental" ->
+      (s"$FactCte SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day, " +
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents, count(*) AS cnt " +
+        "FROM fact WHERE event_type <> 'error' GROUP BY 1"),
+    // the renamed table must be the full fact state under the LOGICAL
+    // name — same rows, new column name, no rewrite
+    "table_renamed_column" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id % 8 AS bucket FROM fact",
     // whatever the commit interleave, two disjoint-bucket writers must
     // land exactly the full fact state
     "table_concurrent_writers" ->

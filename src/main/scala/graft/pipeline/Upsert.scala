@@ -171,6 +171,26 @@ object Upsert {
     readBound(spark, manifest, data.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
+  /** Manifest-pruned partition read: ONLY the named partitions' committed
+    * dirs are listed/opened — the same O(touched) I/O the upsert's
+    * internal pruned scan does, as a public read surface. Unknown
+    * partition values read nothing (not an error).
+    */
+  def readTablePartitions(spark: SparkSession, tablePath: String,
+                          values: Seq[String],
+                          committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
+    val manifest = committer.readManifest(tablePath)
+    require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+    val paths = values.flatMap(v => manifest.get(partKey(v)))
+      .map(rel => s"$tablePath/$rel")
+    if (paths.isEmpty) {
+      val schema = committedSchema(manifest).getOrElse(
+        spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
+      toLogical(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), manifest)
+    } else readBound(spark, manifest, paths)
+  }
+
   /** TIME TRAVEL: the table exactly as committed at `version` (a
     * [[graft.streaming.VersionedCommitter.versions]] entry). Works because
     * data dirs are immutable and the GC retains every reference of every
@@ -344,13 +364,83 @@ object Upsert {
         s"added column ${f.name} must be nullable (old rows back-fill as null)"))
   }
 
+  // ---- COLUMN RENAME without rewrite (Iceberg's name-mapping idea): the
+  // name in the parquet files — the PHYSICAL name — is frozen at the
+  // column's first commit; a rename only updates the manifest's
+  // `__colmap` (physical→logical). Every read seam presents logical
+  // names; every write seam translates logical→physical before staging.
+  // History stays contemporaneous: an as-of read binds the colmap
+  // committed WITH that version, so old versions keep their old names
+  // (the same contract as `__schema`). Internal machinery — committed
+  // schema, zone maps, bloom sidecars, CHECK constraints, the declarative
+  // FileIndex — operates on physical names throughout and is untouched by
+  // renames (`readTableIndexed` composes the logical projection ABOVE its
+  // relation, so pushed filters still reach the physical stats).
+
+  private val ColMapKey = "__colmap"
+
+  /** physical→logical entries (only where they differ). Encoded
+    * `phys:logical` comma-joined — names are validated rename-time.
+    */
+  private[graft] def colMapOf(manifest: Map[String, String]): Map[String, String] =
+    manifest.get(ColMapKey).map(_.split(",").filter(_.nonEmpty).map { kv =>
+      val Array(p, l) = kv.split(":", 2); p -> l
+    }.toMap).getOrElse(Map.empty)
+
+  private def physicalName(manifest: Map[String, String], logical: String): String =
+    colMapOf(manifest).collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+
+  /** Rename physical columns to their logical names (no-op without map). */
+  private[graft] def toLogical(df: DataFrame, manifest: Map[String, String]): DataFrame = {
+    val m = colMapOf(manifest)
+    if (m.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))).toIndexedSeq: _*)
+  }
+
+  /** Rename logical columns back to physical (idempotent: a frame already
+    * in physical names has no logical-named columns to rename).
+    */
+  private[graft] def toPhysical(df: DataFrame, manifest: Map[String, String]): DataFrame = {
+    val inv = colMapOf(manifest).map(_.swap)
+    if (inv.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+  }
+
+  /** Rename logical column `from` to `to` — a metadata-only commit, no
+    * data rewrite; O(1) whatever the table size. Refuses name collisions
+    * and encoding-unsafe characters.
+    */
+  def renameColumn(tablePath: String, from: String, to: String,
+                   committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    require(from != to, "rename to the same name is a no-op")
+    require(!to.contains(",") && !to.contains(":") && !to.contains("\t") && to.nonEmpty,
+      s"invalid column name '$to'")
+    val manifest = committer.readManifest(tablePath)
+    val m = colMapOf(manifest)
+    val phys = physicalName(manifest, from)
+    val physSchema = committedSchema(manifest).getOrElse(throw new IllegalStateException(
+      s"no committed schema at $tablePath — rename needs schema metadata"))
+    require(physSchema.fieldNames.contains(phys),
+      s"no column '$from' in the committed table")
+    val logicalNames = physSchema.fieldNames.map(p => m.getOrElse(p, p)).toSet
+    require(!logicalNames.contains(to),
+      s"column name '$to' already exists")
+    val m2 = (m - phys) ++ (if (phys == to) Map.empty else Map(phys -> to))
+    val updated =
+      if (m2.isEmpty) manifest - ColMapKey
+      else manifest + (ColMapKey -> m2.toSeq.sorted.map { case (p, l) => s"$p:$l" }.mkString(","))
+    committer.commit(tablePath, updated)
+  }
+
   /** Committed-schema read: bind the manifest's schema when one was
-    * recorded (pre-schema-metadata tables fall back to file inference).
+    * recorded (pre-schema-metadata tables fall back to file inference),
+    * presented under the LOGICAL column names.
     */
   private def readBound(spark: SparkSession, manifest: Map[String, String],
                         paths: Seq[String]): DataFrame = {
     val r = committedSchema(manifest).fold(spark.read)(s => spark.read.schema(s))
-    r.parquet(paths: _*)
+    toLogical(r.parquet(paths: _*), manifest)
   }
 
   /** The `__`-prefixed metadata committed with the table (empty when none
@@ -492,11 +582,12 @@ object Upsert {
                            committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
     val manifest = committer.readManifest(tablePath)
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
-    val kept = rangePrunedEntries(manifest, column, lo, hi)
+    val kept = rangePrunedEntries(manifest, physicalName(manifest, column), lo, hi)
     if (kept.isEmpty) {
       val schema = committedSchema(manifest).getOrElse(
         spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      toLogical(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), manifest)
     } else readBound(spark, manifest, kept.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
@@ -717,11 +808,13 @@ object Upsert {
                            committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
     val manifest = committer.readManifest(tablePath)
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
-    val kept = bloomPrunedEntries(tablePath, manifest, column, values)
+    val kept = bloomPrunedEntries(tablePath, manifest,
+      physicalName(manifest, column), values)
     if (kept.isEmpty) {
       val schema = committedSchema(manifest).getOrElse(
         spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      toLogical(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), manifest)
     } else readBound(spark, manifest, kept.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
@@ -824,11 +917,12 @@ object Upsert {
     * companion to [[replacePartitionsAtomic]] for small whole-rebuild
     * tables (dims); partitioned facts want the partition-granular forms.
     */
-  def writeTableAtomic(spark: SparkSession, data: DataFrame,
+  def writeTableAtomic(spark: SparkSession, data0: DataFrame,
                        tablePath: String,
                        committer: SnapshotCommitter = AtomicRenameCommitter,
                        meta: Map[String, String] = Map.empty): Unit = {
     val manifest = committer.readManifest(tablePath)
+    val data = toPhysical(data0, manifest)
     committedSchema(manifest).foreach(validateEvolution(_, data.schema))
     SnapshotGc.gcUnreferenced(tablePath,
       dataEntries(manifest).values.toSet ++ committer.retainedReferences(tablePath),
@@ -860,6 +954,7 @@ object Upsert {
         manifest.get(BloomColsKey).map(BloomColsKey -> _) ++
         manifest.get(BloomItemsKey).map(BloomItemsKey -> _) ++
         manifest.get(BloomFppKey).map(BloomFppKey -> _) ++
+        manifest.get(ColMapKey).map(ColMapKey -> _) ++
         meta.map { case (k, v) => s"__$k" -> v })
     SnapshotGc.gcUnreferenced(tablePath,
       dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath),
@@ -880,8 +975,11 @@ object Upsert {
     // evolution gate BEFORE the existing read: the pruned scan binds the
     // delta's schema (add-only ⇒ it is the widest — pre-evolution rows
     // back-fill the added columns as null), so a delta that silently
-    // dropped a committed column would otherwise drop it from the merge
-    committedSchema(manifest).foreach(validateEvolution(_, delta.schema))
+    // dropped a committed column would otherwise drop it from the merge.
+    // Comparison and file read happen in PHYSICAL names (files never
+    // rename); the merge itself stays logical
+    val deltaPhysSchema = toPhysical(delta, manifest).schema
+    committedSchema(manifest).foreach(validateEvolution(_, deltaPhysSchema))
 
     // manifest-level pruning: only the touched partitions' committed
     // paths are listed/read — I/O is O(delta partitions), not O(table)
@@ -889,7 +987,8 @@ object Upsert {
       .map(rel => s"$tablePath/$rel")
     val existing =
       if (existingPaths.nonEmpty)
-        spark.read.schema(delta.schema).parquet(existingPaths: _*)
+        toLogical(spark.read.schema(deltaPhysSchema).parquet(existingPaths: _*),
+          manifest)
       else delta.limit(0)
     val merged = mergeByKey(existing, delta, keys, order)
     val committed = replacePartitionsAtomicImpl(spark, merged, tablePath,
@@ -922,8 +1021,8 @@ object Upsert {
     * — the GC never deletes those.
     */
   private def replacePartitionsAtomicImpl(
-      spark: SparkSession, data: DataFrame, tablePath: String,
-      partCol: String, parts: Seq[String], crashBeforeCommit: Boolean,
+      spark: SparkSession, data0: DataFrame, tablePath: String,
+      partCol0: String, parts: Seq[String], crashBeforeCommit: Boolean,
       committer: SnapshotCommitter,
       extraMeta: Map[String, String] = Map.empty): Boolean = {
     require(extraMeta.keys.forall(_.startsWith("__")),
@@ -932,6 +1031,10 @@ object Upsert {
     // names (and therefore every committed key) are Hive-escaped
     val partsEsc = parts.map(partKey)
     val manifest = committer.readManifest(tablePath)
+    // the write seam of the column-mapping contract: incoming frames are
+    // LOGICAL-named; files and committed schema stay PHYSICAL forever
+    val data = toPhysical(data0, manifest)
+    val partCol = physicalName(manifest, partCol0)
     // the add-only evolution gate: a commit may widen the committed schema
     // but never drop or retype a column old data dirs still carry
     committedSchema(manifest).foreach(validateEvolution(_, data.schema))

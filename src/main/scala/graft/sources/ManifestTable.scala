@@ -41,13 +41,17 @@ object ManifestTable {
     val index = new ManifestFileIndex(spark, tablePath, committer)
     val schema = index.committedSchema.getOrElse(
       spark.read.parquet(index.dataPaths: _*).schema)
-    spark.baseRelationToDataFrame(HadoopFsRelation(
+    val physical = spark.baseRelationToDataFrame(HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark))
+    // logical names compose ABOVE the relation: Catalyst pushes filters
+    // through the rename Project, so the FileIndex keeps consulting its
+    // physical-named zone maps and bloom sidecars
+    graft.pipeline.Upsert.toLogical(physical, index.manifest)
   }
 
   /** Allowed interval [lo, hi] a single comparison conjunct imposes on a
@@ -144,7 +148,7 @@ object ManifestTable {
 final class ManifestFileIndex(spark: SparkSession, tablePath: String,
                               committer: SnapshotCommitter) extends FileIndex {
 
-  private val manifest: Map[String, String] = committer.readManifest(tablePath)
+  private[graft] val manifest: Map[String, String] = committer.readManifest(tablePath)
   private val entries: Map[String, String] =
     manifest.filterNot(_._1.startsWith("__"))
   require(entries.nonEmpty, s"no committed table at $tablePath")

@@ -862,8 +862,15 @@ object SparkEntry {
     // name's rarest grams (the hot Customer#000 prefix never joins);
     // filter-chain completeness is property-pinned in EditDistanceJoinSpec
     "er_editdist_join" -> ((s, d) =>
-      EntityResolution.editDistanceJoin(Tables.customer(prep(s), d),
-        "c_custkey", "c_name", maxDist = 1)),
+      // supplier names: the adversarial fixed-format digit shape (every
+      // name one substitution from ~35 neighbors — typo-dense, hot shared
+      // prefix) at a size whose TRUE match set stays bench-sane (the same
+      // demo on customers at sf0.1 has 262k genuine pairs — the OUTPUT is
+      // quadratic-dense, not the algorithm). q=3 keeps prefix buckets
+      // rare-gram-sized over digit strings (trigram vocabulary ~10× the
+      // bigram one)
+      EntityResolution.editDistanceJoin(Tables.supplier(prep(s), d),
+        "s_suppkey", "s_name", maxDist = 1, q = 3)),
     // TIME TRAVEL through the VersionedCommitter: three overlapping
     // ts-window batches upserted as versions 1..3, then the table read AS
     // OF VERSION 2 — the oracle recomputes that state from `events`
@@ -2159,11 +2166,11 @@ object SparkEntry {
     // the unblocked form replayed as the all-pairs quadratic in DuckDB —
     // a prefix filter that dropped a true pair loses a row
     "er_editdist_join" ->
-      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
-        "a.c_name AS text_a, b.c_name AS text_b, " +
-        "CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist " +
-        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
-        "WHERE levenshtein(a.c_name, b.c_name) <= 1"),
+      ("SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, " +
+        "a.s_name AS text_a, b.s_name AS text_b, " +
+        "CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist " +
+        "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey " +
+        "WHERE levenshtein(a.s_name, b.s_name) <= 1"),
     // version-2 state recomputed from the source: keep-latest per key over
     // batches 1∪2 (the same overlapping ts-quarter windows), ties to the
     // later batch — integer µs window arithmetic matches Spark's long div

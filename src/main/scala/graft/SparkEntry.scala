@@ -984,6 +984,49 @@ object SparkEntry {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("value_cents"), col("day"))
     }),
+    // ROBUST ANOMALY SCREEN: daily event volumes against the 3-MAD fence
+    // (median/MAD, not mean/stddev — the detector must not be dragged by
+    // what it hunts). Integer counts make median and MAD exact-in-double,
+    // so the flags replay bit-for-bit.
+    "mon_anomaly_days" -> ((s, d) =>
+      Monitoring.anomalousDays(Tables.events(prep(s), d))),
+    // KMV SET INTERSECTION: users active on BOTH of the last two days
+    // estimated from the per-day sketch states alone (union k-min + the
+    // Jaccard match ratio — Beyer et al. KMV set algebra), exact
+    // intersection alongside as the error reference. O(k) set algebra at
+    // query time, never a fact rescan.
+    "sketch_intersection_days" -> ((s, d) =>
+      Analytics.kmvIntersectionLastTwoDays(prep(s), d)),
+    // TYPE WIDENING through evolution: v1 commits buckets 0-3 with INT
+    // value_cents; v2 commits buckets 4-7 with LONG — the committed schema
+    // widens, and the read binds BIGINT across BOTH halves (Spark 4's
+    // parquet reader promotes the int32 dirs in place; nothing rewrites).
+    // The oracle recomputes the fact with BIGINT cents, so a read that
+    // bound the narrow type, dropped pre-widening dirs, or mangled values
+    // in promotion hash-mismatches; upcast deltas/CDF alignment are pinned
+    // in TypeWideningSpec.
+    "table_type_widened" -> ((s, d) => {
+      val out = cachedTempDir("graft_tw_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        state.filter(col("bucket") < 4)
+          .withColumn("value_cents", col("value_cents").cast("int")),
+        out, "bucket", keys = Seq("event_id"), order = Seq("ts_us"),
+        committer = c)
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        state.filter(col("bucket") >= 4), out, "bucket",
+        keys = Seq("event_id"), order = Seq("ts_us"), committer = c)
+      val t = pipeline.Upsert.readTable(s, out, c)
+      require(t.schema("value_cents").dataType ==
+        org.apache.spark.sql.types.LongType, "the read must bind the widened type")
+      t
+    }),
     // INCREMENTAL MV MAINTENANCE: a daily rollup of the day-partitioned
     // versioned fact advances by partial recompute — bootstrap at v1, then
     // one refresh consumes the v1→v3 change feed (an overlapping second
@@ -2227,6 +2270,38 @@ object SparkEntry {
     // identical
     "table_update_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact",
+    // median/MAD daily-volume screen: integer counts keep every statistic
+    // exact-in-double, so flags replay bit-for-bit
+    "mon_anomaly_days" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events FROM events GROUP BY 1), " +
+        "m AS (SELECT median(n_events) AS med FROM daily), " +
+        "d2 AS (SELECT daily.*, m.med, abs(CAST(n_events AS DOUBLE) - m.med) AS dev FROM daily, m), " +
+        "md AS (SELECT median(dev) AS mad FROM d2) " +
+        "SELECT event_date, n_events, med, dev, mad, dev > 3.0 * mad AS is_anomaly FROM d2, md"),
+    // the KMV day-pair intersection replayed bit-for-bit: same states,
+    // same union k-min, same match ratio, same double-op order
+    "sketch_intersection_days" -> {
+      val h = graft.functions.expr.Sketches.mhash61Sql("user_id")
+      val m = graft.functions.expr.Sketches.M
+      val k = 64
+      s"WITH b AS (SELECT max(CAST(ts AS DATE)) AS d2, max(CAST(ts AS DATE)) - 1 AS d1 FROM events), " +
+        s"dh AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date, $h AS h FROM events, b WHERE CAST(ts AS DATE) IN (b.d1, b.d2)), " +
+        "st AS (SELECT event_date, h FROM (SELECT event_date, h, row_number() OVER (PARTITION BY event_date ORDER BY h) AS rn FROM dh) " +
+        s"WHERE rn <= $k), " +
+        "u AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM st)), " +
+        s"uk AS (SELECT * FROM u WHERE rn <= $k), " +
+        "sides AS (SELECT h, count(DISTINCT event_date) AS nsides FROM st GROUP BY h), " +
+        s"stt AS (SELECT max(uk.rn) AS n, min(CASE WHEN uk.rn = $k THEN uk.h END) AS hk, " +
+        "sum(CASE WHEN s.nsides = 2 THEN 1 ELSE 0 END) AS matches FROM uk JOIN sides s ON s.h = uk.h), " +
+        s"est AS (SELECT CASE WHEN n < $k THEN CAST(matches AS BIGINT) " +
+        s"ELSE CAST(round((CAST(matches AS DOUBLE) / $k) * ((${k - 1} * CAST($m AS DOUBLE)) / CAST(hk AS DOUBLE))) AS BIGINT) END AS approx_both_days FROM stt), " +
+        "ex AS (SELECT count(*) AS exact_both_days FROM (SELECT user_id FROM events, b WHERE CAST(ts AS DATE) IN (b.d1, b.d2) GROUP BY user_id, b.d1 HAVING count(DISTINCT CAST(ts AS DATE)) = 2)) " +
+        "SELECT est.approx_both_days, ex.exact_both_days FROM est, ex"
+    },
+    // both halves of the widened table under BIGINT — pre-widening int32
+    // dirs promoted in place
+    "table_type_widened" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
     // the incrementally-maintained rollup must equal the daily rollup of
     // the head state (fact minus the deleted error class)
     "mv_incremental" ->

@@ -389,6 +389,65 @@ object Analytics {
     est.crossJoin(exact) // two 1-row frames
   }
 
+  /** KMV sketch SET INTERSECTION — the estimator side of "users active on
+    * BOTH days" (retention's core question) answered from the same per-day
+    * sketch states [[kmvMergedDistinct7d]] merges for union: combine the
+    * two days' k-minimum sets, keep the k smallest of the union (a valid
+    * KMV of A∪B), and observe which of those survivors sit in BOTH input
+    * states — ρ = matches/k is an unbiased Jaccard estimate, so
+    * |A∩B| ≈ ρ · |A∪B|_est (Beyer et al., SIGMOD 2007's KMV set algebra).
+    * Below-k unions short-circuit to EXACT (every hash retained ⇒ the
+    * match count IS the intersection cardinality). Pure integer set
+    * algebra on the replayable mhash61 + one double division at the edge
+    * — DuckDB replays the estimate bit-for-bit, and the exact intersection
+    * rides along as the error reference.
+    *
+    * Scale shape: states are O(k) per day and the whole comparison
+    * touches ≤ 2k rows; at 100 TB the states are the stored rollup and
+    * any day-pair's overlap is O(k) set algebra, never a fact rescan.
+    */
+  def kmvIntersectionLastTwoDays(spark: SparkSession, dir: String,
+                                 k: Int = 64): DataFrame = {
+    import graft.functions.expr.Sketches
+    val dayHash = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("event_date"),
+        Sketches.mhash61(col("user_id")).as("h"),
+        col("user_id"))
+    val days = dayHash.agg(max(col("event_date")).as("d2"))
+      .withColumn("d1", date_sub(col("d2"), 1)) // 1-row bounds
+    val twoDays = dayHash.crossJoin(broadcast(days))
+      .filter(col("event_date") === col("d1") || col("event_date") === col("d2"))
+    val distinctDayHash = twoDays.select("event_date", "h", "d1").distinct()
+    val perDay = Window.partitionBy(col("event_date")).orderBy(col("h"))
+    val states = distinctDayHash
+      .withColumn("rn", row_number().over(perDay))
+      .filter(col("rn") <= k)
+      .withColumn("side", when(col("event_date") === col("d1"), lit("a"))
+        .otherwise(lit("b")))
+    // union sketch: k smallest of Sa ∪ Sb (≤ 2k rows — the partition-less
+    // window is safe here by construction, same as the 7d merge)
+    val unionK = states.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    val sides = states.groupBy(col("h"))
+      .agg(countDistinct(col("side")).as("nsides"))
+    val stats = unionK.join(sides, "h")
+      .agg(max(col("rn")).as("n"),
+        min(when(col("rn") === k, col("h"))).as("hk"),
+        sum(when(col("nsides") === 2, 1L).otherwise(0L)).as("matches"))
+    val est = stats.select(
+      when(col("n") < k, col("matches")) // union below k ⇒ exact algebra
+        .otherwise(round(col("matches").cast("double") / lit(k.toDouble) *
+          (lit((k - 1).toDouble * Sketches.M.toDouble) / col("hk").cast("double")))
+          .cast("long"))
+        .as("approx_both_days"))
+    val exact = twoDays.groupBy(col("user_id"))
+      .agg(countDistinct(col("event_date")).as("nd"))
+      .filter(col("nd") === 2)
+      .agg(count(lit(1)).as("exact_both_days"))
+    est.crossJoin(exact) // two 1-row frames
+  }
+
   /** Trailing-7-day moving volume per day — a RANGE window frame over the
     * day number (every day sums the week ending on it, gaps handled by
     * value, not row position). Expressed as a RANGE-bucketized self-join of

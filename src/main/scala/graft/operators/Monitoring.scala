@@ -197,4 +197,37 @@ object Monitoring {
       .filter(!col("is_success"))
       .select("timestamp", "job_name", "status", "request_url", "severity")
       .orderBy(col("timestamp").desc, col("request_url").desc)
+
+  /** Robust daily-volume anomaly screen — the ops question the reference's
+    * daily summary view sets up but never asks: which days' event volume
+    * is statistically aberrant? Median/MAD (median absolute deviation)
+    * instead of mean/stddev so the detector itself is not dragged by the
+    * outliers it hunts (one bad day shifts a mean; it barely moves a
+    * median — the robust-statistics standard, Hampel's 3-MAD rule).
+    *
+    * Exactness: daily counts are integers, so the interpolated median is
+    * integral or a half — EXACT in double — and |n − median| is again
+    * integral-or-half, so the MAD and the 3·MAD fence replay bit-for-bit
+    * in DuckDB (the same exact-in-double argument as the IQR screen,
+    * [[Quality.valueOutliers]]). Every day is emitted with its deviation
+    * and flag (an empty-anomaly period still yields a full, checkable
+    * frame).
+    *
+    * Shape: one map-side-combining date rollup (the heavy part), then two
+    * 1-row aggregates broadcast back over the O(days) frame — no global
+    * sort, no second fact scan.
+    */
+  def anomalousDays(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.agg(expr("percentile(n_events, 0.5D)").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("n_events").cast("double") - col("med")))
+    val mad = dev.agg(expr("percentile(dev, 0.5D)").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .withColumn("is_anomaly", col("dev") > lit(3.0) * col("mad"))
+      .select(col("event_date"), col("n_events"), col("med"), col("dev"),
+        col("mad"), col("is_anomaly"))
+  }
 }

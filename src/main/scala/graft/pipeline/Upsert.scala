@@ -247,8 +247,14 @@ object Upsert {
       s"schema drift between versions $fromVersion and $toVersion is not " +
         "diffable (only add-column evolution is)")
     val pre = post.columns.foldLeft(preRaw)((df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(post.schema(c).dataType)))
+      if (!df.columns.contains(c))
+        df.withColumn(c, lit(null).cast(post.schema(c).dataType))
+      else if (df.schema(c).dataType != post.schema(c).dataType)
+        // widening evolution between the versions: align the old state to
+        // the widened type (lossless by the evolution gate, so equal
+        // values still compare equal and no phantom update_post appears)
+        df.withColumn(c, col(c).cast(post.schema(c).dataType))
+      else df)
     val others = post.columns.filterNot(keys.contains).toSeq
     def packed(df: DataFrame, tag: String) = df.select(
       keys.map(col) :+ struct(others.map(col): _*).as(tag): _*)
@@ -350,18 +356,61 @@ object Upsert {
     * the new schema), and added columns must be nullable (their value on
     * pre-evolution rows IS null).
     */
+  /** The WIDER of two types when one losslessly contains the other along
+    * a sanctioned promotion chain — byte→short→int→long, float→double —
+    * the widenings Spark 4's vectorized parquet reader performs natively
+    * when the bound schema is wider than a file's footer (SPARK-40876),
+    * which is what lets a widened committed schema read pre-widening data
+    * dirs without rewriting them. None = not a sanctioned pair.
+    */
+  private def widen(a: org.apache.spark.sql.types.DataType,
+                    b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Seq[DataType] = Seq(FloatType, DoubleType)
+    if (a == b) Some(a)
+    else if (integral.contains(a) && integral.contains(b))
+      Some(if (integral.indexOf(a) >= integral.indexOf(b)) a else b)
+    else if (fractional.contains(a) && fractional.contains(b)) Some(DoubleType)
+    else None
+  }
+
+  /** Add-only + widening evolution gate. Returns the MERGED schema: every
+    * committed column at the wider of its committed and incoming types
+    * (either direction — a widened table accepts narrow late-arriving
+    * deltas, upcast at the write seam), plus incoming added columns
+    * (nullable — their value on pre-evolution rows IS null). Anything
+    * else — drop, rename-in-place, non-widening type change — refuses.
+    */
   private def validateEvolution(oldSchema: org.apache.spark.sql.types.StructType,
-                                newSchema: org.apache.spark.sql.types.StructType): Unit = {
-    oldSchema.fields.foreach { f =>
+                                newSchema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val merged = oldSchema.fields.map { f =>
       val nf = newSchema.fields.find(_.name == f.name)
       require(nf.isDefined,
         s"schema evolution is add-only: committed column ${f.name} is missing from the new schema")
-      require(nf.get.dataType == f.dataType,
-        s"schema evolution is add-only: column ${f.name} changed type ${f.dataType} -> ${nf.get.dataType}")
+      val w = widen(f.dataType, nf.get.dataType)
+      require(w.isDefined,
+        s"schema evolution allows add-only and lossless widening: column ${f.name} changed type ${f.dataType} -> ${nf.get.dataType}")
+      f.copy(dataType = w.get)
     }
-    newSchema.fields.filterNot(f => oldSchema.fields.exists(_.name == f.name))
-      .foreach(f => require(f.nullable,
-        s"added column ${f.name} must be nullable (old rows back-fill as null)"))
+    val added = newSchema.fields.filterNot(f => oldSchema.fields.exists(_.name == f.name))
+    added.foreach(f => require(f.nullable,
+      s"added column ${f.name} must be nullable (old rows back-fill as null)"))
+    org.apache.spark.sql.types.StructType(merged ++ added)
+  }
+
+  /** Cast a PHYSICAL-named frame up to the merged physical schema (no-op
+    * when types already match) — late-arriving narrow deltas land widened
+    * so every staged file carries the current committed types.
+    */
+  private def castToMerged(df: DataFrame,
+                           merged: org.apache.spark.sql.types.StructType): DataFrame = {
+    val target = merged.fields.map(f => f.name -> f.dataType).toMap
+    if (df.schema.fields.forall(f => target.get(f.name).forall(_ == f.dataType))) df
+    else df.select(df.columns.map { c =>
+      target.get(c).filter(_ != df.schema(c).dataType)
+        .map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }.toIndexedSeq: _*)
   }
 
   // ---- COLUMN RENAME without rewrite (Iceberg's name-mapping idea): the
@@ -922,8 +971,10 @@ object Upsert {
                        committer: SnapshotCommitter = AtomicRenameCommitter,
                        meta: Map[String, String] = Map.empty): Unit = {
     val manifest = committer.readManifest(tablePath)
-    val data = toPhysical(data0, manifest)
-    committedSchema(manifest).foreach(validateEvolution(_, data.schema))
+    val dataRaw = toPhysical(data0, manifest)
+    val data = committedSchema(manifest)
+      .map(old => castToMerged(dataRaw, validateEvolution(old, dataRaw.schema)))
+      .getOrElse(dataRaw)
     SnapshotGc.gcUnreferenced(tablePath,
       dataEntries(manifest).values.toSet ++ committer.retainedReferences(tablePath),
       committer.gcGraceMs)
@@ -978,8 +1029,12 @@ object Upsert {
     // dropped a committed column would otherwise drop it from the merge.
     // Comparison and file read happen in PHYSICAL names (files never
     // rename); the merge itself stays logical
-    val deltaPhysSchema = toPhysical(delta, manifest).schema
-    committedSchema(manifest).foreach(validateEvolution(_, deltaPhysSchema))
+    val deltaPhys = toPhysical(delta, manifest)
+    val deltaPhysSchema = committedSchema(manifest)
+      .map(validateEvolution(_, deltaPhys.schema)).getOrElse(deltaPhys.schema)
+    // a narrow late-arriving delta upcasts to the committed width here, so
+    // the merge and the staged files carry the widened types throughout
+    val deltaW = toLogical(castToMerged(deltaPhys, deltaPhysSchema), manifest)
 
     // manifest-level pruning: only the touched partitions' committed
     // paths are listed/read — I/O is O(delta partitions), not O(table)
@@ -989,8 +1044,8 @@ object Upsert {
       if (existingPaths.nonEmpty)
         toLogical(spark.read.schema(deltaPhysSchema).parquet(existingPaths: _*),
           manifest)
-      else delta.limit(0)
-    val merged = mergeByKey(existing, delta, keys, order)
+      else deltaW.limit(0)
+    val merged = mergeByKey(existing, deltaW, keys, order)
     val committed = replacePartitionsAtomicImpl(spark, merged, tablePath,
       partCol, touched, crashBeforeCommit, committer)
     UpsertStats(touched, delta.count(), if (committed) merged.count() else -1L)
@@ -1033,11 +1088,14 @@ object Upsert {
     val manifest = committer.readManifest(tablePath)
     // the write seam of the column-mapping contract: incoming frames are
     // LOGICAL-named; files and committed schema stay PHYSICAL forever
-    val data = toPhysical(data0, manifest)
+    val dataRaw = toPhysical(data0, manifest)
     val partCol = physicalName(manifest, partCol0)
-    // the add-only evolution gate: a commit may widen the committed schema
-    // but never drop or retype a column old data dirs still carry
-    committedSchema(manifest).foreach(validateEvolution(_, data.schema))
+    // the add-only+widening evolution gate: a commit may widen the
+    // committed schema but never drop or narrow a column old data dirs
+    // still carry; narrow incoming frames upcast before staging
+    val data = committedSchema(manifest)
+      .map(old => castToMerged(dataRaw, validateEvolution(old, dataRaw.schema)))
+      .getOrElse(dataRaw)
     SnapshotGc.gcUnreferenced(tablePath,
       manifest.values.toSet ++ committer.retainedReferences(tablePath),
       committer.gcGraceMs)

@@ -171,6 +171,20 @@ object Upsert {
     readBound(spark, manifest, data.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
+  /** Read `paths` bound to the committed (logical-presented) schema, or —
+    * when pruning kept nothing — an EMPTY frame with the same logical
+    * schema (the one shared fallback for every pruned-read surface).
+    */
+  private def emptyOrBound(spark: SparkSession, manifest: Map[String, String],
+                           tablePath: String, paths: Seq[String]): DataFrame =
+    if (paths.nonEmpty) readBound(spark, manifest, paths)
+    else {
+      val schema = committedSchema(manifest).getOrElse(
+        spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
+      toLogical(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), manifest)
+    }
+
   /** Manifest-pruned partition read: ONLY the named partitions' committed
     * dirs are listed/opened — the same O(touched) I/O the upsert's
     * internal pruned scan does, as a public read surface. Unknown
@@ -183,12 +197,7 @@ object Upsert {
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
     val paths = values.flatMap(v => manifest.get(partKey(v)))
       .map(rel => s"$tablePath/$rel")
-    if (paths.isEmpty) {
-      val schema = committedSchema(manifest).getOrElse(
-        spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
-      toLogical(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), manifest)
-    } else readBound(spark, manifest, paths)
+    emptyOrBound(spark, manifest, tablePath, paths)
   }
 
   /** TIME TRAVEL: the table exactly as committed at `version` (a
@@ -306,8 +315,9 @@ object Upsert {
       else upserts.limit(0)
     val kept = existing.join(dels, keys, "left_anti")
     val merged = mergeByKey(kept, upserts, keys, order)
-    replacePartitionsAtomic(spark, merged, tablePath, partCol, touched,
-      committer, extraMeta)
+    replacePartitionsAtomicImpl(spark, merged, tablePath, partCol, touched,
+      crashBeforeCommit = false, committer, extraMeta,
+      manifestRead = Some(manifest))
   }
 
   /** Manifest entries that reference data dirs — `__`-prefixed keys are
@@ -451,9 +461,18 @@ object Upsert {
     * in physical names has no logical-named columns to rename).
     */
   private[graft] def toPhysical(df: DataFrame, manifest: Map[String, String]): DataFrame = {
-    val inv = colMapOf(manifest).map(_.swap)
-    if (inv.isEmpty) df
-    else df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+    val m = colMapOf(manifest)
+    if (m.isEmpty) return df
+    // a RETIRED physical name (shadowed by a rename) is reserved: a frame
+    // carrying it would silently write into the renamed column's storage
+    // (and carrying both names would mint duplicate physical columns)
+    val retired = m.collect { case (p, l) if p != l => p }.toSet
+    val offending = df.columns.filter(retired.contains)
+    require(offending.isEmpty,
+      s"column name(s) ${offending.mkString(",")} are retired physical names " +
+        "(shadowed by a rename) — reintroduce the column under a fresh name")
+    val inv = m.map(_.swap)
+    df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
   }
 
   /** Rename logical column `from` to `to` — a metadata-only commit, no
@@ -467,12 +486,15 @@ object Upsert {
       s"invalid column name '$to'")
     val manifest = committer.readManifest(tablePath)
     val m = colMapOf(manifest)
-    val phys = physicalName(manifest, from)
     val physSchema = committedSchema(manifest).getOrElse(throw new IllegalStateException(
       s"no committed schema at $tablePath — rename needs schema metadata"))
-    require(physSchema.fieldNames.contains(phys),
-      s"no column '$from' in the committed table")
     val logicalNames = physSchema.fieldNames.map(p => m.getOrElse(p, p)).toSet
+    // `from` must be a CURRENT logical name — the bare-physical fallback
+    // would let a shadowed physical name silently rename the WRONG column
+    require(logicalNames.contains(from),
+      s"no column '$from' in the committed table (current columns: " +
+        s"${logicalNames.toSeq.sorted.mkString(",")})")
+    val phys = physicalName(manifest, from)
     require(!logicalNames.contains(to),
       s"column name '$to' already exists")
     val m2 = (m - phys) ++ (if (phys == to) Map.empty else Map(phys -> to))
@@ -593,7 +615,19 @@ object Upsert {
     require(cols.nonEmpty && cols.forall(c => !c.contains(",") && !c.contains("\t")),
       "invalid stats column list")
     val manifest = committer.readManifest(tablePath)
-    committer.commit(tablePath, manifest + (RangeColsKey -> cols.mkString(",")))
+    // callers speak logical names; the stats machinery (staged aggregates,
+    // manifest entries, FileIndex consults) is physical throughout
+    val phys = cols.map(physicalName(manifest, _))
+    committer.commit(tablePath, manifest + (RangeColsKey -> phys.mkString(",")))
+  }
+
+  /** Drop the zone-map declaration (existing `__range.` entries expire as
+    * their partitions rewrite).
+    */
+  def disableRangeStats(tablePath: String,
+                        committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val manifest = committer.readManifest(tablePath)
+    committer.commit(tablePath, manifest - RangeColsKey)
   }
 
   private def rangeStatsCols(manifest: Map[String, String]): Seq[String] =
@@ -632,12 +666,8 @@ object Upsert {
     val manifest = committer.readManifest(tablePath)
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
     val kept = rangePrunedEntries(manifest, physicalName(manifest, column), lo, hi)
-    if (kept.isEmpty) {
-      val schema = committedSchema(manifest).getOrElse(
-        spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
-      toLogical(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), manifest)
-    } else readBound(spark, manifest, kept.values.map(rel => s"$tablePath/$rel").toSeq)
+    emptyOrBound(spark, manifest, tablePath,
+      kept.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
   /** Per-written-partition `__range.<p>` entries over the staged dirs
@@ -646,13 +676,10 @@ object Upsert {
     * serializes as null and never prunes.
     */
   private def stagedRangeEntries(spark: SparkSession, manifest: Map[String, String],
-                                 batchDir: String, writtenParts: Set[String],
+                                 staged: DataFrame,
                                  dataCols: Seq[String]): Map[String, String] = {
     val cols0 = rangeStatsCols(manifest).filter(dataCols.contains)
-    if (cols0.isEmpty || writtenParts.isEmpty) return Map.empty
-    val staged = writtenParts.toSeq.sorted.map { p =>
-      spark.read.parquet(s"$batchDir/__part=$p").withColumn("__part", lit(p))
-    }.reduce(_ unionByName _)
+    if (cols0.isEmpty) return Map.empty
     val aggs = cols0.flatMap(c => Seq(
       min(col(c).cast("double")), max(col(c).cast("double"))))
     staged.groupBy(col("__part")).agg(aggs.head, aggs.tail: _*)
@@ -703,18 +730,31 @@ object Upsert {
     require(expectedItemsPerPartition > 0 && fpp > 0 && fpp < 1,
       "invalid bloom sizing")
     val manifest = committer.readManifest(tablePath)
+    // callers speak logical names; sidecar filenames and FileIndex
+    // consults are physical throughout
+    val phys = cols.map(physicalName(manifest, _))
     committedSchema(manifest).foreach { sch =>
-      cols.foreach { c =>
-        val f = sch.fields.find(_.name == c)
+      phys.zip(cols).foreach { case (p, c) =>
+        val f = sch.fields.find(_.name == p)
         require(f.isDefined, s"bloom column $c is not in the committed schema")
         require(bloomSupported(f.get.dataType),
           s"bloom stats cover integral and string columns; $c is ${f.get.dataType}")
       }
     }
     committer.commit(tablePath, manifest +
-      (BloomColsKey -> cols.mkString(",")) +
+      (BloomColsKey -> phys.mkString(",")) +
       (BloomItemsKey -> expectedItemsPerPartition.toString) +
       (BloomFppKey -> fpp.toString))
+  }
+
+  /** Drop the bloom declaration (existing sidecars become inert files that
+    * die with their data dirs).
+    */
+  def disableBloomStats(tablePath: String,
+                        committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val manifest = committer.readManifest(tablePath)
+    committer.commit(tablePath,
+      manifest - BloomColsKey - BloomItemsKey - BloomFppKey)
   }
 
   private def bloomSupported(t: org.apache.spark.sql.types.DataType): Boolean = t match {
@@ -741,18 +781,23 @@ object Upsert {
   private def writeStagedBloomSidecars(spark: SparkSession,
                                        manifest: Map[String, String],
                                        batchDir: String,
-                                       writtenParts: Set[String],
+                                       staged: DataFrame,
                                        dataCols: Seq[String]): Unit = {
     import org.apache.spark.util.sketch.BloomFilter
-    val cols0 = bloomStatsCols(manifest).filter(dataCols.contains)
-    if (cols0.isEmpty || writtenParts.isEmpty) return
+    val declared = bloomStatsCols(manifest)
+    // silently dropping a declared column would ship a table whose
+    // promised stats never materialize — a misspelled or missing column
+    // fails the commit loudly (add-only evolution guarantees every
+    // committed column is present in staged data)
+    val missing = declared.filterNot(dataCols.contains)
+    require(missing.isEmpty,
+      s"declared bloom columns absent from staged data: ${missing.mkString(",")}")
+    val cols0 = declared
+    if (cols0.isEmpty) return
     val items = manifest.get(BloomItemsKey).map(_.toLong).getOrElse(1L << 20)
     val fpp = manifest.get(BloomFppKey).map(_.toDouble).getOrElse(0.01)
-    val staged = writtenParts.toSeq.sorted.map { p =>
-      spark.read.parquet(s"$batchDir/__part=$p").withColumn("__part", lit(p))
-    }.reduce(_ unionByName _)
-    // silently skipping an unsupported column would ship a table whose
-    // declared stats never materialize — fail the commit loudly instead
+    // an unsupported column type likewise fails loudly instead of
+    // silently never pruning
     cols0.foreach { c =>
       val t = staged.schema(c).dataType
       require(bloomSupported(t), s"bloom column $c has unsupported type $t")
@@ -859,12 +904,8 @@ object Upsert {
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
     val kept = bloomPrunedEntries(tablePath, manifest,
       physicalName(manifest, column), values)
-    if (kept.isEmpty) {
-      val schema = committedSchema(manifest).getOrElse(
-        spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
-      toLogical(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), manifest)
-    } else readBound(spark, manifest, kept.values.map(rel => s"$tablePath/$rel").toSeq)
+    emptyOrBound(spark, manifest, tablePath,
+      kept.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
   case class DeleteStats(touchedPartitions: Seq[String], deletedRows: Long)
@@ -909,7 +950,8 @@ object Upsert {
     // only TRUE — a bare !predicate would silently drop null-evaluating
     // rows too)
     val kept = scoped.filter(coalesce(!predicate, lit(true)))
-    replacePartitionsAtomic(spark, kept, tablePath, partCol, touched, committer)
+    replacePartitionsAtomicImpl(spark, kept, tablePath, partCol, touched,
+      crashBeforeCommit = false, committer, manifestRead = Some(manifest))
     DeleteStats(touched, deleted)
   }
 
@@ -951,7 +993,8 @@ object Upsert {
     val applied = scoped.select(scoped.columns.map { c =>
       set.get(c).fold(col(c))(e => when(predicate, e).otherwise(col(c)).as(c))
     }.toIndexedSeq: _*)
-    replacePartitionsAtomic(spark, applied, tablePath, partCol, touched, committer)
+    replacePartitionsAtomicImpl(spark, applied, tablePath, partCol, touched,
+      crashBeforeCommit = false, committer, manifestRead = Some(manifest))
     UpdateStats(touched, updated)
   }
 
@@ -1047,7 +1090,8 @@ object Upsert {
       else deltaW.limit(0)
     val merged = mergeByKey(existing, deltaW, keys, order)
     val committed = replacePartitionsAtomicImpl(spark, merged, tablePath,
-      partCol, touched, crashBeforeCommit, committer)
+      partCol, touched, crashBeforeCommit, committer,
+      manifestRead = Some(manifest))
     UpsertStats(touched, delta.count(), if (committed) merged.count() else -1L)
   }
 
@@ -1079,13 +1123,19 @@ object Upsert {
       spark: SparkSession, data0: DataFrame, tablePath: String,
       partCol0: String, parts: Seq[String], crashBeforeCommit: Boolean,
       committer: SnapshotCommitter,
-      extraMeta: Map[String, String] = Map.empty): Boolean = {
+      extraMeta: Map[String, String] = Map.empty,
+      manifestRead: Option[Map[String, String]] = None): Boolean = {
     require(extraMeta.keys.forall(_.startsWith("__")),
       "extraMeta entries are manifest METADATA and must be __-prefixed")
     // normalize RAW partition values to manifest keys up front: staged dir
     // names (and therefore every committed key) are Hive-escaped
     val partsEsc = parts.map(partKey)
-    val manifest = committer.readManifest(tablePath)
+    // a caller that already read the manifest (and built its inputs
+    // against that read) passes it down: a second read here would RESET a
+    // CAS committer's observation, silently blessing any commit that
+    // interleaved between the two reads — the lost-update window the CAS
+    // precondition exists to close
+    val manifest = manifestRead.getOrElse(committer.readManifest(tablePath))
     // the write seam of the column-mapping contract: incoming frames are
     // LOGICAL-named; files and committed schema stay PHYSICAL forever
     val dataRaw = toPhysical(data0, manifest)
@@ -1111,45 +1161,76 @@ object Upsert {
     require(writtenParts.subsetOf(partsEsc.toSet),
       s"data carries partitions outside the replace set: ${writtenParts -- partsEsc.toSet}")
 
-    // CHECK enforcement against the STAGED bytes (what would become
-    // visible), before the flip; a violation abandons the staging with
-    // the previous manifest untouched
+    // ONE shared read of the staged bytes feeds every post-staging job
+    // (CHECK validation, zone maps, bloom filters) — persisted when more
+    // than one consumer runs, so the write path scans the staging once,
+    // not once per concern
     val checks = manifest.collect {
       case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
     }
-    if (checks.nonEmpty && writtenParts.nonEmpty) {
-      val staged = spark.read.parquet(
-        writtenParts.map(v => s"$tablePath/$batchDirName/__part=$v").toSeq: _*)
-      val bad = violationCounts(staged, checks)
-      if (bad.nonEmpty) {
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"$tablePath/$batchDirName"))
-        throw new CheckViolationException(bad, checks)
+    val statCols = (rangeStatsCols(manifest) ++ bloomStatsCols(manifest))
+      .filter(data.columns.contains)
+    val consumers = (if (checks.nonEmpty) 1 else 0) +
+      (if (statCols.nonEmpty) 1 else 0)
+    val stagedDf =
+      if (writtenParts.isEmpty || consumers == 0) None
+      else Some(writtenParts.toSeq.sorted.map { p =>
+        spark.read.parquet(s"$tablePath/$batchDirName/__part=$p")
+          .withColumn("__part", lit(p))
+      }.reduce(_ unionByName _))
+    if (consumers > 1) stagedDf.foreach(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      // CHECK enforcement against the STAGED bytes (what would become
+      // visible), before the flip; a violation abandons the staging with
+      // the previous manifest untouched
+      if (checks.nonEmpty) stagedDf.foreach { staged =>
+        val bad = violationCounts(staged.drop("__part"), checks)
+        if (bad.nonEmpty) {
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$tablePath/$batchDirName"))
+          throw new CheckViolationException(bad, checks)
+        }
       }
+
+      if (crashBeforeCommit) return false
+
+      // zone-map entries for the rewritten partitions (empty unless enabled)
+      val ranges = stagedDf.map(stagedRangeEntries(spark, manifest, _,
+        data.columns.toSeq)).getOrElse(Map.empty[String, String])
+      // bloom sidecars land inside the staged dirs before the flip (no-op
+      // unless enabled)
+      stagedDf.foreach(writeStagedBloomSidecars(spark, manifest,
+        s"$tablePath/$batchDirName", _, data.columns.toSeq))
+
+      // the post-staging jobs above can outlast a concurrent writer's GC
+      // grace window (the batch dir's mtime froze when staging finished):
+      // refresh the staging's age and VERIFY it survived before publishing
+      // references to it — a collected staging must fail loudly here, not
+      // surface later as dangling manifest entries
+      val batchRoot = new java.io.File(s"$tablePath/$batchDirName")
+      batchRoot.setLastModified(System.currentTimeMillis())
+      val missing = writtenParts.filterNot(p =>
+        new java.io.File(s"$tablePath/$batchDirName/__part=$p").isDirectory)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"staged partitions vanished before commit (concurrent GC passed " +
+          s"the grace window?): ${missing.toSeq.sorted.mkString(",")}")
+
+      // replaced partitions re-point to the new batch dir (one with no rows
+      // left drops out, and its stale zone map goes with it); untouched
+      // partitions keep their entries; then release superseded data one
+      // cycle late
+      val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")) ++
+        writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
+        extraMeta + // e.g. a tail cursor — atomic with the data it describes
+        (SchemaKey -> data.schema.json) // the schema rides the same flip
+      committer.commit(tablePath, newManifest)
+      SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
+        newManifest.values ++ committer.retainedReferences(tablePath),
+        committer.gcGraceMs)
+    } finally {
+      if (consumers > 1) stagedDf.foreach(_.unpersist())
     }
-
-    if (crashBeforeCommit) return false
-
-    // zone-map entries for the rewritten partitions (empty unless enabled)
-    val ranges = stagedRangeEntries(spark, manifest,
-      s"$tablePath/$batchDirName", writtenParts, data.columns.toSeq)
-    // bloom sidecars land inside the staged dirs before the flip (no-op
-    // unless enabled)
-    writeStagedBloomSidecars(spark, manifest, s"$tablePath/$batchDirName",
-      writtenParts, data.columns.toSeq)
-
-    // replaced partitions re-point to the new batch dir (one with no rows
-    // left drops out, and its stale zone map goes with it); untouched
-    // partitions keep their entries; then release superseded data one
-    // cycle late
-    val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")) ++
-      writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
-      extraMeta + // e.g. a tail cursor — atomic with the data it describes
-      (SchemaKey -> data.schema.json) // the schema rides the same flip
-    committer.commit(tablePath, newManifest)
-    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
-      newManifest.values ++ committer.retainedReferences(tablePath),
-      committer.gcGraceMs)
     true
   }
 }

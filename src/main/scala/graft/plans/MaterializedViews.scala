@@ -75,6 +75,15 @@ object MaterializedViews {
 
   private val registry = TrieMap.empty[(SparkSession, String), MvDef]
 
+  /** True while `create` is extracting a definition's optimized structure
+    * — the rewrite rule must not fire there, or defining a second MV whose
+    * aggregate matches an existing one extracts the REWRITTEN plan and
+    * aborts on its unexpected shape.
+    */
+  private[plans] val extracting = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
   def defsFor(spark: SparkSession): Seq[MvDef] =
     registry.collect { case ((s, _), d) if s eq spark => d }.toSeq
 
@@ -104,9 +113,12 @@ object MaterializedViews {
     // extract the recorded structure from the OPTIMIZED plan — the same
     // normal form (collapsed projects, pruned columns) a candidate query
     // reaches the rule in, so peeled comparison is like-for-like
+    val optimized =
+      try { extracting.set(true); aggDf.queryExecution.optimizedPlan }
+      finally extracting.set(false)
     val (groupExprs: Seq[(String, Expression)],
          measureExprs: Seq[(String, String, Expression)],
-         child: LogicalPlan) = aggDf.queryExecution.optimizedPlan match {
+         child: LogicalPlan) = optimized match {
       case Aggregate(_, ae, child, _) =>
         // RemoveRedundantAliases strips `col AS col`, so group outputs may
         // surface as bare attributes
@@ -181,6 +193,7 @@ object RewriteAggregateToMv extends Rule[LogicalPlan] {
   import MaterializedViews._
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MaterializedViews.extracting.get()) return plan
     val defs = SparkSession.getActiveSession.map(defsFor).getOrElse(Nil)
     if (defs.isEmpty) plan
     else plan.transform {
@@ -321,7 +334,10 @@ object RewriteAggregateToMv extends Rule[LogicalPlan] {
             m.copy(child = mvAttrByName(name)).toAggregateExpression()
           }
         }
-      case c: Count if c.children.forall(_.foldable) =>
+      case c: Count if c.children.forall(ch =>
+          ch.foldable && ch.eval(null) != null) =>
+        // count over a foldable NON-NULL argument is count(*); count(NULL)
+        // is 0 per group and must NOT become sum(cnt)
         val cnt = mvAttrByName(CntCol)
         Some(Coalesce(Seq(Sum(cnt).toAggregateExpression(), Literal(0L))))
       case _ => None

@@ -98,6 +98,10 @@ private[graft] object SnapshotGc {
     for {
       t <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       if t.isFile && t.getName.startsWith("MANIFEST.tmp-")
+      // same age floor as the batch dirs: another writer's in-flight temp
+      // (written, not yet ATOMIC_MOVEd) is milliseconds old — only
+      // crashed leftovers age past the window
+      if t.lastModified() <= cutoff
     } t.delete()
   }
 }

@@ -120,6 +120,32 @@ class MvRewriteSpec extends AnyFunSuite {
       .forall(!_.contains("/mv")), "a different base must never match")
   }
 
+  test("count(NULL) refuses; a second MV over the same base can be defined") {
+    mvPath
+    // count over a null argument is 0 per group — it must NOT become
+    // sum(cnt)
+    val q = base.groupBy("typ").agg(count(lit(null)).as("c"))
+    assert(scansBase(q))
+    assert(q.as[(String, Long)].collect().toSet ==
+      Set(("t0", 0L), ("t1", 0L), ("t2", 0L)))
+
+    // defining a COARSER second MV: its definition aggregate matches the
+    // first MV, but extraction must bypass the rewrite (else it aborts on
+    // the rewritten plan's shape)
+    val p2 = Files.createTempDirectory("graft-mv").toString + "/mv"
+    MaterializedViews.create(spark, "daily2", base,
+      groups = Seq("day" -> col("day")),
+      measures = Seq(("sum_v", "sum", col("v"))), path = p2)
+    try {
+      val q2 = base.groupBy("day").agg(sum("v").as("sv"))
+      assert(scannedPaths(q2).nonEmpty && !scansBase(q2),
+        "the coarser query must rewrite onto one of the MVs")
+      assert(q2.as[(String, Long)].collect().toSet ==
+        (0 until 400).groupBy(i => s"d${i % 5}")
+          .map { case (d, is) => (d, is.map(_.toLong).sum) }.toSet)
+    } finally MaterializedViews.drop(spark, "daily2")
+  }
+
   test("derived group expressions match semantically") {
     mvPath
     // the query re-derives the group column through a projection chain;

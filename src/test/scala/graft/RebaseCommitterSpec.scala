@@ -128,6 +128,52 @@ class RebaseCommitterSpec extends AnyFunSuite {
     assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
   }
 
+  test("an interleaved commit DURING a full upsert surfaces, not silently loses") {
+    // the lost-update window: a rival commits between this writer's
+    // manifest read (which pinned its merge inputs) and its commit — the
+    // commit must observe THAT read's baseline, so the same-partition
+    // rival raises ConcurrentCommitException and the disjoint rival
+    // rebases; a second internal read would have silently blessed both
+    val path = Files.createTempDirectory("graft-occ").toString + "/t"
+    Upsert.upsertPartitionsAtomic(spark, df(("d1", 1L, 10L)), path, "day",
+      Seq("id"), Seq("v"), new RebasingCasCommitter)
+
+    class Interleaver(rival: () => Unit) extends graft.streaming.SnapshotCommitter {
+      private val inner = new RebasingCasCommitter
+      private var fired = false
+      override def gcGraceMs: Long = inner.gcGraceMs
+      override def readManifest(p: String): Map[String, String] = {
+        val m = inner.readManifest(p)
+        if (!fired) { fired = true; rival(); }
+        m
+      }
+      override def commit(p: String, e: Map[String, String]): Unit =
+        inner.commit(p, e)
+    }
+
+    // same-partition rival: must refuse (the merge was built pre-rival)
+    intercept[ConcurrentCommitException] {
+      Upsert.upsertPartitionsAtomic(spark, df(("d1", 1L, 12L)), path, "day",
+        Seq("id"), Seq("v"),
+        new Interleaver(() => Upsert.upsertPartitionsAtomic(spark,
+          df(("d1", 1L, 11L)), path, "day", Seq("id"), Seq("v"),
+          new RebasingCasCommitter)))
+    }
+    // the rival's row survived intact
+    assert(Upsert.readTable(spark, path).selectExpr("id", "v")
+      .as[(Long, Long)].collect().toSet == Set((1L, 11L)))
+
+    // disjoint-partition rival: the loser rebases and BOTH land
+    Upsert.upsertPartitionsAtomic(spark, df(("d2", 2L, 20L)), path, "day",
+      Seq("id"), Seq("v"),
+      new Interleaver(() => Upsert.upsertPartitionsAtomic(spark,
+        df(("d3", 3L, 30L)), path, "day", Seq("id"), Seq("v"),
+        new RebasingCasCommitter)))
+    assert(Upsert.readTable(spark, path).selectExpr("id", "v")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
+
   test("GC grace window protects young stagings; aged ones still collect") {
     val path = Files.createTempDirectory("graft-occ").toString + "/t"
     val young = new java.io.File(s"$path/batch-young/sub"); young.mkdirs()

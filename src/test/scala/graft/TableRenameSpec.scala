@@ -94,6 +94,53 @@ class TableRenameSpec extends AnyFunSuite {
     assert(files == 1L, "the logical-name filter must still zone-prune")
   }
 
+  test("retired physical names are reserved; shadowed names cannot rename") {
+    val path = Files.createTempDirectory("graft-ren").toString + "/t"
+    Upsert.upsertPartitionsAtomic(spark, df(("d1", 1L, 1L)), path, "day",
+      Seq("id"), Seq("v"))
+    Upsert.renameColumn(path, "v", "version")
+
+    // a delta re-introducing a column under the RETIRED physical name
+    // would silently write into the renamed column's storage — refuse
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertPartitionsAtomic(spark,
+        Seq(("d1", 2L, 2L, 99L)).toDF("day", "id", "version", "v"),
+        path, "day", Seq("id"), Seq("version"))
+    }
+    assert(e.getMessage.contains("retired"))
+
+    // renaming BY the shadowed physical name must not resolve to the
+    // renamed column
+    val e2 = intercept[IllegalArgumentException] {
+      Upsert.renameColumn(path, "v", "x")
+    }
+    assert(e2.getMessage.contains("no column 'v'"))
+  }
+
+  test("stats enabled under logical names map to physical declarations") {
+    val path = Files.createTempDirectory("graft-ren").toString + "/t"
+    Upsert.upsertPartitionsAtomic(spark,
+      df(("d1", 1L, 5L), ("d2", 2L, 100L)).coalesce(1), path, "day",
+      Seq("id"), Seq("v"))
+    Upsert.renameColumn(path, "v", "version")
+    // enable AFTER the rename, by the LOGICAL name — declarations must
+    // land physical so later staged aggregates and pruned reads agree
+    Upsert.enableRangeStats(path, Seq("version"))
+    Upsert.enableBloomStats(path, Seq("id"), expectedItemsPerPartition = 100L)
+    Upsert.upsertPartitionsAtomic(spark,
+      Seq(("d3", 3L, 200L)).toDF("day", "id", "version"), path, "day",
+      Seq("id"), Seq("version"))
+    // superset contract: pre-enable partitions lack stats and are kept;
+    // the exact predicate lands on top (and must find the new partition,
+    // proving the post-rename declarations bound the right column)
+    val r = Upsert.readTableRangePruned(spark, path, "version", 150, 250)
+      .filter(col("version").between(150, 250))
+    assert(r.selectExpr("id").as[Long].collect().toSet == Set(3L))
+    val p2 = Upsert.readTablePointPruned(spark, path, "id", Seq(3L))
+      .filter(col("id") === 3L)
+    assert(p2.selectExpr("id").as[Long].collect().toSet == Set(3L))
+  }
+
   test("collisions refuse; rename-back drops the mapping; evolution composes") {
     val path = Files.createTempDirectory("graft-ren").toString + "/t"
     Upsert.upsertPartitionsAtomic(spark, df(("d1", 1L, 1L)), path, "day",

@@ -642,6 +642,10 @@ object SparkEntry {
         .select("doc_id", "lang")),
     "domain_mixture_sample" -> ((s, d) =>
       TextOps.domainMixtureSample(Tables.documents(prep(s), d), 200L)),
+    // weight-proportional sampling (priority sample, token-count weights):
+    // the deterministic A-ES/DLT companion to the uniform hash sample
+    "doc_weighted_sample" -> ((s, d) =>
+      TextOps.weightedPrioritySample(Tables.documents(prep(s), d), 100)),
     "doc_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(prep(s), d))),
     "doc_contamination" -> ((s, d) =>
@@ -937,6 +941,38 @@ object SparkEntry {
       require(stats.deletedRows > 0, "delete demo must delete something")
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // MERGE-ON-READ DELETE (MorDeleteSpec pins materialization, history,
+    // and GC): the same error-event purge as table_delete_where but via
+    // deletion sidecars — NO partition rewrite; the read-back applies the
+    // sidecar anti-join, then HALF the partitions are compacted so the
+    // result mixes materialized and pending-sidecar partitions and both
+    // paths must agree with the copy-on-write oracle
+    "table_delete_mor" -> ((s, d) => {
+      val out = cachedTempDir("graft_mor_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      val victims = state.filter(col("event_type") === "error")
+        .select(col("bucket"), col("event_id"))
+      val stats = pipeline.Upsert.deleteKeysMor(s, out, "bucket",
+        Seq("event_id"), victims, c)
+      require(stats.deletedRows > 0, "MoR delete demo must delete something")
+      // materialize buckets 0-3; 4-7 stay sidecar-pending
+      (0L until 4L).foreach { b =>
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("bucket") === b && col("event_type") =!= "error")
+            .limit(1),
+          out, "bucket", keys = Seq("event_id"),
+          order = Seq("ts_us", "value_cents"), committer = c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // ROW-LEVEL UPDATE: same partition surgery as the delete, with the
     // assignments evaluated against the pre-update row — error events'
     // value zeroed in place, everything else byte-identical. Oracle is
@@ -990,6 +1026,14 @@ object SparkEntry {
     // so the flags replay bit-for-bit.
     "mon_anomaly_days" -> ((s, d) =>
       Monitoring.anomalousDays(Tables.events(prep(s), d))),
+    // per-day modal event type with a DETERMINISTIC tie-break (SQL mode()
+    // leaves ties unspecified — unusable for reproducible pipelines)
+    "mon_modal_type" -> ((s, d) =>
+      Monitoring.dailyModalType(Tables.events(prep(s), d))),
+    // grouped least-squares from exact integer sufficient statistics:
+    // slope and correlation land bit-identical across engines
+    "mon_type_regression" -> ((s, d) =>
+      Monitoring.dailyTypeRegression(Tables.events(prep(s), d))),
     // KMV SET INTERSECTION: users active on BOTH of the last two days
     // estimated from the per-day sketch states alone (union k-min + the
     // Jaccard match ratio — Beyer et al. KMV set algebra), exact
@@ -1095,6 +1139,28 @@ object SparkEntry {
           .withColumnRenamed("value_cents", "cents"),
         out, "bucket", keys = Seq("event_id"), order = Seq("ts_us", "cents"),
         committer = c)
+      pipeline.Upsert.readTable(s, out, c)
+    }),
+    // COLUMN DROP without rewrite (ColumnDropSpec pins the refusals and
+    // the retired-name contract): the committed schema loses the field,
+    // no data dir is touched, and a post-drop delta merges without it —
+    // the read-back must be exactly the fact minus that column
+    "table_dropped_column" -> ((s, d) => {
+      val out = cachedTempDir("graft_drop_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      pipeline.Upsert.dropColumn(out, "event_type", c)
+      pipeline.Upsert.upsertPartitionsAtomic(s,
+        state.filter(col("bucket") === 0L).drop("event_type"),
+        out, "bucket", keys = Seq("event_id"),
+        order = Seq("ts_us", "value_cents"), committer = c)
       pipeline.Upsert.readTable(s, out, c)
     }),
     // CONCURRENT WRITERS (OCC + partition-disjoint rebase): two writers
@@ -1924,6 +1990,19 @@ object SparkEntry {
         "q AS (SELECT domain, CAST((2 * 200 * w + sum_w) // (2 * sum_w) AS BIGINT) AS quota FROM w, s), " +
         "r AS (SELECT doc_id, source AS domain, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
         "SELECT r.doc_id, r.domain, q.quota FROM r JOIN q USING (domain) WHERE r.rk <= q.quota"),
+    // priority sample (DLT): key = mhash61(doc_id) div weight ascending;
+    // τ = the 101st key; est = max(w, M div τ) — all BIGINT, exact replay
+    "doc_weighted_sample" -> {
+      val m = graft.functions.expr.Sketches.M
+      val h = graft.functions.expr.Sketches.mhash61Sql("doc_id")
+      ("WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS weight, " +
+        s"($h) // CAST(len(string_split(text, ' ')) AS BIGINT) AS priority_key FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY priority_key, doc_id) AS rn FROM t), " +
+        "tau AS (SELECT max(CASE WHEN rn = 101 THEN priority_key END) AS tau0 FROM r) " +
+        "SELECT doc_id, weight, priority_key, CASE WHEN tau0 IS NULL THEN weight " +
+        s"ELSE greatest(weight, $m // greatest(tau0, 1)) END AS est_weight " +
+        "FROM r, tau WHERE rn <= 100")
+    },
     "lang_token_mix" ->
       s"WITH p AS (SELECT lang, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1) SELECT lang, n_docs, total_tokens, ${fxRatioSql("total_tokens", "(SELECT CAST(sum(total_tokens) AS BIGINT) FROM p)", 6)} AS token_share FROM p",
     "doc_pack_chunks" ->
@@ -2254,6 +2333,11 @@ object SparkEntry {
     // rows — mirrored with the explicit IS NULL arm)
     "table_delete_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
+    // the MoR-deleted table answers exactly like the copy-on-write form:
+    // sidecar anti-join (pending buckets) and materialized rewrite
+    // (compacted buckets) are both invisible to the result
+    "table_delete_mor" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
     // the declarative (pushed-filter FileIndex) read must answer exactly
     // like the explicit pruned read — same recomputed week window
     "table_zone_pruned_auto" ->
@@ -2278,6 +2362,19 @@ object SparkEntry {
         "d2 AS (SELECT daily.*, m.med, abs(CAST(n_events AS DOUBLE) - m.med) AS dev FROM daily, m), " +
         "md AS (SELECT median(dev) AS mad FROM d2) " +
         "SELECT event_date, n_events, med, dev, mad, dev > 3.0 * mad AS is_anomaly FROM d2, md"),
+    // modal type: highest count, ties to the lexicographically smallest
+    "mon_modal_type" ->
+      ("WITH c AS (SELECT CAST(ts AS DATE) AS event_date, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_date ORDER BY n DESC, event_type) AS rk FROM c) " +
+        "SELECT event_date, event_type AS modal_type, CAST(n AS BIGINT) AS n_modal FROM r WHERE rk = 1"),
+    // the identical textbook formulas over the identical exact BIGINT
+    // sums — /, ·, sqrt are IEEE-correctly-rounded, so the doubles match
+    // bit-for-bit
+    "mon_type_regression" ->
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS event_date, CAST(count(*) AS BIGINT) AS x, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM d GROUP BY 1) " +
+        "SELECT event_type, n, CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope, " +
+        "CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy FROM s"),
     // the KMV day-pair intersection replayed bit-for-bit: same states,
     // same union k-min, same match ratio, same double-op order
     "sketch_intersection_days" -> {
@@ -2312,6 +2409,9 @@ object SparkEntry {
     // name — same rows, new column name, no rewrite
     "table_renamed_column" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id % 8 AS bucket FROM fact",
+    // the post-drop table is exactly the fact minus the dropped column
+    "table_dropped_column" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
     // whatever the commit interleave, two disjoint-bucket writers must
     // land exactly the full fact state
     "table_concurrent_writers" ->

@@ -230,4 +230,57 @@ object Monitoring {
       .select(col("event_date"), col("n_events"), col("med"), col("dev"),
         col("mad"), col("is_anomaly"))
   }
+
+  /** Per-day MODE of the event type — the most frequent value, with the
+    * tie broken deterministically toward the lexicographically smallest
+    * type (SQL's `mode()` leaves ties unspecified, which is exactly what a
+    * reproducible pipeline cannot use). Two hash aggregations and one
+    * per-day max_by on the (count, reversed-type) pair — no window, no
+    * sort; the candidate set per day is the type cardinality, so the
+    * second aggregate is O(days × types).
+    */
+  def dailyModalType(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // max_by with a struct orders lexicographically: (n asc, type desc)
+    // under MAX picks highest n, then SMALLEST type — encode "type desc"
+    // by negating the comparison via a sort-reversed key is not possible
+    // on strings, so pick via min_by on (-n, type) instead
+    counts.groupBy(col("event_date"))
+      .agg(min_by(col("event_type"), struct((-col("n")).as("neg"),
+        col("event_type"))).as("modal_type"),
+        max(col("n")).as("n_modal"))
+  }
+
+  /** Daily-volume REGRESSION of spend on activity, per event type: exact
+    * integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) over the
+    * per-day (event count, cents total) points, then slope and
+    * correlation evaluated by the textbook formulas in ONE double
+    * expression each. Every input to the double math is an exact BIGINT
+    * and /, ·, sqrt are IEEE-correctly-rounded, so both engines produce
+    * bit-identical doubles — grouped regression with hash-exact results,
+    * no fixed-point rounding needed. (At 100 TB the Σx² sums move to
+    * DECIMAL(38,0); the shape — two map-side-combining aggregates, one
+    * per-group O(1) finish — is unchanged.)
+    */
+  def dailyTypeRegression(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    stats.select(col("event_type"), col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("slope"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+          sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("corr_xy"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -148,6 +149,53 @@ object TextOps {
     */
   def deterministicSample(df: DataFrame, keyCol: String, hexThreshold: String): DataFrame =
     df.filter(substring(md5(col(keyCol).cast("string")), 1, hexThreshold.length) < hexThreshold)
+
+  /** Weighted priority sampling (Duffield–Lund–Thorup, JACM 54(6) 2007):
+    * a size-k sample whose inclusion probability tracks a per-row weight —
+    * here the document's token count, the "sample long documents
+    * proportionally more" knob a training-mix pipeline reaches for when a
+    * uniform row sample would under-represent the tokens that actually
+    * feed the model. Each row gets priority q = w/u for uniform u; the
+    * top-k priorities are the sample and the (k+1)-th is the threshold τ
+    * that makes subset-sum estimation unbiased (est = max(w, τ): summing
+    * `est_weight` over any sampled subset estimates that subset's true
+    * total weight).
+    *
+    * Determinism: u comes from the engine's replayable
+    * [[graft.functions.expr.Sketches.mhash61]] (doc_id ↦ [1, 2⁶¹−1]), and
+    * the sort key is the INTEGER-QUANTIZED inverse priority
+    * `key = h div w` (ascending key ⇔ descending q; ~15 significant
+    * digits survive the quantization, ties broken by doc_id), so every
+    * comparison — and τ itself, `M div key₍ₖ₊₁₎` — stays in BIGINT and
+    * DuckDB replays sample and estimator bit-for-bit. Execution is one
+    * narrow projection into a bounded TakeOrdered(k+1) — per-partition
+    * top-k then an O(k) merge, no global sort, nothing wider than O(k)
+    * leaves the executors.
+    */
+  def weightedPrioritySample(documents: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val M = graft.functions.expr.Sketches.M
+    // token count ≥ 1 always (an empty text still splits to one token),
+    // so the quantized key h div w is well-defined and ≥ 0
+    val keyed = documents.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("weight"),
+      graft.functions.expr.Sketches.mhash61(col("doc_id")).as("h"))
+      .select(col("doc_id"), col("weight"),
+        expr("h div weight").as("priority_key"))
+    val top = keyed.orderBy(col("priority_key"), col("doc_id")).limit(k + 1)
+    val ranked = top.withColumn("rn", row_number().over(
+      Window.orderBy(col("priority_key"), col("doc_id"))))
+    // τ from the (k+1)-th row; absent when the table has ≤ k rows, in
+    // which case every row is sampled and its estimate is its own weight
+    val tau = ranked.agg(
+      max(when(col("rn") === k + 1, col("priority_key"))).as("tau0"))
+    ranked.filter(col("rn") <= k).crossJoin(broadcast(tau)) // 1-row agg
+      .select(col("doc_id"), col("weight"), col("priority_key"),
+        when(col("tau0").isNull, col("weight"))
+          .otherwise(greatest(col("weight"),
+            expr(s"${M}L div greatest(tau0, 1L)"))).as("est_weight"))
+  }
 
   /** Deterministic STRATIFIED sampling: per-stratum keep rates (e.g.
     * down-sample over-represented languages when composing a training mix),

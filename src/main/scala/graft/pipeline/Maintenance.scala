@@ -89,9 +89,7 @@ object Maintenance {
   def expireVersions(tablePath: String, keepLast: Int,
                      committer: graft.streaming.VersionedCommitter): Seq[Long] = {
     val expired = committer.expire(tablePath, keepLast)
-    val current = committer.readManifest(tablePath).collect {
-      case (k, rel) if !k.startsWith("__") => rel
-    }.toSet
+    val current = Upsert.liveDirRefs(committer.readManifest(tablePath))
     SnapshotGc.gcUnreferenced(tablePath,
       current ++ committer.retainedReferences(tablePath),
       committer.gcGraceMs)
@@ -113,9 +111,8 @@ object Maintenance {
                                  crashBeforeCommit: Boolean,
                                  committer: SnapshotCommitter): CompactStats = {
     val manifest = committer.readManifest(tablePath)
-    val dataRefs = manifest.collect {
-      case (k, rel) if !k.startsWith("__") => rel
-    }.toSet
+    // data dirs AND pending deletion sidecars — both are on-disk refs
+    val dataRefs = Upsert.liveDirRefs(manifest)
     // collect a crashed predecessor's staging and data superseded by the
     // previous commit (its one-cycle reader grace window ends here)
     SnapshotGc.gcUnreferenced(tablePath,
@@ -123,8 +120,15 @@ object Maintenance {
       committer.gcGraceMs)
 
     val stats = tableFileStats(tablePath, committer)
+    // compaction is also the MoR-delete materialization pass: a partition
+    // with a pending deletion sidecar rewrites even when its file count
+    // is already at target, so `compact` returns the table to
+    // sidecar-free (anti-join-free) scans
+    def hasPendingDeletes(key: String): Boolean =
+      manifest.contains(s"__del.$key")
     val selected = stats.filter(p =>
-      p.nFiles > targetFiles(p.bytes, targetFileBytes))
+      p.nFiles > targetFiles(p.bytes, targetFileBytes) ||
+        hasPendingDeletes(p.key))
     if (selected.isEmpty)
       return CompactStats(Nil, stats.map(_.nFiles.toLong).sum,
         stats.map(_.nFiles.toLong).sum, 0L, committed = false)
@@ -146,7 +150,10 @@ object Maintenance {
           // characters ('=' excluded so nothing ever hive-parses it)
           val sub = s"cpt$i-${p.key.replaceAll("[^A-Za-z0-9._-]", "_")}"
           val dest = s"$tablePath/$batchDirName/$sub"
-          val df = spark.read.parquet(s"$tablePath/${p.rel}")
+          // pending MoR deletes materialize here: the rewrite's source is
+          // the delete-aware read, and the commit below drops the sidecar
+          val df = Upsert.minusDeletes(spark,
+            spark.read.parquet(s"$tablePath/${p.rel}"), manifest, tablePath)
           val n = targetFiles(p.bytes, targetFileBytes)
           if (zorderCols.nonEmpty) Layout.zorderWrite(df, dest, zorderCols, n)
           else df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(dest)
@@ -178,10 +185,11 @@ object Maintenance {
         untouchedFiles + afterSelected, selected.map(_.bytes).sum,
         committed = false)
 
-    // one flip re-points every compacted partition; `__` metadata entries
-    // ride along untouched
+    // one flip re-points every compacted partition (materialized deletion
+    // sidecars drop with it); other `__` metadata rides along untouched
     committer.commit(tablePath,
-      manifest ++ rewritten.map { case (p, rel) => p.key -> rel })
+      manifest -- rewritten.map { case (p, _) => s"__del.${p.key}" } ++
+        rewritten.map { case (p, rel) => p.key -> rel })
     // release the superseded layout one merge cycle late (reader grace)
     SnapshotGc.gcUnreferenced(tablePath, dataRefs ++ rewritten.map(_._2) ++
       committer.retainedReferences(tablePath),

@@ -168,7 +168,7 @@ object Upsert {
     val manifest = committer.readManifest(tablePath)
     val data = dataEntries(manifest)
     require(data.nonEmpty, s"no committed table at $tablePath")
-    readBound(spark, manifest, data.values.map(rel => s"$tablePath/$rel").toSeq)
+    readBound(spark, manifest, tablePath, data.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
   /** Read `paths` bound to the committed (logical-presented) schema, or —
@@ -177,7 +177,7 @@ object Upsert {
     */
   private def emptyOrBound(spark: SparkSession, manifest: Map[String, String],
                            tablePath: String, paths: Seq[String]): DataFrame =
-    if (paths.nonEmpty) readBound(spark, manifest, paths)
+    if (paths.nonEmpty) readBound(spark, manifest, tablePath, paths)
     else {
       val schema = committedSchema(manifest).getOrElse(
         spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
@@ -216,7 +216,7 @@ object Upsert {
     val manifest = committer.readManifestAsOfTag(tablePath, tagName)
     val data = dataEntries(manifest)
     require(data.nonEmpty, s"tag $tagName of $tablePath has no data entries")
-    readBound(spark, manifest, data.values.map(rel => s"$tablePath/$rel").toSeq)
+    readBound(spark, manifest, tablePath, data.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
   def readTableAsOf(spark: SparkSession, tablePath: String, version: Long,
@@ -224,7 +224,7 @@ object Upsert {
     val manifest = committer.readManifestAsOf(tablePath, version)
     val data = dataEntries(manifest)
     require(data.nonEmpty, s"version $version of $tablePath has no data entries")
-    readBound(spark, manifest, data.values.map(rel => s"$tablePath/$rel").toSeq)
+    readBound(spark, manifest, tablePath, data.values.map(rel => s"$tablePath/$rel").toSeq)
   }
 
   /** CHANGE DATA FEED between two committed versions — the Delta-CDF /
@@ -311,7 +311,11 @@ object Upsert {
       .map(rel => s"$tablePath/$rel")
     val existing =
       if (existingPaths.nonEmpty)
-        spark.read.schema(upserts.schema).parquet(existingPaths: _*)
+        // read PHYSICAL (files never rename), apply pending MoR deletes,
+        // then present logical — the same seam the upsert path uses
+        toLogical(minusDeletes(spark,
+          spark.read.schema(toPhysical(upserts, manifest).schema)
+            .parquet(existingPaths: _*), manifest, tablePath), manifest)
       else upserts.limit(0)
     val kept = existing.join(dels, keys, "left_anti")
     val merged = mergeByKey(kept, upserts, keys, order)
@@ -462,17 +466,28 @@ object Upsert {
     */
   private[graft] def toPhysical(df: DataFrame, manifest: Map[String, String]): DataFrame = {
     val m = colMapOf(manifest)
-    if (m.isEmpty) return df
-    // a RETIRED physical name (shadowed by a rename) is reserved: a frame
-    // carrying it would silently write into the renamed column's storage
-    // (and carrying both names would mint duplicate physical columns)
+    // a RETIRED physical name (shadowed by a rename) or a DROPPED one is
+    // reserved: a frame carrying it would silently write into — or, for
+    // drops, read back — the old column's storage on pre-DDL partitions
+    // (and a rename-shadowed name carried alongside the new one would
+    // mint duplicate physical columns)
     val retired = m.collect { case (p, l) if p != l => p }.toSet
     val offending = df.columns.filter(retired.contains)
     require(offending.isEmpty,
       s"column name(s) ${offending.mkString(",")} are retired physical names " +
         "(shadowed by a rename) — reintroduce the column under a fresh name")
-    val inv = m.map(_.swap)
-    df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+    val mapped =
+      if (m.isEmpty) df
+      else {
+        val inv = m.map(_.swap)
+        df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+      }
+    val dropped = mapped.columns.filter(droppedColsOf(manifest).contains)
+    require(dropped.isEmpty,
+      s"column name(s) ${dropped.mkString(",")} were dropped from this table " +
+        "— old data dirs still carry values under those physical names, so " +
+        "reintroduce the column under a fresh name")
+    mapped
   }
 
   /** Rename logical column `from` to `to` — a metadata-only commit, no
@@ -504,14 +519,142 @@ object Upsert {
     committer.commit(tablePath, updated)
   }
 
+  // ---- COLUMN DROP without rewrite: like rename, a metadata-only commit.
+  // The committed `__schema` loses the field, so every explicit-schema
+  // read simply stops binding it (parquet ignores extra file columns) —
+  // no data dir is touched, O(1) whatever the table size. As-of reads
+  // bind the contemporaneous schema, so history keeps the column. The
+  // physical name goes into `__dropcols` PERMANENTLY: old files still
+  // carry values under it, so a later column re-using the name would
+  // resurrect stale data on pre-drop partitions instead of reading null —
+  // the write seam refuses it (same contract as rename-retired names;
+  // Iceberg avoids this with field IDs, name-mapping must reserve).
+
+  private val DropColsKey = "__dropcols"
+  /** Partition column (physical), recorded at every partition-staging
+    * commit — lets metadata-only DDL refuse operations that would break
+    * the partitioning (e.g. dropping the partition column).
+    */
+  private val PartColKey = "__partcol"
+
+  private[graft] def droppedColsOf(manifest: Map[String, String]): Set[String] =
+    manifest.get(DropColsKey).map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Drop logical column `name` — metadata-only, no data rewrite. Refuses
+    * the partition column, the last remaining column, and any column a
+    * CHECK constraint or stats declaration still references (stats
+    * declarations are auto-stripped; CHECKs must be dropped first, they
+    * encode intent). The physical name is retired forever (see above).
+    */
+  def dropColumn(tablePath: String, name: String,
+                 committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val manifest = committer.readManifest(tablePath)
+    val m = colMapOf(manifest)
+    val physSchema = committedSchema(manifest).getOrElse(throw new IllegalStateException(
+      s"no committed schema at $tablePath — drop needs schema metadata"))
+    val logicalNames = physSchema.fieldNames.map(p => m.getOrElse(p, p)).toSet
+    require(logicalNames.contains(name),
+      s"no column '$name' in the committed table (current columns: " +
+        s"${logicalNames.toSeq.sorted.mkString(",")})")
+    val phys = physicalName(manifest, name)
+    require(!manifest.get(PartColKey).contains(phys),
+      s"cannot drop the partition column '$name'")
+    require(!delKeysOf(manifest).contains(phys),
+      s"cannot drop '$name': committed deletion sidecars key on it")
+    require(physSchema.fields.length > 1, "cannot drop the last column")
+    // a CHECK referencing the column would fail every later staging scan —
+    // refuse here, loudly, instead
+    val word = ("(?<![A-Za-z0-9_])(" + java.util.regex.Pattern.quote(phys) +
+      (if (phys == name) "" else "|" + java.util.regex.Pattern.quote(name)) +
+      ")(?![A-Za-z0-9_])").r
+    manifest.foreach { case (k, v) =>
+      if (k.startsWith(CheckPrefix))
+        require(word.findFirstIn(v).isEmpty,
+          s"CHECK constraint '${k.stripPrefix(CheckPrefix)}' references " +
+            s"column '$name' — drop the constraint first")
+    }
+    // stats declarations auto-strip (they are derived acceleration, not
+    // intent); per-partition range JSON keys for the column go stale but
+    // are never consulted again (rangeOf looks up by column name)
+    val ranges2 = rangeStatsCols(manifest).filterNot(_ == phys)
+    val blooms2 = bloomStatsCols(manifest).filterNot(_ == phys)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      physSchema.fields.filterNot(_.name == phys))
+    val m2 = m - phys
+    val updated = manifest +
+      (SchemaKey -> newSchema.json) +
+      (DropColsKey -> (droppedColsOf(manifest) + phys).toSeq.sorted.mkString(",")) ++
+      (if (m2.isEmpty) Map.empty else Map(ColMapKey ->
+        m2.toSeq.sorted.map { case (p, l) => s"$p:$l" }.mkString(","))) ++
+      (if (ranges2.nonEmpty) Map(RangeColsKey -> ranges2.mkString(",")) else Map.empty) ++
+      (if (blooms2.nonEmpty) Map(BloomColsKey -> blooms2.mkString(",")) else Map.empty)
+    val cleaned = updated --
+      (if (m2.isEmpty) Seq(ColMapKey) else Nil) --
+      (if (ranges2.isEmpty) Seq(RangeColsKey) else Nil) --
+      (if (blooms2.isEmpty) Seq(BloomColsKey, BloomItemsKey, BloomFppKey) else Nil)
+    committer.commit(tablePath, cleaned)
+  }
+
+  // ---- MERGE-ON-READ DELETES (deletion sidecars): a point delete at
+  // 100 TB must not rewrite a partition — the copy-on-write forms
+  // ([[deleteWhere]]) pay O(partition) per delete, the Delta/Iceberg-v2
+  // answer is a small sidecar of deleted KEYS applied as an anti-join at
+  // read time. `__del.<part>` manifest entries point at per-partition
+  // key-list dirs (rows = partition column + key columns, PHYSICAL
+  // names); every read seam anti-joins the union — one broadcast-sized
+  // join against sidecars that are O(deleted keys), nothing else changes.
+  // Deletes MATERIALIZE whenever their partition rewrites (upsert,
+  // replace, compaction): the rewrite's source read is delete-aware, so
+  // the commit drops the sidecar entry with the rewrite.
+
+  private val DelKeyPrefix = "__del."
+  /** Key columns (physical, comma-joined) the delete sidecars carry —
+    * fixed at the first MoR delete so every sidecar and every read-side
+    * anti-join agree.
+    */
+  private val DelKeysKey = "__delkeys"
+
+  private def delKeysOf(manifest: Map[String, String]): Seq[String] =
+    manifest.get(DelKeysKey).map(_.split(",").toSeq).getOrElse(Nil)
+
+  /** Every manifest value that references an on-disk dir the GC must keep:
+    * data entries AND deletion sidecars (most `__` metadata values are
+    * inline — schema JSON, column lists — but `__del.` values are paths).
+    */
+  private[graft] def liveDirRefs(manifest: Map[String, String]): Set[String] =
+    manifest.collect {
+      case (k, v) if !k.startsWith("__") || k.startsWith(DelKeyPrefix) => v
+    }.toSet
+
+  /** Anti-join pending delete sidecars out of a PHYSICAL-named frame
+    * (no-op when none are committed). Join columns are the partition
+    * column plus the sidecar key columns, so a pruned read that never
+    * lists a partition is simply unaffected by that partition's sidecar.
+    */
+  private[graft] def minusDeletes(spark: SparkSession, dfPhys: DataFrame,
+                                  manifest: Map[String, String],
+                                  tablePath: String): DataFrame = {
+    val rels = manifest.collect {
+      case (k, v) if k.startsWith(DelKeyPrefix) => v
+    }.toSeq
+    if (rels.isEmpty) return dfPhys
+    val joinCols = manifest(PartColKey) +: delKeysOf(manifest)
+    val dels = spark.read.parquet(rels.map(r => s"$tablePath/$r"): _*)
+      .select(joinCols.map(col): _*)
+    dfPhys.join(broadcast(dels), joinCols, "left_anti")
+  }
+
   /** Committed-schema read: bind the manifest's schema when one was
     * recorded (pre-schema-metadata tables fall back to file inference),
-    * presented under the LOGICAL column names.
+    * presented under the LOGICAL column names, pending MoR deletes
+    * applied.
     */
   private def readBound(spark: SparkSession, manifest: Map[String, String],
-                        paths: Seq[String]): DataFrame = {
+                        tablePath: String, paths: Seq[String]): DataFrame = {
     val r = committedSchema(manifest).fold(spark.read)(s => spark.read.schema(s))
-    toLogical(r.parquet(paths: _*), manifest)
+    toLogical(minusDeletes(spark, r.parquet(paths: _*), manifest, tablePath),
+      manifest)
   }
 
   /** The `__`-prefixed metadata committed with the table (empty when none
@@ -910,6 +1053,82 @@ object Upsert {
 
   case class DeleteStats(touchedPartitions: Seq[String], deletedRows: Long)
 
+  /** MERGE-ON-READ point delete: retire `keyRows` — (partition column +
+    * key columns, logical names) — WITHOUT rewriting any partition. The
+    * keys land in per-partition deletion sidecars committed in one atomic
+    * flip; every read seam anti-joins them out, and the next rewrite of a
+    * partition (upsert, replace, [[graft.pipeline.Maintenance.compact]])
+    * materializes its pending deletes and drops the sidecar. Repeated
+    * calls UNION into the existing sidecars (idempotent for re-sent keys).
+    * Cost: O(deleted keys) written + one manifest flip — the shape that
+    * keeps a trickle of point deletes affordable on a 100-TB table where
+    * [[deleteWhere]]'s copy-on-write rewrite would dominate. The key
+    * column set is fixed at the first MoR delete (`__delkeys`); later
+    * calls must match it, since every committed sidecar and every
+    * read-side anti-join share it.
+    *
+    * Trade: reads pay one broadcast anti-join while sidecars are pending
+    * — run compaction (or let organic rewrites happen) to return to
+    * sidecar-free scans. Keys never present in the table are harmless
+    * (the anti-join simply matches nothing).
+    */
+  def deleteKeysMor(spark: SparkSession, tablePath: String, partCol: String,
+                    keys: Seq[String], keyRows: DataFrame,
+                    committer: SnapshotCommitter = AtomicRenameCommitter): DeleteStats = {
+    require(keys.nonEmpty, "MoR delete needs key columns")
+    val manifest = committer.readManifest(tablePath)
+    require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+    val pcPhys = physicalName(manifest, partCol)
+    require(manifest.get(PartColKey).forall(_ == pcPhys),
+      s"'$partCol' is not this table's partition column")
+    val keysPhys = keys.map(physicalName(manifest, _))
+    val committedKeys = delKeysOf(manifest)
+    require(committedKeys.isEmpty || committedKeys == keysPhys,
+      s"MoR delete keys are fixed at first use: committed " +
+        s"${committedKeys.mkString(",")}, got ${keysPhys.mkString(",")}")
+    val rows = toPhysical(
+      keyRows.select((partCol +: keys).map(col): _*), manifest)
+    // only partitions that exist can carry deletions; unknown partitions'
+    // keys are dropped (nothing to delete)
+    val touched = rows.select(col(pcPhys).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+      .filter(t => manifest.contains(partKey(t)))
+    if (touched.isEmpty) return DeleteStats(Nil, 0L)
+    val touchedEsc = touched.map(partKey)
+    val newKeys = rows.filter(
+      col(pcPhys).cast("string").isin(touched: _*))
+    // union with the touched partitions' EXISTING sidecars so one entry
+    // per partition always holds its full pending set
+    val priorRels = touchedEsc.flatMap(p => manifest.get(s"$DelKeyPrefix$p"))
+    val combined0 =
+      if (priorRels.isEmpty) newKeys
+      else newKeys.unionByName(
+        spark.read.parquet(priorRels.map(r => s"$tablePath/$r"): _*)
+          .select((pcPhys +: keysPhys).map(col): _*))
+    val combined = combined0.distinct()
+    val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
+    // same dir protocol as data staging: a `__dp` COPY keeps the real
+    // partition column in the sidecar files for the read-side anti-join
+    combined.withColumn("__dp", col(pcPhys).cast("string"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__dp")
+      .parquet(s"$tablePath/$batchDirName")
+    val writtenParts = Option(new java.io.File(s"$tablePath/$batchDirName").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("__dp="))
+      .map(_.getName.stripPrefix("__dp=")).toSet
+    val pending = combined.count()
+    val newManifest = manifest ++
+      writtenParts.map(p => s"$DelKeyPrefix$p" -> s"$batchDirName/__dp=$p") +
+      (DelKeysKey -> keysPhys.mkString(",")) +
+      (PartColKey -> pcPhys) // pre-PartColKey tables gain it here — the
+      // read-side anti-join resolves its join columns through it
+    committer.commit(tablePath, newManifest)
+    SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
+      newManifest.values ++ committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
+    DeleteStats(touched, pending)
+  }
+
   /** Row-level `DELETE ... WHERE` over a manifest table — copy-on-write at
     * partition granularity, the GDPR / right-to-be-forgotten shape:
     *
@@ -944,7 +1163,7 @@ object Upsert {
     if (touched.isEmpty) return DeleteStats(Nil, 0L)
     val touchedPaths = touched.flatMap(t => manifest.get(partKey(t)))
       .map(rel => s"$tablePath/$rel")
-    val scoped = readBound(spark, manifest, touchedPaths)
+    val scoped = readBound(spark, manifest, tablePath, touchedPaths)
     val deleted = scoped.filter(predicate).count()
     // keep rows where the predicate is FALSE or NULL (SQL DELETE deletes
     // only TRUE — a bare !predicate would silently drop null-evaluating
@@ -987,7 +1206,7 @@ object Upsert {
     if (touched.isEmpty) return UpdateStats(Nil, 0L)
     val touchedPaths = touched.flatMap(t => manifest.get(partKey(t)))
       .map(rel => s"$tablePath/$rel")
-    val scoped = readBound(spark, manifest, touchedPaths)
+    val scoped = readBound(spark, manifest, tablePath, touchedPaths)
     val updated = scoped.filter(predicate).count()
     // one select evaluates every assignment against the PRE-update row
     val applied = scoped.select(scoped.columns.map { c =>
@@ -1019,7 +1238,7 @@ object Upsert {
       .map(old => castToMerged(dataRaw, validateEvolution(old, dataRaw.schema)))
       .getOrElse(dataRaw)
     SnapshotGc.gcUnreferenced(tablePath,
-      dataEntries(manifest).values.toSet ++ committer.retainedReferences(tablePath),
+      liveDirRefs(manifest) ++ committer.retainedReferences(tablePath),
       committer.gcGraceMs)
     val rel = s"batch-${java.util.UUID.randomUUID().toString.take(8)}/data"
     data.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
@@ -1027,7 +1246,10 @@ object Upsert {
       case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
     }
     if (checks.nonEmpty) {
-      val bad = violationCounts(spark.read.parquet(s"$tablePath/$rel"), checks)
+      // constraints speak logical names (same contract as the partition
+      // staging path)
+      val bad = violationCounts(
+        toLogical(spark.read.parquet(s"$tablePath/$rel"), manifest), checks)
       if (bad.nonEmpty) {
         org.apache.commons.io.FileUtils.deleteDirectory(
           new java.io.File(s"$tablePath/$rel").getParentFile)
@@ -1049,9 +1271,12 @@ object Upsert {
         manifest.get(BloomItemsKey).map(BloomItemsKey -> _) ++
         manifest.get(BloomFppKey).map(BloomFppKey -> _) ++
         manifest.get(ColMapKey).map(ColMapKey -> _) ++
+        // dropped names stay retired across a full rebuild — retained old
+        // VERSIONS still carry data dirs with those physical names
+        manifest.get(DropColsKey).map(DropColsKey -> _) ++
         meta.map { case (k, v) => s"__$k" -> v })
     SnapshotGc.gcUnreferenced(tablePath,
-      dataEntries(manifest).values.toSet + rel ++ committer.retainedReferences(tablePath),
+      liveDirRefs(manifest) + rel ++ committer.retainedReferences(tablePath),
       committer.gcGraceMs)
   }
 
@@ -1085,8 +1310,11 @@ object Upsert {
       .map(rel => s"$tablePath/$rel")
     val existing =
       if (existingPaths.nonEmpty)
-        toLogical(spark.read.schema(deltaPhysSchema).parquet(existingPaths: _*),
-          manifest)
+        // delete-aware: pending MoR sidecars must not resurrect through
+        // the merge (the rewrite below materializes them for good)
+        toLogical(minusDeletes(spark,
+          spark.read.schema(deltaPhysSchema).parquet(existingPaths: _*),
+          manifest, tablePath), manifest)
       else deltaW.limit(0)
     val merged = mergeByKey(existing, deltaW, keys, order)
     val committed = replacePartitionsAtomicImpl(spark, merged, tablePath,
@@ -1185,7 +1413,10 @@ object Upsert {
       // visible), before the flip; a violation abandons the staging with
       // the previous manifest untouched
       if (checks.nonEmpty) stagedDf.foreach { staged =>
-        val bad = violationCounts(staged.drop("__part"), checks)
+        // constraints are authored against the PRESENTED (logical) schema
+        // — addConstraint validates them on readTable — so the staged
+        // physical frame maps to logical names before evaluation
+        val bad = violationCounts(toLogical(staged.drop("__part"), manifest), checks)
         if (bad.nonEmpty) {
           org.apache.commons.io.FileUtils.deleteDirectory(
             new java.io.File(s"$tablePath/$batchDirName"))
@@ -1220,10 +1451,15 @@ object Upsert {
       // left drops out, and its stale zone map goes with it); untouched
       // partitions keep their entries; then release superseded data one
       // cycle late
-      val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")) ++
+      // a replaced partition's pending MoR deletes are MATERIALIZED by
+      // this rewrite (its source read was delete-aware) — the sidecar
+      // entry drops with the same flip
+      val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")
+          -- partsEsc.map(p => s"$DelKeyPrefix$p")) ++
         writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
         extraMeta + // e.g. a tail cursor — atomic with the data it describes
-        (SchemaKey -> data.schema.json) // the schema rides the same flip
+        (SchemaKey -> data.schema.json) + // the schema rides the same flip
+        (PartColKey -> partCol) // lets metadata DDL protect the partitioning
       committer.commit(tablePath, newManifest)
       SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
         newManifest.values ++ committer.retainedReferences(tablePath),

@@ -48,10 +48,13 @@ object ManifestTable {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark))
-    // logical names compose ABOVE the relation: Catalyst pushes filters
-    // through the rename Project, so the FileIndex keeps consulting its
-    // physical-named zone maps and bloom sidecars
-    graft.pipeline.Upsert.toLogical(physical, index.manifest)
+    // logical names (and the MoR-delete anti-join) compose ABOVE the
+    // relation: Catalyst pushes filters through the rename Project — and
+    // through the anti-join's left side — so the FileIndex keeps
+    // consulting its physical-named zone maps and bloom sidecars
+    graft.pipeline.Upsert.toLogical(
+      graft.pipeline.Upsert.minusDeletes(spark, physical, index.manifest,
+        tablePath), index.manifest)
   }
 
   /** Allowed interval [lo, hi] a single comparison conjunct imposes on a

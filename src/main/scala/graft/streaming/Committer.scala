@@ -332,7 +332,10 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
   override def retainedReferences(snapshotPath: String): Set[String] =
     versionFiles(snapshotPath).flatMap { case (_, f) =>
       parse(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
-        .collect { case (k, rel) if !k.startsWith("__") => rel }
+        // `__del.` values are deletion-sidecar DIRS an as-of read still
+        // anti-joins — a retained version must keep them alive like data
+        .collect { case (k, rel)
+          if !k.startsWith("__") || k.startsWith("__del.") => rel }
     }.toSet
 }
 
@@ -498,6 +501,23 @@ final class RebasingCasCommitter(graceMs: Long = 10L * 60 * 1000,
               s"semantic conflict at $snapshotPath on keys " +
                 s"${conflicts.toSeq.sorted.take(5).mkString(",")} — " +
                 "re-run the merge against the current manifest")
+          // a data rewrite of partition p and a `__del.p` sidecar commit
+          // are DIFFERENT keys but the same partition: the rewrite's
+          // merge read pre-delete rows (or the delete's sidecar targets
+          // superseded data) — semantic overlap the generic key rule
+          // can't see
+          def dataParts(ks: Set[String]): Set[String] =
+            ks.filterNot(_.startsWith("__"))
+          def delParts(ks: Set[String]): Set[String] = ks.collect {
+            case k if k.startsWith("__del.") => k.stripPrefix("__del.")
+          }
+          val crossed = (dataParts(myKeys) & delParts(upstreamKeys)) ++
+            (delParts(myKeys) & dataParts(upstreamKeys))
+          if (crossed.nonEmpty)
+            throw new ConcurrentCommitException(
+              s"concurrent delete/rewrite of partition(s) " +
+                s"${crossed.toSeq.sorted.take(5).mkString(",")} at " +
+                s"$snapshotPath — re-run the merge")
           if (upstreamKeys.exists(_.startsWith("__check.")))
             throw new ConcurrentCommitException(
               s"constraints changed concurrently at $snapshotPath — staged " +

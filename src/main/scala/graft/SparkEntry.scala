@@ -973,6 +973,43 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // MERGE-ON-READ UPSERT (MorUpsertSpec pins merge/materialize/stats):
+    // the write-side companion — error events re-keyed to value 0 via a
+    // LATER ts (updates) plus shifted-id copies of every purchase
+    // (inserts), all landing as pre-merged delta sidecars with NO
+    // partition rewrite; then HALF the partitions materialize so the
+    // read mixes pending-sidecar and folded-in paths, and both must
+    // agree with the copy-on-write oracle
+    "table_upsert_mor" -> ((s, d) => {
+      val out = cachedTempDir("graft_morup_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      // +8e9 is ≡0 mod 8, so the inserted copies stay in their bucket
+      val delta = state.filter(col("event_type") === "error")
+        .withColumn("ts_us", col("ts_us") + 1)
+        .withColumn("value_cents", lit(0L))
+        .unionByName(state.filter(col("event_type") === "purchase")
+          .withColumn("event_id", col("event_id") + 8000000000L))
+      val stats = pipeline.Upsert.upsertKeysMor(s, out, "bucket",
+        Seq("event_id"), Seq("ts_us", "value_cents"), delta, c)
+      require(stats.deltaRows > 0, "MoR upsert demo must merge something")
+      // materialize buckets 0-3; 4-7 stay sidecar-pending
+      (0L until 4L).foreach { b =>
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("bucket") === b && col("event_type") =!= "error")
+            .limit(1),
+          out, "bucket", keys = Seq("event_id"),
+          order = Seq("ts_us", "value_cents"), committer = c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // ROW-LEVEL UPDATE: same partition surgery as the delete, with the
     // assignments evaluated against the pre-update row — error events'
     // value zeroed in place, everything else byte-identical. Oracle is
@@ -2338,6 +2375,15 @@ object SparkEntry {
     // (compacted buckets) are both invisible to the result
     "table_delete_mor" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
+    // the MoR-upserted table answers exactly like the copy-on-write
+    // merge: untouched rows + the later-ts error updates + the
+    // shifted-id purchase inserts, whether a bucket's delta is pending
+    // or materialized
+    "table_upsert_mor" ->
+      (s"$FactCte, s AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact) " +
+        "SELECT * FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
+        "UNION ALL SELECT event_id, ts_us + 1, user_id, event_type, CAST(0 AS BIGINT), bucket FROM s WHERE event_type = 'error' " +
+        "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'purchase'"),
     // the declarative (pushed-filter FileIndex) read must answer exactly
     // like the explicit pruned read — same recomputed week window
     "table_zone_pruned_auto" ->

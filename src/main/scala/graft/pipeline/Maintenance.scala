@@ -120,15 +120,15 @@ object Maintenance {
       committer.gcGraceMs)
 
     val stats = tableFileStats(tablePath, committer)
-    // compaction is also the MoR-delete materialization pass: a partition
-    // with a pending deletion sidecar rewrites even when its file count
+    // compaction is also the MoR materialization pass: a partition with a
+    // pending deletion or delta sidecar rewrites even when its file count
     // is already at target, so `compact` returns the table to
-    // sidecar-free (anti-join-free) scans
-    def hasPendingDeletes(key: String): Boolean =
-      manifest.contains(s"__del.$key")
+    // sidecar-free (anti-join-free, union-free) scans
+    def hasPendingSidecars(key: String): Boolean =
+      manifest.contains(s"__del.$key") || manifest.contains(s"__delta.$key")
     val selected = stats.filter(p =>
       p.nFiles > targetFiles(p.bytes, targetFileBytes) ||
-        hasPendingDeletes(p.key))
+        hasPendingSidecars(p.key))
     if (selected.isEmpty)
       return CompactStats(Nil, stats.map(_.nFiles.toLong).sum,
         stats.map(_.nFiles.toLong).sum, 0L, committed = false)
@@ -150,23 +150,30 @@ object Maintenance {
           // characters ('=' excluded so nothing ever hive-parses it)
           val sub = s"cpt$i-${p.key.replaceAll("[^A-Za-z0-9._-]", "_")}"
           val dest = s"$tablePath/$batchDirName/$sub"
-          // pending MoR deletes materialize here: the rewrite's source is
-          // the delete-aware read, and the commit below drops the sidecar
-          val df = Upsert.minusDeletes(spark,
-            spark.read.parquet(s"$tablePath/${p.rel}"), manifest, tablePath)
+          // pending MoR deletes AND deltas materialize here: the
+          // rewrite's source is the sidecar-aware read, and the commit
+          // below drops the sidecar entries
+          val df = Upsert.applyMor(spark,
+            spark.read.parquet(s"$tablePath/${p.rel}"), manifest, tablePath,
+            Some(Set(p.key)))
           val n = targetFiles(p.bytes, targetFileBytes)
           if (zorderCols.nonEmpty) Layout.zorderWrite(df, dest, zorderCols, n)
           else df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(dest)
-          // compaction preserves content, so the source dir's bloom
-          // sidecars stay valid verbatim — carry them into the new dir
-          // (they'd otherwise die with the superseded dir at GC, and the
-          // partition would silently lose its point-lookup skipping)
-          Option(new java.io.File(s"$tablePath/${p.rel}").listFiles())
-            .getOrElse(Array.empty[java.io.File])
-            .filter(f => f.isFile && f.getName.startsWith("_bloom_") &&
-              f.getName.endsWith(".bin"))
-            .foreach(f => org.apache.commons.io.FileUtils
-              .copyFileToDirectory(f, new java.io.File(dest)))
+          // deletes-only compaction preserves a SUBSET of the content, so
+          // the source dir's bloom sidecars stay valid verbatim — carry
+          // them into the new dir (they'd otherwise die with the
+          // superseded dir at GC, and the partition would silently lose
+          // its point-lookup skipping). A materialized DELTA adds values
+          // the old filter never saw — carrying it would wrongly skip, so
+          // that partition rides filterless until its next stats-writing
+          // rewrite (absent sidecar = read, never wrongly pruned)
+          if (!manifest.contains(s"__delta.${p.key}"))
+            Option(new java.io.File(s"$tablePath/${p.rel}").listFiles())
+              .getOrElse(Array.empty[java.io.File])
+              .filter(f => f.isFile && f.getName.startsWith("_bloom_") &&
+                f.getName.endsWith(".bin"))
+              .foreach(f => org.apache.commons.io.FileUtils
+                .copyFileToDirectory(f, new java.io.File(dest)))
           (p, s"$batchDirName/$sub")
         }
       }
@@ -186,9 +193,11 @@ object Maintenance {
         committed = false)
 
     // one flip re-points every compacted partition (materialized deletion
-    // sidecars drop with it); other `__` metadata rides along untouched
+    // and delta sidecars drop with it); other `__` metadata rides along
+    // untouched
     committer.commit(tablePath,
-      manifest -- rewritten.map { case (p, _) => s"__del.${p.key}" } ++
+      manifest -- rewritten.map { case (p, _) => s"__del.${p.key}" }
+        -- rewritten.map { case (p, _) => s"__delta.${p.key}" } ++
         rewritten.map { case (p, rel) => p.key -> rel })
     // release the superseded layout one merge cycle late (reader grace)
     SnapshotGc.gcUnreferenced(tablePath, dataRefs ++ rewritten.map(_._2) ++

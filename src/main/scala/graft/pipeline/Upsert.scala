@@ -168,16 +168,18 @@ object Upsert {
     val manifest = committer.readManifest(tablePath)
     val data = dataEntries(manifest)
     require(data.nonEmpty, s"no committed table at $tablePath")
-    readBound(spark, manifest, tablePath, data.values.map(rel => s"$tablePath/$rel").toSeq)
+    readBound(spark, manifest, tablePath, data)
   }
 
-  /** Read `paths` bound to the committed (logical-presented) schema, or —
-    * when pruning kept nothing — an EMPTY frame with the same logical
-    * schema (the one shared fallback for every pruned-read surface).
+  /** Read `entries` (manifest partition key → rel) bound to the committed
+    * (logical-presented) schema, or — when pruning kept nothing — an
+    * EMPTY frame with the same logical schema (the one shared fallback
+    * for every pruned-read surface).
     */
   private def emptyOrBound(spark: SparkSession, manifest: Map[String, String],
-                           tablePath: String, paths: Seq[String]): DataFrame =
-    if (paths.nonEmpty) readBound(spark, manifest, tablePath, paths)
+                           tablePath: String,
+                           entries: Map[String, String]): DataFrame =
+    if (entries.nonEmpty) readBound(spark, manifest, tablePath, entries)
     else {
       val schema = committedSchema(manifest).getOrElse(
         spark.read.parquet(dataEntries(manifest).values.map(r => s"$tablePath/$r").toSeq: _*).schema)
@@ -195,9 +197,9 @@ object Upsert {
                           committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
     val manifest = committer.readManifest(tablePath)
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
-    val paths = values.flatMap(v => manifest.get(partKey(v)))
-      .map(rel => s"$tablePath/$rel")
-    emptyOrBound(spark, manifest, tablePath, paths)
+    val entries = values.map(partKey)
+      .flatMap(k => manifest.get(k).map(k -> _)).toMap
+    emptyOrBound(spark, manifest, tablePath, entries)
   }
 
   /** TIME TRAVEL: the table exactly as committed at `version` (a
@@ -216,7 +218,7 @@ object Upsert {
     val manifest = committer.readManifestAsOfTag(tablePath, tagName)
     val data = dataEntries(manifest)
     require(data.nonEmpty, s"tag $tagName of $tablePath has no data entries")
-    readBound(spark, manifest, tablePath, data.values.map(rel => s"$tablePath/$rel").toSeq)
+    readBound(spark, manifest, tablePath, data)
   }
 
   def readTableAsOf(spark: SparkSession, tablePath: String, version: Long,
@@ -224,7 +226,7 @@ object Upsert {
     val manifest = committer.readManifestAsOf(tablePath, version)
     val data = dataEntries(manifest)
     require(data.nonEmpty, s"version $version of $tablePath has no data entries")
-    readBound(spark, manifest, tablePath, data.values.map(rel => s"$tablePath/$rel").toSeq)
+    readBound(spark, manifest, tablePath, data)
   }
 
   /** CHANGE DATA FEED between two committed versions — the Delta-CDF /
@@ -311,11 +313,13 @@ object Upsert {
       .map(rel => s"$tablePath/$rel")
     val existing =
       if (existingPaths.nonEmpty)
-        // read PHYSICAL (files never rename), apply pending MoR deletes,
-        // then present logical — the same seam the upsert path uses
-        toLogical(minusDeletes(spark,
+        // read PHYSICAL (files never rename), apply the touched
+        // partitions' pending MoR sidecars, then present logical — the
+        // same seam the upsert path uses
+        toLogical(applyMor(spark,
           spark.read.schema(toPhysical(upserts, manifest).schema)
-            .parquet(existingPaths: _*), manifest, tablePath), manifest)
+            .parquet(existingPaths: _*), manifest, tablePath,
+          Some(touched.map(partKey).toSet)), manifest)
       else upserts.limit(0)
     val kept = existing.join(dels, keys, "left_anti")
     val merged = mergeByKey(kept, upserts, keys, order)
@@ -562,6 +566,9 @@ object Upsert {
       s"cannot drop the partition column '$name'")
     require(!delKeysOf(manifest).contains(phys),
       s"cannot drop '$name': committed deletion sidecars key on it")
+    require(!upKeysOf(manifest).contains(phys) &&
+      !manifest.get(UpOrderKey).exists(_.split(",").contains(phys)),
+      s"cannot drop '$name': committed delta sidecars key or order on it")
     require(physSchema.fields.length > 1, "cannot drop the last column")
     // a CHECK referencing the column would fail every later staging scan —
     // refuse here, loudly, instead
@@ -618,43 +625,104 @@ object Upsert {
   private def delKeysOf(manifest: Map[String, String]): Seq[String] =
     manifest.get(DelKeysKey).map(_.split(",").toSeq).getOrElse(Nil)
 
+  // ---- MERGE-ON-READ UPSERTS (delta sidecars): the write-side companion
+  // of the deletion sidecars. A trickle upsert at 100 TB must not rewrite
+  // a partition either — `__delta.<part>` manifest entries point at
+  // per-partition PRE-MERGED row dirs (full physical schema, one row per
+  // key, latest by the merge order); a read anti-joins the delta's keys
+  // out of the base and unions the delta rows in. Sidecars MATERIALIZE
+  // whenever their partition rewrites, exactly like deletions.
+
+  private val DeltaKeyPrefix = "__delta."
+  /** Merge keys / order columns (physical, comma-joined) the delta
+    * sidecars were merged by — fixed at the first MoR upsert so sidecar
+    * merging and the read-side anti-join stay consistent.
+    */
+  private val UpKeysKey = "__upkeys"
+  private val UpOrderKey = "__uporder"
+
+  private def upKeysOf(manifest: Map[String, String]): Seq[String] =
+    manifest.get(UpKeysKey).map(_.split(",").toSeq).getOrElse(Nil)
+
   /** Every manifest value that references an on-disk dir the GC must keep:
-    * data entries AND deletion sidecars (most `__` metadata values are
-    * inline — schema JSON, column lists — but `__del.` values are paths).
+    * data entries, deletion sidecars, and delta sidecars (most `__`
+    * metadata values are inline — schema JSON, column lists — but
+    * `__del.`/`__delta.` values are paths).
     */
   private[graft] def liveDirRefs(manifest: Map[String, String]): Set[String] =
     manifest.collect {
-      case (k, v) if !k.startsWith("__") || k.startsWith(DelKeyPrefix) => v
+      case (k, v) if !k.startsWith("__") || k.startsWith(DelKeyPrefix) ||
+        k.startsWith(DeltaKeyPrefix) => v
     }.toSet
 
-  /** Anti-join pending delete sidecars out of a PHYSICAL-named frame
-    * (no-op when none are committed). Join columns are the partition
-    * column plus the sidecar key columns, so a pruned read that never
-    * lists a partition is simply unaffected by that partition's sidecar.
+  /** Sidecar rels committed for `prefix`, restricted to `parts` when a
+    * pruned read supplies the partition set it actually lists (None = the
+    * whole table). Keys are Hive-escaped partition values in both places,
+    * so the restriction is exact string match.
     */
-  private[graft] def minusDeletes(spark: SparkSession, dfPhys: DataFrame,
-                                  manifest: Map[String, String],
-                                  tablePath: String): DataFrame = {
-    val rels = manifest.collect {
-      case (k, v) if k.startsWith(DelKeyPrefix) => v
+  private def sidecarRels(manifest: Map[String, String], prefix: String,
+                          parts: Option[Set[String]]): Seq[String] =
+    manifest.collect {
+      case (k, v) if k.startsWith(prefix) &&
+        parts.forall(_.contains(k.stripPrefix(prefix))) => v
     }.toSeq
-    if (rels.isEmpty) return dfPhys
-    val joinCols = manifest(PartColKey) +: delKeysOf(manifest)
-    val dels = spark.read.parquet(rels.map(r => s"$tablePath/$r"): _*)
-      .select(joinCols.map(col): _*)
-    dfPhys.join(broadcast(dels), joinCols, "left_anti")
+
+  /** Apply pending MoR sidecars to a PHYSICAL-named frame (no-op when
+    * none are committed): anti-join the deletion keys out of the base,
+    * then anti-join the delta keys and union the delta rows in — deletes
+    * first, so an upsert AFTER a delete of the same key resurrects it
+    * (and [[deleteKeysMor]] rewrites delta sidecars, so a delete AFTER an
+    * upsert lands too). Join columns always include the partition column,
+    * and `parts` restricts which sidecars a pruned read consults, so a
+    * read that never lists a partition is unaffected by its sidecars.
+    * Both joins are UNHINTED: a sidecar is usually tiny (one trickle
+    * batch) and the parquet size stats let the planner auto-broadcast it,
+    * but it is bounded only by the pending-write volume — a forced
+    * broadcast() would bypass the size check and OOM the one table whose
+    * backlog grew, where size-based planning degrades to a shuffle join
+    * (the HintPolicySpec rule). The union adds O(pending upserts) —
+    * nothing O(table).
+    */
+  private[graft] def applyMor(spark: SparkSession, dfPhys: DataFrame,
+                              manifest: Map[String, String],
+                              tablePath: String,
+                              parts: Option[Set[String]] = None): DataFrame = {
+    val delRels = sidecarRels(manifest, DelKeyPrefix, parts)
+    val afterDel =
+      if (delRels.isEmpty) dfPhys
+      else {
+        val joinCols = manifest(PartColKey) +: delKeysOf(manifest)
+        val dels = spark.read.parquet(delRels.map(r => s"$tablePath/$r"): _*)
+          .select(joinCols.map(col): _*)
+        dfPhys.join(dels, joinCols, "left_anti")
+      }
+    val deltaRels = sidecarRels(manifest, DeltaKeyPrefix, parts)
+    if (deltaRels.isEmpty) afterDel
+    else {
+      val joinCols = manifest(PartColKey) +: upKeysOf(manifest)
+      // bind the base frame's physical schema: delta files always carry
+      // the full committed schema (the MoR upsert's schema gate)
+      val delta = spark.read.schema(afterDel.schema)
+        .parquet(deltaRels.map(r => s"$tablePath/$r"): _*)
+      afterDel
+        .join(delta.select(joinCols.map(col): _*), joinCols, "left_anti")
+        .unionByName(delta.select(afterDel.columns.map(col).toIndexedSeq: _*))
+    }
   }
 
-  /** Committed-schema read: bind the manifest's schema when one was
-    * recorded (pre-schema-metadata tables fall back to file inference),
-    * presented under the LOGICAL column names, pending MoR deletes
+  /** Committed-schema read of `entries` (manifest partition key → rel):
+    * bind the manifest's schema when one was recorded (pre-schema-metadata
+    * tables fall back to file inference), presented under the LOGICAL
+    * column names, pending MoR sidecars of exactly these partitions
     * applied.
     */
   private def readBound(spark: SparkSession, manifest: Map[String, String],
-                        tablePath: String, paths: Seq[String]): DataFrame = {
+                        tablePath: String,
+                        entries: Map[String, String]): DataFrame = {
     val r = committedSchema(manifest).fold(spark.read)(s => spark.read.schema(s))
-    toLogical(minusDeletes(spark, r.parquet(paths: _*), manifest, tablePath),
-      manifest)
+    val paths = entries.values.map(rel => s"$tablePath/$rel").toSeq
+    toLogical(applyMor(spark, r.parquet(paths: _*), manifest, tablePath,
+      Some(entries.keySet)), manifest)
   }
 
   /** The `__`-prefixed metadata committed with the table (empty when none
@@ -809,8 +877,7 @@ object Upsert {
     val manifest = committer.readManifest(tablePath)
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
     val kept = rangePrunedEntries(manifest, physicalName(manifest, column), lo, hi)
-    emptyOrBound(spark, manifest, tablePath,
-      kept.values.map(rel => s"$tablePath/$rel").toSeq)
+    emptyOrBound(spark, manifest, tablePath, kept)
   }
 
   /** Per-written-partition `__range.<p>` entries over the staged dirs
@@ -1026,11 +1093,23 @@ object Upsert {
                                         column: String,
                                         values: Seq[Any]): Map[String, String] = {
     if (!bloomStatsCols(manifest).contains(column)) return dataEntries(manifest)
-    dataEntries(manifest).filter { case (_, rel) =>
-      bloomOf(tablePath, rel, column) match {
+    dataEntries(manifest).filter { case (p, rel) =>
+      val baseMay = bloomOf(tablePath, rel, column) match {
         case None     => true
         case Some(bf) => values.exists(bloomMightContain(bf, _))
       }
+      // a pending MoR delta may carry values the base filter has never
+      // seen: the partition is only skippable when the DELTA's own
+      // sidecar filter also proves absence (delta dirs get filters at
+      // upsert time; a missing one keeps the partition; no pending delta
+      // leaves the base verdict alone)
+      lazy val deltaMay = manifest.get(s"$DeltaKeyPrefix$p").exists { dRel =>
+        bloomOf(tablePath, dRel, column) match {
+          case None     => true
+          case Some(bf) => values.exists(bloomMightContain(bf, _))
+        }
+      }
+      baseMay || deltaMay
     }
   }
 
@@ -1047,8 +1126,7 @@ object Upsert {
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
     val kept = bloomPrunedEntries(tablePath, manifest,
       physicalName(manifest, column), values)
-    emptyOrBound(spark, manifest, tablePath,
-      kept.values.map(rel => s"$tablePath/$rel").toSeq)
+    emptyOrBound(spark, manifest, tablePath, kept)
   }
 
   case class DeleteStats(touchedPartitions: Seq[String], deletedRows: Long)
@@ -1117,7 +1195,39 @@ object Upsert {
       .filter(f => f.isDirectory && f.getName.startsWith("__dp="))
       .map(_.getName.stripPrefix("__dp=")).toSet
     val pending = combined.count()
-    val newManifest = manifest ++
+    // a delete AFTER a MoR upsert of the same key must land: the deletion
+    // anti-join only covers BASE rows, so pending DELTA sidecars of the
+    // touched partitions rewrite here minus the deleted keys (O(sidecar),
+    // not O(partition)); an emptied sidecar drops its entry
+    val touchedDeltaRels = touchedEsc
+      .flatMap(p => manifest.get(s"$DeltaKeyPrefix$p").map(p -> _))
+    val deltaEdits: Map[String, Option[String]] =
+      if (touchedDeltaRels.isEmpty) Map.empty
+      else {
+        val oldDelta = spark.read.parquet(
+          touchedDeltaRels.map { case (_, r) => s"$tablePath/$r" }: _*)
+        // unhinted like applyMor's joins: the delete-key set is bounded
+        // only by the caller (a compliance sweep can be huge) — let the
+        // size check pick broadcast vs shuffle
+        val keptDelta = oldDelta.join(
+          combined.select((pcPhys +: keysPhys).map(col): _*),
+          pcPhys +: keysPhys, "left_anti")
+        keptDelta.withColumn("__dp", col(pcPhys).cast("string"))
+          .write.mode(SaveMode.Overwrite).partitionBy("__dp")
+          .parquet(s"$tablePath/$batchDirName/delta")
+        val surviving = Option(
+          new java.io.File(s"$tablePath/$batchDirName/delta").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("__dp="))
+          .map(_.getName.stripPrefix("__dp=")).toSet
+        touchedDeltaRels.map { case (p, _) =>
+          s"$DeltaKeyPrefix$p" -> (if (surviving.contains(p))
+            Some(s"$batchDirName/delta/__dp=$p") else None)
+        }.toMap
+      }
+    val newManifest = (manifest --
+      deltaEdits.collect { case (k, None) => k }) ++
+      deltaEdits.collect { case (k, Some(rel)) => k -> rel } ++
       writtenParts.map(p => s"$DelKeyPrefix$p" -> s"$batchDirName/__dp=$p") +
       (DelKeysKey -> keysPhys.mkString(",")) +
       (PartColKey -> pcPhys) // pre-PartColKey tables gain it here — the
@@ -1127,6 +1237,152 @@ object Upsert {
       newManifest.values ++ committer.retainedReferences(tablePath),
       committer.gcGraceMs)
     DeleteStats(touched, pending)
+  }
+
+  /** MERGE-ON-READ upsert: merge `delta` (full logical schema) into the
+    * table WITHOUT rewriting any partition — the write-side companion of
+    * [[deleteKeysMor]] and the shape a trickle of row updates needs on a
+    * 100-TB table ([[upsertPartitionsAtomic]] pays O(touched partitions)
+    * per merge; this pays O(delta)). The rows land in per-partition delta
+    * sidecars, PRE-MERGED against any pending sidecar (keep-latest per
+    * key, ties to the new rows — same idempotent-replay semantics as the
+    * rewrite path), committed in one atomic flip. Reads anti-join the
+    * sidecar's keys out of the base and union its rows in; the next
+    * rewrite of a partition (upsert, replace,
+    * [[graft.pipeline.Maintenance.compact]]) materializes its pending
+    * delta and drops the sidecar.
+    *
+    * Contracts: the key and order column sets are fixed at the first MoR
+    * upsert (`__upkeys`/`__uporder`); the delta cannot evolve the schema
+    * (stage through [[upsertPartitionsAtomic]] for that); every delta
+    * partition must already exist in the table (a brand-new partition is
+    * a plain insert — the rewrite path handles it at the same O(delta)
+    * cost, nothing existing to merge with); CHECK constraints are
+    * enforced against the sidecar before the flip. Zone maps of touched
+    * partitions WIDEN by the delta's ranges and delta dirs carry their
+    * own bloom sidecars, so the pruned-read surfaces stay exact while a
+    * delta is pending.
+    */
+  def upsertKeysMor(spark: SparkSession, tablePath: String, partCol: String,
+                    keys: Seq[String], order: Seq[String], delta: DataFrame,
+                    committer: SnapshotCommitter = AtomicRenameCommitter): UpsertStats = {
+    require(keys.nonEmpty, "MoR upsert needs key columns")
+    val touched = touchedPartitionsOf(delta, partCol, keys)
+    val manifest = committer.readManifest(tablePath)
+    require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+    val pcPhys = physicalName(manifest, partCol)
+    require(manifest.get(PartColKey).forall(_ == pcPhys),
+      s"'$partCol' is not this table's partition column")
+    val keysPhys = keys.map(physicalName(manifest, _))
+    val orderPhys = order.map(physicalName(manifest, _))
+    require(upKeysOf(manifest).isEmpty || upKeysOf(manifest) == keysPhys,
+      s"MoR upsert keys are fixed at first use: committed " +
+        s"${upKeysOf(manifest).mkString(",")}, got ${keysPhys.mkString(",")}")
+    val committedOrder = manifest.get(UpOrderKey).map(_.split(",").toSeq)
+    require(committedOrder.forall(_ == orderPhys),
+      s"MoR upsert order is fixed at first use: committed " +
+        s"${committedOrder.getOrElse(Nil).mkString(",")}, got ${orderPhys.mkString(",")}")
+    val missingParts = touched.filterNot(t => manifest.contains(partKey(t)))
+    require(missingParts.isEmpty,
+      s"MoR upsert targets partitions with no committed data " +
+        s"(${missingParts.mkString(",")}) — a new partition is a plain " +
+        "insert; stage it through upsertPartitionsAtomic")
+    // schema gate: the sidecar must carry EXACTLY the committed physical
+    // schema — an evolving delta would leave base dirs and sidecar dirs
+    // answering different schemas under one manifest
+    val deltaPhys = toPhysical(delta, manifest)
+    val committed = committedSchema(manifest).getOrElse(
+      throw new IllegalStateException(
+        s"no committed schema at $tablePath — MoR upsert needs schema metadata"))
+    val evolved = validateEvolution(committed, deltaPhys.schema)
+    require(evolved.fields.map(f => (f.name, f.dataType)).toSeq ==
+      committed.fields.map(f => (f.name, f.dataType)).toSeq,
+      "MoR upsert cannot evolve the schema — stage the widening commit " +
+        "through upsertPartitionsAtomic first")
+    val deltaC = castToMerged(deltaPhys, committed)
+
+    val touchedEsc = touched.map(partKey)
+    // pre-merge against the touched partitions' pending sidecars so one
+    // entry per partition always holds exactly one row per key
+    val priorRels = touchedEsc.flatMap(p => manifest.get(s"$DeltaKeyPrefix$p"))
+    val combined =
+      if (priorRels.isEmpty) deltaC
+      else mergeByKey(
+        spark.read.schema(committed)
+          .parquet(priorRels.map(r => s"$tablePath/$r"): _*),
+        deltaC, keysPhys, orderPhys)
+    val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
+    val staged = combined.withColumn("__part", col(pcPhys).cast("string"))
+    staged.write.mode(SaveMode.Overwrite).partitionBy("__part")
+      .parquet(s"$tablePath/$batchDirName")
+    val writtenParts = Option(new java.io.File(s"$tablePath/$batchDirName").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("__part="))
+      .map(_.getName.stripPrefix("__part=")).toSet
+    // CHECK enforcement against the staged sidecar (what would become
+    // visible) — a violation abandons the staging, previous manifest
+    // intact
+    val checks = manifest.collect {
+      case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
+    }
+    if (checks.nonEmpty) {
+      val bad = violationCounts(toLogical(
+        spark.read.schema(committed).parquet(s"$tablePath/$batchDirName"),
+        manifest), checks)
+      if (bad.nonEmpty) {
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$tablePath/$batchDirName"))
+        throw new CheckViolationException(bad, checks)
+      }
+    }
+    // pruned-read stats stay exact while the delta is pending: committed
+    // zone maps WIDEN by the delta's ranges (a sidecar can only add value
+    // range, never shrink it), and the delta dirs get their own bloom
+    // sidecars for the point-lookup probe
+    val deltaRanges = stagedRangeEntries(spark, manifest, staged,
+      combined.columns.toSeq)
+    val mergedRanges = widenRangeEntries(manifest, deltaRanges)
+    if (bloomStatsCols(manifest).nonEmpty)
+      writeStagedBloomSidecars(spark, manifest, s"$tablePath/$batchDirName",
+        staged, combined.columns.toSeq)
+    val pending = combined.count()
+    val newManifest = manifest ++
+      writtenParts.map(p => s"$DeltaKeyPrefix$p" -> s"$batchDirName/__part=$p") ++
+      mergedRanges +
+      (UpKeysKey -> keysPhys.mkString(",")) +
+      (UpOrderKey -> orderPhys.mkString(",")) +
+      (PartColKey -> pcPhys)
+    committer.commit(tablePath, newManifest)
+    SnapshotGc.gcUnreferenced(tablePath, liveDirRefs(manifest) ++
+      newManifest.values ++ committer.retainedReferences(tablePath),
+      committer.gcGraceMs)
+    UpsertStats(touched, delta.count(), pending)
+  }
+
+  /** Widen committed `__range.<p>` entries by a pending delta's ranges.
+    * Only partitions that already carry an entry update (absent stats
+    * mean "cannot prune" — conservative without help); a column the
+    * delta has all-null keeps the committed range (null rows never match
+    * a range probe), and a committed-null column stays null.
+    */
+  private def widenRangeEntries(manifest: Map[String, String],
+                                deltaRanges: Map[String, String]): Map[String, String] = {
+    val cols0 = rangeStatsCols(manifest)
+    if (cols0.isEmpty || deltaRanges.isEmpty) return Map.empty
+    deltaRanges.flatMap { case (rangeKey, _) =>
+      val p = rangeKey.stripPrefix(RangeKeyPrefix)
+      manifest.get(rangeKey).map { _ =>
+        val body = cols0.map { c =>
+          (rangeOf(manifest, p, c), rangeOf(deltaRanges, p, c)) match {
+            case (Some((amn, amx)), Some((bmn, bmx))) =>
+              s""""$c":[${math.min(amn, bmn)},${math.max(amx, bmx)}]"""
+            case (Some((amn, amx)), None) => s""""$c":[$amn,$amx]"""
+            case (None, _)                => s""""$c":null"""
+          }
+        }.mkString("{", ",", "}")
+        rangeKey -> body
+      }
+    }
   }
 
   /** Row-level `DELETE ... WHERE` over a manifest table — copy-on-write at
@@ -1161,9 +1417,9 @@ object Upsert {
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return DeleteStats(Nil, 0L)
-    val touchedPaths = touched.flatMap(t => manifest.get(partKey(t)))
-      .map(rel => s"$tablePath/$rel")
-    val scoped = readBound(spark, manifest, tablePath, touchedPaths)
+    val touchedEntries = touched.map(partKey)
+      .flatMap(k => manifest.get(k).map(k -> _)).toMap
+    val scoped = readBound(spark, manifest, tablePath, touchedEntries)
     val deleted = scoped.filter(predicate).count()
     // keep rows where the predicate is FALSE or NULL (SQL DELETE deletes
     // only TRUE — a bare !predicate would silently drop null-evaluating
@@ -1204,9 +1460,9 @@ object Upsert {
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (touched.isEmpty) return UpdateStats(Nil, 0L)
-    val touchedPaths = touched.flatMap(t => manifest.get(partKey(t)))
-      .map(rel => s"$tablePath/$rel")
-    val scoped = readBound(spark, manifest, tablePath, touchedPaths)
+    val touchedEntries = touched.map(partKey)
+      .flatMap(k => manifest.get(k).map(k -> _)).toMap
+    val scoped = readBound(spark, manifest, tablePath, touchedEntries)
     val updated = scoped.filter(predicate).count()
     // one select evaluates every assignment against the PRE-update row
     val applied = scoped.select(scoped.columns.map { c =>
@@ -1310,11 +1566,12 @@ object Upsert {
       .map(rel => s"$tablePath/$rel")
     val existing =
       if (existingPaths.nonEmpty)
-        // delete-aware: pending MoR sidecars must not resurrect through
-        // the merge (the rewrite below materializes them for good)
-        toLogical(minusDeletes(spark,
+        // sidecar-aware: pending MoR deletes must not resurrect — and
+        // pending MoR deltas must not vanish — through the merge (the
+        // rewrite below materializes both for good)
+        toLogical(applyMor(spark,
           spark.read.schema(deltaPhysSchema).parquet(existingPaths: _*),
-          manifest, tablePath), manifest)
+          manifest, tablePath, Some(touched.map(partKey).toSet)), manifest)
       else deltaW.limit(0)
     val merged = mergeByKey(existing, deltaW, keys, order)
     val committed = replacePartitionsAtomicImpl(spark, merged, tablePath,
@@ -1451,11 +1708,12 @@ object Upsert {
       // left drops out, and its stale zone map goes with it); untouched
       // partitions keep their entries; then release superseded data one
       // cycle late
-      // a replaced partition's pending MoR deletes are MATERIALIZED by
-      // this rewrite (its source read was delete-aware) — the sidecar
-      // entry drops with the same flip
+      // a replaced partition's pending MoR deletes AND deltas are
+      // MATERIALIZED by this rewrite (its source read was sidecar-aware)
+      // — the sidecar entries drop with the same flip
       val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")
-          -- partsEsc.map(p => s"$DelKeyPrefix$p")) ++
+          -- partsEsc.map(p => s"$DelKeyPrefix$p")
+          -- partsEsc.map(p => s"$DeltaKeyPrefix$p")) ++
         writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
         extraMeta + // e.g. a tail cursor — atomic with the data it describes
         (SchemaKey -> data.schema.json) + // the schema rides the same flip

@@ -48,12 +48,14 @@ object ManifestTable {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark))
-    // logical names (and the MoR-delete anti-join) compose ABOVE the
+    // logical names (and the MoR sidecar composition) compose ABOVE the
     // relation: Catalyst pushes filters through the rename Project — and
-    // through the anti-join's left side — so the FileIndex keeps
-    // consulting its physical-named zone maps and bloom sidecars
+    // through the anti-join's left side / into both union branches — so
+    // the FileIndex keeps consulting its physical-named zone maps and
+    // bloom sidecars for the BASE files while pending delta rows answer
+    // the same filters directly
     graft.pipeline.Upsert.toLogical(
-      graft.pipeline.Upsert.minusDeletes(spark, physical, index.manifest,
+      graft.pipeline.Upsert.applyMor(spark, physical, index.manifest,
         tablePath), index.manifest)
   }
 

@@ -332,10 +332,11 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
   override def retainedReferences(snapshotPath: String): Set[String] =
     versionFiles(snapshotPath).flatMap { case (_, f) =>
       parse(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
-        // `__del.` values are deletion-sidecar DIRS an as-of read still
-        // anti-joins — a retained version must keep them alive like data
+        // `__del.`/`__delta.` values are sidecar DIRS an as-of read still
+        // applies — a retained version must keep them alive like data
         .collect { case (k, rel)
-          if !k.startsWith("__") || k.startsWith("__del.") => rel }
+          if !k.startsWith("__") || k.startsWith("__del.") ||
+            k.startsWith("__delta.") => rel }
     }.toSet
 }
 
@@ -501,21 +502,25 @@ final class RebasingCasCommitter(graceMs: Long = 10L * 60 * 1000,
               s"semantic conflict at $snapshotPath on keys " +
                 s"${conflicts.toSeq.sorted.take(5).mkString(",")} — " +
                 "re-run the merge against the current manifest")
-          // a data rewrite of partition p and a `__del.p` sidecar commit
-          // are DIFFERENT keys but the same partition: the rewrite's
-          // merge read pre-delete rows (or the delete's sidecar targets
-          // superseded data) — semantic overlap the generic key rule
-          // can't see
+          // a data rewrite of partition p and a `__del.p`/`__delta.p`
+          // sidecar commit are DIFFERENT keys but the same partition: the
+          // rewrite's merge read pre-sidecar rows (or the sidecar write
+          // merged/targeted superseded data) — semantic overlap the
+          // generic key rule can't see. Two different-kind sidecars on
+          // one partition overlap too (a MoR delete rewrites the
+          // partition's pending delta minus its keys)
           def dataParts(ks: Set[String]): Set[String] =
             ks.filterNot(_.startsWith("__"))
-          def delParts(ks: Set[String]): Set[String] = ks.collect {
-            case k if k.startsWith("__del.") => k.stripPrefix("__del.")
+          def sidecarParts(ks: Set[String]): Set[String] = ks.collect {
+            case k if k.startsWith("__del.")   => k.stripPrefix("__del.")
+            case k if k.startsWith("__delta.") => k.stripPrefix("__delta.")
           }
-          val crossed = (dataParts(myKeys) & delParts(upstreamKeys)) ++
-            (delParts(myKeys) & dataParts(upstreamKeys))
+          val crossed = (dataParts(myKeys) & sidecarParts(upstreamKeys)) ++
+            (sidecarParts(myKeys) & dataParts(upstreamKeys)) ++
+            (sidecarParts(myKeys) & sidecarParts(upstreamKeys))
           if (crossed.nonEmpty)
             throw new ConcurrentCommitException(
-              s"concurrent delete/rewrite of partition(s) " +
+              s"concurrent sidecar/rewrite of partition(s) " +
                 s"${crossed.toSeq.sorted.take(5).mkString(",")} at " +
                 s"$snapshotPath — re-run the merge")
           if (upstreamKeys.exists(_.startsWith("__check.")))

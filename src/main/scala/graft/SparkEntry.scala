@@ -837,6 +837,13 @@ object SparkEntry {
     // graph — link-structure quality prior; exact long arithmetic makes
     // the iteration bit-replayable in the oracle
     "graph_pagerank" -> ((s, d) => Graph.purchaseRank(prep(s), d)),
+    // INCREMENTAL PageRank: converge the 90%-of-orders base graph, then
+    // absorb the remaining orders' edge delta by warm-starting the same
+    // integer iteration from the committed ranks — 3 warm rounds instead
+    // of a full cold rerun (GraphScaleProbe pins the savings at 40M
+    // edges). tolMass=0 keeps the early exit bit-invisible, so the
+    // oracle unrolls exactly coldIterations + warmIterations rounds
+    "graph_pagerank_warm" -> ((s, d) => Graph.purchaseRankWarm(prep(s), d)),
     // degree-oriented triangle census of the part co-occurrence graph —
     // wedge join bounded by Σ outdeg² = O(E^1.5), not hub-degree²
     "graph_triangles" -> ((s, d) =>
@@ -2258,6 +2265,11 @@ object SparkEntry {
     "mm_pixel_stats" ->
       s"SELECT doc_id, width, height, n_pixels, sum_r, sum_g, sum_b, max_r, max_g, max_b FROM '$MediaFixture/expected_pixels/*.parquet'",
     "graph_pagerank" -> pageRankOracleSql(10),
+    // incremental rank ≡ 10 cold rounds on the base graph, then 3 warm
+    // rounds on the full graph from COALESCE(committed, init) — the
+    // early exit at tolMass=0 cannot change the result (identity at the
+    // exact fixpoint), so the unrolled replay is bit-exact
+    "graph_pagerank_warm" -> pageRankWarmOracleSql(6, 3),
     "markov_transitions" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events), " +
         "s AS (SELECT event_type AS next_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e), " +
@@ -2491,29 +2503,57 @@ object SparkEntry {
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket, CASE WHEN event_id % 8 >= 4 THEN upper(event_type) END AS event_type_uc FROM fact",
   )
 
-  /** DuckDB replay of [[graft.operators.Graph.purchaseRank]]: the same
-    * fixed-point integer iteration unrolled as chained CTEs (r1..rK), floor
+  /** The purchase-graph CTEs (links/e/deg/nodes/pr), suffix-named so a
+    * two-graph replay (base + delta'd full graph) can hold both at once.
+    */
+  private def prGraphSql(sfx: String, where: String): String = {
+    val T = graft.operators.Graph.TotalMass
+    s"links$sfx AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
+      s"FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey$where), " +
+      s"e$sfx AS (SELECT src, dst FROM links$sfx UNION ALL SELECT dst, src FROM links$sfx), " +
+      s"deg$sfx AS (SELECT src, count(*) AS outdeg FROM e$sfx GROUP BY 1), " +
+      s"nodes$sfx AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e$sfx UNION ALL SELECT dst FROM e$sfx)), " +
+      s"pr$sfx AS (SELECT $T // count(*) AS init, ($T - (85 * $T) // 100) // count(*) AS base FROM nodes$sfx)"
+  }
+
+  /** One unrolled power-iteration round over the `sfx`-named graph, floor
     * division `//` matching Spark's `div` on the all-positive ranks.
     */
-  private def pageRankOracleSql(iterations: Int): String = {
-    val T = graft.operators.Graph.TotalMass
-    val head =
-      "WITH links AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst " +
-        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
-        "e AS (SELECT src, dst FROM links UNION ALL SELECT dst, src FROM links), " +
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
-        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), " +
-        s"pr AS (SELECT $T // count(*) AS init, ($T - (85 * $T) // 100) // count(*) AS base FROM nodes), " +
-        "r0 AS (SELECT node, init AS rank FROM nodes CROSS JOIN pr)"
-    val rounds = (1 to iterations).map { k =>
-      s"r$k AS (SELECT n.node, CAST(p.base + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank " +
-        "FROM nodes n CROSS JOIN pr p LEFT JOIN (" +
-        "SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s " +
-        s"FROM r${k - 1} r JOIN e ON e.src = r.node JOIN deg d ON d.src = e.src " +
-        "GROUP BY e.dst) c ON c.node = n.node)"
-    }.mkString(", ", ", ", " ")
-    head + rounds +
-      "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, " +
-      s"node // 2 AS entity_key, rank FROM r$iterations"
-  }
+  private def prRoundSql(name: String, prev: String, sfx: String): String =
+    s"$name AS (SELECT n.node, CAST(p.base + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank " +
+      s"FROM nodes$sfx n CROSS JOIN pr$sfx p LEFT JOIN (" +
+      "SELECT e.dst AS node, sum(r.rank // d.outdeg) AS s " +
+      s"FROM $prev r JOIN e$sfx e ON e.src = r.node JOIN deg$sfx d ON d.src = e.src " +
+      "GROUP BY e.dst) c ON c.node = n.node)"
+
+  private val PrKindSelect =
+    "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind, " +
+      "node // 2 AS entity_key, rank FROM "
+
+  /** DuckDB replay of [[graft.operators.Graph.purchaseRank]]: the same
+    * fixed-point integer iteration unrolled as chained CTEs (r1..rK).
+    */
+  private def pageRankOracleSql(iterations: Int): String =
+    "WITH " + prGraphSql("", "") +
+      ", r0 AS (SELECT node, init AS rank FROM nodes CROSS JOIN pr)" +
+      (1 to iterations).map(k => prRoundSql(s"r$k", s"r${k - 1}", ""))
+        .mkString(", ", ", ", " ") +
+      PrKindSelect + s"r$iterations"
+
+  /** DuckDB replay of [[graft.operators.Graph.purchaseRankWarm]]: cold
+    * rounds on the base (90%-of-orders) graph, then the warm rounds on
+    * the full graph seeded COALESCE(committed rank, full-graph init) —
+    * exactly [[graft.operators.Graph.pageRankWarmStart]]'s entry rule.
+    */
+  private def pageRankWarmOracleSql(cold: Int, warm: Int): String =
+    "WITH " + prGraphSql("0", " WHERE o.o_orderkey % 10 <> 0") +
+      ", b0 AS (SELECT node, init AS rank FROM nodes0 CROSS JOIN pr0)" +
+      (1 to cold).map(k => prRoundSql(s"b$k", s"b${k - 1}", "0"))
+        .mkString(", ", ", ", ", ") +
+      prGraphSql("", "") +
+      s", w0 AS (SELECT n.node, COALESCE(b.rank, p.init) AS rank " +
+      s"FROM nodes n CROSS JOIN pr p LEFT JOIN b$cold b ON b.node = n.node)" +
+      (1 to warm).map(k => prRoundSql(s"w$k", s"w${k - 1}", ""))
+        .mkString(", ", ", ", " ") +
+      PrKindSelect + s"w$warm"
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -359,9 +359,49 @@ object Graph {
   def purchaseRank(spark: SparkSession, dir: String,
                    iterations: Int = 10): DataFrame =
     pageRank(purchaseEdges(spark, dir), iterations)
-      .select(
-        when(col("node") % 2 === 0, lit("customer"))
-          .otherwise(lit("supplier")).as("kind"),
-        call_function("div", col("node"), lit(2L)).as("entity_key"),
-        col("rank"))
+      .select(kindDecode: _*)
+
+  /** [[purchaseEdges]] restricted to a deterministic subset of orders —
+    * the "committed crawl" the incremental-rank demo warm-starts from.
+    * (`o_orderkey % 10 <> 0` keeps ~90% of the links; the delta back to
+    * the full graph adds edges AND brand-new nodes, exercising both warm
+    * paths.)
+    */
+  def basePurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(pmod(col("o_orderkey"), lit(10L)) =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val links = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    links.union(links.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The registered INCREMENTAL-rank query: cold-converge the base
+    * (90%-of-orders) purchase graph, then absorb the remaining orders'
+    * edge delta via [[pageRankWarmStart]] with a FIXED warm budget and
+    * `tolMass = 0`. Exactly replayable: early exit at tolMass=0 fires
+    * only at the exact integer fixpoint, where further rounds are the
+    * identity — so the result is bit-identical to running precisely
+    * `warmIterations` rounds, which the DuckDB oracle unrolls. The point
+    * being demonstrated (and probed at 40M edges in GraphScaleProbe): a
+    * small delta re-ranks in 2-3 warm rounds instead of the cold 8-10.
+    */
+  def purchaseRankWarm(spark: SparkSession, dir: String,
+                       coldIterations: Int = 6,
+                       warmIterations: Int = 3): DataFrame = {
+    val committed = pageRank(basePurchaseEdges(spark, dir), coldIterations)
+    val (ranks, _, _) = pageRankWarmStart(purchaseEdges(spark, dir),
+      committed, maxIterations = warmIterations, tolMass = 0L)
+    ranks.select(kindDecode: _*)
+  }
+
+  /** Decode the even/odd node-id namespace back to (kind, entity_key). */
+  private def kindDecode: Seq[Column] = Seq(
+    when(col("node") % 2 === 0, lit("customer"))
+      .otherwise(lit("supplier")).as("kind"),
+    call_function("div", col("node"), lit(2L)).as("entity_key"),
+    col("rank"))
 }

@@ -1017,6 +1017,38 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // MULTI-ACTION MERGE INTO (MergeIntoSpec pins clause order, NULL
+    // semantics, and the pre-update-row SET): one copy-on-write pass
+    // deletes the error events, doubles the purchases' cents from the
+    // source pair view, and inserts shifted-id click copies — against the
+    // same fact state as the single-action twins, so the oracle is the
+    // three clauses recomputed declaratively
+    "table_merge_into" -> ((s, d) => {
+      val out = cachedTempDir("graft_merge_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      // +8e9 is ≡0 mod 8, so the inserted click copies stay in-bucket
+      val source = state.filter(col("event_type") === "error")
+        .unionByName(state.filter(col("event_type") === "purchase")
+          .withColumn("value_cents", col("value_cents") * 2))
+        .unionByName(state.filter(col("event_type") === "click")
+          .withColumn("event_id", col("event_id") + 8000000000L))
+      val st = pipeline.Upsert.mergeInto(s, out, "bucket",
+        keys = Seq("bucket", "event_id"), source,
+        deleteCond = Some(col("event_type") === "error"),
+        updateCond = Some(col("event_type") === "purchase"),
+        set = Map("value_cents" -> col("__src_value_cents")), committer = c)
+      require(st.deletedRows > 0 && st.updatedRows > 0 && st.insertedRows > 0,
+        "the MERGE demo must exercise all three clauses")
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // ROW-LEVEL UPDATE: same partition surgery as the delete, with the
     // assignments evaluated against the pre-update row — error events'
     // value zeroed in place, everything else byte-identical. Oracle is
@@ -2396,6 +2428,12 @@ object SparkEntry {
         "SELECT * FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
         "UNION ALL SELECT event_id, ts_us + 1, user_id, event_type, CAST(0 AS BIGINT), bucket FROM s WHERE event_type = 'error' " +
         "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'purchase'"),
+    // the merged table is the three clauses recomputed: error rows gone,
+    // purchase cents doubled, click copies inserted under shifted ids
+    "table_merge_into" ->
+      (s"$FactCte, s AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact) " +
+        "SELECT event_id, ts_us, user_id, event_type, CASE WHEN event_type = 'purchase' THEN value_cents * 2 ELSE value_cents END AS value_cents, bucket FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
+        "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'click'"),
     // the declarative (pushed-filter FileIndex) read must answer exactly
     // like the explicit pruned read — same recomputed week window
     "table_zone_pruned_auto" ->

@@ -1473,6 +1473,112 @@ object Upsert {
     UpdateStats(touched, updated)
   }
 
+  case class MergeStats(touchedPartitions: Seq[String], updatedRows: Long,
+                        deletedRows: Long, insertedRows: Long)
+
+  /** Multi-action MERGE — the lakehouse `MERGE INTO` statement, composing
+    * what [[deleteWhere]]/[[updateWhere]]/[[upsertPartitionsAtomic]] do
+    * separately into ONE partition-granular copy-on-write pass:
+    *
+    * {{{
+    * MERGE INTO table t USING source s ON <t.keys = s.keys>
+    *   WHEN MATCHED AND <deleteCond>  THEN DELETE
+    *   WHEN MATCHED AND <updateCond>  THEN UPDATE SET <set>
+    *   WHEN NOT MATCHED               THEN INSERT *
+    * }}}
+    *
+    * Clause order is fixed delete-then-update (first-clause-wins with the
+    * delete clause first — the compliance-sweep shape); a matched row
+    * firing neither clause passes through byte-identical. SQL NULL
+    * semantics throughout: a condition evaluating NULL does not fire its
+    * clause. Conditions and SET expressions see the matched PAIR — target
+    * columns at their natural (logical) names, source columns under the
+    * `__src_` prefix — and SET evaluates against the pre-update row, so
+    * `a = __src_b, b = a` is consistent.
+    *
+    * Scale shape: the join and rewrite touch ONLY the partitions the
+    * source names (`partCol` is part of every source row; the key →
+    * partition contract is [[upsertPartitionsAtomic]]'s), the source side
+    * of the match is unhinted (size check picks broadcast vs shuffle),
+    * inserts may open brand-new partitions, and the whole multi-action
+    * result publishes in one atomic manifest flip — crash leaves the
+    * previous snapshot in force. Pending MoR sidecars of the touched
+    * partitions fold in (the rewrite materializes them).
+    */
+  def mergeInto(spark: SparkSession, tablePath: String, partCol: String,
+                keys: Seq[String], source: DataFrame,
+                deleteCond: Option[org.apache.spark.sql.Column] = None,
+                updateCond: Option[org.apache.spark.sql.Column] = None,
+                set: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                insertNotMatched: Boolean = true,
+                committer: SnapshotCommitter = AtomicRenameCommitter): MergeStats = {
+    require(keys.nonEmpty, "MERGE needs ON key columns")
+    require(deleteCond.isDefined || set.nonEmpty || insertNotMatched,
+      "MERGE with no clauses is a no-op — refuse loudly")
+    require(!set.contains(partCol),
+      s"cannot assign the partition column $partCol — a partition-moving " +
+        "update is a delete + insert, not an in-place rewrite")
+    val manifest = committer.readManifest(tablePath)
+    require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+    val touched = touchedPartitionsOf(source, partCol, keys)
+    val touchedEntries = touched.map(partKey)
+      .flatMap(k => manifest.get(k).map(k -> _)).toMap
+    val scoped = emptyOrBound(spark, manifest, tablePath, touchedEntries)
+      .localCheckpoint(true)
+    val targetCols = scoped.columns.toSeq
+    val missing = targetCols.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"MERGE source must carry the full target schema (INSERT *); " +
+        s"missing: ${missing.mkString(",")}")
+    set.keys.foreach(c => require(targetCols.contains(c),
+      s"MERGE SET target column $c does not exist"))
+    require(source.columns.forall(!_.startsWith("__")),
+      "MERGE source columns must not start with __ (reserved for the pair view)")
+    // two source rows matching one target row would fan the target out —
+    // the standard MERGE ambiguity error, checked up front (one aggregate
+    // over the O(source) side)
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    require(dup.isEmpty,
+      s"MERGE source has duplicate ON keys (e.g. ${dup.headOption.getOrElse("")}) — " +
+        "a target row may match at most one source row")
+    // the matched pair: target names natural, source names __src_-prefixed
+    val srcPref = source.select(
+      (keys.map(col) ++ source.columns.filterNot(keys.contains)
+        .map(c => col(c).as(s"__src_$c"))).toIndexedSeq: _*)
+      .withColumn("__matched", lit(true))
+    val joined = scoped.join(srcPref, keys, "left").localCheckpoint(true)
+    // SQL clause semantics: fire only on TRUE; delete wins over update
+    val delF = coalesce(col("__matched") && deleteCond.getOrElse(lit(false)),
+      lit(false))
+    val updF =
+      if (set.isEmpty) lit(false)
+      else !delF && coalesce(
+        col("__matched") && updateCond.getOrElse(lit(true)), lit(false))
+    val inserts =
+      if (!insertNotMatched) srcPref.limit(0)
+      else srcPref.join(scoped.select(keys.map(col): _*), keys, "left_anti")
+    val insertRows =
+      if (!insertNotMatched) scoped.limit(0)
+      else inserts.select(targetCols.map(c =>
+        (if (keys.contains(c)) col(c) else col(s"__src_$c")).as(c)): _*)
+    val counts = joined.agg(
+      sum(when(delF, 1L).otherwise(0L)).as("d"),
+      sum(when(updF, 1L).otherwise(0L)).as("u")).head()
+    val (nDel, nUpd) =
+      (Option(counts.get(0)).fold(0L)(_ => counts.getLong(0)),
+        Option(counts.get(1)).fold(0L)(_ => counts.getLong(1)))
+    val nIns = insertRows.count()
+    // one select evaluates every assignment against the PRE-update row
+    val applied = joined.filter(!delF).select(targetCols.map { c =>
+      set.get(c).fold(col(c))(e => when(updF, e).otherwise(col(c)).as(c))
+    }.toIndexedSeq: _*)
+    replacePartitionsAtomicImpl(spark, applied.unionByName(insertRows),
+      tablePath, partCol, touched, crashBeforeCommit = false, committer,
+      manifestRead = Some(manifest))
+    MergeStats(touched, nUpd, nDel, nIns)
+  }
+
   /** Atomic WHOLE-TABLE overwrite snapshot — the reference's CTAS shape
     * with the manifest protocol's crash guarantees: stage the new table
     * under an immutable `batch-<uuid>/data` dir, flip the one-entry

@@ -435,6 +435,43 @@ object SparkEntry {
           col("date_key").cast("long").as("date_key"), col("event_id"),
           col("measure_value"), col("ts_us"))
     }),
+    // STREAMING MoR TRICKLE INGEST (StreamUpsertSpec pins sidecars-only
+    // commits and replay idempotence): the error-event zeroing feed
+    // drained through foreachBatch → upsertKeysMor over THREE per-file
+    // micro-batches — every batch lands as delta sidecars with NO
+    // partition rewrite (asserted on the manifest), batch ledger atomic
+    // with the sidecars, and the read-back must equal the batch merge
+    "stream_upsert_mor" -> ((s, d) => {
+      val out = cachedTempDir("graft_smor_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+        (0L until 8L).map(_.toString), committer = c)
+      val dataBefore = c.readManifest(out).filterNot(_._1.startsWith("__"))
+      val updDir = streaming.StreamOracle.stage(prep(s),
+        state.filter(col("event_type") === "error")
+          .withColumn("ts_us", col("ts_us") + 1)
+          .withColumn("value_cents", lit(0L)),
+        s"morupd_${Integer.toHexString(d.hashCode)}", numFiles = 3,
+        splitCol = "ts_us")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_smor_ckpt").toString
+      streaming.StreamUpsert.maintainMor(s,
+        streaming.StreamOracle.fileStream(s, updDir, maxFilesPerTrigger = Some(1)),
+        out, "bucket", keys = Seq("event_id"),
+        order = Seq("ts_us", "value_cents"), checkpoint = ckpt,
+        committer = c).awaitTermination()
+      require(c.readManifest(out).filterNot(_._1.startsWith("__")) == dataBefore,
+        "the trickle stream must rewrite NO data dir")
+      require(c.readManifest(out).keySet.exists(_.startsWith("__delta.")),
+        "the trickle stream must land delta sidecars")
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // Generator-determinism pin (F17/F18/F19 + S7): regenerate the
     // committed vitals snapshot IN-SESSION and hash-compare against
     // DuckDB's independent read of the committed files. All generated
@@ -2428,6 +2465,12 @@ object SparkEntry {
         "SELECT * FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
         "UNION ALL SELECT event_id, ts_us + 1, user_id, event_type, CAST(0 AS BIGINT), bucket FROM s WHERE event_type = 'error' " +
         "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'purchase'"),
+    // the trickle-streamed table answers exactly like the batch MoR
+    // merge: untouched rows + the later-ts zeroed error updates
+    "stream_upsert_mor" ->
+      (s"$FactCte, s AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact) " +
+        "SELECT * FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
+        "UNION ALL SELECT event_id, ts_us + 1, user_id, event_type, CAST(0 AS BIGINT), bucket FROM s WHERE event_type = 'error'"),
     // the merged table is the three clauses recomputed: error rows gone,
     // purchase cents doubled, click copies inserted under shifted ids
     "table_merge_into" ->

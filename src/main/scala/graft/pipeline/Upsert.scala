@@ -1265,7 +1265,8 @@ object Upsert {
     */
   def upsertKeysMor(spark: SparkSession, tablePath: String, partCol: String,
                     keys: Seq[String], order: Seq[String], delta: DataFrame,
-                    committer: SnapshotCommitter = AtomicRenameCommitter): UpsertStats = {
+                    committer: SnapshotCommitter = AtomicRenameCommitter,
+                    meta: Map[String, String] = Map.empty): UpsertStats = {
     require(keys.nonEmpty, "MoR upsert needs key columns")
     val touched = touchedPartitionsOf(delta, partCol, keys)
     val manifest = committer.readManifest(tablePath)
@@ -1348,7 +1349,9 @@ object Upsert {
     val pending = combined.count()
     val newManifest = manifest ++
       writtenParts.map(p => s"$DeltaKeyPrefix$p" -> s"$batchDirName/__part=$p") ++
-      mergedRanges +
+      mergedRanges ++
+      // e.g. a stream's batch ledger — atomic with the sidecars it describes
+      meta.map { case (k, v) => s"__$k" -> v } +
       (UpKeysKey -> keysPhys.mkString(",")) +
       (UpOrderKey -> orderPhys.mkString(",")) +
       (PartColKey -> pcPhys)

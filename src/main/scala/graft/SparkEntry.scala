@@ -284,6 +284,22 @@ object SparkEntry {
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
       s.read.parquet(out).select(col("event_date")).distinct()
     }),
+    // ---- source-format breadth (sources.Formats): CSV / JSON-lines / ORC
+    // read with DECLARED schemas over a lossless integer interchange
+    // projection; each rollup must match the parquet oracle exactly, so a
+    // format round-trip that bends one value fails the hash ----
+    "source_csv_daily" -> ((s, d) =>
+      sources.Formats.dailyRollup(sources.Formats.csvEvents(prep(s), d))),
+    "source_jsonl_daily" -> ((s, d) =>
+      sources.Formats.dailyRollup(sources.Formats.jsonlEvents(prep(s), d))),
+    // ORC keeps parquet-class pushdown (SourcesSpec asserts the pushed
+    // filter) — the pruned error-scan shape, not just a full rollup
+    "source_orc_pruned" -> ((s, d) =>
+      sources.Formats.orcEvents(prep(s), d)
+        .filter(col("event_type") === "error" && col("value_cents") >= 1000L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          sum(col("value_cents")).as("sum_value_cents"))),
     // SQL view surface (S5): the reference user's workflow — SELECT against
     // registered view names — answered through Views.registerAll and
     // spark.sql, oracled against DuckDB computing the same rollup from the
@@ -415,6 +431,23 @@ object SparkEntry {
           col("r_id").as("purchase_id"),
           unix_micros(col("r_ts")).as("purchase_ts_us"),
           round(col("r_value") * 100).cast("long").as("purchase_value_cents"))
+    }),
+    // stream⋈STATIC dim enrichment — the stateless streaming join family:
+    // the unbounded fact joins a broadcast customer dim per micro-batch
+    // (no state store, no watermark, the fact side never shuffles). The
+    // drain equals the batch join row-for-row, so the oracle is plain SQL.
+    "stream_enriched" -> ((s, d) => {
+      val ev = streaming.StreamOracle.fileStream(s, stagedEvents(s, d))
+      val dim = Tables.customer(prep(s), d).select(
+        col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("mktsegment"),
+        col("c_nationkey").cast("long").as("nation_id"))
+      streaming.StreamOracle.drainAppend(s,
+          streaming.StreamJoin.enrichWithDim(ev, dim, Seq("user_id")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          col("mktsegment"), col("nation_id"))
     }),
     // §2.9a+f closing the loop ON DISK: the foreachBatch-maintained star
     // (fact merge → dims → touched-day partition replace, all manifest-
@@ -677,6 +710,11 @@ object SparkEntry {
       TextOps.stratifiedSample(Tables.documents(prep(s), d), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5))
         .select("doc_id", "lang")),
+    // leakage-safe split: assignment is a function of the source DOMAIN,
+    // so near-dup shards of one crawl domain never straddle train/test
+    "split_train_test" -> ((s, d) =>
+      TextOps.groupSplit(Tables.documents(prep(s), d), "source", 0.8, 0.1)
+        .select(col("doc_id"), col("source"), col("split"))),
     "domain_mixture_sample" -> ((s, d) =>
       TextOps.domainMixtureSample(Tables.documents(prep(s), d), 200L)),
     // weight-proportional sampling (priority sample, token-count weights):
@@ -1795,6 +1833,21 @@ object SparkEntry {
       s"$FactCte SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events FROM fact GROUP BY 1, 2",
     "partition_introspection" ->
       "SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events",
+    // format round-trips are integer-lossless, so the oracle is the same
+    // rollup straight off the parquet table
+    "source_csv_daily" ->
+      ("SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events, " +
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents " +
+        "FROM events GROUP BY 1, 2"),
+    "source_jsonl_daily" ->
+      ("SELECT CAST(ts AS DATE) AS date_id, event_type, count(*) AS n_events, " +
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents " +
+        "FROM events GROUP BY 1, 2"),
+    "source_orc_pruned" ->
+      ("SELECT user_id, count(*) AS n_errors, " +
+        "sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents " +
+        "FROM events WHERE event_type = 'error' " +
+        "AND CAST(round(value * 100) AS BIGINT) >= 1000 GROUP BY 1"),
     // ---- §2.9 streaming oracles: batch-equivalent SQL + the append-mode
     // emission cutoff recomputed from the final watermark (max(ts) − delay;
     // single-batch drain, see StreamOracle) ----
@@ -1813,6 +1866,12 @@ object SparkEntry {
         "FROM events l JOIN events r ON l.user_id = r.user_id " +
         "AND l.event_type = 'click' AND r.event_type = 'purchase' " +
         "AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR"),
+    // stateless stream⋈static enrichment: the drain IS the batch join
+    "stream_enriched" ->
+      ("SELECT e.event_id, e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us, " +
+        "e.event_type, CAST(round(e.value * 100) AS BIGINT) AS value_cents, " +
+        "c.c_mktsegment AS mktsegment, CAST(c.c_nationkey AS BIGINT) AS nation_id " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey"),
     // matched pairs = the batch interval join; null-extensions gated on
     // the final watermark (per-side ms-floored max, min across sides,
     // minus delay; close STRICTLY before — the pinned boundary)
@@ -2093,6 +2152,11 @@ object SparkEntry {
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w, unnest(range(0, len(w), 48)) AS start_tok, generate_subscripts(range(0, len(w), 48), 1) - 1 AS chunk_id FROM t) SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(start_tok AS BIGINT) AS start_tok, CAST(least(64, n_tokens - start_tok) AS BIGINT) AS chunk_len, array_to_string(w[start_tok + 1 : start_tok + 64], ' ') AS chunk_text FROM c",
     "doc_stratified_sample" ->
       "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < (CASE WHEN lang = 'en' THEN '4000' WHEN lang = 'de' THEN 'g' WHEN lang = 'fr' THEN '8000' ELSE NULL END)",
+    // 0.8 → round(0.8·65536) = 52429 = 0xcccd; 0.9 → 58982 = 0xe666
+    "split_train_test" ->
+      ("SELECT doc_id, source, CASE WHEN substring(md5(source), 1, 4) < 'cccd' THEN 'train' " +
+        "WHEN substring(md5(source), 1, 4) < 'e666' THEN 'val' ELSE 'test' END AS split " +
+        "FROM documents"),
     // sqrt (IEEE correctly rounded, unlike pow) → integer micro-unit
     // weights → half-up integer-ratio quota: no float crosses an
     // aggregation boundary, so the quota is exact on both engines

@@ -224,6 +224,37 @@ object TextOps {
     df.filter(prefix < threshold)
   }
 
+  /** Leakage-safe train/val/test split: the split is a pure function of a
+    * GROUP key, never of the row, so every row sharing the key lands in
+    * the same split. Splitting documents row-wise leaks — near-duplicates
+    * and same-source shards of one crawl domain straddle the boundary and
+    * the eval set stops measuring generalization — so the unit of
+    * assignment must be the leakage equivalence class (here the `source`
+    * domain; after [[graft.operators.Components]] clustering, the
+    * near-dup cluster id is the stronger key).
+    *
+    * Mechanics: the first 4 hex chars of md5(group) partition [0, 0x10000)
+    * by the cumulative fractions — deterministic, data-independent (adding
+    * documents never moves an EXISTING group's split, the property that
+    * keeps yesterday's eval set valid after today's crawl lands), and
+    * replayable by any engine with md5. One narrow projection, no shuffle,
+    * no state: the 100 TB form is exactly this expression in the scan.
+    * Realized fractions track the requested ones only in expectation OVER
+    * GROUPS (a heavy domain drags its whole mass with it — inherent to
+    * leakage-safe splitting, not a defect of the hash).
+    */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac > 0 && valFrac > 0 && trainFrac + valFrac < 1.0,
+      "fractions must be positive and leave room for the test split")
+    def bound(cum: Double): String = f"${math.round(cum * 65536)}%04x"
+    val prefix = substring(md5(col(groupCol).cast("string")), 1, 4)
+    df.withColumn("split",
+      when(prefix < bound(trainFrac), lit("train"))
+        .when(prefix < bound(trainFrac + valFrac), lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Token share per language — the training-mix composition table. Two
     * hash aggregations (per-lang, then a 1-row corpus total broadcast back);
     * integer token sums stay exact so the share division is bit-stable.

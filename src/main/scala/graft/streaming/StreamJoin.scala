@@ -65,4 +65,28 @@ object StreamJoin {
         joinType)
       .drop("r_user_id")
   }
+
+  /** Stream⋈static dimension enrichment — the OTHER streaming join family:
+    * only one side is unbounded, so no state store and no watermark are
+    * involved at all. The static side is a plain batch DataFrame joined
+    * inside every micro-batch; Structured Streaming re-executes the batch
+    * subtree per trigger, so a dim refreshed on disk between triggers is
+    * picked up without restarting the query (the slowly-changing-dim
+    * pattern for continuous enrichment).
+    *
+    * Scale: the dim carries an explicit `broadcast` hint — the unbounded
+    * fact side NEVER shuffles for the join, which is the only shape that
+    * survives a 100 TB/day stream (shuffling a stream on user_id per
+    * micro-batch would re-partition the firehose every trigger). Dims too
+    * big to broadcast belong in the foreachBatch merge path
+    * ([[StreamStar.upsertStarBatch]]) where the fact lands first and joins
+    * co-located afterward.
+    *
+    * Stateless row-level enrichment is append-mode-safe by construction:
+    * each input row emits exactly its joined rows in its own micro-batch,
+    * so a drain equals the batch join — exactly oracle-able.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys)
 }

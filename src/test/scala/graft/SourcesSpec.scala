@@ -158,4 +158,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(causes.exists(_.toLowerCase.contains("malformed")),
       s"expected a malformed-record failure, got: $causes")
   }
+
+  // ---- sources.Formats: the staged interchange exports behind the
+  // source_{csv,jsonl,orc}_* CORRECTNESS rows ----
+
+  private lazy val expectedRollup = {
+    import org.apache.spark.sql.functions._
+    events.groupBy(to_date(col("ts")).as("date_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+  }
+
+  test("Formats: csv/jsonl/orc daily rollups all equal the parquet rollup") {
+    val dir = "/root/testdata/sf0.001"
+    for (reader <- Seq(
+        graft.sources.Formats.csvEvents _,
+        graft.sources.Formats.jsonlEvents _,
+        graft.sources.Formats.orcEvents _)) {
+      val got = graft.sources.Formats.dailyRollup(reader(spark, dir))
+      assert(got.exceptAll(expectedRollup).count() == 0 &&
+        expectedRollup.exceptAll(got).count() == 0,
+        "format round-trip bent the rollup")
+    }
+  }
+
+  test("Formats: the orc scan pushes filters into the reader") {
+    import org.apache.spark.sql.functions._
+    // read PushedFilters off the scan node's metadata — the plan's
+    // toString truncates long filter lists
+    val scan = graft.sources.Formats.orcEvents(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "error" && col("value_cents") >= 1000L)
+      .queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no file scan in the plan"))
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("EqualTo(event_type,error)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(value_cents,1000)"), pushed)
+  }
 }

@@ -148,4 +148,26 @@ class StreamJoinSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty, "fixture must produce at least one match")
   }
+
+  test("stream-static enrichment drain equals the batch join and broadcasts the dim") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, dir)
+    val dim = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("seg"))
+    // the same function on a batch frame shows the plan the per-trigger
+    // incremental plan reuses: the dim side builds a broadcast, the fact
+    // side never exchanges
+    val batchPlan = StreamJoin.enrichWithDim(ev, dim, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan.takeRight(600))
+    val staged = graft.streaming.StreamOracle.stage(spark, ev, "sj_enrich")
+    val streamed = graft.streaming.StreamOracle.drainAppend(spark,
+        StreamJoin.enrichWithDim(
+          graft.streaming.StreamOracle.fileStream(spark, staged), dim, Seq("user_id")))
+      .select("event_id", "seg").as[(Long, String)].collect().toSet
+    val batch = ev.join(dim, Seq("user_id"))
+      .select("event_id", "seg").as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must enrich at least one event")
+  }
 }

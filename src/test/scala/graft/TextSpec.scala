@@ -157,6 +157,29 @@ class TextSpec extends AnyFunSuite {
     assert(frac > 0.02 && frac < 0.25, s"got $frac")
   }
 
+  test("groupSplit is leakage-safe, total, and insertion-stable") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = graft.operators.TextOps.groupSplit(docs, "source", 0.8, 0.1)
+    // total: every row gets exactly one of the three labels
+    assert(split.filter(!col("split").isin("train", "val", "test")).count() == 0)
+    assert(split.count() == docs.count())
+    // leakage-safe: a source never straddles splits
+    val straddlers = split.groupBy("source")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddlers == 0, "a group landed in two splits")
+    // insertion-stable: assignment is per-group content hash, so dropping
+    // half the corpus moves NO surviving row's split
+    val half = graft.operators.TextOps
+      .groupSplit(docs.filter(col("doc_id") % 2 === 0), "source", 0.8, 0.1)
+    val moved = half.select("doc_id", "split")
+      .join(split.select(col("doc_id"), col("split").as("full_split")), "doc_id")
+      .filter(col("split") =!= col("full_split")).count()
+    assert(moved == 0, "split assignment must not depend on the corpus")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.groupSplit(docs, "source", 0.9, 0.1)
+    }
+  }
+
   test("language token mix shares sum to 1") {
     val m = graft.operators.TextOps.langTokenMix(corpus).collect()
     assert(m.map(_.getAs[Long]("n_docs")).sum == 100L)

@@ -702,6 +702,12 @@ object SparkEntry {
       TextOps.langTokenMix(Tables.documents(prep(s), d))),
     "doc_pack_chunks" -> ((s, d) =>
       TextOps.packDocuments(Tables.documents(prep(s), d), 2048L, 32)),
+    // GLOBAL token-stream packing via distributed block prefix sum — the
+    // oracle is the single global running sum (which DuckDB can afford;
+    // Spark's equivalent would be a one-partition window sort), so the
+    // block-decomposed offsets must reproduce the global scan exactly
+    "doc_pack_global" -> ((s, d) =>
+      TextOps.packGlobal(Tables.documents(prep(s), d), 8192L, 64)),
     "doc_token_ids" -> ((s, d) =>
       TextOps.tokenIds(Tables.documents(prep(s), d), 500)),
     "doc_chunks" -> ((s, d) =>
@@ -973,6 +979,65 @@ object SparkEntry {
     "table_changes" -> ((s, d) => {
       val (out, c) = versionedDemo(s, d)
       pipeline.Upsert.tableChanges(s, out, 2L, 3L, Seq("event_id"), c)
+    }),
+    // RESTORE TABLE ... TO VERSION: the 3-version demo suffers a
+    // destructive mistake (v4 deletes every purchase), then rolls back by
+    // COMMITTING v3's manifest as v5 — history stays append-only, no data
+    // moves. The oracle recomputes the full 3-batch state from `events`,
+    // so a restore that resolved the wrong version, lost partitions, or
+    // resurrected GC'd refs hash-mismatches; the history/audit properties
+    // (v4 still as-of-readable, v5 == v3, labels) are pinned in
+    // TimeTravelSpec.
+    "table_restored" -> ((s, d) => {
+      val out = cachedTempDir("graft_rst_")
+      val c = buildVersionedDemo(s, d, out) // v1..3
+      val del = pipeline.Upsert.deleteWhere(s, out, "bucket",
+        col("event_type") === "purchase", c) // v4, the mistake
+      require(del.deletedRows > 0, "restore demo must have something to undo")
+      val st = pipeline.Upsert.restoreTable(out, 3L, c) // v5 == v3
+      require(st.restoredFrom == 3L && st.newVersion == 5L,
+        s"restore must land as a NEW version 5: $st")
+      pipeline.Upsert.readTable(s, out, c)
+    }),
+    // SHALLOW CLONE + divergence: the shared demo cloned AS OF v2 with
+    // zero bytes copied (the clone manifest references the source's data
+    // files in place), then batch 3 is upserted into the CLONE only. The
+    // read-back must equal the full 3-batch state — resolving cross-root
+    // refs, inheriting schema/keys metadata, and merging clone-local
+    // staging all have to compose; the zero-copy/isolation properties
+    // (no data files under the clone, source untouched) are pinned in
+    // TimeTravelSpec.
+    "table_cloned" -> ((s, d) => {
+      val (src, sc) = versionedDemo(s, d)
+      val dst = cachedTempDir("graft_cln_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+      val dc = new graft.streaming.VersionedCommitter
+      val cs = pipeline.Upsert.cloneTable(src, dst, sc, Some(2L), dc)
+      require(cs.copiedBytes == 0L && cs.dataEntries > 0,
+        s"shallow clone must copy nothing and reference something: $cs")
+      pipeline.Upsert.upsertPartitionsAtomic(s, versionedDemoBatches(s, d)(2),
+        dst, "bucket", keys = Seq("event_id"),
+        order = Seq("ts_us", "value_cents"), committer = dc)
+      pipeline.Upsert.readTable(s, dst, dc)
+    }),
+    // DESCRIBE HISTORY of the analyzed demo: version, operation label
+    // (from the committer's OPS log), partition count, exact row count —
+    // all four columns replayed by the oracle from the batch windows, so
+    // a wrong label, a lost version, or a miscounted as-of read all
+    // hash-mismatch. v4 is the `analyze` commit: same data, new stats.
+    "table_history" -> ((s, d) => {
+      val (out, c) = analyzedDemo(s, d)
+      pipeline.Upsert.tableHistory(s, out, c)
+    }),
+    // ANALYZE output read back from the COMMITTED manifest metadata (not
+    // recomputed): per-column null/distinct/min/max + table row count.
+    // The oracle recomputes the same statistics from `events` in DuckDB —
+    // a stats pass that drifted from the data it describes
+    // hash-mismatches. The stats-driven broadcast decision these feed is
+    // pinned in TableLifecycleSpec (readTableCbo plan flip).
+    "table_stats" -> ((s, d) => {
+      val (out, c) = analyzedDemo(s, d)
+      pipeline.Upsert.statsAsDataFrame(s, out, c)
     }),
     // COMPACTION (OPTIMIZE): the deduped fact staged FRAGMENTED (16-task
     // fan-out into 8 bucket partitions — the small-file debt a micro-batch
@@ -1502,6 +1567,24 @@ object SparkEntry {
       (out, buildVersionedDemo(s, d, out))
     })
 
+  /** Process-level memo for the ANALYZEd demo table behind
+    * `table_history`/`table_stats`: the 3-version demo plus one
+    * `analyzeTable` commit (version 4, labeled `analyze`, data-identical
+    * to version 3). Its own table — the shared [[versionedDemo]] must
+    * stay 3-versions-exactly for the time-travel/CDF oracles regardless
+    * of query execution order.
+    */
+  private val analyzedDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, graft.streaming.VersionedCommitter)]
+
+  private def analyzedDemo(s: SparkSession, d: String): (String, graft.streaming.VersionedCommitter) =
+    analyzedDemoCache.computeIfAbsent((s, d), _ => {
+      val out = cachedTempDir("graft_an_")
+      val c = buildVersionedDemo(s, d, out)
+      pipeline.Upsert.analyzeTable(s, out, c)
+      (out, c)
+    })
+
   /** Process-level memo for the zone-map demo table (the deduped fact
     * committed day-partitioned with ts_us range stats): built once per
     * (session, dir) — it is immutable after build, and BOTH zone-pruning
@@ -1595,9 +1678,11 @@ object SparkEntry {
     * construction. Rebuilt from scratch per call — each query owns its dir,
     * no cross-query coupling.
     */
-  private def buildVersionedDemo(s: SparkSession, d: String,
-                                 out: String): graft.streaming.VersionedCommitter = {
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  /** The three overlapping ts-window batch frames the versioned demos
+    * upsert as versions 1..3 (also reused standalone — e.g. the shallow
+    * clone diverges by applying batch 3 to the clone).
+    */
+  private def versionedDemoBatches(s: SparkSession, d: String): Seq[DataFrame] = {
     val e = Tables.events(prep(s), d).select(
       col("event_id"), unix_micros(col("ts")).as("ts_us"),
       col("user_id"), col("event_type"),
@@ -1608,15 +1693,41 @@ object SparkEntry {
     val span = hi - lo
     val windows = Seq( // quarters of the ts range, overlapping
       (lo, lo + span / 2), (lo + span / 4, lo + 3 * span / 4), (lo + span / 2, hi))
+    windows.map { case (a, b) =>
+      e.filter(col("ts_us") > a || lit(a == lo)).filter(col("ts_us") <= b)
+    }
+  }
+
+  private def buildVersionedDemo(s: SparkSession, d: String,
+                                 out: String): graft.streaming.VersionedCommitter = {
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     val c = new graft.streaming.VersionedCommitter
-    windows.foreach { case (a, b) =>
-      pipeline.Upsert.upsertPartitionsAtomic(s,
-        e.filter(col("ts_us") > a || lit(a == lo)).filter(col("ts_us") <= b),
+    versionedDemoBatches(s, d).foreach { b =>
+      pipeline.Upsert.upsertPartitionsAtomic(s, b,
         out, "bucket", keys = Seq("event_id"),
         order = Seq("ts_us", "value_cents"), committer = c)
     }
     c
   }
+
+  /** DuckDB CTE replaying the versioned demo's three overlapping
+    * ts-window batches ([[versionedDemoBatches]]) with batch numbers —
+    * shared by the restore/clone/history/stats oracles.
+    */
+  private val VersionedDemoCte =
+    "WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
+      "CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM events), " +
+      "b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e), " +
+      "w AS (SELECT e.*, 1 AS batch FROM e, b WHERE ts_us <= lo + (hi - lo) // 2 " +
+      "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4 " +
+      "UNION ALL SELECT e.*, 3 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 2)"
+
+  /** The demo's FULL (all-3-batches, keep-latest) state — what a correct
+    * restore-to-v3 and a correct clone@v2-plus-batch-3 both read back as.
+    */
+  private val VersionedFullStateSql =
+    s"$VersionedDemoCte, r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) " +
+      "SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1"
 
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
   private val FactCte =
@@ -2184,6 +2295,10 @@ object SparkEntry {
       s"WITH p AS (SELECT lang, count(*) AS n_docs, CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens FROM documents GROUP BY 1) SELECT lang, n_docs, total_tokens, ${fxRatioSql("total_tokens", "(SELECT CAST(sum(total_tokens) AS BIGINT) FROM p)", 6)} AS token_share FROM p",
     "doc_pack_chunks" ->
       "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, doc_id % 32 AS shard FROM documents), c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok FROM t) SELECT doc_id, shard, n_tokens, start_tok, start_tok // 2048 AS pack_id FROM c",
+    // the GLOBAL running sum DuckDB can afford single-threaded — the
+    // engine's block prefix sum must reproduce it exactly
+    "doc_pack_global" ->
+      "WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t) SELECT doc_id, n_tokens, start_tok, start_tok // 8192 AS shard_id FROM c",
     "doc_token_ids" ->
       "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos FROM documents), v AS (SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT) AS token_id FROM (SELECT tok, count(*) AS n FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT 500)) SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id FROM t LEFT JOIN v USING (tok)",
     "doc_repetition" ->
@@ -2507,6 +2622,33 @@ object SparkEntry {
         "WHEN (s2.ts_us, s2.user_id, s2.event_type, s2.value_cents, s2.bucket) IS DISTINCT FROM (s3.ts_us, s3.user_id, s3.event_type, s3.value_cents, s3.bucket) THEN 'update_post' END AS change_type " +
         "FROM s2 FULL OUTER JOIN s3 ON s2.event_id = s3.event_id) " +
         "WHERE change_type IS NOT NULL"),
+    // restore-to-v3 after the v4 purge must read back as the full
+    // 3-batch keep-latest state, bit for bit
+    "table_restored" -> VersionedFullStateSql,
+    // clone@v2 + batch 3 applied to the clone ≡ the same full state —
+    // cross-root refs and clone-local staging must compose invisibly
+    "table_cloned" -> VersionedFullStateSql,
+    // DESCRIBE HISTORY replay: per-version keep-latest row counts and
+    // touched-partition counts from the batch windows; v4 is the
+    // data-identical `analyze` commit
+    "table_history" ->
+      (s"$VersionedDemoCte, v AS (SELECT CAST(ver AS BIGINT) AS ver FROM (VALUES (1), (2), (3)) AS t(ver)), " +
+        "d AS (SELECT v.ver, w.event_id, row_number() OVER (PARTITION BY v.ver, w.event_id ORDER BY w.ts_us DESC, w.value_cents DESC, w.batch DESC) AS rn FROM w JOIN v ON w.batch <= v.ver), " +
+        "rowsper AS (SELECT ver, count(*) AS n_rows FROM d WHERE rn = 1 GROUP BY ver), " +
+        "partsper AS (SELECT v.ver, CAST(count(DISTINCT w.bucket) AS BIGINT) AS n_partitions FROM w JOIN v ON w.batch <= v.ver GROUP BY v.ver) " +
+        "SELECT ver AS version, 'upsert' AS operation, n_partitions, n_rows FROM rowsper JOIN partsper USING (ver) " +
+        "UNION ALL SELECT CAST(4 AS BIGINT) AS version, 'analyze' AS operation, n_partitions, n_rows FROM rowsper JOIN partsper USING (ver) WHERE ver = 3"),
+    // committed ANALYZE stats ≡ an independent recompute over the same
+    // state: per-column null/exact-distinct/min/max plus table rowcount
+    "table_stats" -> {
+      val state = s"$VersionedDemoCte, r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w), " +
+        "f AS (SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1) "
+      val cols = Seq("bucket", "event_id", "event_type", "ts_us", "user_id", "value_cents")
+      state + cols.map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM f")
+        .mkString(" UNION ALL ")
+    },
     // compaction is content-preserving: read-back of the bin-packed table
     // must equal the recomputed fact state, row for row
     "table_compacted" ->

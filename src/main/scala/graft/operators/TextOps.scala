@@ -319,6 +319,63 @@ object TextOps {
       .select("doc_id", "shard", "n_tokens", "start_tok", "pack_id")
   }
 
+  /** GLOBAL sequence packing — the single-token-stream companion of
+    * [[packDocuments]]: every document gets its exclusive offset
+    * (`start_tok`) in ONE corpus-wide token stream ordered by `doc_id`,
+    * and `shard_id = start_tok / tokensPerShard` cuts the stream into
+    * aligned token-budget shards — the training-export layout where shard
+    * boundaries follow a GLOBAL token budget, not a per-shard one. The
+    * naive form — `sum() OVER (ORDER BY doc_id)` with no PARTITION BY —
+    * is the canonical scale-killer: Spark plans it as one single-partition
+    * window sort of the whole corpus. This is the distributed BLOCK
+    * PREFIX SUM instead: a monotone block id (doc_id range-mapped over
+    * `nBlocks` blocks), per-block token totals (one map-side-combining
+    * aggregate, `nBlocks` rows to the driver), exclusive block offsets
+    * broadcast back, and a per-BLOCK running-sum window that parallelizes
+    * across blocks. Driver state is O(nBlocks) longs; at 100 TB, raise
+    * `nBlocks` to ~10× the cluster's cores so each block's window sort
+    * fits an executor — the two-level scan/offset composition itself is
+    * depth-fixed and scale-free.
+    */
+  def packGlobal(documents: DataFrame, tokensPerShard: Long = 1L << 16,
+                 nBlocks: Int = 64): DataFrame = {
+    require(tokensPerShard > 0 && nBlocks > 0,
+      "need a positive token budget and block count")
+    val spark = documents.sparkSession
+    val t = documents.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val bounds = t.agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0))
+      return t.withColumn("start_tok", lit(0L))
+        .withColumn("shard_id", lit(0L))
+        .select("doc_id", "n_tokens", "start_tok", "shard_id")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    require(hi - lo < Long.MaxValue / nBlocks,
+      s"doc_id span ${hi - lo} would overflow the block mapping")
+    // monotone id → block mapping: block order == id order is what makes
+    // per-block exclusive offsets compose into the global prefix
+    val blocked = t.withColumn("block",
+      call_function("div", (col("doc_id") - lit(lo)) * lit(nBlocks.toLong),
+        lit(hi - lo + 1)))
+    val totals = blocked.groupBy(col("block"))
+      .agg(sum(col("n_tokens")).as("tok")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.foldLeft((0L, List.empty[(Long, Long)])) {
+      case ((acc, out), (b, tok)) => (acc + tok, (b, acc) :: out)
+    }._2.reverse
+    import spark.implicits._
+    val offDf = broadcast(offsets.toDF("block", "block_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    blocked.join(offDf, "block")
+      .withColumn("start_tok",
+        col("block_off") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard_id",
+        call_function("div", col("start_tok"), lit(tokensPerShard)))
+      .select("doc_id", "n_tokens", "start_tok", "shard_id")
+  }
+
   /** Overlapping document chunking — the long-document splitting step
     * (context-window training slices, RAG passages): token windows of
     * `chunkTokens` starting every `chunkTokens − overlapTokens`, the final

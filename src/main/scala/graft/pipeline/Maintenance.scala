@@ -100,8 +100,10 @@ object Maintenance {
               targetFileBytes: Long = 128L * 1024 * 1024,
               zorderCols: Seq[String] = Nil,
               committer: SnapshotCommitter = AtomicRenameCommitter): CompactStats =
-    compactImpl(spark, tablePath, targetFileBytes, zorderCols,
-      crashBeforeCommit = false, committer)
+    Upsert.withOp(committer, tablePath, "compact") {
+      compactImpl(spark, tablePath, targetFileBytes, zorderCols,
+        crashBeforeCommit = false, committer)
+    }
 
   /** `crashBeforeCommit` is the fault-injection seam (staging written, no
     * manifest flip) — the window the commit protocol must tolerate.

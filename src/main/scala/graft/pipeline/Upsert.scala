@@ -155,8 +155,10 @@ object Upsert {
                              tablePath: String, partCol: String,
                              keys: Seq[String], order: Seq[String],
                              committer: SnapshotCommitter = AtomicRenameCommitter): UpsertStats =
-    upsertPartitionsAtomicImpl(spark, delta, tablePath, partCol, keys, order,
-      crashBeforeCommit = false, committer)
+    withOp(committer, tablePath, "upsert") {
+      upsertPartitionsAtomicImpl(spark, delta, tablePath, partCol, keys, order,
+        crashBeforeCommit = false, committer)
+    }
 
   /** Committed state of a manifest-table: exactly the manifest-referenced
     * partition dirs. Returns an empty-schema-less error if nothing has
@@ -499,7 +501,7 @@ object Upsert {
     * and encoding-unsafe characters.
     */
   def renameColumn(tablePath: String, from: String, to: String,
-                   committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+                   committer: SnapshotCommitter = AtomicRenameCommitter): Unit = withOp(committer, tablePath, s"rename_column($from->$to)") {
     require(from != to, "rename to the same name is a no-op")
     require(!to.contains(",") && !to.contains(":") && !to.contains("\t") && to.nonEmpty,
       s"invalid column name '$to'")
@@ -552,7 +554,7 @@ object Upsert {
     * encode intent). The physical name is retired forever (see above).
     */
   def dropColumn(tablePath: String, name: String,
-                 committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+                 committer: SnapshotCommitter = AtomicRenameCommitter): Unit = withOp(committer, tablePath, s"drop_column($name)") {
     val manifest = committer.readManifest(tablePath)
     val m = colMapOf(manifest)
     val physSchema = committedSchema(manifest).getOrElse(throw new IllegalStateException(
@@ -1152,7 +1154,7 @@ object Upsert {
     */
   def deleteKeysMor(spark: SparkSession, tablePath: String, partCol: String,
                     keys: Seq[String], keyRows: DataFrame,
-                    committer: SnapshotCommitter = AtomicRenameCommitter): DeleteStats = {
+                    committer: SnapshotCommitter = AtomicRenameCommitter): DeleteStats = withOp(committer, tablePath, "delete_mor") {
     require(keys.nonEmpty, "MoR delete needs key columns")
     val manifest = committer.readManifest(tablePath)
     require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
@@ -1266,7 +1268,7 @@ object Upsert {
   def upsertKeysMor(spark: SparkSession, tablePath: String, partCol: String,
                     keys: Seq[String], order: Seq[String], delta: DataFrame,
                     committer: SnapshotCommitter = AtomicRenameCommitter,
-                    meta: Map[String, String] = Map.empty): UpsertStats = {
+                    meta: Map[String, String] = Map.empty): UpsertStats = withOp(committer, tablePath, "upsert_mor") {
     require(keys.nonEmpty, "MoR upsert needs key columns")
     val touched = touchedPartitionsOf(delta, partCol, keys)
     val manifest = committer.readManifest(tablePath)
@@ -1410,7 +1412,7 @@ object Upsert {
     */
   def deleteWhere(spark: SparkSession, tablePath: String, partCol: String,
                   predicate: org.apache.spark.sql.Column,
-                  committer: SnapshotCommitter = AtomicRenameCommitter): DeleteStats = {
+                  committer: SnapshotCommitter = AtomicRenameCommitter): DeleteStats = withOp(committer, tablePath, "delete_where") {
     val manifest = committer.readManifest(tablePath)
     // a table whose rows have all been deleted has no data entries left —
     // DELETE on it is a no-op, not an error
@@ -1449,7 +1451,7 @@ object Upsert {
   def updateWhere(spark: SparkSession, tablePath: String, partCol: String,
                   predicate: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column],
-                  committer: SnapshotCommitter = AtomicRenameCommitter): UpdateStats = {
+                  committer: SnapshotCommitter = AtomicRenameCommitter): UpdateStats = withOp(committer, tablePath, "update_where") {
     require(set.nonEmpty, "UPDATE needs at least one assignment")
     require(!set.contains(partCol),
       s"cannot assign the partition column $partCol — a partition-moving " +
@@ -1514,7 +1516,7 @@ object Upsert {
                 updateCond: Option[org.apache.spark.sql.Column] = None,
                 set: Map[String, org.apache.spark.sql.Column] = Map.empty,
                 insertNotMatched: Boolean = true,
-                committer: SnapshotCommitter = AtomicRenameCommitter): MergeStats = {
+                committer: SnapshotCommitter = AtomicRenameCommitter): MergeStats = withOp(committer, tablePath, "merge") {
     require(keys.nonEmpty, "MERGE needs ON key columns")
     require(deleteCond.isDefined || set.nonEmpty || insertNotMatched,
       "MERGE with no clauses is a no-op — refuse loudly")
@@ -1596,7 +1598,7 @@ object Upsert {
   def writeTableAtomic(spark: SparkSession, data0: DataFrame,
                        tablePath: String,
                        committer: SnapshotCommitter = AtomicRenameCommitter,
-                       meta: Map[String, String] = Map.empty): Unit = {
+                       meta: Map[String, String] = Map.empty): Unit = withOp(committer, tablePath, "write") {
     val manifest = committer.readManifest(tablePath)
     val dataRaw = toPhysical(data0, manifest)
     val data = committedSchema(manifest)
@@ -1703,8 +1705,10 @@ object Upsert {
                               parts: Seq[String],
                               committer: SnapshotCommitter = AtomicRenameCommitter,
                               extraMeta: Map[String, String] = Map.empty): Unit =
-    replacePartitionsAtomicImpl(spark, data, tablePath, partCol, parts,
-      crashBeforeCommit = false, committer, extraMeta)
+    withOp(committer, tablePath, "replace_partitions") {
+      replacePartitionsAtomicImpl(spark, data, tablePath, partCol, parts,
+        crashBeforeCommit = false, committer, extraMeta)
+    }
 
   /** Stage `data` and commit `(manifest -- parts) ++ written`. Returns
     * true iff the commit happened (false = crash seam exercised). The
@@ -1835,5 +1839,246 @@ object Upsert {
       if (consumers > 1) stagedDf.foreach(_.unpersist())
     }
     true
+  }
+
+  // ---- table lifecycle: RESTORE / shallow CLONE / DESCRIBE HISTORY ----
+
+  /** Run `body` with `op` noted as the label for `tablePath`'s next commit
+    * on a history-keeping committer (no-op otherwise). Outermost label
+    * wins — `deleteWhere` → `replacePartitionsAtomic` records the delete,
+    * not the mechanism — and the label is cleared when the operation ends,
+    * committed or failed.
+    */
+  private[graft] def withOp[T](committer: SnapshotCommitter, tablePath: String,
+                               op: String)(body: => T): T =
+    committer match {
+      case v: graft.streaming.VersionedCommitter =>
+        val noted = v.noteOpIfEmpty(tablePath, op)
+        try body finally { if (noted) v.clearOp(tablePath) }
+      case _ => body
+    }
+
+  case class RestoreStats(restoredFrom: Long, newVersion: Long,
+                          dataEntries: Int)
+
+  /** RESTORE TABLE ... TO VERSION: roll the table back to `toVersion` by
+    * committing that version's manifest as a NEW version. History stays
+    * append-only — the bad commits remain as-of-readable for the
+    * post-mortem, the restore itself is one more audited entry, and a
+    * second restore can undo the first. Pure manifest surgery: no data
+    * moves or rewrites, because every retained version's data dirs are
+    * already GC-protected ([[graft.streaming.SnapshotCommitter.retainedReferences]]).
+    * Throws if `toVersion` has been expired past retention (its files may
+    * be gone — an unrestorable point must fail loudly, not resurrect a
+    * manifest whose data the GC released).
+    */
+  def restoreTable(tablePath: String, toVersion: Long,
+                   committer: graft.streaming.VersionedCommitter): RestoreStats = {
+    val m = committer.readManifestAsOf(tablePath, toVersion)
+    withOp(committer, tablePath, s"restore(v$toVersion)") {
+      committer.commit(tablePath, m)
+    }
+    RestoreStats(toVersion, committer.versions(tablePath).last,
+      dataEntries(m).size)
+  }
+
+  case class CloneStats(srcVersion: Long, dataEntries: Int, copiedBytes: Long)
+
+  /** SHALLOW CLONE: publish `dstPath` as an independent table whose
+    * manifest references `srcPath`'s committed data files IN PLACE —
+    * zero bytes copied (`copiedBytes` is always 0; it exists so callers
+    * can assert the zero-copy property). `version` clones an as-of state
+    * (default: the current manifest) — the cheap dev/test-branch and
+    * what-if pattern table formats ship as `CREATE TABLE ... SHALLOW CLONE`.
+    *
+    * Mechanics: every path-valued manifest entry (data dirs and MoR
+    * `__del.`/`__delta.` sidecars) is rewritten relative to `dstPath`
+    * (`../src/batch-…`); inline metadata (schema, checks, stats, column
+    * maps) carries over verbatim, so the clone inherits constraints and
+    * column-mapping state. The clone then EVOLVES independently: mutators
+    * stage clone-local `batch-…` dirs and drop source refs from the
+    * manifest as partitions are replaced, and the clone's staging GC only
+    * ever scans clone-local dirs — it can never collect source data.
+    *
+    * The one cross-table caveat (shared with Delta/Iceberg shallow
+    * clones): the SOURCE's GC does not know about clones, so expiring
+    * source history / VACUUM on the source can release files a clone
+    * still references. Clone from a TAGGED source version (tags are
+    * retention pins) when the clone must outlive source retention.
+    * Same-filesystem paths assumed (the rewrite is `Path.relativize`).
+    */
+  def cloneTable(srcPath: String, dstPath: String,
+                 srcCommitter: graft.streaming.VersionedCommitter,
+                 version: Option[Long] = None,
+                 dstCommitter: SnapshotCommitter = AtomicRenameCommitter): CloneStats = {
+    val srcVersion = version.getOrElse(
+      srcCommitter.versions(srcPath).lastOption.getOrElse(
+        sys.error(s"no committed history to clone at $srcPath")))
+    val m = srcCommitter.readManifestAsOf(srcPath, srcVersion)
+    val srcAbs = java.nio.file.Paths.get(srcPath).toAbsolutePath.normalize
+    val dstAbs = java.nio.file.Paths.get(dstPath).toAbsolutePath.normalize
+    require(srcAbs != dstAbs, "cannot clone a table onto itself")
+    val rewritten = m.map { case (k, v) =>
+      val isPathValue = !k.startsWith("__") || k.startsWith(DelKeyPrefix) ||
+        k.startsWith(DeltaKeyPrefix)
+      if (isPathValue) k -> dstAbs.relativize(srcAbs.resolve(v)).toString
+      else k -> v
+    }
+    withOp(dstCommitter, dstPath, s"clone($srcPath@v$srcVersion)") {
+      dstCommitter.commit(dstPath, rewritten)
+    }
+    CloneStats(srcVersion, dataEntries(rewritten).size, 0L)
+  }
+
+  // ---- ANALYZE: committed column statistics + the stats-driven plan seam ----
+
+  private val StatsRowcountKey = "__stats.rowcount"
+  private val StatsColPrefix = "__stats.col." // __stats.col.<logical> -> nulls\tndv\tmin\tmax
+
+  case class ColumnStats(column: String, nNulls: Long, nDistinct: Long,
+                         min: Option[String], max: Option[String])
+  case class TableStats(rowCount: Long, columns: Seq[ColumnStats])
+
+  // Option[String] encoding for committed min/max: manifest VALUES may
+  // carry tabs (split limit 2) but never newlines — URL-encode the value
+  // and prefix so a literal string "N" can't masquerade as a null
+  private def encOpt(o: Option[String]): String =
+    o.fold("N")(v => "V" + java.net.URLEncoder.encode(v, "UTF-8"))
+  private def decOpt(s: String): Option[String] =
+    if (s == "N") None else Some(java.net.URLDecoder.decode(s.stripPrefix("V"), "UTF-8"))
+
+  /** ANALYZE TABLE: compute exact table statistics — row count and, per
+    * atomic-typed column, null count, exact distinct count, and min/max —
+    * and COMMIT them as manifest metadata riding one new version (labeled
+    * `analyze` in history), so every later reader/planner gets them for
+    * free with the manifest it already loads. Two aggregation jobs over
+    * one scan shape, the [[graft.operators.Quality.profileColumns]]
+    * split: the distinct pass keeps its expand on HashAggregate
+    * (primitive buffers), the min/max pass is grouping-free; both return
+    * ONE row to the driver. Exact NDV is a full-shuffle aggregate — the
+    * right default at ANALYZE cadence; swap the KMV sketch
+    * ([[graft.functions.expr.Sketches]]) in where approximate NDV
+    * suffices. Stats describe the state at analyze time and go stale as
+    * commits land (standard warehouse semantics — re-run on cadence);
+    * [[readTableCbo]] treats them as advisory sizing, never correctness.
+    */
+  def analyzeTable(spark: SparkSession, tablePath: String,
+                   committer: SnapshotCommitter = AtomicRenameCommitter,
+                   cols: Seq[String] = Nil): TableStats =
+    withOp(committer, tablePath, "analyze") {
+      val manifest = committer.readManifest(tablePath)
+      val df = readTable(spark, tablePath, committer)
+      import org.apache.spark.sql.types._
+      val atomic = df.schema.fields.filter(_.dataType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | TimestampNTZType | BinaryType => true
+        case _ => false
+      }).map(_.name).toSeq
+      val target = if (cols.isEmpty) atomic else {
+        val missing = cols.filterNot(atomic.contains)
+        require(missing.isEmpty,
+          s"cannot analyze non-atomic or unknown columns: ${missing.mkString(",")}")
+        cols
+      }
+      require(target.nonEmpty, s"no analyzable columns at $tablePath")
+      val minMax = df.agg(
+        count(lit(1)).as("n_rows"),
+        target.flatMap { c =>
+          Seq((count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+            min(col(c)).cast("string").as(s"${c}__min"),
+            max(col(c)).cast("string").as(s"${c}__max"))
+        }: _*).head()
+      val distincts = df.agg(
+        countDistinct(col(target.head)).as(s"${target.head}__d"),
+        target.tail.map(c => countDistinct(col(c)).as(s"${c}__d")): _*).head()
+      val nRows = minMax.getAs[Long]("n_rows")
+      val colStats = target.map { c =>
+        ColumnStats(c, minMax.getAs[Long](s"${c}__nulls"),
+          distincts.getAs[Long](s"${c}__d"),
+          Option(minMax.getAs[String](s"${c}__min")),
+          Option(minMax.getAs[String](s"${c}__max")))
+      }
+      val entries = colStats.map(s => s"$StatsColPrefix${s.column}" ->
+        s"${s.nNulls}\t${s.nDistinct}\t${encOpt(s.min)}\t${encOpt(s.max)}")
+      // drop stats for columns no longer analyzed (renamed/dropped since)
+      val cleaned = manifest.filterNot(_._1.startsWith(StatsColPrefix))
+      committer.commit(tablePath,
+        cleaned ++ entries + (StatsRowcountKey -> nRows.toString))
+      TableStats(nRows, colStats)
+    }
+
+  /** The committed statistics, if the table has been ANALYZEd. */
+  def tableStats(tablePath: String,
+                 committer: SnapshotCommitter = AtomicRenameCommitter): Option[TableStats] = {
+    val manifest = committer.readManifest(tablePath)
+    manifest.get(StatsRowcountKey).map { n =>
+      val cols = manifest.toSeq.collect {
+        case (k, v) if k.startsWith(StatsColPrefix) =>
+          val c = k.stripPrefix(StatsColPrefix)
+          val Array(nulls, ndv, mn, mx) = v.split("\t", 4)
+          ColumnStats(c, nulls.toLong, ndv.toLong, decOpt(mn), decOpt(mx))
+      }.sortBy(_.column)
+      TableStats(n.toLong, cols)
+    }
+  }
+
+  /** The committed statistics as a tall frame (one row per analyzed
+    * column) — the DESCRIBE-statistics read surface, and what the
+    * correctness harness diffs against an independent recompute.
+    */
+  def statsAsDataFrame(spark: SparkSession, tablePath: String,
+                       committer: SnapshotCommitter = AtomicRenameCommitter): DataFrame = {
+    import spark.implicits._
+    val st = tableStats(tablePath, committer).getOrElse(
+      sys.error(s"no committed statistics at $tablePath — run analyzeTable"))
+    st.columns.map(c => (c.column, st.rowCount, c.nNulls, c.nDistinct,
+        c.min.orNull, c.max.orNull))
+      .toDF("col_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+  }
+
+  /** Stats-driven scan: [[readTable]], wrapped in a `broadcast()` hint
+    * when the committed row count × the schema's estimated row width fits
+    * under `thresholdBytes` — the cost-based small-side decision a
+    * catalog-backed warehouse makes from ANALYZE output, here made from
+    * the manifest's own stats. Without stats (or over threshold) the
+    * frame is returned unhinted and the planner falls back to its
+    * file-size estimate — stale/absent stats degrade the PLAN, never the
+    * result. The hint rides the plan through joins, so
+    * `fact.join(readTableCbo(dim))` broadcasts exactly when the dim's
+    * measured size says it should.
+    */
+  def readTableCbo(spark: SparkSession, tablePath: String,
+                   committer: SnapshotCommitter = AtomicRenameCommitter,
+                   thresholdBytes: Long = 10L << 20): DataFrame = {
+    val df = readTable(spark, tablePath, committer)
+    tableStats(tablePath, committer) match {
+      case Some(st) =>
+        val width = df.schema.fields.map(_.dataType.defaultSize.toLong).sum
+        if (st.rowCount * width <= thresholdBytes) broadcast(df) else df
+      case None => df
+    }
+  }
+
+  /** DESCRIBE HISTORY: one row per retained version — (version, operation
+    * label from the committer's OPS log, #data partitions, exact row
+    * count). Row counts here are recomputed with as-of reads (one
+    * manifest-pruned count job per retained version — exact and
+    * fixture-oracle-able); a 100-TB deployment would additionally persist
+    * per-commit rowcount deltas as manifest metadata and serve history
+    * from those, the way [[analyzeTable]] persists column stats.
+    */
+  def tableHistory(spark: SparkSession, tablePath: String,
+                   committer: graft.streaming.VersionedCommitter): DataFrame = {
+    import spark.implicits._
+    val ops = committer.ops(tablePath)
+    val rows = committer.versions(tablePath).map { v =>
+      val m = committer.readManifestAsOf(tablePath, v)
+      val data = dataEntries(m)
+      val nRows =
+        if (data.isEmpty) 0L
+        else readBound(spark, m, tablePath, data).count()
+      (v, ops.getOrElse(v, "commit"), data.size.toLong, nRows)
+    }
+    rows.toDF("version", "operation", "n_partitions", "n_rows")
   }
 }

@@ -241,13 +241,21 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     val next = versionFiles(snapshotPath).lastOption.map(_._1 + 1).getOrElse(1L)
     writeVersion(snapshotPath, next,
       AtomicRenameCommitter.renderManifest(entries))
+    // record the operation label for DESCRIBE HISTORY; the label is
+    // advisory metadata (a torn OPS write can't corrupt the table — the
+    // manifest flip above already happened), written AFTER the archive so
+    // a version either has its noted label or the generic default
+    writeOps(snapshotPath,
+      ops(snapshotPath) + (next -> pendingOps.getOrDefault(snapshotPath, "commit")))
     // expire history beyond the retention window (tagged versions are
     // pinned); the expired versions' exclusive data dirs fall out of
     // retainedReferences and the next GC cycle releases them
     val pinned = tags(snapshotPath).values.toSet
-    versionFiles(snapshotPath).dropRight(retain)
+    val dropped = versionFiles(snapshotPath).dropRight(retain)
       .filterNot { case (v, _) => pinned.contains(v) }
-      .foreach(_._2.delete())
+    dropped.foreach(_._2.delete())
+    if (dropped.nonEmpty)
+      writeOps(snapshotPath, ops(snapshotPath) -- dropped.map(_._1))
   }
 
   /** Expire history down to the newest `keepLast` versions NOW — the
@@ -265,7 +273,59 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     val dropped = versionFiles(snapshotPath).dropRight(keepLast)
       .filterNot { case (v, _) => pinned.contains(v) }
     dropped.foreach(_._2.delete())
+    if (dropped.nonEmpty)
+      writeOps(snapshotPath, ops(snapshotPath) -- dropped.map(_._1))
     dropped.map(_._1)
+  }
+
+  // ---- operation log (DESCRIBE HISTORY's `operation` column) — an OPS
+  // sidecar mapping version → operation label, same tab-separated /
+  // atomic-rename mechanics as TAGS. Mutators note their label just
+  // before committing ([[graft.pipeline.Upsert.withOp]]); an unnoted
+  // commit (a history-unaware writer, healHistory's archive) reads as the
+  // generic "commit". Labels are advisory lineage metadata, never
+  // consulted by reads/GC — losing one can't affect correctness.
+
+  private val pendingOps =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Note the label for `snapshotPath`'s NEXT commit. Outermost caller
+    * wins: a label noted while one is already pending is ignored (so
+    * `deleteWhere` → `replacePartitionsAtomic` records the delete, not
+    * the mechanism). Returns whether this call became the pending label —
+    * the caller that got `true` must [[clearOp]] when its operation ends.
+    */
+  def noteOpIfEmpty(snapshotPath: String, op: String): Boolean = {
+    require(!op.contains("\t") && !op.contains("\n"), s"invalid op label '$op'")
+    pendingOps.putIfAbsent(snapshotPath, op) == null
+  }
+
+  /** Drop the pending label (operation finished — committed or failed). */
+  def clearOp(snapshotPath: String): Unit = pendingOps.remove(snapshotPath)
+
+  private def opsFile(snapshotPath: String) =
+    new java.io.File(snapshotPath, "OPS")
+
+  /** Committed version → operation label (empty when none recorded). */
+  def ops(snapshotPath: String): Map[Long, String] = {
+    val f = opsFile(snapshotPath)
+    if (!f.exists()) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+      .split("\n").filter(_.nonEmpty).map { l =>
+        val Array(v, op) = l.split("\t", 2); v.toLong -> op
+      }.toMap
+  }
+
+  private def writeOps(snapshotPath: String, o: Map[Long, String]): Unit = {
+    val dir = new java.io.File(snapshotPath)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp.toPath,
+      o.toSeq.sorted.map { case (v, op) => s"$v\t$op" }
+        .mkString("", "\n", "\n").getBytes(UTF_8))
+    java.nio.file.Files.move(tmp.toPath, opsFile(snapshotPath).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   // ---- named refs (tags) — the Iceberg-tag idea on the version log:

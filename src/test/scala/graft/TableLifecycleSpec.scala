@@ -100,4 +100,61 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(rows(Upsert.readTableAsOfTag(spark, path, "audited", c)) == auditedState)
     assert(rows(Upsert.readTable(spark, path, c)) == surgicalState2)
   }
+
+  test("ANALYZE stats round-trip the manifest, hostile strings included, and go stale honestly") {
+    val path = Files.createTempDirectory("graft-life").toString + "/t"
+    val c = new VersionedCommitter
+    // a value with tab/newline/percent — the min/max encoding must survive
+    val hostile = "a\tb\nc%2F d"
+    Upsert.upsertPartitionsAtomic(spark,
+      Seq(("d1", 1L, Some(hostile), 100L), ("d1", 2L, None, 100L),
+        ("d2", 3L, Some("zz"), 100L))
+        .toDF("day", "id", "tag", "version"),
+      path, "day", keys = Seq("id"), order = Seq("version"), committer = c)
+    val st = Upsert.analyzeTable(spark, path, c)
+    assert(st.rowCount == 3L)
+    val byCol = st.columns.map(s => s.column -> s).toMap
+    assert(byCol("tag") == Upsert.ColumnStats("tag", 1L, 2L,
+      Some(hostile), Some("zz")))
+    assert(byCol("id") == Upsert.ColumnStats("id", 0L, 3L, Some("1"), Some("3")))
+    // the committed copy parses back identically
+    assert(Upsert.tableStats(path, c).contains(st))
+    // stats survive unrelated commits (stale but present — ANALYZE cadence)
+    Upsert.upsertPartitionsAtomic(spark,
+      Seq(("d1", 4L, Option.empty[String], 101L)).toDF("day", "id", "tag", "version"),
+      path, "day", keys = Seq("id"), order = Seq("version"), committer = c)
+    assert(Upsert.tableStats(path, c).contains(st))
+    // re-analyze refreshes; the tall read surface matches
+    val st2 = Upsert.analyzeTable(spark, path, c)
+    assert(st2.rowCount == 4L)
+    val tall = Upsert.statsAsDataFrame(spark, path, c)
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSet
+    assert(tall.contains(("id", 4L, 0L, 4L, Some("1"), Some("4"))))
+  }
+
+  test("readTableCbo broadcasts exactly when the committed stats say the table is small") {
+    val path = Files.createTempDirectory("graft-life").toString + "/t"
+    val c = new VersionedCommitter
+    Upsert.upsertPartitionsAtomic(spark,
+      (1L to 50L).map(i => ("d1", i, s"n$i", 100L)).toDF("day", "id", "name", "version"),
+      path, "day", keys = Seq("id"), order = Seq("version"), committer = c)
+    val fact = (1L to 1000L).map(i => (i % 50 + 1, i)).toDF("id", "x")
+    def planOf(dim: org.apache.spark.sql.DataFrame): String =
+      fact.join(dim, "id").queryExecution.executedPlan.toString
+    // isolate the stats decision from the planner's own size estimate
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // no stats committed yet → no hint → shuffle join
+      val cold = planOf(Upsert.readTableCbo(spark, path, c))
+      assert(!cold.contains("BroadcastHashJoin"), cold)
+      Upsert.analyzeTable(spark, path, c)
+      // stats say 50 rows × narrow schema → hinted broadcast
+      val hinted = planOf(Upsert.readTableCbo(spark, path, c))
+      assert(hinted.contains("BroadcastHashJoin"), hinted)
+      // a threshold below the measured size withholds the hint
+      val big = planOf(Upsert.readTableCbo(spark, path, c, thresholdBytes = 10L))
+      assert(!big.contains("BroadcastHashJoin"), big)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

@@ -76,6 +76,37 @@ class TextSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("global packing: block prefix sum reproduces the single global running sum") {
+    // ground truth: docs ordered by id, exclusive global cumsum of 1..100
+    val expected = (1L to 100L).map { id =>
+      val start = (id - 1) * id / 2 // sum of 1..(id-1)
+      (id, id, start, start / 128)
+    }.toSet
+    def run(nBlocks: Int, input: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.packGlobal(input, tokensPerShard = 128L,
+          nBlocks = nBlocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    assert(run(7, corpus) == expected)
+    // block count is a parallelism knob, never a semantics knob
+    assert(run(1, corpus) == expected)
+    assert(run(1000, corpus) == expected) // more blocks than docs
+    // partition-layout invariance: the offsets compose the same however
+    // the input is scattered
+    assert(run(7, corpus.repartition(13)) == expected)
+    // sparse, non-contiguous ids: the monotone block mapping needs no
+    // density assumption
+    val sparse = corpus.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id") * 1000000L - 7L)
+    val got = run(5, sparse)
+    assert(got.map(_._3) == expected.map(_._3)) // same offsets, shifted ids
+    // empty input → empty output, schema intact
+    val empty = graft.operators.TextOps.packGlobal(
+      corpus.filter("doc_id < 0"), 128L, 4)
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "start_tok", "shard_id") && empty.count() == 0)
+  }
+
   test("token ids: frequency-ranked vocab, OOV → 0, positions preserved") {
     import spark.implicits._
     val docs = Seq(

@@ -320,4 +320,90 @@ class TimeTravelSpec extends AnyFunSuite {
     // metadata rides the archived manifest too
     assert(c.readManifestAsOf(path, 1L).get("__batch").contains("7"))
   }
+
+  test("RESTORE commits the old manifest as a NEW version; the mistake stays auditable") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    upsert(path, c, ("d1", 1L, 100L), ("d2", 2L, 100L)) // v1
+    upsert(path, c, ("d1", 1L, 101L))                   // v2
+    // v3: the destructive mistake
+    Upsert.deleteWhere(spark, path, "day", org.apache.spark.sql.functions.col("day") === "d2", c)
+    assert(rows(Upsert.readTable(spark, path, c)) == Set(("d1", 1L, 101L)))
+    val st = Upsert.restoreTable(path, 2L, c)
+    assert(st == Upsert.RestoreStats(2L, 4L, 2))
+    // current state is exactly v2 again
+    assert(rows(Upsert.readTable(spark, path, c)) ==
+      Set(("d1", 1L, 101L), ("d2", 2L, 100L)))
+    // history is append-only: the mistake is still as-of-readable
+    assert(c.versions(path) == Seq(1L, 2L, 3L, 4L))
+    assert(rows(Upsert.readTableAsOf(spark, path, 3L, c)) == Set(("d1", 1L, 101L)))
+    // a second restore undoes the first
+    Upsert.restoreTable(path, 3L, c)
+    assert(rows(Upsert.readTable(spark, path, c)) == Set(("d1", 1L, 101L)))
+    // restoring an expired version fails loudly
+    intercept[IllegalArgumentException] { Upsert.restoreTable(path, 99L, c) }
+  }
+
+  test("shallow clone is zero-copy, reads the as-of state, and diverges without touching the source") {
+    val root = Files.createTempDirectory("graft-tt").toString
+    val (src, dst) = (root + "/src", root + "/dst")
+    val sc = new VersionedCommitter
+    upsert(src, sc, ("d1", 1L, 100L), ("d2", 2L, 100L)) // v1
+    upsert(src, sc, ("d1", 1L, 101L))                   // v2
+    val dc = new VersionedCommitter
+    val cs = Upsert.cloneTable(src, dst, sc, Some(1L), dc)
+    assert(cs == Upsert.CloneStats(1L, 2, 0L))
+    // zero-copy: the clone dir holds ONLY manifests — no data dirs
+    val dataDirs = new java.io.File(dst).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+    assert(dataDirs.isEmpty, s"clone staged data: ${dataDirs.mkString(",")}")
+    // the clone reads the source's v1 state through cross-root refs
+    assert(rows(Upsert.readTable(spark, dst, dc)) ==
+      Set(("d1", 1L, 100L), ("d2", 2L, 100L)))
+    // divergence: mutate the CLONE only
+    Upsert.upsertPartitionsAtomic(spark, delta(("d1", 1L, 200L), ("d3", 3L, 200L)),
+      dst, "day", keys = Seq("id"), order = Seq("version"), committer = dc)
+    assert(rows(Upsert.readTable(spark, dst, dc)) ==
+      Set(("d1", 1L, 200L), ("d2", 2L, 100L), ("d3", 3L, 200L)))
+    // the source never moved (still at ITS latest, v2)
+    assert(rows(Upsert.readTable(spark, src, sc)) ==
+      Set(("d1", 1L, 101L), ("d2", 2L, 100L)))
+    // clone-local GC cycles (further commits) never collect source data
+    Upsert.deleteWhere(spark, dst, "day",
+      org.apache.spark.sql.functions.col("day") === "d3", dc)
+    assert(rows(Upsert.readTable(spark, src, sc)) ==
+      Set(("d1", 1L, 101L), ("d2", 2L, 100L)))
+    assert(rows(Upsert.readTable(spark, dst, dc)) ==
+      Set(("d1", 1L, 200L), ("d2", 2L, 100L)))
+    // cloning onto itself is refused
+    intercept[IllegalArgumentException] { Upsert.cloneTable(src, src, sc) }
+  }
+
+  test("DESCRIBE HISTORY: operation labels, partition counts, and exact row counts per version") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    upsert(path, c, ("d1", 1L, 100L), ("d2", 2L, 100L))  // v1 upsert
+    Upsert.deleteWhere(spark, path, "day",
+      org.apache.spark.sql.functions.col("day") === "d2", c) // v2 delete_where
+    Upsert.analyzeTable(spark, path, c)                   // v3 analyze
+    Upsert.restoreTable(path, 1L, c)                      // v4 restore(v1)
+    val h = Upsert.tableHistory(spark, path, c)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(h.toSeq == Seq(
+      (1L, "upsert", 2L, 2L),
+      (2L, "delete_where", 1L, 1L),
+      (3L, "analyze", 1L, 1L),
+      (4L, "restore(v1)", 2L, 2L)))
+    // a history-unaware writer's healed commit reads as the generic label
+    Upsert.upsertPartitionsAtomic(spark, delta(("d1", 1L, 300L)), path, "day",
+      keys = Seq("id"), order = Seq("version"), committer = AtomicRenameCommitter)
+    upsert(path, c, ("d2", 2L, 301L)) // v5 healed + v6 upsert
+    val ops = c.ops(path)
+    assert(ops.get(5L).isEmpty && ops.get(6L).contains("upsert"))
+    val h2 = Upsert.tableHistory(spark, path, c)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(h2.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, "upsert"), (2L, "delete_where"), (3L, "analyze"),
+        (4L, "restore(v1)"), (5L, "commit"), (6L, "upsert")))
+  }
 }

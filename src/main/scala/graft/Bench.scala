@@ -135,9 +135,14 @@ object Bench {
     // (name, all successful runs) — empty iff every pass threw: a failed
     // pass must never contribute its near-zero wall-time to the minimum
     // (that would mask the failure as a fast query).
-    val mainPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, (1 to 2).flatMap(_ => measureOnce(name, fn)))
-    }
+    // local-iteration subset (comma-separated names); the driver never
+    // sets it, so the per-round artifact always covers the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val mainPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        (name, (1 to 2).flatMap(_ => measureOnce(name, fn)))
+      }
     val endCalibrationSec = calibrate()
 
     // SELF-ADJUDICATION retry sweep: min-of-2 is not burst-proof when the

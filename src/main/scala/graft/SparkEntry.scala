@@ -89,6 +89,17 @@ object SparkEntry {
     subtreeCache.computeIfAbsent((spark, dir, "fact"),
       _ => Dedup.latestEvents(Tables.events(prep(spark), dir)))
 
+  /** Pin `df` for the duration of `body` — the table-lifecycle demos
+    * drive MANY eager write actions off one derived fact frame (staging,
+    * sidecar deltas, per-partition materialize loops), and without the
+    * pin each action re-runs the upstream dedup shuffle. Unpersisted in
+    * all paths; callers return disk-backed reads, never `df` itself.
+    */
+  private def withPersisted[T](df: DataFrame)(body: DataFrame => T): T = {
+    val p = df.persist()
+    try body(p) finally p.unpersist()
+  }
+
   /** The committed nested run-log fixture with the generator's schema
     * applied, so `day_partition` stays a string and the struct columns
     * resolve identically across sessions — shared by all five run-log
@@ -588,6 +599,11 @@ object SparkEntry {
         round(expr("percentile(value, 0.9D)"), 4).as("p90_value"),
         count(lit(1)).as("n"))),
     "q_sessionize" -> ((s, d) => Analytics.sessionize(prep(s), d)),
+    // the NATIVE session_window aggregation twin — one shuffle, no
+    // analytic-window pair, stream-ready operator; [start, end) boundary
+    // semantics mirrored by the oracle's >= gap test and RANGE-frame
+    // tie handling (all equal-ts peers share a session)
+    "q_session_window" -> ((s, d) => Analytics.sessionWindowNative(prep(s), d)),
     "q_moving_7d" -> ((s, d) => Analytics.movingWeeklyVolume(prep(s), d)),
     "q10_returns" -> ((s, d) => Analytics.returnedRevenue(prep(s), d)),
     "q13_custdist" -> ((s, d) => Analytics.customerOrderDistribution(prep(s), d)),
@@ -1029,6 +1045,31 @@ object SparkEntry {
       val (out, c) = analyzedDemo(s, d)
       pipeline.Upsert.tableHistory(s, out, c)
     }),
+    // WRITE-TIME EXPECTATIONS with row quarantine: the events batch split
+    // by two rules — clean rows append to the target, violating rows land
+    // in the quarantine table tagged with the rules they broke. The
+    // oracle recomputes the violating set + audit CSV from `events`
+    // directly, so a wrong split, a lost quarantine row, or a mistagged
+    // rule hash-mismatches; null-passes semantics, accumulation, and the
+    // append primitive are pinned in ExpectationsSpec.
+    "table_quarantined" -> ((s, d) => {
+      val out = cachedTempDir("graft_exp_")
+      val q = cachedTempDir("graft_expq_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(q))
+      val c = new graft.streaming.VersionedCommitter
+      val qc = new graft.streaming.VersionedCommitter
+      val e = Tables.events(prep(s), d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      val st = pipeline.Expectations.writeWithExpectations(s, e, out, q,
+        Map("value_le_9500" -> (col("value_cents") <= 9500L),
+          "type_not_error" -> (col("event_type") =!= "error")), c, qc)
+      require(st.passed > 0 && st.quarantined > 0,
+        s"the expectations demo must split the batch: $st")
+      pipeline.Upsert.readTable(s, q, qc)
+    }),
     // ANALYZE output read back from the COMMITTED manifest metadata (not
     // recomputed): per-column null/distinct/min/max + table row count.
     // The oracle recomputes the same statistics from `events` in DuckDB —
@@ -1098,25 +1139,28 @@ object SparkEntry {
       val out = cachedTempDir("graft_mor_")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val c = new graft.streaming.VersionedCommitter
-      val state = fact(s, d).select(
+      withPersisted(fact(s, d).select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"),
-        pmod(col("event_id"), lit(8L)).as("bucket"))
-      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
-        (0L until 8L).map(_.toString), committer = c)
-      val victims = state.filter(col("event_type") === "error")
-        .select(col("bucket"), col("event_id"))
-      val stats = pipeline.Upsert.deleteKeysMor(s, out, "bucket",
-        Seq("event_id"), victims, c)
-      require(stats.deletedRows > 0, "MoR delete demo must delete something")
-      // materialize buckets 0-3; 4-7 stay sidecar-pending
-      (0L until 4L).foreach { b =>
-        pipeline.Upsert.upsertPartitionsAtomic(s,
-          state.filter(col("bucket") === b && col("event_type") =!= "error")
-            .limit(1),
-          out, "bucket", keys = Seq("event_id"),
-          order = Seq("ts_us", "value_cents"), committer = c)
+        pmod(col("event_id"), lit(8L)).as("bucket"))) { state =>
+        pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+          (0L until 8L).map(_.toString), committer = c)
+        val victims = state.filter(col("event_type") === "error")
+          .select(col("bucket"), col("event_id"))
+        val stats = pipeline.Upsert.deleteKeysMor(s, out, "bucket",
+          Seq("event_id"), victims, c)
+        require(stats.deletedRows > 0, "MoR delete demo must delete something")
+        // materialize buckets 0-1; 2-7 stay sidecar-pending (the read
+        // mixes both paths — one of each suffices, and each materialize
+        // is a full partition rewrite, so the demo stays lean)
+        (0L until 2L).foreach { b =>
+          pipeline.Upsert.upsertPartitionsAtomic(s,
+            state.filter(col("bucket") === b && col("event_type") =!= "error")
+              .limit(1),
+            out, "bucket", keys = Seq("event_id"),
+            order = Seq("ts_us", "value_cents"), committer = c)
+        }
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
@@ -1131,29 +1175,32 @@ object SparkEntry {
       val out = cachedTempDir("graft_morup_")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val c = new graft.streaming.VersionedCommitter
-      val state = fact(s, d).select(
+      withPersisted(fact(s, d).select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"),
-        pmod(col("event_id"), lit(8L)).as("bucket"))
-      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
-        (0L until 8L).map(_.toString), committer = c)
-      // +8e9 is ≡0 mod 8, so the inserted copies stay in their bucket
-      val delta = state.filter(col("event_type") === "error")
-        .withColumn("ts_us", col("ts_us") + 1)
-        .withColumn("value_cents", lit(0L))
-        .unionByName(state.filter(col("event_type") === "purchase")
-          .withColumn("event_id", col("event_id") + 8000000000L))
-      val stats = pipeline.Upsert.upsertKeysMor(s, out, "bucket",
-        Seq("event_id"), Seq("ts_us", "value_cents"), delta, c)
-      require(stats.deltaRows > 0, "MoR upsert demo must merge something")
-      // materialize buckets 0-3; 4-7 stay sidecar-pending
-      (0L until 4L).foreach { b =>
-        pipeline.Upsert.upsertPartitionsAtomic(s,
-          state.filter(col("bucket") === b && col("event_type") =!= "error")
-            .limit(1),
-          out, "bucket", keys = Seq("event_id"),
-          order = Seq("ts_us", "value_cents"), committer = c)
+        pmod(col("event_id"), lit(8L)).as("bucket"))) { state =>
+        pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+          (0L until 8L).map(_.toString), committer = c)
+        // +8e9 is ≡0 mod 8, so the inserted copies stay in their bucket
+        val delta = state.filter(col("event_type") === "error")
+          .withColumn("ts_us", col("ts_us") + 1)
+          .withColumn("value_cents", lit(0L))
+          .unionByName(state.filter(col("event_type") === "purchase")
+            .withColumn("event_id", col("event_id") + 8000000000L))
+        val stats = pipeline.Upsert.upsertKeysMor(s, out, "bucket",
+          Seq("event_id"), Seq("ts_us", "value_cents"), delta, c)
+        require(stats.deltaRows > 0, "MoR upsert demo must merge something")
+        // materialize buckets 0-1; 2-7 stay sidecar-pending (one of each
+        // path suffices for the mixed read; each materialize is a full
+        // partition rewrite)
+        (0L until 2L).foreach { b =>
+          pipeline.Upsert.upsertPartitionsAtomic(s,
+            state.filter(col("bucket") === b && col("event_type") =!= "error")
+              .limit(1),
+            out, "bucket", keys = Seq("event_id"),
+            order = Seq("ts_us", "value_cents"), committer = c)
+        }
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
@@ -1167,26 +1214,27 @@ object SparkEntry {
       val out = cachedTempDir("graft_merge_")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val c = new graft.streaming.VersionedCommitter
-      val state = fact(s, d).select(
+      withPersisted(fact(s, d).select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"),
-        pmod(col("event_id"), lit(8L)).as("bucket"))
-      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
-        (0L until 8L).map(_.toString), committer = c)
-      // +8e9 is ≡0 mod 8, so the inserted click copies stay in-bucket
-      val source = state.filter(col("event_type") === "error")
-        .unionByName(state.filter(col("event_type") === "purchase")
-          .withColumn("value_cents", col("value_cents") * 2))
-        .unionByName(state.filter(col("event_type") === "click")
-          .withColumn("event_id", col("event_id") + 8000000000L))
-      val st = pipeline.Upsert.mergeInto(s, out, "bucket",
-        keys = Seq("bucket", "event_id"), source,
-        deleteCond = Some(col("event_type") === "error"),
-        updateCond = Some(col("event_type") === "purchase"),
-        set = Map("value_cents" -> col("__src_value_cents")), committer = c)
-      require(st.deletedRows > 0 && st.updatedRows > 0 && st.insertedRows > 0,
-        "the MERGE demo must exercise all three clauses")
+        pmod(col("event_id"), lit(8L)).as("bucket"))) { state =>
+        pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+          (0L until 8L).map(_.toString), committer = c)
+        // +8e9 is ≡0 mod 8, so the inserted click copies stay in-bucket
+        val source = state.filter(col("event_type") === "error")
+          .unionByName(state.filter(col("event_type") === "purchase")
+            .withColumn("value_cents", col("value_cents") * 2))
+          .unionByName(state.filter(col("event_type") === "click")
+            .withColumn("event_id", col("event_id") + 8000000000L))
+        val st = pipeline.Upsert.mergeInto(s, out, "bucket",
+          keys = Seq("bucket", "event_id"), source,
+          deleteCond = Some(col("event_type") === "error"),
+          updateCond = Some(col("event_type") === "purchase"),
+          set = Map("value_cents" -> col("__src_value_cents")), committer = c)
+        require(st.deletedRows > 0 && st.updatedRows > 0 && st.insertedRows > 0,
+          "the MERGE demo must exercise all three clauses")
+      }
       pipeline.Upsert.readTable(s, out, c)
     }),
     // ROW-LEVEL UPDATE: same partition surgery as the delete, with the
@@ -1269,19 +1317,20 @@ object SparkEntry {
       val out = cachedTempDir("graft_tw_")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val c = new graft.streaming.VersionedCommitter
-      val state = fact(s, d).select(
+      withPersisted(fact(s, d).select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"),
-        pmod(col("event_id"), lit(8L)).as("bucket"))
-      pipeline.Upsert.upsertPartitionsAtomic(s,
-        state.filter(col("bucket") < 4)
-          .withColumn("value_cents", col("value_cents").cast("int")),
-        out, "bucket", keys = Seq("event_id"), order = Seq("ts_us"),
-        committer = c)
-      pipeline.Upsert.upsertPartitionsAtomic(s,
-        state.filter(col("bucket") >= 4), out, "bucket",
-        keys = Seq("event_id"), order = Seq("ts_us"), committer = c)
+        pmod(col("event_id"), lit(8L)).as("bucket"))) { state =>
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("bucket") < 4)
+            .withColumn("value_cents", col("value_cents").cast("int")),
+          out, "bucket", keys = Seq("event_id"), order = Seq("ts_us"),
+          committer = c)
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("bucket") >= 4), out, "bucket",
+          keys = Seq("event_id"), order = Seq("ts_us"), committer = c)
+      }
       val t = pipeline.Upsert.readTable(s, out, c)
       require(t.schema("value_cents").dataType ==
         org.apache.spark.sql.types.LongType, "the read must bind the widened type")
@@ -1302,31 +1351,32 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       val src = dir + "/src"; val mv = dir + "/mv"
       val c = new graft.streaming.VersionedCommitter
-      val state = fact(s, d).select(
+      withPersisted(fact(s, d).select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"),
-        date_format(col("ts"), "yyyyMMdd").as("day"))
-      val Array(lo, hi) = state.agg(min(col("ts_us")), max(col("ts_us")))
-        .head().toSeq.map(_.asInstanceOf[Long]).toArray
-      val keys = Seq("event_id"); val order = Seq("ts_us", "value_cents")
-      val groups = Seq("day")
-      val aggs = Seq(sum(col("value_cents")).as("sum_cents"),
-        count(lit(1)).as("cnt"))
-      pipeline.Upsert.upsertPartitionsAtomic(s,
-        state.filter(col("ts_us") <= lo + 2 * (hi - lo) / 3), src, "day",
-        keys, order, c)
-      val boot = pipeline.IncrementalMv.refresh(s, src, c, mv, "day", keys,
-        groups, aggs)
-      pipeline.Upsert.upsertPartitionsAtomic(s,
-        state.filter(col("ts_us") > lo + (hi - lo) / 3), src, "day",
-        keys, order, c)
-      pipeline.Upsert.deleteWhere(s, src, "day",
-        col("event_type") === "error", c)
-      val st = pipeline.IncrementalMv.refresh(s, src, c, mv, "day", keys,
-        groups, aggs)
-      require(boot.toVersion == 1L && st.applied && st.toVersion == 3L,
-        s"incremental refresh must catch up 1→3: $boot $st")
+        date_format(col("ts"), "yyyyMMdd").as("day"))) { state =>
+        val Array(lo, hi) = state.agg(min(col("ts_us")), max(col("ts_us")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val keys = Seq("event_id"); val order = Seq("ts_us", "value_cents")
+        val groups = Seq("day")
+        val aggs = Seq(sum(col("value_cents")).as("sum_cents"),
+          count(lit(1)).as("cnt"))
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("ts_us") <= lo + 2 * (hi - lo) / 3), src, "day",
+          keys, order, c)
+        val boot = pipeline.IncrementalMv.refresh(s, src, c, mv, "day", keys,
+          groups, aggs)
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("ts_us") > lo + (hi - lo) / 3), src, "day",
+          keys, order, c)
+        pipeline.Upsert.deleteWhere(s, src, "day",
+          col("event_type") === "error", c)
+        val st = pipeline.IncrementalMv.refresh(s, src, c, mv, "day", keys,
+          groups, aggs)
+        require(boot.toVersion == 1L && st.applied && st.toVersion == 3L,
+          s"incremental refresh must catch up 1→3: $boot $st")
+      }
       pipeline.Upsert.readTable(s, mv)
     }),
     // COLUMN RENAME without rewrite (name mapping): the committed fact's
@@ -1503,21 +1553,26 @@ object SparkEntry {
       val out = cachedTempDir("graft_se_")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
       val c = new graft.streaming.VersionedCommitter
+      // persisted across the two upserts: both halves filter the SAME
+      // keep-latest dedup — without the pin the shuffle-heavy fact
+      // aggregation runs twice (once per staged write)
       val state = fact(s, d).select(
         col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("value_cents"),
-        pmod(col("event_id"), lit(8L)).as("bucket"))
-      pipeline.Upsert.upsertPartitionsAtomic(s,
-        state.filter(col("bucket") < 4), out, "bucket",
-        keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
-        committer = c)
-      pipeline.Upsert.upsertPartitionsAtomic(s,
-        state.filter(col("bucket") >= 4)
-          .withColumn("event_type_uc", upper(col("event_type"))),
-        out, "bucket",
-        keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
-        committer = c)
+        pmod(col("event_id"), lit(8L)).as("bucket")).persist()
+      try {
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("bucket") < 4), out, "bucket",
+          keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+          committer = c)
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("bucket") >= 4)
+            .withColumn("event_type_uc", upper(col("event_type"))),
+          out, "bucket",
+          keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+          committer = c)
+      } finally state.unpersist() // both upserts are eager; read is from disk
       pipeline.Upsert.readTable(s, out, c)
     }),
   )
@@ -2099,6 +2154,14 @@ object SparkEntry {
       "WITH d AS (SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_events, CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num FROM events GROUP BY 1, 3) SELECT event_date, n_events, CAST(sum(n_events) OVER (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_events_7d FROM d",
     "q_sessionize" ->
       "WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq FROM m) SELECT user_id, session_seq, count(*) AS n_events, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us FROM s GROUP BY 1, 2",
+    // native session_window replay: touching windows merge, so only a
+    // STRICTLY-greater-than-gap silence starts a session; RANGE frame
+    // keeps equal-ts peers in one session; window end = last event + gap
+    "q_session_window" ->
+      "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)), s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq FROM m) SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) + 1800000000 AS session_end_us, count(*) AS n_events FROM s GROUP BY user_id, seq",
+    // the violating rows + their audit CSV, recomputed declaratively
+    "table_quarantined" ->
+      "WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents FROM events) SELECT event_id, ts_us, user_id, event_type, value_cents, array_to_string(list_filter([CASE WHEN event_type = 'error' THEN 'type_not_error' END, CASE WHEN value_cents > 9500 THEN 'value_le_9500' END], x -> x IS NOT NULL), ',') AS failed_rules FROM e WHERE event_type = 'error' OR value_cents > 9500",
     "lang_id" ->
       "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), s AS (SELECT doc_id, lang, list_max([{'score': len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))), 'lang': 'en'}, {'score': len(list_filter(toks, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein'))), 'lang': 'de'}, {'score': len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que', 'y', 'un'))), 'lang': 'es'}, {'score': len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'les', 'des', 'un'))), 'lang': 'fr'}, {'score': len(list_filter(toks, x -> x IN ('的', '是', '了', '在', '和'))), 'lang': 'zh'}]) AS best FROM t) SELECT doc_id, lang AS labeled_lang, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang FROM s",
     "q_running_total" ->

@@ -509,6 +509,31 @@ object Analytics {
         max(col("ts_us")).as("session_end_us"))
   }
 
+  /** [[sessionize]] through Spark's NATIVE `session_window` aggregation
+    * instead of the lag/cumsum window pair: one hash-shuffle on the group
+    * key, then per-key session merging inside the aggregate — no
+    * two-window analytic pass, and the SAME operator works unchanged on a
+    * stream (session_window + watermark is Structured Streaming's native
+    * sessionization). Boundary semantics: Spark merges TOUCHING windows —
+    * an event at exactly `last + gap` CONTINUES the session (pinned
+    * empirically in SessionizeSpec; the oracle's strict `>` gap test
+    * mirrors it, same boundary as [[sessionize]]'s lag form — the two
+    * operators agree on membership, they differ only in the reported
+    * session end). `session_end_us` is the window end
+    * (`last event + gap`), the watermark-eviction boundary — not
+    * [[sessionize]]'s last-event timestamp.
+    */
+  def sessionWindowNative(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+
   /** A3 + A6: exact COUNT(DISTINCT) on a derived date grouping — the exact
     * half of the approx/exact distinct pair, split out so it stays
     * cross-engine checkable. Spark plans COUNT(DISTINCT) as a two-phase

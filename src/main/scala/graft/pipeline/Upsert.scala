@@ -1647,6 +1647,54 @@ object Upsert {
       committer.gcGraceMs)
   }
 
+  /** INSERT INTO for the manifest stack: stage `data` under an immutable
+    * uniquely-keyed batch dir and commit `manifest + (append-<uuid> → rel)`
+    * — existing entries untouched, so the table is append-only and every
+    * append is one atomic flip (the log/ledger shape; [[writeTableAtomic]]
+    * is the REPLACE twin). CHECK constraints validate the staged bytes
+    * before the flip and the add-only/widening schema-evolution gate
+    * applies, exactly like the other write paths. Not for tables managed
+    * by the partition-keyed mutators (their manifest keys are partition
+    * values; mixing the two key families makes partition surgery
+    * ill-defined) — an appended table is read whole or time-traveled.
+    */
+  def appendTableAtomic(spark: SparkSession, data0: DataFrame,
+                        tablePath: String,
+                        committer: SnapshotCommitter = AtomicRenameCommitter,
+                        meta: Map[String, String] = Map.empty): Unit =
+    withOp(committer, tablePath, "append") {
+      val manifest = committer.readManifest(tablePath)
+      require(!manifest.contains("all") &&
+        manifest.keys.forall(k => k.startsWith("__") || k.startsWith("append-")),
+        s"append target $tablePath is managed by a non-append write path")
+      val dataRaw = toPhysical(data0, manifest)
+      val data = committedSchema(manifest)
+        .map(old => castToMerged(dataRaw, validateEvolution(old, dataRaw.schema)))
+        .getOrElse(dataRaw)
+      SnapshotGc.gcUnreferenced(tablePath,
+        liveDirRefs(manifest) ++ committer.retainedReferences(tablePath),
+        committer.gcGraceMs)
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val rel = s"batch-$id/data"
+      data.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
+      val checks = manifest.collect {
+        case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
+      }
+      if (checks.nonEmpty) {
+        val bad = violationCounts(
+          toLogical(spark.read.parquet(s"$tablePath/$rel"), manifest), checks)
+        if (bad.nonEmpty) {
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$tablePath/$rel").getParentFile)
+          throw new CheckViolationException(bad, checks)
+        }
+      }
+      committer.commit(tablePath,
+        manifest + (s"append-$id" -> rel) +
+          (SchemaKey -> data.schema.json) ++
+          meta.map { case (k, v) => s"__$k" -> v })
+    }
+
   /** `crashBeforeCommit` is the fault-injection seam: true returns after
     * staging the merged data but BEFORE the manifest flip — the crash
     * window the commit protocol must tolerate.

@@ -84,7 +84,13 @@ object PlanDump {
       // unblocked edit-distance join (prefix-token inverted-index
       // self-join + verify; the table_* / mv_incremental returns are
       // committed-table read-backs and say nothing)
-      "table_bloom_pruned_auto", "q_mv_rewrite", "er_editdist_join")
+      "table_bloom_pruned_auto", "q_mv_rewrite", "er_editdist_join",
+      // round 15b: the distributed block prefix sum (per-block windows +
+      // broadcast offsets — NO single-partition WindowExec), the native
+      // session_window aggregate (one shuffle, no analytic-window pair),
+      // and the incremental IVF probe (partition-pruned postings scan
+      // over the seeded+admitted index)
+      "doc_pack_global", "q_session_window", "ann_ivf_incremental")
     val sb = new StringBuilder
     sb ++= "# PLANS — FINAL physical plans of the headline queries (sf0.1)\n\n"
     sb ++= "Generated by `graft.PlanDump` at HEAD. Every query is executed and its\n"

@@ -846,6 +846,23 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Ann.ivfTopKWithCentroids(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture), 10, 5)),
+    // INCREMENTAL INDEX MAINTENANCE: the index is seeded from the even
+    // half of the corpus with the committed fixture quantizer, the odd
+    // half is ADMITTED via appendToIvfIndex (assignment by the index's
+    // own centroids, postings appended into the bucket partitions — no
+    // rebuild), and the probe answers over the merged index. The oracle
+    // is the FULL-corpus IVF replay — identical to ann_ivf_topk — so an
+    // append that misassigned, dropped, or duplicated a vector
+    // hash-mismatches; O(batch) admission cost is the point
+    "ann_ivf_incremental" -> ((s, d) => {
+      val idx = cachedTempDir("graft_ivfinc_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      val e = Tables.embeddings(prep(s), d)
+      Ann.buildIvfIndexWithCentroids(e.filter(pmod(col("vec_id"), lit(2L)) === 0),
+        idx, Ann.loadCentroids(s, AnnIndexFixture))
+      Ann.appendToIvfIndex(e.filter(pmod(col("vec_id"), lit(2L)) === 1), idx)
+      Ann.ivfTopKFromIndex(s, idx, e.filter(col("vec_id") < 10), 5)
+    }),
     "semantic_dedup" -> ((s, d) =>
       Ann.semanticDedup(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture), 0.4)),
@@ -1044,6 +1061,13 @@ object SparkEntry {
     "table_history" -> ((s, d) => {
       val (out, c) = analyzedDemo(s, d)
       pipeline.Upsert.tableHistory(s, out, c)
+    }),
+    // the same history through the INJECTED SQL surface (GraftSqlParser
+    // via spark.sql.extensions) — parse → RunnableCommand → identical
+    // rows, so the SQL front door is correctness-gated, not just spec'd
+    "table_history_sql" -> ((s, d) => {
+      val (out, _) = analyzedDemo(s, d)
+      s.sql(s"DESCRIBE HISTORY '$out'")
     }),
     // WRITE-TIME EXPECTATIONS with row quarantine: the events batch split
     // by two rules — clean rows append to the target, violating rows land
@@ -2497,6 +2521,11 @@ object SparkEntry {
     // exact IVF mirror from the committed quantizer: DuckDB re-derives the
     // bucket assignment, the probe set, and the candidate re-score — not a
     // recall gate but the same candidate pipeline replayed cross-engine
+    // merged (seed + admitted) index ≡ the full-corpus replay
+    "ann_ivf_incremental" ->
+      (AnnIvfCtes +
+        ", sc AS (SELECT pr.q_id, a.vec_id, round(list_inner_product(a.emb, pr.q_emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(pr.q_emb, pr.q_emb)), 0), 6) AS cos FROM asg a JOIN pr ON a.bucket = pr.bucket WHERE a.vec_id <> pr.q_id) " +
+        annTopKSql("sc", 5)),
     "ann_ivf_topk" ->
       (AnnIvfCtes +
         ", sc AS (SELECT pr.q_id, a.vec_id, round(list_inner_product(a.emb, pr.q_emb) / nullif(sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(pr.q_emb, pr.q_emb)), 0), 6) AS cos FROM asg a JOIN pr ON a.bucket = pr.bucket WHERE a.vec_id <> pr.q_id) " +
@@ -2695,6 +2724,14 @@ object SparkEntry {
     // touched-partition counts from the batch windows; v4 is the
     // data-identical `analyze` commit
     "table_history" ->
+      (s"$VersionedDemoCte, v AS (SELECT CAST(ver AS BIGINT) AS ver FROM (VALUES (1), (2), (3)) AS t(ver)), " +
+        "d AS (SELECT v.ver, w.event_id, row_number() OVER (PARTITION BY v.ver, w.event_id ORDER BY w.ts_us DESC, w.value_cents DESC, w.batch DESC) AS rn FROM w JOIN v ON w.batch <= v.ver), " +
+        "rowsper AS (SELECT ver, count(*) AS n_rows FROM d WHERE rn = 1 GROUP BY ver), " +
+        "partsper AS (SELECT v.ver, CAST(count(DISTINCT w.bucket) AS BIGINT) AS n_partitions FROM w JOIN v ON w.batch <= v.ver GROUP BY v.ver) " +
+        "SELECT ver AS version, 'upsert' AS operation, n_partitions, n_rows FROM rowsper JOIN partsper USING (ver) " +
+        "UNION ALL SELECT CAST(4 AS BIGINT) AS version, 'analyze' AS operation, n_partitions, n_rows FROM rowsper JOIN partsper USING (ver) WHERE ver = 3"),
+    // the SQL front door returns byte-identical history
+    "table_history_sql" ->
       (s"$VersionedDemoCte, v AS (SELECT CAST(ver AS BIGINT) AS ver FROM (VALUES (1), (2), (3)) AS t(ver)), " +
         "d AS (SELECT v.ver, w.event_id, row_number() OVER (PARTITION BY v.ver, w.event_id ORDER BY w.ts_us DESC, w.value_cents DESC, w.batch DESC) AS rn FROM w JOIN v ON w.batch <= v.ver), " +
         "rowsper AS (SELECT ver, count(*) AS n_rows FROM d WHERE rn = 1 GROUP BY ver), " +

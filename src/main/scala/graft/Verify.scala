@@ -18,6 +18,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet timestamp[ns]; read as long + truncate (Tables)
       .config(graft.sources.Tables.NanosAsLongConf, "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // write µs (never INT96) so the driver's readers see plain int64 µs
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

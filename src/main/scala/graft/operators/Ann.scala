@@ -369,6 +369,25 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** [[buildIvfIndex]] with a PRE-TRAINED quantizer instead of training
+    * one — the other half of the re-index lifecycle: the SCHEDULE
+    * retrains centroids, builds and [[appendToIvfIndex]] admissions reuse
+    * them, so a rebuild against an unchanged quantizer is bit-identical
+    * to the incremental path it replaces (what makes the incremental
+    * index exactly oracle-able, not just recall-gated).
+    */
+  def buildIvfIndexWithCentroids(embeddings: DataFrame, path: String,
+                                 cents: Array[(Long, Array[Double])],
+                                 spill: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    assignBucketsSpill(emb(embeddings), cents, spill)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    cents.toSeq.map { case (id, e) => (id, e.toSeq, spill) }
+      .toDF("c_id", "c_emb", "spill")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
   /** ADMIT a batch into a persisted IVF index — the index lifecycle's
     * other half (the [[graft.operators.DedupIndex.appendToIndex]] shape
     * for vectors): new vectors are assigned with the index's OWN committed

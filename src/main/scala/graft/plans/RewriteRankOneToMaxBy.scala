@@ -66,13 +66,17 @@ object RewriteRankOneToMaxBy extends Rule[LogicalPlan] {
 /** Production registration:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. Installs the
-  * QUALIFY-dedup rewrite and the engine's native SQL functions
-  * ([[graft.functions.expr.GraftFunctions]]).
+  * QUALIFY-dedup rewrite, the engine's native SQL functions
+  * ([[graft.functions.expr.GraftFunctions]]), and the lifecycle SQL
+  * surface ([[graft.sql.LifecycleSql]]: DESCRIBE HISTORY / RESTORE /
+  * VACUUM / CLONE / ANALYZE on path-addressed manifest tables, all other
+  * SQL delegating to Spark's parser untouched).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
     e.injectOptimizerRule(_ => RewriteAggregateToMv)
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     graft.functions.expr.GraftFunctions.functions.foreach(e.injectFunction)
   }
 }

@@ -152,6 +152,14 @@ class AnnSpec extends AnyFunSuite {
         r.getAs[Double]("cos"), r.getAs[Int]("rk"))).toSet
     assert(rows(fromAppended) == rows(inlineUnion),
       "append must be invisible to queries vs assigning the union inline")
+    // and a REBUILD with the same (pre-trained) quantizer is bit-identical
+    // to the incremental path it would replace — the re-index lifecycle's
+    // exactness contract
+    val rebuiltPath = java.nio.file.Files.createTempDirectory("graft-ivf-rb").toString
+    Ann.buildIvfIndexWithCentroids(emb, rebuiltPath, cents)
+    val fromRebuilt = Ann.ivfTopKFromIndex(spark, rebuiltPath, queries, k = 5)
+    assert(rows(fromRebuilt) == rows(fromAppended),
+      "rebuild-under-unchanged-quantizer must equal the incremental index")
   }
 
   test("Lloyd refinement keeps recall at the production floor (vs ++-init alone)") {

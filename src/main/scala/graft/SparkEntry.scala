@@ -1006,6 +1006,17 @@ object SparkEntry {
       val (out, c) = versionedDemo(s, d)
       pipeline.Upsert.readTableAsOf(s, out, 2L, c)
     }),
+    // TIMESTAMP AS OF on the same 3-version demo: resolve by v2's
+    // commit wall-clock (recorded monotonically in the OPS log, so the
+    // ≤-boundary lands on v2 even if v3 committed within the same ms) —
+    // must read back the identical v2 state the version form reads, and
+    // the oracle is the same recompute, so a resolution that rounds to
+    // v1 or v3 hash-mismatches
+    "table_time_travel_ts" -> ((s, d) => {
+      val (out, c) = versionedDemo(s, d)
+      val ts2 = c.commitTimestamps(out)(2L)
+      pipeline.Upsert.readTableAsOfTimestamp(s, out, ts2, c)
+    }),
     // CHANGE DATA FEED v2→v3 of the same versioned table: inserts are the
     // batch-3-exclusive keys, update_post the keys whose winning row
     // changed — oracled as the SQL diff of the two recomputed states
@@ -1068,6 +1079,30 @@ object SparkEntry {
     "table_history_sql" -> ((s, d) => {
       val (out, _) = analyzedDemo(s, d)
       s.sql(s"DESCRIBE HISTORY '$out'")
+    }),
+    // PARTITION-SPEC CHANGE: the fact committed bucket-partitioned (the
+    // ingest layout), then atomically re-laid-out BY DAY (the query
+    // layout) in one manifest flip — content must be bit-identical
+    // through the rewrite (the oracle recomputes the fact with its day
+    // column), and the layout/history properties (day-pruned reads, as-of
+    // v1 still bucket-laid) are pinned in TimeTravelSpec
+    "table_repartitioned" -> ((s, d) => {
+      val out = cachedTempDir("graft_rp_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      withPersisted(fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"),
+        date_format(col("ts"), "yyyyMMdd").as("day"))) { state =>
+        pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+          (0L until 8L).map(_.toString), committer = c)
+        val st = pipeline.Upsert.repartitionTable(s, out, "day", c)
+        require(st.partitions > 8,
+          s"the day layout must be finer than the bucket one: $st")
+      }
+      pipeline.Upsert.readTable(s, out, c)
     }),
     // WRITE-TIME EXPECTATIONS with row quarantine: the events batch split
     // by two rules — clean rows append to the target, violating rows land
@@ -1303,6 +1338,39 @@ object SparkEntry {
     // explicit form: identical rows, pruning invisible to results.
     "table_zone_pruned_auto" -> ((s, d) => {
       val (out, c, lo, hi) = zoneDemo(s, d)
+      sources.ManifestTable.readTableIndexed(s, out, c)
+        .filter(col("ts_us").between(lo, hi))
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("value_cents"), col("day"))
+    }),
+    // GENERATED PARTITION COLUMN (Delta's generated-column pruning): the
+    // fact day-partitioned with day = yyyymmdd_us(ts_us) COMPUTED by the
+    // engine's own transform, the relationship declared (validated by a
+    // full scan) — then a plain ts_us week filter over the declarative
+    // read prunes day partitions through the declaration ALONE: this
+    // table has NO zone maps, so a broken transform image, a wrong
+    // interval bound, or an unenforced declaration loses rows the exact
+    // filter can't restore, and the hash catches it
+    "table_generated_partition" -> ((s, d) => {
+      val out = cachedTempDir("graft_gp_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+        .withColumn("day", pipeline.Upsert
+          .generatedPartitionColumn("ts_us", "yyyymmdd_us").cast("string"))
+      val days = state.select("day").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      pipeline.Upsert.replacePartitionsAtomic(s, state, out, "day", days,
+        committer = c)
+      pipeline.Upsert.declareGeneratedPartition(s, out, "ts_us",
+        "yyyymmdd_us", c)
+      val lo = state.agg(min(col("ts_us"))).head().getLong(0)
+      val hi = lo + 7L * 86400L * 1000000L
+      val t = pipeline.Upsert.genTransform("yyyymmdd_us")
+      require(days.count(dv => dv.toLong >= t(lo) && dv.toLong <= t(hi)) <
+        days.size, "the week window must actually prune day partitions")
       sources.ManifestTable.readTableIndexed(s, out, c)
         .filter(col("ts_us").between(lo, hi))
         .select(col("event_id"), col("ts_us"), col("user_id"),
@@ -2183,6 +2251,10 @@ object SparkEntry {
     // keeps equal-ts peers in one session; window end = last event + gap
     "q_session_window" ->
       "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)), s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq FROM m) SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) + 1800000000 AS session_end_us, count(*) AS n_events FROM s GROUP BY user_id, seq",
+    // the rewrite is content-preserving: read-back ≡ the fact with its
+    // day column, whatever the physical layout
+    "table_repartitioned" ->
+      (FactCte + " SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket, strftime(CAST(ts AS DATE), '%Y%m%d') AS day FROM fact"),
     // the violating rows + their audit CSV, recomputed declaratively
     "table_quarantined" ->
       "WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents FROM events) SELECT event_id, ts_us, user_id, event_type, value_cents, array_to_string(list_filter([CASE WHEN event_type = 'error' THEN 'type_not_error' END, CASE WHEN value_cents > 9500 THEN 'value_le_9500' END], x -> x IS NOT NULL), ',') AS failed_rules FROM e WHERE event_type = 'error' OR value_cents > 9500",
@@ -2693,6 +2765,15 @@ object SparkEntry {
         "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) " +
         "SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1"),
+    // TIMESTAMP AS OF must resolve the same v2 state — same recompute
+    "table_time_travel_ts" ->
+      ("WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM events), " +
+        "b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e), " +
+        "w AS (SELECT e.*, 1 AS batch FROM e, b WHERE ts_us <= lo + (hi - lo) // 2 " +
+        "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) " +
+        "SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1"),
     // CDF oracle: both version states recomputed, keyed full-outer diff;
     // IS DISTINCT FROM mirrors the engine's null-safe struct compare
     "table_changes" ->
@@ -2786,6 +2867,12 @@ object SparkEntry {
     // the declarative (pushed-filter FileIndex) read must answer exactly
     // like the explicit pruned read — same recomputed week window
     "table_zone_pruned_auto" ->
+      (s"$FactCte, w AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo FROM fact) " +
+        "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, strftime(CAST(ts AS DATE), '%Y%m%d') AS day " +
+        "FROM fact, w WHERE epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN w.lo AND w.lo + 604800000000"),
+    // the generated-partition pruned week must be exactly the recomputed
+    // week window (day recomputed from ts, not read from a stat)
+    "table_generated_partition" ->
       (s"$FactCte, w AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo FROM fact) " +
         "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, strftime(CAST(ts AS DATE), '%Y%m%d') AS day " +
         "FROM fact, w WHERE epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN w.lo AND w.lo + 604800000000"),

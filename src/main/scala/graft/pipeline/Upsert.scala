@@ -231,6 +231,23 @@ object Upsert {
     readBound(spark, manifest, tablePath, data)
   }
 
+  /** TIMESTAMP AS OF: the table as it stood at wall-clock `tsMs` — the
+    * newest retained version committed at or before that instant
+    * ([[graft.streaming.VersionedCommitter.readManifestAsOfTimestamp]];
+    * commit timestamps are recorded monotonically in the OPS log, so the
+    * version↔time order can never invert under clock skew). Same
+    * immutable-data-dir read as [[readTableAsOf]].
+    */
+  def readTableAsOfTimestamp(spark: SparkSession, tablePath: String,
+                             tsMs: Long,
+                             committer: graft.streaming.VersionedCommitter): DataFrame = {
+    val manifest = committer.readManifestAsOfTimestamp(tablePath, tsMs)
+    val data = dataEntries(manifest)
+    require(data.nonEmpty,
+      s"$tablePath as of timestamp $tsMs has no data entries")
+    readBound(spark, manifest, tablePath, data)
+  }
+
   /** CHANGE DATA FEED between two committed versions — the Delta-CDF /
     * Iceberg-changelog idea derived from snapshot history rather than
     * logged at write time: since both states are exactly readable
@@ -978,6 +995,159 @@ object Upsert {
 
   private[graft] def bloomStatsCols(manifest: Map[String, String]): Seq[String] =
     manifest.get(BloomColsKey).map(_.split(",").toSeq).getOrElse(Nil)
+
+  // ---- GENERATED PARTITION COLUMNS (Delta's generated-column partition
+  // pruning): the manifest declares that the partition column is a named
+  // MONOTONIC function of a source data column (`day =
+  // yyyymmdd_us(ts_us)`), and the declarative FileIndex converts any
+  // pushed range/point filter on the SOURCE column into an exact interval
+  // on the PARTITION VALUE itself — no per-partition stats needed, and
+  // unlike a zone map the bound is exact by construction (the partition
+  // value IS f(src)). Monotonicity is what makes interval pushdown sound:
+  // lo ≤ src ≤ hi ⟹ f(⌈lo⌉) ≤ f(src) ≤ f(⌊hi⌋). The transform registry
+  // is closed (each entry has a JVM form for planning and a Column form
+  // for writing, pinned equal by GenPartSpec), so a declaration can never
+  // smuggle in a non-monotonic map.
+
+  private val GenPartKey = "__genpart"
+
+  /** A named monotonic (nondecreasing) long→long transform. */
+  private[graft] sealed trait GenTransform {
+    def name: String
+    /** JVM form — used by the planner to map source bounds to partition
+      * bounds, and by the declare-time validation scan's oracle twin. */
+    def apply(src: Long): Long
+    /** Column form — what writers use to COMPUTE the partition column,
+      * and declare-time validation compares against the stored values.
+      * Must agree with [[apply]] on every long (GenPartSpec pins it). */
+    def column(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  }
+
+  private object YyyymmddUs extends GenTransform {
+    val name = "yyyymmdd_us"
+    def apply(src: Long): Long = {
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(src, 86400000000L))
+      d.getYear * 10000L + d.getMonthValue * 100L + d.getDayOfMonth
+    }
+    def column(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      // arithmetic, not date_format: string formatting of NEGATIVE years
+      // concatenates the sign ("-7110929" ≠ -710999071·10⁻²…), which both
+      // drifts from the JVM form and breaks monotonicity; y·10⁴+m·10²+d
+      // is monotone for every proleptic-Gregorian date
+      val t = timestamp_micros(src)
+      (year(t).cast("long") * lit(10000L) + month(t).cast("long") * lit(100L) +
+        dayofmonth(t).cast("long"))
+    }
+  }
+
+  /** Exact long floor-division as a Column: subtract the (nonnegative)
+    * pmod remainder, then divide in decimal(38,0) — double division would
+    * lose exactness past 2^53.
+    */
+  private def floorDivCol(src: org.apache.spark.sql.Column,
+                          n: Long): org.apache.spark.sql.Column =
+    ((src.cast("decimal(38,0)") - pmod(src, lit(n)).cast("decimal(38,0)")) /
+      lit(n).cast("decimal(38,0)")).cast("long")
+
+  private object DaysUs extends GenTransform {
+    val name = "days_us"
+    def apply(src: Long): Long = Math.floorDiv(src, 86400000000L)
+    def column(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floorDivCol(src, 86400000000L)
+  }
+
+  private final case class DivBy(n: Long) extends GenTransform {
+    val name = s"div:$n"
+    def apply(src: Long): Long = Math.floorDiv(src, n)
+    def column(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floorDivCol(src, n)
+  }
+
+  private[graft] def genTransform(name: String): GenTransform = name match {
+    case "yyyymmdd_us" => YyyymmddUs
+    case "days_us"     => DaysUs
+    case d if d.startsWith("div:") && d.drop(4).nonEmpty &&
+        d.drop(4).forall(_.isDigit) && d.drop(4).toLong > 0 => DivBy(d.drop(4).toLong)
+    case other => throw new IllegalArgumentException(
+      s"unknown generation transform '$other' " +
+        "(supported: yyyymmdd_us, days_us, div:<n>)")
+  }
+
+  /** The Column a writer uses to compute the generated partition value —
+    * correctness by construction: stage `df.withColumn(partCol,
+    * generatedPartitionColumn(srcCol, "yyyymmdd_us").cast("string"))` and
+    * the declared relationship can never drift from the data.
+    */
+  def generatedPartitionColumn(srcCol: String,
+                               transform: String): org.apache.spark.sql.Column =
+    genTransform(transform).column(col(srcCol))
+
+  /** Declare `partCol = transform(srcCol)` on a committed table. Validated
+    * with ONE distributed scan before committing (every committed row must
+    * satisfy the relationship — the Delta generated-column invariant), so
+    * a declaration over drifted data is refused rather than silently
+    * mis-pruning. After the commit, the declarative read path converts
+    * pushed filters on `srcCol` into partition-interval pruning.
+    */
+  def declareGeneratedPartition(spark: SparkSession, tablePath: String,
+                                srcCol: String, transform: String,
+                                committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val manifest = committer.readManifest(tablePath)
+    require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+    val pcPhys = manifest.getOrElse(PartColKey, throw new IllegalArgumentException(
+      s"$tablePath has no recorded partition column to declare generation for"))
+    val srcPhys = physicalName(manifest, srcCol)
+    val t = genTransform(transform) // validates the name
+    // the read seam presents LOGICAL names; the declaration stores
+    // physical ones (stable under later renames, like zone maps)
+    val srcLog = toLogicalName(manifest, srcPhys)
+    val pcLog = toLogicalName(manifest, pcPhys)
+    val drifted = readBound(spark, manifest, tablePath, dataEntries(manifest))
+      .select(srcLog, pcLog)
+      .filter(!(t.column(col(srcLog)).cast("string") <=>
+        col(pcLog).cast("string")))
+      .limit(1).count()
+    require(drifted == 0L,
+      s"generated-partition declaration refused: rows exist where " +
+        s"$pcPhys != $transform($srcPhys)")
+    committer.commit(tablePath,
+      manifest + (GenPartKey -> s"$pcPhys\t$srcPhys\t${t.name}"))
+  }
+
+  private def toLogicalName(manifest: Map[String, String], phys: String): String =
+    colMapOf(manifest).getOrElse(phys, phys)
+
+  /** The declared (partColPhys, srcColPhys, transform), if any. */
+  private[graft] def genPartOf(manifest: Map[String, String]): Option[(String, String, GenTransform)] =
+    manifest.get(GenPartKey).map { v =>
+      val Array(pc, src, t) = v.split("\t", 3)
+      (pc, src, genTransform(t))
+    }
+
+  /** Data entries surviving generated-partition pruning for source-column
+    * interval [lo, hi] (doubles from the planner's pushed bounds;
+    * MinValue/MaxValue sentinels mean unbounded). A partition whose VALUE
+    * (parsed as long) falls outside [f(⌈lo⌉), f(⌊hi⌋)] provably holds no
+    * matching row; an unparseable partition value keeps (conservative).
+    */
+  private[graft] def genPartKeeps(partitionRaw: String, t: GenTransform,
+                                  lo: Double, hi: Double): Boolean = {
+    if (lo > hi) return false // contradictory conjuncts: nothing matches
+    val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(partitionRaw).toLongOption
+    v.forall { pv =>
+      val okLo = lo == Double.MinValue ||
+        pv >= t(clampToLong(math.ceil(lo)))
+      val okHi = hi == Double.MaxValue ||
+        pv <= t(clampToLong(math.floor(hi)))
+      okLo && okHi
+    }
+  }
+
+  private def clampToLong(d: Double): Long =
+    if (d >= Long.MaxValue.toDouble) Long.MaxValue
+    else if (d <= Long.MinValue.toDouble) Long.MinValue
+    else d.toLong
 
   /** One distributed pass over the staged batch building every
     * (partition × column) filter: integral values hash as their long
@@ -1816,8 +1986,13 @@ object Upsert {
     }
     val statCols = (rangeStatsCols(manifest) ++ bloomStatsCols(manifest))
       .filter(data.columns.contains)
+    // a declared generated partition column is an invariant, enforced on
+    // the staged bytes like a CHECK (the pruner's soundness depends on it)
+    val genPart = genPartOf(manifest).filter { case (pc, src, _) =>
+      data.columns.contains(src) && data.columns.contains(pc)
+    }
     val consumers = (if (checks.nonEmpty) 1 else 0) +
-      (if (statCols.nonEmpty) 1 else 0)
+      (if (statCols.nonEmpty) 1 else 0) + (if (genPart.isDefined) 1 else 0)
     val stagedDf =
       if (writtenParts.isEmpty || consumers == 0) None
       else Some(writtenParts.toSeq.sorted.map { p =>
@@ -1839,6 +2014,22 @@ object Upsert {
           org.apache.commons.io.FileUtils.deleteDirectory(
             new java.io.File(s"$tablePath/$batchDirName"))
           throw new CheckViolationException(bad, checks)
+        }
+      }
+      // generated-partition invariant on the staged bytes (physical
+      // names): a row whose partition value isn't transform(src) would
+      // make later interval pruning skip live data — refuse the commit
+      genPart.foreach { case (pc, src, t) =>
+        stagedDf.foreach { staged =>
+          val drifted = staged.filter(!(t.column(col(src)).cast("string") <=>
+            col(pc).cast("string"))).limit(1).count()
+          if (drifted > 0) {
+            org.apache.commons.io.FileUtils.deleteDirectory(
+              new java.io.File(s"$tablePath/$batchDirName"))
+            throw new IllegalArgumentException(
+              s"generated-partition violation: staged rows where " +
+                s"$pc != ${t.name}($src), commit aborted")
+          }
         }
       }
 
@@ -1929,6 +2120,62 @@ object Upsert {
     RestoreStats(toVersion, committer.versions(tablePath).last,
       dataEntries(m).size)
   }
+
+  case class RepartitionStats(newPartCol: String, partitions: Int)
+
+  /** PARTITION-SPEC CHANGE: atomically re-lay the table out under
+    * `newPartCol` — the answer to "we partitioned by ingest bucket, the
+    * queries filter by day". One pass reads the current state (pending
+    * MoR sidecars folded in), stages it partitioned by the new column,
+    * and ONE manifest flip publishes the new layout: readers see
+    * old-layout-or-new, never mixed, and history keeps every pre-change
+    * version readable in its OWN contemporaneous layout (time travel
+    * crosses the spec change). Declared table config (schema, column
+    * maps, constraints, zone-map/bloom declarations, MoR key config)
+    * carries over and the per-partition skipping metadata is REBUILT for
+    * the new layout by the staging path; the old layout's per-partition
+    * entries and pending sidecars are dropped (their content is already
+    * folded into the staged bytes).
+    *
+    * vs. Iceberg's lazy spec evolution (new spec applies to new writes
+    * only): this is the eager rewrite — one honest table-sized job now,
+    * in exchange for never carrying multi-spec read/prune complexity.
+    * At 100 TB you schedule it like any compaction; the flip itself is
+    * O(1). Requires a history-keeping committer: retained versions are
+    * what make the in-flight read of the old layout GC-safe.
+    */
+  def repartitionTable(spark: SparkSession, tablePath: String,
+                       newPartCol: String,
+                       committer: graft.streaming.VersionedCommitter): RepartitionStats =
+    withOp(committer, tablePath, s"repartition($newPartCol)") {
+      val manifest = committer.readManifest(tablePath)
+      require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+      val table = readTable(spark, tablePath, committer)
+      require(table.columns.contains(newPartCol),
+        s"no column '$newPartCol' to repartition $tablePath by")
+      val pcPhys = physicalName(manifest, newPartCol)
+      // the new partition values — bounded by the same cap a sane layout
+      // obeys anyway (a million-way partitioning is a modeling error)
+      val values = table.select(col(newPartCol).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      require(!values.contains(null),
+        s"partition column $newPartCol carries NULLs — not partitionable")
+      require(values.length <= 10000,
+        s"$newPartCol has ${values.length} distinct values — too many partitions")
+      // carry table-level config; drop old-layout per-partition metadata
+      // and pending sidecars (folded into the staged read above), and the
+      // generated-partition declaration — it described the OLD layout's
+      // partition column, not the new one
+      val cleaned = manifest.filter { case (k, _) =>
+        k.startsWith("__") && !k.startsWith(RangeKeyPrefix) &&
+          !k.startsWith(DelKeyPrefix) && !k.startsWith(DeltaKeyPrefix) &&
+          k != GenPartKey
+      } + (PartColKey -> pcPhys)
+      replacePartitionsAtomicImpl(spark, table, tablePath, newPartCol,
+        values.toSeq, crashBeforeCommit = false, committer,
+        manifestRead = Some(cleaned))
+      RepartitionStats(newPartCol, values.length)
+    }
 
   case class CloneStats(srcVersion: Long, dataEntries: Int, copiedBytes: Long)
 

@@ -200,10 +200,20 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     val bounds = conjuncts.flatMap(ManifestTable.boundOf)
     val points = conjuncts.flatMap(ManifestTable.pointsOf)
       .filter { case (c, _) => bloomCols.contains(c) }
+    // generated-partition declaration: bounds on the SOURCE column become
+    // exact intervals on the partition value (monotone transform image)
+    val genPart = graft.pipeline.Upsert.genPartOf(manifest)
+    val genBounds = genPart.map { case (_, srcPhys, t) =>
+      (t, bounds.filter(_._1 == srcPhys))
+    }.filter(_._2.nonEmpty)
     val kept = entries.filter { case (p, rel) =>
       bounds.forall { case (colName, lo, hi) =>
         graft.pipeline.Upsert.rangeOf(manifest, p, colName)
           .forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } && genBounds.forall { case (t, bs) =>
+        bs.forall { case (_, lo, hi) =>
+          graft.pipeline.Upsert.genPartKeeps(p, t, lo, hi)
+        }
       } && points.forall { case (colName, vs) =>
         bloomFor(rel, colName).forall(bf =>
           vs.exists(graft.pipeline.Upsert.bloomMightContain(bf, _)))

@@ -246,7 +246,8 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     // manifest flip above already happened), written AFTER the archive so
     // a version either has its noted label or the generic default
     writeOps(snapshotPath,
-      ops(snapshotPath) + (next -> pendingOps.getOrDefault(snapshotPath, "commit")))
+      opsFull(snapshotPath) + (next -> (Some(nextCommitTs(snapshotPath)),
+        pendingOps.getOrDefault(snapshotPath, "commit"))))
     // expire history beyond the retention window (tagged versions are
     // pinned); the expired versions' exclusive data dirs fall out of
     // retainedReferences and the next GC cycle releases them
@@ -255,7 +256,7 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
       .filterNot { case (v, _) => pinned.contains(v) }
     dropped.foreach(_._2.delete())
     if (dropped.nonEmpty)
-      writeOps(snapshotPath, ops(snapshotPath) -- dropped.map(_._1))
+      writeOps(snapshotPath, opsFull(snapshotPath) -- dropped.map(_._1))
   }
 
   /** Expire history down to the newest `keepLast` versions NOW — the
@@ -274,7 +275,7 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
       .filterNot { case (v, _) => pinned.contains(v) }
     dropped.foreach(_._2.delete())
     if (dropped.nonEmpty)
-      writeOps(snapshotPath, ops(snapshotPath) -- dropped.map(_._1))
+      writeOps(snapshotPath, opsFull(snapshotPath) -- dropped.map(_._1))
     dropped.map(_._1)
   }
 
@@ -307,22 +308,76 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     new java.io.File(snapshotPath, "OPS")
 
   /** Committed version → operation label (empty when none recorded). */
-  def ops(snapshotPath: String): Map[Long, String] = {
+  def ops(snapshotPath: String): Map[Long, String] =
+    opsFull(snapshotPath).map { case (v, (_, op)) => v -> op }
+
+  /** Committed version → (commit epoch-ms if recorded, operation label).
+    * Lines are `v TAB ts TAB op` since timestamps were added; a legacy
+    * two-field line (or a healHistory archive, which bypasses the OPS
+    * write) parses with no timestamp.
+    */
+  private def opsFull(snapshotPath: String): Map[Long, (Option[Long], String)] = {
     val f = opsFile(snapshotPath)
     if (!f.exists()) Map.empty
     else new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
       .split("\n").filter(_.nonEmpty).map { l =>
-        val Array(v, op) = l.split("\t", 2); v.toLong -> op
+        l.split("\t", 3) match {
+          case Array(v, ts, op) if ts.forall(_.isDigit) && ts.nonEmpty =>
+            v.toLong -> (Some(ts.toLong), op)
+          case Array(v, rest @ _*) => v.toLong -> (None, rest.mkString("\t"))
+        }
       }.toMap
   }
 
-  private def writeOps(snapshotPath: String, o: Map[Long, String]): Unit = {
+  /** Commit wall-clock (epoch ms) per retained version, for
+    * AS-OF-TIMESTAMP resolution. Strictly increasing by construction
+    * ([[nextCommitTs]] clamps a stalled/backwards clock to prev+1, the
+    * Delta-style in-commit-timestamp monotonicity guard). A version whose
+    * timestamp was never recorded (legacy OPS line, healHistory archive)
+    * inherits its successor's timestamp — it was committed no later than
+    * that — and the newest such version inherits the current clock.
+    */
+  def commitTimestamps(snapshotPath: String): Map[Long, Long] = {
+    val full = opsFull(snapshotPath)
+    val vs = versions(snapshotPath)
+    vs.foldRight((List.empty[(Long, Long)], System.currentTimeMillis())) {
+      case (v, (acc, nextTs)) =>
+        val ts = full.get(v).flatMap(_._1).getOrElse(nextTs)
+        ((v -> ts) :: acc, ts)
+    }._1.toMap
+  }
+
+  private def nextCommitTs(snapshotPath: String): Long = {
+    val prev = opsFull(snapshotPath).values.flatMap(_._1)
+    math.max(System.currentTimeMillis(), prev.fold(0L)(math.max) + 1L)
+  }
+
+  /** The manifest as the table stood at wall-clock `tsMs`: the newest
+    * retained version whose commit timestamp is ≤ `tsMs` — Delta/Iceberg
+    * `TIMESTAMP AS OF`. Throws if `tsMs` predates the oldest retained
+    * commit (that state is expired — nothing to resolve).
+    */
+  def readManifestAsOfTimestamp(snapshotPath: String,
+                                tsMs: Long): Map[String, String] = {
+    val stamped = commitTimestamps(snapshotPath).toSeq.sorted
+    require(stamped.nonEmpty, s"no committed versions at $snapshotPath")
+    val at = stamped.takeWhile(_._2 <= tsMs).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMs predates the oldest retained commit of " +
+          s"$snapshotPath (${stamped.head._2} at v${stamped.head._1})"))
+    readManifestAsOf(snapshotPath, at._1)
+  }
+
+  private def writeOps(snapshotPath: String,
+                       o: Map[Long, (Option[Long], String)]): Unit = {
     val dir = new java.io.File(snapshotPath)
     dir.mkdirs()
     val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
     java.nio.file.Files.write(tmp.toPath,
-      o.toSeq.sorted.map { case (v, op) => s"$v\t$op" }
-        .mkString("", "\n", "\n").getBytes(UTF_8))
+      o.toSeq.sortBy(_._1).map {
+        case (v, (Some(ts), op)) => s"$v\t$ts\t$op"
+        case (v, (None, op))     => s"$v\t$op"
+      }.mkString("", "\n", "\n").getBytes(UTF_8))
     java.nio.file.Files.move(tmp.toPath, opsFile(snapshotPath).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -406,4 +406,74 @@ class TimeTravelSpec extends AnyFunSuite {
       Seq((1L, "upsert"), (2L, "delete_where"), (3L, "analyze"),
         (4L, "restore(v1)"), (5L, "commit"), (6L, "upsert")))
   }
+
+  test("partition-spec change: one atomic re-layout, history keeps the old layout readable") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    // day-partitioned at first; rows also carry a category column
+    val data = Seq(
+      ("d1", 1L, 1.0, 100L, "x"), ("d1", 2L, 1.0, 100L, "y"),
+      ("d2", 3L, 1.0, 100L, "x"), ("d2", 4L, 1.0, 100L, "y"))
+      .toDF("day", "id", "value", "version", "cat")
+    Upsert.upsertPartitionsAtomic(spark, data, path, "day",
+      keys = Seq("id"), order = Seq("version"), committer = c) // v1: by day
+    val st = Upsert.repartitionTable(spark, path, "cat", c)    // v2: by cat
+    assert(st == Upsert.RepartitionStats("cat", 2))
+    // content identical through the rewrite
+    assert(Upsert.readTable(spark, path, c)
+      .selectExpr("day", "id", "cat").as[(String, Long, String)]
+      .collect().toSet ==
+      Set(("d1", 1L, "x"), ("d1", 2L, "y"), ("d2", 3L, "x"), ("d2", 4L, "y")))
+    // the new layout serves partition-pruned reads on the NEW column
+    assert(Upsert.readTablePartitions(spark, path, Seq("x"), c)
+      .selectExpr("id").as[Long].collect().toSet == Set(1L, 3L))
+    // partition surgery now speaks the new column too
+    Upsert.deleteWhere(spark, path, "cat",
+      org.apache.spark.sql.functions.col("cat") === "y", c)   // v3
+    assert(Upsert.readTable(spark, path, c)
+      .selectExpr("id").as[Long].collect().toSet == Set(1L, 3L))
+    // history crosses the spec change: v1 is still the DAY layout, whole
+    assert(Upsert.readTableAsOf(spark, path, 1L, c)
+      .selectExpr("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(Upsert.tableHistory(spark, path, c)
+      .select("operation").as[String].collect().toSeq
+      .containsSlice(Seq("repartition(cat)")))
+    // a column the table doesn't carry is refused loudly
+    intercept[IllegalArgumentException] {
+      Upsert.repartitionTable(spark, path, "nope", c)
+    }
+  }
+
+  test("TIMESTAMP AS OF: monotonic commit clocks, boundary-exact resolution") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    upsert(path, c, ("d1", 1L, 100L)) // v1
+    upsert(path, c, ("d1", 1L, 101L)) // v2
+    upsert(path, c, ("d1", 1L, 102L)) // v3
+    val ts = c.commitTimestamps(path)
+    assert(ts.keySet == Set(1L, 2L, 3L))
+    // strictly increasing even when commits land within one clock tick
+    assert(ts(1L) < ts(2L) && ts(2L) < ts(3L))
+    // ts exactly at a commit resolves THAT version (≤ semantics) …
+    assert(rows(Upsert.readTableAsOfTimestamp(spark, path, ts(2L), c)) ==
+      Set(("d1", 1L, 101L)))
+    // … one ms earlier resolves the previous one …
+    assert(rows(Upsert.readTableAsOfTimestamp(spark, path, ts(2L) - 1, c)) ==
+      Set(("d1", 1L, 100L)))
+    // … far in the future resolves the latest …
+    assert(rows(Upsert.readTableAsOfTimestamp(spark, path, ts(3L) + 1000000, c)) ==
+      Set(("d1", 1L, 102L)))
+    // … and before the first commit there is no state to resolve
+    intercept[IllegalArgumentException] {
+      Upsert.readTableAsOfTimestamp(spark, path, ts(1L) - 1, c)
+    }
+    // expiry drops v1's timestamp with its version: the oldest RETAINED
+    // commit becomes the resolution floor
+    c.expire(path, keepLast = 2)
+    intercept[IllegalArgumentException] {
+      Upsert.readTableAsOfTimestamp(spark, path, ts(1L), c)
+    }
+    assert(rows(Upsert.readTableAsOfTimestamp(spark, path, ts(2L), c)) ==
+      Set(("d1", 1L, 101L)))
+  }
 }

@@ -1104,6 +1104,69 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // MULTI-TABLE ATOMIC TRANSACTION through the catalog (Nessie-style
+    // catalog-level commit): the fact and its per-user rollup updated
+    // TOGETHER — a torn second batch (both tables committed, crash
+    // before the catalog flip) must leave both reads on the old snapshot
+    // (required in-query), the completed transaction flips both in one
+    // manifest rename, and the returned rollup is required to equal a
+    // recompute from the catalog's OWN fact read: cross-table
+    // consistency, not two tables that happen to be adjacent
+    "table_txn_catalog" -> ((s, d) => {
+      val root = cachedTempDir("graft_cat_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val (cat, factP, aggP) = (s"$root/cat", s"$root/fact", s"$root/agg")
+      val cc = new graft.streaming.VersionedCommitter
+      val tc = new graft.streaming.VersionedCommitter
+      val e = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      withPersisted(e) { state =>
+        val Array(lo, hi) = state.agg(min("ts_us"), max("ts_us")).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = state.filter(col("ts_us") <= lo + (hi - lo) / 2)
+        def aggOf(f: DataFrame) = f.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
+          .withColumn("part", lit("all"))
+        def commitFact(f: DataFrame): Long = {
+          pipeline.Upsert.upsertPartitionsAtomic(s, f, factP, "bucket",
+            keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+            committer = tc)
+          tc.versions(factP).last
+        }
+        def commitAgg(a: DataFrame): Long = {
+          pipeline.Upsert.replacePartitionsAtomic(s, a, aggP, "part",
+            Seq("all"), committer = tc)
+          tc.versions(aggP).last
+        }
+        val f1 = commitFact(half); val a1 = commitAgg(aggOf(half))
+        pipeline.Catalog.transaction(cat, cc, tc) { t =>
+          t.stage("fact", factP, f1); t.stage("agg", aggP, a1)
+        }
+        // batch 2 fully committed per-table, then TORN before the flip
+        val f2 = commitFact(state); val a2 = commitAgg(aggOf(state))
+        pipeline.Catalog.transaction(cat, cc, tc, crashBeforeCommit = true) { t =>
+          t.stage("fact", factP, f2); t.stage("agg", aggP, a2)
+        }
+        val tornN = pipeline.Catalog.readTable(s, cat, "agg", cc, tc)
+          .agg(sum("n_events")).head().getLong(0)
+        require(tornN == half.count(),
+          s"torn transaction leaked into the catalog snapshot: $tornN")
+        pipeline.Catalog.transaction(cat, cc, tc) { t =>
+          t.stage("fact", factP, f2); t.stage("agg", aggP, a2)
+        }
+      }
+      val factRead = pipeline.Catalog.readTable(s, cat, "fact", cc, tc)
+      val aggRead = pipeline.Catalog.readTable(s, cat, "agg", cc, tc)
+        .select("user_id", "n_events", "sum_cents")
+      val recomputed = factRead.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
+      require(aggRead.exceptAll(recomputed).isEmpty &&
+        recomputed.exceptAll(aggRead).isEmpty,
+        "catalog snapshot is not cross-table consistent")
+      aggRead
+    }),
     // WRITE-TIME EXPECTATIONS with row quarantine: the events batch split
     // by two rules — clean rows append to the target, violating rows land
     // in the quarantine table tagged with the rules they broke. The
@@ -2251,6 +2314,10 @@ object SparkEntry {
     // keeps equal-ts peers in one session; window end = last event + gap
     "q_session_window" ->
       "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events), m AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)), s AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq FROM m) SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) + 1800000000 AS session_end_us, count(*) AS n_events FROM s GROUP BY user_id, seq",
+    // the transaction's final snapshot: per-user rollup of the full fact
+    // (sum in integer cents — exact)
+    "table_txn_catalog" ->
+      (FactCte + " SELECT user_id, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM fact GROUP BY user_id"),
     // the rewrite is content-preserving: read-back ≡ the fact with its
     // day column, whatever the physical layout
     "table_repartitioned" ->

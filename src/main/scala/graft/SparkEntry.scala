@@ -1406,6 +1406,39 @@ object SparkEntry {
         .select(col("event_id"), col("ts_us"), col("user_id"),
           col("value_cents"), col("day"))
     }),
+    // PER-FILE ZONE MAPS (Delta's file-stats skipping): the fact staged
+    // as ONE partition whose files are range-split on ts_us, footer
+    // stats committed per file — the partition's own range spans the
+    // whole table, so ONLY the per-file entries can narrow the week
+    // window, and a wrongful file skip loses rows the exact filter
+    // cannot restore (hash-caught)
+    "table_file_pruned" -> ((s, d) => {
+      val out = cachedTempDir("graft_fr_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val c = new graft.streaming.VersionedCommitter
+      pipeline.Upsert.enableRangeStats(out, Seq("ts_us"), c)
+      val state = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        lit("all").as("part"))
+      pipeline.Upsert.replacePartitionsAtomic(s,
+        state.repartitionByRange(8, col("ts_us")), out, "part", Seq("all"),
+        committer = c)
+      val lo = state.agg(min(col("ts_us"))).head().getLong(0)
+      val hi = lo + 7L * 86400L * 1000000L
+      val m = c.readManifest(out)
+      val files = m.keySet.filter(_.startsWith("__frange.all/"))
+        .map(_.stripPrefix("__frange.all/"))
+      val surviving = files.count(f =>
+        pipeline.Upsert.fileRangeOf(m, "all", f, "ts_us")
+          .forall { case (mn, mx) => mx >= lo && mn <= hi })
+      require(files.size >= 4 && surviving < files.size,
+        s"the week window must file-prune: $surviving of ${files.size}")
+      sources.ManifestTable.readTableIndexed(s, out, c)
+        .filter(col("ts_us").between(lo, hi))
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("value_cents"))
+    }),
     // GENERATED PARTITION COLUMN (Delta's generated-column pruning): the
     // fact day-partitioned with day = yyyymmdd_us(ts_us) COMPUTED by the
     // engine's own transform, the relationship declared (validated by a
@@ -2936,6 +2969,11 @@ object SparkEntry {
     "table_zone_pruned_auto" ->
       (s"$FactCte, w AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo FROM fact) " +
         "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, strftime(CAST(ts AS DATE), '%Y%m%d') AS day " +
+        "FROM fact, w WHERE epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN w.lo AND w.lo + 604800000000"),
+    // the file-pruned week must be exactly the recomputed week window
+    "table_file_pruned" ->
+      (s"$FactCte, w AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo FROM fact) " +
+        "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents " +
         "FROM fact, w WHERE epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN w.lo AND w.lo + 604800000000"),
     // the generated-partition pruned week must be exactly the recomputed
     // week window (day recomputed from ts, not read from a stat)

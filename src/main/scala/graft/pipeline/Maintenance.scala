@@ -196,11 +196,20 @@ object Maintenance {
 
     // one flip re-points every compacted partition (materialized deletion
     // and delta sidecars drop with it); other `__` metadata rides along
-    // untouched
+    // untouched. Per-FILE stats are regenerated from the new dirs'
+    // footers (the old entries name files that no longer exist) —
+    // compaction is exactly where a deployment refreshes file skipping
+    val staleFileStats = rewritten.flatMap { case (p, _) =>
+      Upsert.staleFileRangeKeys(manifest, p.key)
+    }
+    val freshFileStats = rewritten.flatMap { case (p, rel) =>
+      Upsert.fileRangeEntriesForDir(spark, manifest, tablePath, p.key, rel)
+    }.toMap
     committer.commit(tablePath,
       manifest -- rewritten.map { case (p, _) => s"__del.${p.key}" }
-        -- rewritten.map { case (p, _) => s"__delta.${p.key}" } ++
-        rewritten.map { case (p, rel) => p.key -> rel })
+        -- rewritten.map { case (p, _) => s"__delta.${p.key}" }
+        -- staleFileStats ++
+        rewritten.map { case (p, rel) => p.key -> rel } ++ freshFileStats)
     // release the superseded layout one merge cycle late (reader grace)
     SnapshotGc.gcUnreferenced(tablePath, dataRefs ++ rewritten.map(_._2) ++
       committer.retainedReferences(tablePath),

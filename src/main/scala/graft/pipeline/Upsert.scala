@@ -868,11 +868,130 @@ object Upsert {
     */
   private[graft] def rangeOf(manifest: Map[String, String], partition: String,
                                 column: String): Option[(Double, Double)] =
-    manifest.get(s"$RangeKeyPrefix$partition").flatMap { json =>
-      val re = ("\"" + java.util.regex.Pattern.quote(column) +
-        "\":\\[([-0-9.eE]+),([-0-9.eE]+)\\]").r
-      re.findFirstMatchIn(json).map(m => (m.group(1).toDouble, m.group(2).toDouble))
-    }
+    manifest.get(s"$RangeKeyPrefix$partition").flatMap(parseRange(_, column))
+
+  private def parseRange(json: String, column: String): Option[(Double, Double)] = {
+    val re = ("\"" + java.util.regex.Pattern.quote(column) +
+      "\":\\[([-0-9.eE]+),([-0-9.eE]+)\\]").r
+    re.findFirstMatchIn(json).map(m => (m.group(1).toDouble, m.group(2).toDouble))
+  }
+
+  // ---- FILE-LEVEL zone maps (Delta's per-file stats): `__frange.<p>/<f>`
+  // entries record each data FILE's [min,max] per declared stats column,
+  // harvested from the parquet footers the staging write just produced
+  // (a local metadata read — no second data scan). The declarative
+  // FileIndex then prunes inside a surviving partition: files whose
+  // committed range cannot intersect the pushed bounds are never listed
+  // into the scan. This is the skipping granularity Delta/Iceberg live
+  // on at 100 TB — partition pruning bounds the dirs, file stats bound
+  // the object GETs (Spark's own row-group pruning still needs a footer
+  // read PER FILE per task; the manifest answers without touching the
+  // object store). Same one-sided contract as every zone map: absent or
+  // unparseable entries keep the file. A production deployment would
+  // page these entries into a checkpoint file once the manifest grows
+  // past a few MB — the encoding (one entry per file) is checkpoint-ready.
+
+  private val FileRangeKeyPrefix = "__frange."
+
+  /** Committed [min,max] of `column` in `partition`/`fileName` (None =
+    * never recorded, stale, or all-null — all mean "cannot prune").
+    */
+  private[graft] def fileRangeOf(manifest: Map[String, String], partition: String,
+                                 fileName: String, column: String): Option[(Double, Double)] =
+    manifest.get(s"$FileRangeKeyPrefix$partition/$fileName")
+      .flatMap(parseRange(_, column))
+
+  /** Footer-harvested `__frange` entries for every data file under the
+    * staged partitions (empty unless range stats are declared). Min/max
+    * aggregated across row groups; a column without usable footer stats
+    * serializes null.
+    */
+  private def stagedFileRangeEntries(spark: SparkSession,
+                                     manifest: Map[String, String],
+                                     tablePath: String, batchDirName: String,
+                                     writtenParts: Set[String],
+                                     dataCols: Seq[String]): Map[String, String] = {
+    val cols0 = rangeStatsCols(manifest).filter(dataCols.contains)
+    if (cols0.isEmpty || writtenParts.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    writtenParts.toSeq.flatMap { p =>
+      val dir = new java.io.File(s"$tablePath/$batchDirName/__part=$p")
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+        .map { f =>
+          val mm = footerRanges(conf, f.getAbsolutePath, cols0.toSet)
+          val body = cols0.map { c =>
+            mm.get(c) match {
+              case Some((mn, mx)) => s""""$c":[$mn,$mx]"""
+              case None           => s""""$c":null"""
+            }
+          }.mkString("{", ",", "}")
+          s"$FileRangeKeyPrefix$p/${f.getName}" -> body
+        }
+    }.toMap
+  }
+
+  /** Compaction's regeneration seam: `__frange` entries for the files of
+    * one rewritten partition dir (`rel`), plus the stale-key set to drop.
+    * Empty when stats are not declared.
+    */
+  private[graft] def fileRangeEntriesForDir(spark: SparkSession,
+                                            manifest: Map[String, String],
+                                            tablePath: String, partitionKey: String,
+                                            rel: String): Map[String, String] = {
+    val cols0 = rangeStatsCols(manifest)
+    if (cols0.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    Option(new java.io.File(s"$tablePath/$rel").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map { f =>
+        val mm = footerRanges(conf, f.getAbsolutePath, cols0.toSet)
+        val body = cols0.map { c =>
+          mm.get(c) match {
+            case Some((mn, mx)) => s""""$c":[$mn,$mx]"""
+            case None           => s""""$c":null"""
+          }
+        }.mkString("{", ",", "}")
+        s"$FileRangeKeyPrefix$partitionKey/${f.getName}" -> body
+      }.toMap
+  }
+
+  private[graft] def staleFileRangeKeys(manifest: Map[String, String],
+                                        partitionKey: String): Set[String] =
+    manifest.keySet.filter(_.startsWith(s"$FileRangeKeyPrefix$partitionKey/"))
+
+  /** One footer read: per requested column, [min,max] over all row groups
+    * (numeric physical types only; absent/empty statistics yield None).
+    */
+  private def footerRanges(conf: org.apache.hadoop.conf.Configuration,
+                           file: String,
+                           cols: Set[String]): Map[String, (Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getBlocks.asScala.toSeq
+        .flatMap(_.getColumns.asScala)
+        .filter(cc => cc.getPath.size == 1 && cols.contains(cc.getPath.toDotString))
+        .flatMap { cc =>
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Number, mx: java.lang.Number) =>
+              Some(cc.getPath.toDotString ->
+                (mn.doubleValue(), mx.doubleValue()))
+            case _ => None // non-numeric (binary/string): no file pruning
+          }
+        }
+        .groupBy(_._1).map { case (c, vs) =>
+          c -> (vs.map(_._2._1).min, vs.map(_._2._2).max)
+        }
+    } finally reader.close()
+  }
 
   /** Data entries surviving range pruning on `column` ∩ [lo, hi]:
     * a partition is skipped only when its committed range PROVES no row
@@ -2038,6 +2157,10 @@ object Upsert {
       // zone-map entries for the rewritten partitions (empty unless enabled)
       val ranges = stagedDf.map(stagedRangeEntries(spark, manifest, _,
         data.columns.toSeq)).getOrElse(Map.empty[String, String])
+      // per-FILE stats from the freshly written footers (same declaration
+      // gates them; a pure local metadata read, no data scan)
+      val fileRanges = stagedFileRangeEntries(spark, manifest, tablePath,
+        batchDirName, writtenParts, data.columns.toSeq)
       // bloom sidecars land inside the staged dirs before the flip (no-op
       // unless enabled)
       stagedDf.foreach(writeStagedBloomSidecars(spark, manifest,
@@ -2063,10 +2186,14 @@ object Upsert {
       // a replaced partition's pending MoR deletes AND deltas are
       // MATERIALIZED by this rewrite (its source read was sidecar-aware)
       // — the sidecar entries drop with the same flip
+      val staleFileRanges = manifest.keySet.filter(k =>
+        partsEsc.exists(p => k.startsWith(s"$FileRangeKeyPrefix$p/")))
       val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")
           -- partsEsc.map(p => s"$DelKeyPrefix$p")
-          -- partsEsc.map(p => s"$DeltaKeyPrefix$p")) ++
+          -- partsEsc.map(p => s"$DeltaKeyPrefix$p")
+          -- staleFileRanges) ++ // rewritten partitions: old file names die
         writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
+        fileRanges ++
         extraMeta + // e.g. a tail cursor — atomic with the data it describes
         (SchemaKey -> data.schema.json) + // the schema rides the same flip
         (PartColKey -> partCol) // lets metadata DDL protect the partitioning
@@ -2168,6 +2295,7 @@ object Upsert {
       // partition column, not the new one
       val cleaned = manifest.filter { case (k, _) =>
         k.startsWith("__") && !k.startsWith(RangeKeyPrefix) &&
+          !k.startsWith(FileRangeKeyPrefix) &&
           !k.startsWith(DelKeyPrefix) && !k.startsWith(DeltaKeyPrefix) &&
           k != GenPartKey
       } + (PartColKey -> pcPhys)

@@ -221,10 +221,19 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     }
     val fs = new Path(tablePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    kept.toSeq.sortBy(_._1).map { case (_, rel) =>
+    kept.toSeq.sortBy(_._1).map { case (p, rel) =>
       val dir = new Path(s"$tablePath/$rel")
-      val files = fs.listStatus(dir).filter(st =>
-        st.isFile && isDataFile(st.getPath.getName))
+      val files = fs.listStatus(dir).filter { st =>
+        st.isFile && isDataFile(st.getPath.getName) &&
+          // per-FILE stats: inside a surviving partition, a file whose
+          // committed [min,max] cannot intersect the pushed bounds is
+          // never listed into the scan (absent/stale entry = keep)
+          bounds.forall { case (colName, lo, hi) =>
+            graft.pipeline.Upsert.fileRangeOf(manifest, p,
+              st.getPath.getName, colName)
+              .forall { case (mn, mx) => mx >= lo && mn <= hi }
+          }
+      }
       PartitionDirectory(InternalRow.empty, files)
     }
   }

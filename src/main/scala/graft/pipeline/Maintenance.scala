@@ -202,8 +202,11 @@ object Maintenance {
     val staleFileStats = rewritten.flatMap { case (p, _) =>
       Upsert.staleFileRangeKeys(manifest, p.key)
     }
+    val statCols = Upsert.rangeStatsCols(manifest)
     val freshFileStats = rewritten.flatMap { case (p, rel) =>
-      Upsert.fileRangeEntriesForDir(spark, manifest, tablePath, p.key, rel)
+      // also refreshes __rows.<p>: a materialized deletion sidecar
+      // SHRANK the partition, so the pre-compaction count is stale
+      Upsert.footerEntriesForDir(spark, statCols, tablePath, p.key, rel)
     }.toMap
     committer.commit(tablePath,
       manifest -- rewritten.map { case (p, _) => s"__del.${p.key}" }

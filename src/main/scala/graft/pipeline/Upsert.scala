@@ -860,7 +860,7 @@ object Upsert {
     committer.commit(tablePath, manifest - RangeColsKey)
   }
 
-  private def rangeStatsCols(manifest: Map[String, String]): Seq[String] =
+  private[graft] def rangeStatsCols(manifest: Map[String, String]): Seq[String] =
     manifest.get(RangeColsKey).map(_.split(",").toSeq).getOrElse(Nil)
 
   /** Committed [min,max] of `column` in `partition`, if recorded (None =
@@ -901,80 +901,83 @@ object Upsert {
     manifest.get(s"$FileRangeKeyPrefix$partition/$fileName")
       .flatMap(parseRange(_, column))
 
-  /** Footer-harvested `__frange` entries for every data file under the
-    * staged partitions (empty unless range stats are declared). Min/max
-    * aggregated across row groups; a column without usable footer stats
-    * serializes null.
+  // ---- manifest ROW COUNTS: `__rows.<p>` → the partition's exact base
+  // row count, harvested from the same footers as the file stats (the
+  // parquet footer already carries per-row-group counts — zero data
+  // I/O). Committed in the same flip as the data they describe, so they
+  // are NEVER stale — which is what lets COUNT(*) answer from metadata
+  // (the Delta "metadata-only query" optimization). Pending MoR sidecars
+  // change the PRESENTED count without touching base entries; every
+  // metadata-count consumer therefore refuses when sidecars pend.
+
+  private[graft] val RowsKeyPrefix = "__rows."
+
+  /** Footer-harvested entries for the staged partitions — `__rows.<p>`
+    * always (counts are free), `__frange.<p>/<f>` when range stats are
+    * declared. ONE footer read per file serves both.
     */
-  private def stagedFileRangeEntries(spark: SparkSession,
-                                     manifest: Map[String, String],
-                                     tablePath: String, batchDirName: String,
-                                     writtenParts: Set[String],
-                                     dataCols: Seq[String]): Map[String, String] = {
+  private def stagedFooterEntries(spark: SparkSession,
+                                  manifest: Map[String, String],
+                                  tablePath: String, batchDirName: String,
+                                  writtenParts: Set[String],
+                                  dataCols: Seq[String]): Map[String, String] = {
+    if (writtenParts.isEmpty) return Map.empty
     val cols0 = rangeStatsCols(manifest).filter(dataCols.contains)
-    if (cols0.isEmpty || writtenParts.isEmpty) return Map.empty
-    val conf = spark.sessionState.newHadoopConf()
     writtenParts.toSeq.flatMap { p =>
-      val dir = new java.io.File(s"$tablePath/$batchDirName/__part=$p")
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && !f.getName.startsWith(".") &&
-          !f.getName.startsWith("_"))
-        .map { f =>
-          val mm = footerRanges(conf, f.getAbsolutePath, cols0.toSet)
-          val body = cols0.map { c =>
-            mm.get(c) match {
-              case Some((mn, mx)) => s""""$c":[$mn,$mx]"""
-              case None           => s""""$c":null"""
-            }
-          }.mkString("{", ",", "}")
-          s"$FileRangeKeyPrefix$p/${f.getName}" -> body
-        }
+      footerEntriesForDir(spark, cols0, tablePath, p,
+        s"$batchDirName/__part=$p")
     }.toMap
   }
 
-  /** Compaction's regeneration seam: `__frange` entries for the files of
-    * one rewritten partition dir (`rel`), plus the stale-key set to drop.
-    * Empty when stats are not declared.
+  /** `__rows.<p>` + (when `cols0` nonEmpty) `__frange.<p>/<f>` entries
+    * for one partition dir — compaction's regeneration seam too.
     */
-  private[graft] def fileRangeEntriesForDir(spark: SparkSession,
-                                            manifest: Map[String, String],
-                                            tablePath: String, partitionKey: String,
-                                            rel: String): Map[String, String] = {
-    val cols0 = rangeStatsCols(manifest)
-    if (cols0.isEmpty) return Map.empty
+  private[graft] def footerEntriesForDir(spark: SparkSession,
+                                         cols0: Seq[String],
+                                         tablePath: String, partitionKey: String,
+                                         rel: String): Map[String, String] = {
     val conf = spark.sessionState.newHadoopConf()
-    Option(new java.io.File(s"$tablePath/$rel").listFiles())
+    val files = Option(new java.io.File(s"$tablePath/$rel").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && !f.getName.startsWith(".") &&
         !f.getName.startsWith("_"))
-      .map { f =>
-        val mm = footerRanges(conf, f.getAbsolutePath, cols0.toSet)
+    var rows = 0L
+    val frange = files.flatMap { f =>
+      val (mm, n) = footerStats(conf, f.getAbsolutePath, cols0.toSet)
+      rows += n
+      if (cols0.isEmpty) None
+      else {
         val body = cols0.map { c =>
           mm.get(c) match {
             case Some((mn, mx)) => s""""$c":[$mn,$mx]"""
             case None           => s""""$c":null"""
           }
         }.mkString("{", ",", "}")
-        s"$FileRangeKeyPrefix$partitionKey/${f.getName}" -> body
-      }.toMap
+        Some(s"$FileRangeKeyPrefix$partitionKey/${f.getName}" -> body)
+      }
+    }.toMap
+    frange + (s"$RowsKeyPrefix$partitionKey" -> rows.toString)
   }
 
   private[graft] def staleFileRangeKeys(manifest: Map[String, String],
                                         partitionKey: String): Set[String] =
     manifest.keySet.filter(_.startsWith(s"$FileRangeKeyPrefix$partitionKey/"))
 
-  /** One footer read: per requested column, [min,max] over all row groups
-    * (numeric physical types only; absent/empty statistics yield None).
+  /** One footer read: (per requested column [min,max] over all row groups
+    * — numeric physical types only, absent/empty statistics omitted —
+    * and the file's exact row count).
     */
-  private def footerRanges(conf: org.apache.hadoop.conf.Configuration,
-                           file: String,
-                           cols: Set[String]): Map[String, (Double, Double)] = {
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          file: String,
+                          cols: Set[String]): (Map[String, (Double, Double)], Long) = {
     import scala.jdk.CollectionConverters._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(file), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      reader.getFooter.getBlocks.asScala.toSeq
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val ranges = blocks
         .flatMap(_.getColumns.asScala)
         .filter(cc => cc.getPath.size == 1 && cols.contains(cc.getPath.toDotString))
         .flatMap { cc =>
@@ -990,7 +993,36 @@ object Upsert {
         .groupBy(_._1).map { case (c, vs) =>
           c -> (vs.map(_._2._1).min, vs.map(_._2._2).max)
         }
+      (ranges, rows)
     } finally reader.close()
+  }
+
+  /** Exact row count from manifest metadata alone, when it is PROVABLY
+    * the presented count: every data partition carries a committed
+    * `__rows` entry and no MoR sidecar pends (a sidecar changes the
+    * presented count without touching base entries). None = count by
+    * scanning; never a wrong number.
+    */
+  private[graft] def metadataRowCount(manifest: Map[String, String]): Option[Long] = {
+    val data = dataEntries(manifest)
+    if (data.isEmpty) return None
+    if (manifest.keys.exists(k => k.startsWith(DelKeyPrefix) ||
+        k.startsWith(DeltaKeyPrefix))) return None
+    val counts = data.keys.toSeq.map(p => manifest.get(s"$RowsKeyPrefix$p"))
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.map(_.toLong).sum)
+  }
+
+  /** COUNT(*) metadata-first: the committed `__rows` sum when provable,
+    * else one scan. The declarative read path gets the same answer
+    * automatically through [[graft.plans.MetadataOnlyCount]].
+    */
+  def countRows(spark: SparkSession, tablePath: String,
+                committer: SnapshotCommitter = AtomicRenameCommitter): Long = {
+    val manifest = committer.readManifest(tablePath)
+    require(dataEntries(manifest).nonEmpty, s"no committed table at $tablePath")
+    metadataRowCount(manifest)
+      .getOrElse(readBound(spark, manifest, tablePath, dataEntries(manifest)).count())
   }
 
   /** Data entries surviving range pruning on `column` ∩ [lo, hi]:
@@ -2157,9 +2189,9 @@ object Upsert {
       // zone-map entries for the rewritten partitions (empty unless enabled)
       val ranges = stagedDf.map(stagedRangeEntries(spark, manifest, _,
         data.columns.toSeq)).getOrElse(Map.empty[String, String])
-      // per-FILE stats from the freshly written footers (same declaration
-      // gates them; a pure local metadata read, no data scan)
-      val fileRanges = stagedFileRangeEntries(spark, manifest, tablePath,
+      // per-FILE stats + per-partition row counts from the freshly
+      // written footers (one local metadata read per file, no data scan)
+      val fileRanges = stagedFooterEntries(spark, manifest, tablePath,
         batchDirName, writtenParts, data.columns.toSeq)
       // bloom sidecars land inside the staged dirs before the flip (no-op
       // unless enabled)
@@ -2191,6 +2223,7 @@ object Upsert {
       val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")
           -- partsEsc.map(p => s"$DelKeyPrefix$p")
           -- partsEsc.map(p => s"$DeltaKeyPrefix$p")
+          -- partsEsc.map(p => s"$RowsKeyPrefix$p")
           -- staleFileRanges) ++ // rewritten partitions: old file names die
         writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
         fileRanges ++
@@ -2295,7 +2328,7 @@ object Upsert {
       // partition column, not the new one
       val cleaned = manifest.filter { case (k, _) =>
         k.startsWith("__") && !k.startsWith(RangeKeyPrefix) &&
-          !k.startsWith(FileRangeKeyPrefix) &&
+          !k.startsWith(FileRangeKeyPrefix) && !k.startsWith(RowsKeyPrefix) &&
           !k.startsWith(DelKeyPrefix) && !k.startsWith(DeltaKeyPrefix) &&
           k != GenPartKey
       } + (PartColKey -> pcPhys)

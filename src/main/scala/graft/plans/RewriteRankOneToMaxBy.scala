@@ -76,6 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
     e.injectOptimizerRule(_ => RewriteAggregateToMv)
+    e.injectOptimizerRule(_ => MetadataOnlyCount)
     e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     graft.functions.expr.GraftFunctions.functions.foreach(e.injectFunction)
   }

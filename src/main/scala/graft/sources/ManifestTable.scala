@@ -238,6 +238,13 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
     }
   }
 
+  /** Exact base row count from committed `__rows` metadata, when provable
+    * (every data partition stamped, no pending MoR sidecars) — what lets
+    * [[graft.plans.MetadataOnlyCount]] answer COUNT(*) without a scan.
+    */
+  private[graft] def metadataRowCount: Option[Long] =
+    graft.pipeline.Upsert.metadataRowCount(manifest)
+
   override def inputFiles: Array[String] = allFiles.map(_.getPath.toString)
 
   override def refresh(): Unit = ()

@@ -20,6 +20,8 @@ import graft.operators.Pca
   */
 object PcaGen {
   val K = 8
+  val MReduced = 4
+  val KsubReduced = 256
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -55,8 +57,24 @@ object PcaGen {
     rcents.toSeq.map { case (id, e) => (id, e.toSeq) }.toDF("c_id", "c_p")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$out/centroids_reduced")
+    // PQ codebooks trained IN the reduced space (the last composition of
+    // the committed-model family: PCA rotation → reduced coarse quantizer
+    // → reduced-subspace codebooks). m=4 over k=8 dims keeps dsub=2, and
+    // ksub=256 (8-bit codes, 4 bytes/vector — 16× vs the 8-double
+    // projections) is REQUIRED here: after the PCA bottleneck the
+    // between-neighbor cosine gaps are already thin, so coarse 2-dim
+    // codebooks (ksub=16 measured recall 0.54) lose true neighbors the
+    // refine·k re-rank never sees; 256 codewords per 2-dim subspace make
+    // ADC error negligible relative to the reduced-space gaps.
+    val rpq = graft.operators.Ann.trainPq(proj, MReduced, KsubReduced)
+    rpq.codebooks.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (cw, code) => (sub, code, cw.toSeq) }
+    }.toSeq.toDF("sub", "code", "cw")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/codebooks_reduced")
     println(s"[pca] k=$K dim=${model.mean.length} " +
       s"reduced_centroids=${rcents.length} " +
+      s"reduced_codebooks=${rpq.codebooks.map(_.length).mkString(",")} " +
       s"eigenvalues=${model.eigenvalues.map(v => f"$v%.4f").mkString(",")}")
     spark.stop()
   }

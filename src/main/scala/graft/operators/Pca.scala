@@ -340,6 +340,86 @@ object Pca {
     rerankReducedCandidates(cands, corpus, q, k)
   }
 
+  /** Load the committed REDUCED-SPACE PQ codebooks (gen.PcaGen layout:
+    * `codebooks_reduced` with sub / code / cw — m subspaces over the
+    * k-dim projections, dsub = k/m doubles per codeword).
+    */
+  def loadReducedCodebooks(spark: SparkSession,
+                           fixturePath: String): Ann.PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$fixturePath/codebooks_reduced")
+      .select("sub", "code", "cw")
+      .as[(Int, Int, Seq[Double])].collect()
+    Ann.PqModel(rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(_._3.toArray).toArray }
+      .toArray)
+  }
+
+  /** Persist the IVF-PQ index with EVERY quantizer stage in the
+    * PCA-reduced space — the final composition of the committed-model
+    * family (Jégou et al.'s "PCA then product-quantize" lineage, the
+    * layout FAISS calls `PCARx,IVFy,PQz`): postings carry only
+    * `(vec_id, codes)` where codes are the m reduced-subspace codewords —
+    * m bytes-scale per vector vs k doubles for [[buildIvfIndexPca]] and
+    * d doubles for [[Ann.buildIvfIndex]] — partitioned one directory per
+    * reduced-space inverted list. Full vectors stay in the source table
+    * for the re-rank short list; at 100 TB the scan structure is ~0.5%
+    * of the raw corpus.
+    */
+  def buildIvfPqIndexPca(embeddings: DataFrame, path: String,
+                         fixturePath: String): Unit = {
+    val spark = embeddings.sparkSession
+    val (w, muDots, cents) = loadModels(spark, fixturePath)
+    val rpq = loadReducedCodebooks(spark, fixturePath)
+    embeddings.select(col("vec_id"),
+        VectorExpressions.pcaProject(col("emb"), w, muDots).as("p"))
+      .select(col("vec_id"),
+        VectorExpressions.nearestCentroid(col("p"), cents.map(_._1),
+          cents.map(_._2)).as("bucket"),
+        VectorExpressions.pqEncode(col("p"), rpq.codebooks).as("codes"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+  }
+
+  /** Query a persisted reduced-space IVF-PQ index: probe the reduced
+    * coarse quantizer, ADC-score the probed lists' CODES against the
+    * reduced query's LUT (per candidate the work is m table lookups — no
+    * vector arithmetic at all in the candidate join), shortlist
+    * `refine·k` per query, exact full-precision cosine re-rank from the
+    * corpus table. The postings scan is pruned to probed bucket ids at
+    * planning time (partition-column `IN` list — unprobed inverted lists
+    * are never read). Deterministic end-to-end over the two committed
+    * fixtures, so DuckDB replays assignment, encode, LUT, ADC ranks, and
+    * the final order exactly.
+    */
+  def ivfPqPcaTopKFromIndex(spark: SparkSession, path: String,
+                            fixturePath: String, queries: DataFrame,
+                            corpus: DataFrame, k: Int = 5, refine: Int = 20,
+                            nprobe: Int = 8): DataFrame = {
+    val (w, muDots, cents) = loadModels(spark, fixturePath)
+    val rpq = loadReducedCodebooks(spark, fixturePath)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("emb").as("q_emb"),
+      VectorExpressions.pcaProject(col("emb"), w, muDots).as("q_p"))
+    val probes = Ann.probesFor(
+        q.select(col("q_id"), col("q_p").as("q_emb")), cents, nprobe)
+      .withColumn("lut",
+        VectorExpressions.pqLutCosine(col("q_emb"), rpq.codebooks))
+      .select(col("q_id"), col("bucket"), col("lut"))
+    val probedBuckets = probes.select("bucket").distinct()
+      .collect().map(_.getLong(0)) // nQueries × nprobe ids — driver-tiny
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(probedBuckets.toSeq: _*))
+    val adc = postings.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        VectorExpressions.pqAdcCosine(col("codes"), col("lut"),
+          rpq.cwNorms2Flat, rpq.ksub).as("cos"))
+    val shortList = Ann.topKPerQuery(adc, refine * k)
+      .select(col("q_id"), col("vec_id"))
+    rerankReducedCandidates(shortList, corpus,
+      q.select(col("q_id"), col("q_emb")), k)
+  }
+
   /** Load the committed rotation (gen.PcaGen layout: `components` with
     * comp / w / mu_dot_w / eigenvalue) and project the embedding table —
     * output long-form (vec_id, comp, proj) with proj rounded at 6 (the

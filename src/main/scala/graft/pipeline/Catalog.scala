@@ -90,6 +90,19 @@ object Catalog {
       tableCommitter.tag(p, nextTagName(n), v)
     }
     if (crashBeforeCommit) return -1L
+    // Lost-update guard: this txn commits `before ++ staged`, so a
+    // concurrent transaction's pins landed between our snapshot and our
+    // flip would be silently overwritten. Re-read immediately before the
+    // flip and refuse if the catalog moved — the loser re-runs against
+    // the winner's pins, same contract as the CAS path. (A CAS inner
+    // committer still closes the residual re-read→rename window; this
+    // check makes the default rename committer fail loudly instead of
+    // losing pins in every case but that razor-thin race.)
+    val atFlip = committedEntries(catalogPath, catalogCommitter)
+    if (atFlip != before)
+      throw new graft.streaming.ConcurrentCommitException(
+        s"catalog $catalogPath changed during transaction " +
+          s"(${txn.staged.keys.mkString(",")}): re-run against the new pins")
     val entries = before ++ txn.staged.map { case (n, Pin(p, v)) =>
       n -> s"$p\t$v"
     }

@@ -870,6 +870,13 @@ object Upsert {
                                 column: String): Option[(Double, Double)] =
     manifest.get(s"$RangeKeyPrefix$partition").flatMap(parseRange(_, column))
 
+  /** Public seam for sidecar consumers that batch-read a partition's
+    * file stats once and parse per file (avoids re-resolving the sidecar
+    * per (file, column) pair in the listing hot path).
+    */
+  private[graft] def parseRangeJson(json: String, column: String): Option[(Double, Double)] =
+    parseRange(json, column)
+
   private def parseRange(json: String, column: String): Option[(Double, Double)] = {
     val re = ("\"" + java.util.regex.Pattern.quote(column) +
       "\":\\[([-0-9.eE]+),([-0-9.eE]+)\\]").r
@@ -893,12 +900,61 @@ object Upsert {
 
   private val FileRangeKeyPrefix = "__frange."
 
+  // ---- MANIFEST CHECKPOINTING for file stats: `__fstats.<p>` points at
+  // ONE per-partition sidecar file (written into the partition's own
+  // staged dir, so it is immutable and lives/dies with its batch) whose
+  // lines are `<fileName>\t<stats json>` — one line per data file. The
+  // manifest itself stays O(#partitions) no matter how many files the
+  // table holds: a 50k-file table commits a 50k-line flat manifest under
+  // the legacy per-file encoding, but only #partitions pointer entries
+  // here — the Delta/Iceberg checkpoint idea, which is what keeps the
+  // O(1)-ish flip affordable at 100 TB. Legacy `__frange.<p>/<f>`
+  // entries are still READ (old tables keep pruning); new commits write
+  // sidecars only.
+
+  private val FileStatsKeyPrefix = "__fstats."
+  private val FileStatsSidecarName = "_filestats.tsv"
+
+  /** Parsed sidecar cache: sidecar files are immutable once committed
+    * (every rewrite stages a NEW sidecar in a new batch dir), so a
+    * process-level cache never serves stale stats. Bounded by the number
+    * of live (table, batch) sidecars a process touches.
+    */
+  private val fileStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]
+
+  /** fileName → stats-json for `partition`, from the committed sidecar
+    * (checkpointed encoding) falling back to legacy per-file manifest
+    * entries. Empty = no stats (cannot prune — the one-sided contract).
+    */
+  private[graft] def fileStatsOf(tablePath: String, manifest: Map[String, String],
+                                 partition: String): Map[String, String] =
+    manifest.get(s"$FileStatsKeyPrefix$partition") match {
+      case Some(rel) =>
+        val abs = s"$tablePath/$rel"
+        fileStatsCache.computeIfAbsent(abs, _ => {
+          val f = new java.io.File(abs)
+          if (!f.isFile) Map.empty // vanished sidecar = no pruning, never a wrong skip
+          else new String(java.nio.file.Files.readAllBytes(f.toPath),
+              java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty).map { l =>
+              val Array(n, j) = l.split("\t", 2); n -> j
+            }.toMap
+        })
+      case None =>
+        val pfx = s"$FileRangeKeyPrefix$partition/"
+        manifest.collect { case (k, v) if k.startsWith(pfx) =>
+          k.stripPrefix(pfx) -> v
+        }
+    }
+
   /** Committed [min,max] of `column` in `partition`/`fileName` (None =
     * never recorded, stale, or all-null — all mean "cannot prune").
     */
-  private[graft] def fileRangeOf(manifest: Map[String, String], partition: String,
+  private[graft] def fileRangeOf(tablePath: String, manifest: Map[String, String],
+                                 partition: String,
                                  fileName: String, column: String): Option[(Double, Double)] =
-    manifest.get(s"$FileRangeKeyPrefix$partition/$fileName")
+    fileStatsOf(tablePath, manifest, partition).get(fileName)
       .flatMap(parseRange(_, column))
 
   // ---- manifest ROW COUNTS: `__rows.<p>` → the partition's exact base
@@ -942,7 +998,7 @@ object Upsert {
       .filter(f => f.isFile && !f.getName.startsWith(".") &&
         !f.getName.startsWith("_"))
     var rows = 0L
-    val frange = files.flatMap { f =>
+    val perFile = files.flatMap { f =>
       val (mm, n) = footerStats(conf, f.getAbsolutePath, cols0.toSet)
       rows += n
       if (cols0.isEmpty) None
@@ -953,15 +1009,51 @@ object Upsert {
             case None           => s""""$c":null"""
           }
         }.mkString("{", ",", "}")
-        Some(s"$FileRangeKeyPrefix$partitionKey/${f.getName}" -> body)
+        Some(f.getName -> body)
       }
-    }.toMap
-    frange + (s"$RowsKeyPrefix$partitionKey" -> rows.toString)
+    }.toSeq.sortBy(_._1)
+    // checkpointed encoding: ONE sidecar file per partition, one manifest
+    // pointer entry — the manifest stays O(#partitions) in file count
+    val fstats =
+      if (perFile.isEmpty) Map.empty[String, String]
+      else {
+        val sidecarRel = s"$rel/$FileStatsSidecarName"
+        val body = perFile.map { case (n, j) => s"$n\t$j" }.mkString("\n")
+        java.nio.file.Files.write(
+          new java.io.File(s"$tablePath/$sidecarRel").toPath,
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Map(s"$FileStatsKeyPrefix$partitionKey" -> sidecarRel)
+      }
+    fstats + (s"$RowsKeyPrefix$partitionKey" -> rows.toString)
   }
 
   private[graft] def staleFileRangeKeys(manifest: Map[String, String],
                                         partitionKey: String): Set[String] =
-    manifest.keySet.filter(_.startsWith(s"$FileRangeKeyPrefix$partitionKey/"))
+    manifest.keySet.filter(_.startsWith(s"$FileRangeKeyPrefix$partitionKey/")) ++
+      manifest.keySet.filter(_ == s"$FileStatsKeyPrefix$partitionKey")
+
+  /** Narrow an integral footer statistic to double WITHOUT letting the
+    * rounded range exclude true values: for |v| > 2^53 the nearest
+    * double can land strictly inside the true range, and a pruner
+    * trusting that range would wrongly skip a file holding matching
+    * rows. Round the min downward / the max upward instead — one ulp
+    * step always covers the ≤ half-ulp nearest-rounding error, so the
+    * committed range CONTAINS the true range (at worst admitting one
+    * extra ulp of false-positive scan, never a false skip).
+    */
+  private def doubleAtMost(n: java.lang.Number): Double = n match {
+    case _: java.lang.Long | _: java.lang.Integer =>
+      val v = n.longValue(); val d = v.toDouble
+      if (BigDecimal(d) > BigDecimal(v)) Math.nextDown(d) else d
+    case _ => n.doubleValue()
+  }
+
+  private def doubleAtLeast(n: java.lang.Number): Double = n match {
+    case _: java.lang.Long | _: java.lang.Integer =>
+      val v = n.longValue(); val d = v.toDouble
+      if (BigDecimal(d) < BigDecimal(v)) Math.nextUp(d) else d
+    case _ => n.doubleValue()
+  }
 
   /** One footer read: (per requested column [min,max] over all row groups
     * — numeric physical types only, absent/empty statistics omitted —
@@ -986,7 +1078,7 @@ object Upsert {
           else (st.genericGetMin, st.genericGetMax) match {
             case (mn: java.lang.Number, mx: java.lang.Number) =>
               Some(cc.getPath.toDotString ->
-                (mn.doubleValue(), mx.doubleValue()))
+                (doubleAtMost(mn), doubleAtLeast(mx)))
             case _ => None // non-numeric (binary/string): no file pruning
           }
         }
@@ -2219,7 +2311,8 @@ object Upsert {
       // MATERIALIZED by this rewrite (its source read was sidecar-aware)
       // — the sidecar entries drop with the same flip
       val staleFileRanges = manifest.keySet.filter(k =>
-        partsEsc.exists(p => k.startsWith(s"$FileRangeKeyPrefix$p/")))
+        partsEsc.exists(p => k.startsWith(s"$FileRangeKeyPrefix$p/") ||
+          k == s"$FileStatsKeyPrefix$p"))
       val newManifest = (manifest -- partsEsc -- partsEsc.map(p => s"$RangeKeyPrefix$p")
           -- partsEsc.map(p => s"$DelKeyPrefix$p")
           -- partsEsc.map(p => s"$DeltaKeyPrefix$p")
@@ -2328,7 +2421,8 @@ object Upsert {
       // partition column, not the new one
       val cleaned = manifest.filter { case (k, _) =>
         k.startsWith("__") && !k.startsWith(RangeKeyPrefix) &&
-          !k.startsWith(FileRangeKeyPrefix) && !k.startsWith(RowsKeyPrefix) &&
+          !k.startsWith(FileRangeKeyPrefix) && !k.startsWith(FileStatsKeyPrefix) &&
+          !k.startsWith(RowsKeyPrefix) &&
           !k.startsWith(DelKeyPrefix) && !k.startsWith(DeltaKeyPrefix) &&
           k != GenPartKey
       } + (PartColKey -> pcPhys)
@@ -2376,7 +2470,7 @@ object Upsert {
     require(srcAbs != dstAbs, "cannot clone a table onto itself")
     val rewritten = m.map { case (k, v) =>
       val isPathValue = !k.startsWith("__") || k.startsWith(DelKeyPrefix) ||
-        k.startsWith(DeltaKeyPrefix)
+        k.startsWith(DeltaKeyPrefix) || k.startsWith(FileStatsKeyPrefix)
       if (isPathValue) k -> dstAbs.relativize(srcAbs.resolve(v)).toString
       else k -> v
     }

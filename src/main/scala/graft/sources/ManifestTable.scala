@@ -223,14 +223,18 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
       .getFileSystem(spark.sessionState.newHadoopConf())
     kept.toSeq.sortBy(_._1).map { case (p, rel) =>
       val dir = new Path(s"$tablePath/$rel")
+      // per-FILE stats: one checkpointed sidecar read per partition (not
+      // a manifest entry per file) — inside a surviving partition, a file
+      // whose committed [min,max] cannot intersect the pushed bounds is
+      // never listed into the scan (absent/stale entry = keep)
+      val fstats =
+        if (bounds.isEmpty) Map.empty[String, String]
+        else graft.pipeline.Upsert.fileStatsOf(tablePath, manifest, p)
       val files = fs.listStatus(dir).filter { st =>
         st.isFile && isDataFile(st.getPath.getName) &&
-          // per-FILE stats: inside a surviving partition, a file whose
-          // committed [min,max] cannot intersect the pushed bounds is
-          // never listed into the scan (absent/stale entry = keep)
           bounds.forall { case (colName, lo, hi) =>
-            graft.pipeline.Upsert.fileRangeOf(manifest, p,
-              st.getPath.getName, colName)
+            fstats.get(st.getPath.getName)
+              .flatMap(graft.pipeline.Upsert.parseRangeJson(_, colName))
               .forall { case (mn, mx) => mx >= lo && mn <= hi }
           }
       }

@@ -37,14 +37,25 @@ object LifecycleSql {
   private def attr(name: String, dt: DataType): Attribute =
     AttributeReference(name, dt, nullable = true)()
 
-  private def committer = new VersionedCommitter
+  /** SQL statements carry no handle to the table owner's committer, so
+    * they must not guess a retention smaller than the history already on
+    * disk: a fresh default-retain committer on a table managed with
+    * retain=30 would silently expire 20 versions at the first committing
+    * statement. Size retain to cover every version currently committed
+    * plus this command's own commit; fresh tables get the default.
+    */
+  private def committerFor(path: String): VersionedCommitter = {
+    val existing = new VersionedCommitter().versions(path).size
+    new VersionedCommitter(retain = math.max(10, existing + 1))
+  }
+
 
   case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       attr("version", LongType), attr("operation", StringType),
       attr("n_partitions", LongType), attr("n_rows", LongType))
     override def run(spark: SparkSession): Seq[Row] =
-      Upsert.tableHistory(spark, path, committer).collect().toSeq
+      Upsert.tableHistory(spark, path, committerFor(path)).collect().toSeq
   }
 
   case class RestoreTableCommand(path: String, version: Long)
@@ -53,7 +64,7 @@ object LifecycleSql {
       attr("restored_from", LongType), attr("new_version", LongType),
       attr("data_entries", LongType))
     override def run(spark: SparkSession): Seq[Row] = {
-      val st = Upsert.restoreTable(path, version, committer)
+      val st = Upsert.restoreTable(path, version, committerFor(path))
       Seq(Row(st.restoredFrom, st.newVersion, st.dataEntries.toLong))
     }
   }
@@ -62,7 +73,7 @@ object LifecycleSql {
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(attr("expired_version", LongType))
     override def run(spark: SparkSession): Seq[Row] =
-      Maintenance.expireVersions(path, keepLast, committer).map(Row(_))
+      Maintenance.expireVersions(path, keepLast, committerFor(path)).map(Row(_))
   }
 
   case class CloneTableCommand(src: String, dst: String, version: Option[Long])
@@ -71,7 +82,8 @@ object LifecycleSql {
       attr("src_version", LongType), attr("data_entries", LongType),
       attr("copied_bytes", LongType))
     override def run(spark: SparkSession): Seq[Row] = {
-      val st = Upsert.cloneTable(src, dst, committer, version, committer)
+      val st = Upsert.cloneTable(src, dst, committerFor(src), version,
+        committerFor(dst))
       Seq(Row(st.srcVersion, st.dataEntries.toLong, st.copiedBytes))
     }
   }
@@ -82,7 +94,7 @@ object LifecycleSql {
       attr("n_nulls", LongType), attr("n_distinct", LongType),
       attr("min_s", StringType), attr("max_s", StringType))
     override def run(spark: SparkSession): Seq[Row] = {
-      val st = Upsert.analyzeTable(spark, path, committer)
+      val st = Upsert.analyzeTable(spark, path, committerFor(path))
       st.columns.map(c => Row(c.column, st.rowCount, c.nNulls, c.nDistinct,
         c.min.orNull, c.max.orNull))
     }

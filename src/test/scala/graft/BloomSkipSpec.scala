@@ -111,9 +111,8 @@ class BloomSkipSpec extends AnyFunSuite {
 
     def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
       df.collect()
-      df.queryExecution.executedPlan.collectLeaves().collect {
-        case f: FileSourceScanExec => f.metrics("numFiles").value
-      }.sum
+      TestSpark.fileScanNodes(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
     }
 
     val t = ManifestTable.readTableIndexed(spark, path)

@@ -24,9 +24,8 @@ class GenPartSpec extends AnyFunSuite {
 
   private def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
     df.collect()
-    df.queryExecution.executedPlan.collectLeaves().collect {
-      case f: FileSourceScanExec => f.metrics("numFiles").value
-    }.sum
+    TestSpark.fileScanNodes(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
   }
 
   /** six single-file partitions p = v div 100, v ∈ {0..599 step 50}. */

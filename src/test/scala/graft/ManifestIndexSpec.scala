@@ -32,9 +32,8 @@ class ManifestIndexSpec extends AnyFunSuite {
 
   private def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
     df.collect()
-    df.queryExecution.executedPlan.collectLeaves().collect {
-      case f: FileSourceScanExec => f.metrics("numFiles").value
-    }.sum
+    TestSpark.fileScanNodes(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
   }
 
   test("pushed range filters prune partitions through the zone maps, declaratively") {

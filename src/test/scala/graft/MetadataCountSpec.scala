@@ -23,10 +23,10 @@ class MetadataCountSpec extends AnyFunSuite {
 
   private def scans(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect()
-    df.queryExecution.executedPlan.collectLeaves().count {
-      case _: FileSourceScanExec => true
-      case _ => false
-    }
+    // AQE wraps any exchange-bearing plan in AdaptiveSparkPlanExec, which
+    // is itself a leaf — unwrap to the finalized physical plan first, or
+    // every must-scan count reports 0.
+    TestSpark.fileScans(df.queryExecution.executedPlan)
   }
 
   private def build(): (String, VersionedCommitter) = {
@@ -60,15 +60,22 @@ class MetadataCountSpec extends AnyFunSuite {
     assert(grouped.as[(String, Long)].collect().toMap ==
       Map("0" -> 100L, "1" -> 100L, "2" -> 100L))
     assert(scans(grouped) == 1, "a grouped count must scan")
-    val countCol = t.selectExpr("count(v)")
+    // count(v) is legitimately metadata-answerable: v is non-nullable in
+    // the read schema, so Catalyst rewrites count(v) → count(1) upstream
+    // of our rule. A NULLABLE column's count must scan.
+    val countCol = t.selectExpr("count(p)")
     assert(countCol.as[Long].head() == 300L)
-    assert(scans(countCol) == 1, "count(col) skips nulls — must scan")
+    assert(scans(countCol) == 1, "count(nullable col) skips nulls — must scan")
+    val countNonNull = t.selectExpr("count(v)")
+    assert(countNonNull.as[Long].head() == 300L)
+    assert(scans(countNonNull) == 0,
+      "count(non-nullable col) folds to count(*) — metadata answers")
   }
 
   test("pending MoR sidecars suppress the metadata answer until compaction folds them") {
     val (path, c) = build()
-    Upsert.deleteKeysMor(spark, path,
-      Seq(0L, 3L).toDF("v"), keys = Seq("v"), committer = c)
+    Upsert.deleteKeysMor(spark, path, "p", keys = Seq("v"),
+      keyRows = Seq((0L, "0"), (3L, "0")).toDF("v", "p"), committer = c)
     // presented count shrank; metadata path must refuse, scan must agree
     assert(Upsert.countRows(spark, path, c) == 298L)
     val t = ManifestTable.readTableIndexed(spark, path, c)

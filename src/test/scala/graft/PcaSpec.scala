@@ -150,6 +150,31 @@ class PcaSpec extends AnyFunSuite {
       s"postings scan must prune on the bucket partition column:\n$scan")
   }
 
+  test("reduced-space IVF-PQ index: PQ loss stays inside the refine budget, only probed buckets read") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpqpca").toString
+    Pca.buildIvfPqIndexPca(corpus, path, SparkEntry.PcaFixture)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val pq = Pca.ivfPqPcaTopKFromIndex(spark, path, SparkEntry.PcaFixture,
+      queries, corpus, k = 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    // vs the uncompressed reduced-space IVF AT THE SAME re-rank budget
+    // (refine=100: same rotation, same coarse quantizer, same probes,
+    // same exact-re-rank list size) — the ONLY remaining difference is
+    // ADC candidate selection over codes vs reduced-cosine selection
+    // over projections, so this isolates pure PQ loss: the same ≥0.9
+    // discipline as the plain IVF-PQ gate (AnnSpec)
+    val ivfPca = pairs(Pca.ivfPcaTopK(spark, corpus, SparkEntry.PcaFixture,
+      refine = 100))
+    val recall = ivfPca.intersect(pairs(pq)).size.toDouble / ivfPca.size
+    info(s"ivfpq-pca recall@5 vs ivf-pca@refine100 = $recall (m=4, ksub=256)")
+    assert(recall >= 0.9, s"PQ-in-reduced-space recall $recall below 0.9 gate")
+    // scale shape: unprobed inverted lists must never be read
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"postings scan must prune on the bucket partition column:\n$plan")
+  }
+
   test("committed fixture is internally consistent: mu_dot_w = μ·w") {
     import spark.implicits._
     val mean = spark.read.parquet(s"${SparkEntry.PcaFixture}/mean")

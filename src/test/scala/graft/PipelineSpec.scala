@@ -69,9 +69,7 @@ class PipelineSpec extends AnyFunSuite {
     // the pipeline's partitioned files; its scan must carry the cutoff as a
     // PartitionFilter — pruned days never opened
     val df = SparkEntry.queries("pipeline_star_disk")(spark, "/root/testdata/sf0.001")
-    val scan = df.queryExecution.executedPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.head
+    val scan = TestSpark.fileScanNodes(df.queryExecution.executedPlan).head
     val parts = scan.metadata("PartitionFilters")
     assert(parts.contains(">="),
       s"expected the 7-day cutoff as a PartitionFilter, got: $parts")

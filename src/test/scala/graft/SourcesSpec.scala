@@ -186,11 +186,11 @@ class SourcesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // read PushedFilters off the scan node's metadata — the plan's
     // toString truncates long filter lists
-    val scan = graft.sources.Formats.orcEvents(spark, "/root/testdata/sf0.001")
+    val scanPlan = graft.sources.Formats.orcEvents(spark, "/root/testdata/sf0.001")
       .filter(col("event_type") === "error" && col("value_cents") >= 1000L)
-      .queryExecution.executedPlan.collectLeaves().collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.getOrElse(fail("no file scan in the plan"))
+      .queryExecution.executedPlan
+    val scan = TestSpark.fileScanNodes(scanPlan).headOption
+      .getOrElse(fail("no file scan in the plan"))
     val pushed = scan.metadata("PushedFilters")
     assert(pushed.contains("EqualTo(event_type,error)"), pushed)
     assert(pushed.contains("GreaterThanOrEqual(value_cents,1000)"), pushed)

@@ -87,10 +87,8 @@ class TableRenameSpec extends AnyFunSuite {
     val q = t.filter(col("version").between(90, 150))
     assert(q.selectExpr("key").as[Long].collect().toSet == Set(2L))
     q.collect()
-    val files = q.queryExecution.executedPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.metrics("numFiles").value
-    }.sum
+    val files = TestSpark.fileScanNodes(q.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
     assert(files == 1L, "the logical-name filter must still zone-prune")
   }
 

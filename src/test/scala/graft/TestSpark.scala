@@ -1,9 +1,31 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** One shared local session for the whole forked test JVM. */
 object TestSpark {
+
+  /** Count FileSourceScanExec leaves, seeing through AQE: an
+    * `AdaptiveSparkPlanExec` is itself a leaf node, so a naive
+    * `collectLeaves` on an exchange-bearing plan finds zero scans.
+    * Unwraps to the current finalized physical plan (and any nested
+    * adaptive subtrees) before counting.
+    */
+  def fileScans(plan: SparkPlan): Int = fileScanNodes(plan).size
+
+  /** All FileSourceScanExec nodes, unwrapping AQE subtrees (see above). */
+  def fileScanNodes(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+    case a: AdaptiveSparkPlanExec => fileScanNodes(a.executedPlan)
+    // materialized AQE stages are leaves wrapping the real subtree
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScanNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      fileScanNodes(r.child)
+    case f: FileSourceScanExec    => Seq(f)
+    case p                        => p.children.flatMap(fileScanNodes)
+  }
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -91,7 +91,15 @@ object PlanDump {
       // session_window aggregate (one shuffle, no analytic-window pair),
       // and the incremental IVF probe (partition-pruned postings scan
       // over the seeded+admitted index)
-      "doc_pack_global", "q_session_window", "ann_ivf_incremental")
+      "doc_pack_global", "q_session_window", "ann_ivf_incremental",
+      // round 16: the stats-driven join reorder (the selective users dim
+      // joins FIRST — the plan shape IS the rule's claim; both dims
+      // broadcast, so only the reorder distinguishes the orders), the
+      // reduced-space IVF-PQ probe (partition-pruned postings of 4-byte
+      // codes + LUT ADC + exact re-rank), and the per-file-stats
+      // checkpointed week read (file pruning through the __fstats
+      // sidecar inside one surviving partition)
+      "q_cbo_reorder", "ann_ivfpq_pca_topk", "table_file_pruned")
     val sb = new StringBuilder
     sb ++= "# PLANS — FINAL physical plans of the headline queries (sf0.1)\n\n"
     sb ++= "Generated by `graft.PlanDump` at HEAD. Every query is executed and its\n"

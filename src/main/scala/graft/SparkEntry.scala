@@ -522,6 +522,75 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // STATS-DRIVEN JOIN REORDER exercised end-to-end: a 3-table inner
+    // chain over ANALYZEd manifest tables written syntactically WORST
+    // (non-selective types dim first) — the committed rowcount×NDV
+    // greedy (plans.StatsJoinReorder, plan-asserted in its spec) flips
+    // the selective users dim first; the oracle recomputes the join +
+    // rollup in DuckDB, so the reorder is correctness-gated, not just
+    // plan-shaped
+    "q_cbo_reorder" -> ((s, d) => {
+      val (fp, up, tp, c) = demoFixture(s, d, "cbo") {
+        val root = cachedTempDir("graft_cbo_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val c = new graft.streaming.VersionedCommitter
+        val f = fact(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          lit("all").as("p"))
+        val selUsers = f.select("user_id").distinct()
+          .filter(pmod(col("user_id"), lit(10L)) === 0)
+          .withColumn("u_tag", concat(lit("u"), col("user_id")))
+          .withColumn("p", lit("all"))
+        val types = f.select("event_type").distinct()
+          .withColumn("t_tag", upper(col("event_type")))
+          .withColumn("p", lit("all"))
+        val (fp, up, tp) = (s"$root/fact", s"$root/users", s"$root/types")
+        Seq((f, fp), (selUsers, up), (types, tp)).foreach { case (df, pth) =>
+          pipeline.Upsert.replacePartitionsAtomic(s, df, pth, "p", Seq("all"),
+            committer = c)
+          pipeline.Upsert.analyzeTable(s, pth, c)
+        }
+        (fp, up, tp, c)
+      }
+      val f = sources.ManifestTable.readTableIndexed(s, fp, c)
+        .select("event_id", "user_id", "event_type", "value_cents")
+      val t = sources.ManifestTable.readTableIndexed(s, tp, c)
+        .select("event_type", "t_tag")
+      val u = sources.ManifestTable.readTableIndexed(s, up, c)
+        .select("user_id", "u_tag")
+      f.join(t, "event_type").join(u, "user_id")
+        .groupBy("t_tag").agg(count(lit(1)).as("n"),
+          sum("value_cents").as("sum_cents"))
+    }),
+    // CONTINUOUS MV maintenance (§2.9f meets the MV family): the same
+    // staged event files streamed through StreamMv — each micro-batch
+    // upserts the source manifest table AND advances the day rollup via
+    // the CDF-driven partial recompute, cursor riding every flip. The
+    // oracle recomputes the final rollup from raw events, so a batch
+    // double-counted on replay, a missed day, or a stale cursor all
+    // hash-mismatch; per-batch advancement + checkpoint-restart replay
+    // are pinned in StreamMvSpec
+    "stream_mv" -> ((s, d) => {
+      val root = demoFixture(s, d, "smv") {
+        val in = stagedEvents(s, d, numFiles = 3)
+        val root = cachedTempDir("graft_smv_")
+        val c = new graft.streaming.VersionedCommitter
+        val rows = streaming.StreamOracle
+          .fileStream(s, in, maxFilesPerTrigger = Some(1))
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            round(col("value") * 100).cast("long").as("value_cents"),
+            date_format(col("ts"), "yyyyMMdd").as("day"))
+        streaming.StreamMv.maintainMv(s, rows, s"$root/src", s"$root/mv",
+          "day", keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+          groups = Seq("day"),
+          aggs = Seq(sum(col("value_cents")).as("sum_cents"),
+            count(lit(1)).as("cnt")),
+          checkpoint = s"$root/_ckpt", srcCommitter = c).awaitTermination()
+        root
+      }
+      pipeline.Upsert.readTable(s, s"$root/mv")
+    }),
     // Generator-determinism pin (F17/F18/F19 + S7): regenerate the
     // committed vitals snapshot IN-SESSION and hash-compare against
     // DuckDB's independent read of the committed files. All generated
@@ -3175,6 +3244,21 @@ object SparkEntry {
     // dirs promoted in place
     "table_type_widened" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
+    // the reordered 3-table chain recomputed declaratively: selective
+    // users (every 10th), full types, keep-latest fact
+    "q_cbo_reorder" ->
+      (s"$FactCte, su AS (SELECT DISTINCT user_id FROM fact WHERE user_id % 10 = 0), " +
+        "ty AS (SELECT DISTINCT event_type FROM fact) " +
+        "SELECT upper(f.event_type) AS t_tag, count(*) AS n, " +
+        "CAST(sum(CAST(round(f.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM fact f JOIN ty ON f.event_type = ty.event_type " +
+        "JOIN su ON f.user_id = su.user_id GROUP BY 1"),
+    // the continuously-maintained rollup must equal the daily rollup of
+    // the deduped fact — the whole streamed history
+    "stream_mv" ->
+      (s"$FactCte SELECT strftime(CAST(ts AS DATE), '%Y%m%d') AS day, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, count(*) AS cnt " +
+        "FROM fact GROUP BY 1"),
     // the incrementally-maintained rollup must equal the daily rollup of
     // the head state (fact minus the deleted error class)
     "mv_incremental" ->

@@ -2572,6 +2572,24 @@ object Upsert {
     }
   }
 
+  /** Committed CBO inputs straight off a manifest snapshot: (exact
+    * rowcount, column → NDV) — keyed by BOTH the logical stats name and
+    * its current physical name, so consumers matching either side of the
+    * rename seam (the raw relation is physical-named, the read surface
+    * logical-named) resolve the same numbers. None = never ANALYZEd.
+    */
+  private[graft] def cboStatsOf(manifest: Map[String, String]): Option[(Long, Map[String, Long])] =
+    manifest.get(StatsRowcountKey).map { n =>
+      val byLogical = manifest.toSeq.collect {
+        case (k, v) if k.startsWith(StatsColPrefix) =>
+          k.stripPrefix(StatsColPrefix) -> v.split("\t", 4)(1).toLong
+      }
+      val byPhysical = byLogical.map { case (c, d) =>
+        physicalName(manifest, c) -> d
+      }
+      (n.toLong, (byLogical ++ byPhysical).toMap)
+    }
+
   /** The committed statistics as a tall frame (one row per analyzed
     * column) — the DESCRIBE-statistics read surface, and what the
     * correctness harness diffs against an independent recompute.

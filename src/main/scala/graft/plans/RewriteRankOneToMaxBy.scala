@@ -77,6 +77,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
     e.injectOptimizerRule(_ => RewriteAggregateToMv)
     e.injectOptimizerRule(_ => MetadataOnlyCount)
+    e.injectOptimizerRule(_ => StatsJoinReorder)
     e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     graft.functions.expr.GraftFunctions.functions.foreach(e.injectFunction)
   }

@@ -162,6 +162,13 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
   private[sources] def committedSchema: Option[StructType] =
     graft.pipeline.Upsert.committedSchemaOf(manifest)
 
+  /** Committed ANALYZE stats for the planner seam ((rowcount, col→NDV);
+    * see [[graft.plans.StatsJoinReorder]]) — None gates cost-based
+    * rewrites off for never-ANALYZEd tables.
+    */
+  private[graft] lazy val cboStats: Option[(Long, Map[String, Long])] =
+    graft.pipeline.Upsert.cboStatsOf(manifest)
+
   private[sources] def dataPaths: Seq[String] =
     entries.values.map(rel => s"$tablePath/$rel").toSeq
 

@@ -522,6 +522,47 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // INCREMENTAL ANALYZE exercised end-to-end: a day-partitioned fact
+    // analyzed, ONE day's error events re-keyed (value zeroed at a later
+    // ts), re-analyzed — the second pass must recompute exactly that day
+    // (required in-fixture) and the MERGED stats (exact rows/nulls/
+    // min/max + the replayable KMV NDV estimate over per-day sketches)
+    // must equal DuckDB's global recompute of the final state
+    "table_stats_incr" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "iancr") {
+        val out = cachedTempDir("graft_ia_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        withPersisted(fact(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          date_format(col("ts"), "yyyyMMdd").as("day"))) { state =>
+          val days = state.select("day").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          pipeline.Upsert.replacePartitionsAtomic(s, state, out, "day", days,
+            committer = c)
+          val st1 = pipeline.Upsert.analyzeTableIncremental(s, out, c,
+            Seq("user_id", "value_cents"))
+          require(st1.recomputedPartitions.size == days.size,
+            "bootstrap analyze must sketch every day")
+          val d0 = days.head
+          val delta = state.filter(col("day") === d0 &&
+              col("event_type") === "error")
+            .withColumn("ts_us", col("ts_us") + 1)
+            .withColumn("value_cents", lit(0L))
+          pipeline.Upsert.upsertPartitionsAtomic(s, delta, out, "day",
+            keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+            committer = c)
+          val st2 = pipeline.Upsert.analyzeTableIncremental(s, out, c,
+            Seq("user_id", "value_cents"))
+          require(st2.recomputedPartitions == Seq(d0),
+            s"only $d0 changed, recomputed ${st2.recomputedPartitions}")
+        }
+        (out, c)
+      }
+      pipeline.Upsert.statsAsDataFrame(s, out, c)
+    }),
     // STATS-DRIVEN JOIN REORDER exercised end-to-end: a 3-table inner
     // chain over ANALYZEd manifest tables written syntactically WORST
     // (non-selective types dim first) — the committed rowcount×NDV
@@ -916,6 +957,12 @@ object SparkEntry {
     // (iterative min-label propagation; deterministic labels = min doc_id)
     "dedup_clusters" -> ((s, d) =>
       Components.dedupClusters(Tables.documents(prep(s), d), 0.7)),
+    // the production retention rule: inside each near-dup cluster keep
+    // the HIGHEST-QUALITY member (FxMath-exact score, tie → smallest
+    // doc_id), not the arbitrary min-id canonical — one agg per cluster,
+    // no corpus-wide window
+    "dedup_quality_survivor" -> ((s, d) =>
+      Components.qualitySurvivorClusters(Tables.documents(prep(s), d), 0.7)),
     "ann_cosine_topk" -> ((s, d) =>
       Ann.bruteTopK(Tables.embeddings(prep(s), d), 10, 5)),
     "ann_ivf_topk" -> ((s, d) =>
@@ -2205,6 +2252,30 @@ object SparkEntry {
     * k-th-minimum estimator — the same arithmetic in the same order as
     * the aggregate's eval, so the ESTIMATE hash-matches.
     */
+  /** Merged incremental stats vs a global recompute of the FINAL demo
+    * state (min-day errors zeroed): exact rows/nulls/min/max, NDV via the
+    * identical bottom-k-by-mhash61 estimator — sound because the merge of
+    * per-day bottom-ks IS the global bottom-k.
+    */
+  private def incrStatsOracleSql: String = {
+    val m = graft.functions.expr.Sketches.M
+    def ndvSql(c: String): String = {
+      val h = graft.functions.expr.Sketches.mhash61Sql(c)
+      s"(SELECT CAST(CASE WHEN n < 256 THEN n ELSE round(255 * CAST($m AS DOUBLE) / CAST(h AS DOUBLE)) END AS BIGINT) " +
+        s"FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS n " +
+        s"FROM (SELECT DISTINCT $h AS h FROM st WHERE $c IS NOT NULL)) " +
+        s"WHERE rn = (CASE WHEN n < 256 THEN 1 ELSE 256 END))"
+    }
+    s"$FactCte, w AS (SELECT strftime(min(CAST(ts AS DATE)), '%Y%m%d') AS d0 FROM fact), " +
+      "st AS (SELECT user_id, CASE WHEN event_type = 'error' AND strftime(CAST(ts AS DATE), '%Y%m%d') = (SELECT d0 FROM w) THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents FROM fact) " +
+      "SELECT 'user_id' AS col_name, (SELECT count(*) FROM st) AS n_rows, " +
+      s"CAST(count(*) - count(user_id) AS BIGINT) AS n_nulls, ${ndvSql("user_id")} AS n_distinct, " +
+      "CAST(min(user_id) AS VARCHAR) AS min_s, CAST(max(user_id) AS VARCHAR) AS max_s FROM st " +
+      "UNION ALL SELECT 'value_cents', (SELECT count(*) FROM st), " +
+      s"CAST(count(*) - count(value_cents) AS BIGINT), ${ndvSql("value_cents")}, " +
+      "CAST(min(value_cents) AS VARCHAR), CAST(max(value_cents) AS VARCHAR) FROM st"
+  }
+
   private def kmvOracleSql(keyCol: String, k: Int, outName: String): String = {
     val h = graft.functions.expr.Sketches.mhash61Sql(keyCol)
     val m = graft.functions.expr.Sketches.M
@@ -2265,6 +2336,28 @@ object SparkEntry {
       "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node), " +
       "assign AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node) " +
       "SELECT node AS doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS n_members, node = cluster_id AS is_canonical FROM assign"
+
+  /** Quality-aware survivor mirror: the dedup_clusters closure joined to
+    * the text_quality rational, survivor = row_number over
+    * (quality DESC, doc_id ASC) — the same total order as Spark's
+    * max(struct(quality, −doc_id)) aggregate.
+    */
+  private def qualitySurvivorOracleSql(threshold: Double): String = {
+    val n = "len(string_split(text, ' '))"
+    val stops = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"
+    val dist = "len(list_distinct(string_split(text, ' ')))"
+    val qexpr = fxRatioSql(s"($dist) * (($n) - ($stops))", s"($n) * ($n)", 4)
+    s"WITH RECURSIVE $JaccardShingleCtes, " +
+      s"pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $JaccardExprSql >= $threshold), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e.dst AS node, r.comp FROM reach r JOIN edges e ON e.src = r.node), " +
+      "assign AS (SELECT node, min(comp) AS cluster_id FROM reach GROUP BY node), " +
+      s"q AS (SELECT doc_id, $qexpr AS quality_score FROM documents), " +
+      "j AS (SELECT a.node AS doc_id, a.cluster_id, q.quality_score FROM assign a JOIN q ON q.doc_id = a.node), " +
+      "surv AS (SELECT cluster_id, doc_id AS survivor_id FROM (SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id ASC) AS rn FROM j) WHERE rn = 1) " +
+      "SELECT j.doc_id, j.cluster_id, count(*) OVER (PARTITION BY j.cluster_id) AS n_members, j.quality_score, j.doc_id = surv.survivor_id AS is_survivor " +
+      "FROM j JOIN surv ON surv.cluster_id = j.cluster_id"
+  }
 
   /** SemDeDup oracle builder: primary assignment (rn = 1) reports the
     * bucket; pair discovery runs over the `spill` nearest buckets
@@ -2852,6 +2945,7 @@ object SparkEntry {
         "OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535) OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535)) " +
         "SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 8"),
     "dedup_clusters" -> dedupClustersOracleSql(0.7),
+    "dedup_quality_survivor" -> qualitySurvivorOracleSql(0.7),
     "emb_pca_project" ->
       (s"WITH c AS (SELECT comp, w, mu_dot_w FROM read_parquet('$PcaFixture/components/*.parquet')), " +
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) " +
@@ -3244,6 +3338,10 @@ object SparkEntry {
     // dirs promoted in place
     "table_type_widened" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
+    // merged incremental stats vs a global recompute of the final state:
+    // exact rows/nulls/min/max, NDV via the identical bottom-k-by-mhash61
+    // estimator (merged per-day bottom-ks ≡ the global bottom-k)
+    "table_stats_incr" -> incrStatsOracleSql,
     // the reordered 3-table chain recomputed declaratively: selective
     // users (every 10th), full types, keep-latest fact
     "q_cbo_reorder" ->

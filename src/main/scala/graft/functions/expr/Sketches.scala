@@ -73,6 +73,32 @@ object Sketches {
       BottomKSampleAgg(ColumnBridge.expression(hash),
         ColumnBridge.expression(value), k).toAggregateExpression())
 
+  /** The KMV bottom-k hash SET itself (sorted ascending array<long>)
+    * rather than the point estimate — the MERGEABLE form: per-partition
+    * sets union/truncate to the exact global bottom-k (any hash among
+    * the global k smallest is among its home partition's k smallest), so
+    * incremental stats maintenance re-sketches only changed partitions
+    * and merges driver-side ([[graft.pipeline.Upsert.analyzeTableIncremental]]).
+    */
+  def kmvSet(hash: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvSetAgg(ColumnBridge.expression(hash), k).toAggregateExpression())
+
+  /** Merge bottom-k sets (each sorted ascending) to the global bottom-k,
+    * and the estimate the merged set implies — Math.floor(e + 0.5), the
+    * identical arithmetic to [[KmvDistinctAgg]].eval / the DuckDB round()
+    * replay.
+    */
+  def kmvMergeEstimate(sets: Seq[Array[Long]], k: Int): Long = {
+    val merged = new java.util.TreeSet[java.lang.Long]()
+    sets.foreach(_.foreach { h =>
+      if (merged.size < k) merged.add(h)
+      else if (h < merged.last) { if (merged.add(h)) merged.pollLast() }
+    })
+    if (merged.size < k) merged.size.toLong
+    else Math.floor((k - 1).toDouble * M.toDouble / merged.last.toDouble + 0.5).toLong
+  }
+
   /** DuckDB fragment computing the same h(x) (x must be non-negative):
     * round 1 in HUGEINT, xor-fold in BIGINT (h₁ < 2⁶¹ fits), round 2 in
     * HUGEINT, + 1.
@@ -202,6 +228,51 @@ case class KmvDistinctAgg(child: Expression, k: Int,
   override def withNewInputAggBufferOffset(o: Int): KmvDistinctAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvDistinctAgg =
+    copy(child = c.head)
+}
+
+/** [[KmvDistinctAgg]]'s buffer with the SET as the result (sorted
+  * ascending array<long>, size ≤ k) — the mergeable per-partition form;
+  * see [[Sketches.kmvSet]].
+  */
+case class KmvSetAgg(child: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 16, s"kmv_set needs k >= 16, got $k")
+
+  private val inner = KmvDistinctAgg(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_set"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(b: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    inner.update(b, input)
+  override def merge(b: java.util.TreeSet[java.lang.Long],
+                     o: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    inner.merge(b, o)
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](b.size)
+    val it = b.iterator(); var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(b)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvSetAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSetAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvSetAgg =
     copy(child = c.head)
 }
 

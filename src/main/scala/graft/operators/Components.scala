@@ -232,6 +232,34 @@ object Components {
   def dedupClusters(documents: DataFrame, threshold: Double): DataFrame =
     dedupClustersStaged(documents, threshold)._1
 
+  /** [[dedupClusters]] with QUALITY-AWARE survivor selection — what a
+    * production curation pipeline actually keeps: inside each near-dup
+    * cluster the retained doc is the one with the highest
+    * [[TextOps.textQuality]] score (tie → smallest doc_id), not the
+    * arbitrary min-id canonical. Selection is one `max(struct(quality,
+    * −doc_id))` aggregate per cluster — O(cluster members) shuffled on
+    * cluster_id, never a corpus-wide window — and the quality rational is
+    * integer-exact (FxMath), so the argmax replays bit-for-bit in the
+    * oracle. Emits one row per clustered doc: (doc_id, cluster_id,
+    * n_members, quality_score, is_survivor).
+    */
+  def qualitySurvivorClusters(documents: DataFrame, threshold: Double): DataFrame = {
+    val clusters = dedupClusters(documents, threshold)
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+    val quality = TextOps.textQuality(documents)
+      .select(col("doc_id"), col("quality_score"))
+    // clustered docs ⊆ corpus: equi-join on doc_id (AQE broadcasts the
+    // cluster side when small)
+    val joined = clusters.join(quality, "doc_id")
+    val survivors = joined.groupBy(col("cluster_id")).agg(
+      max(struct(col("quality_score"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg_id")).as("survivor_id"))
+    joined.join(survivors, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        col("quality_score"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"))
+  }
+
   /** As [[dedupClusters]], plus the component-label cache handle (see
     * [[connectedComponentsStaged]]) for staged pipelines that must release
     * it once their sink has materialized.

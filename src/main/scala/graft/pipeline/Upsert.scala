@@ -1041,17 +1041,25 @@ object Upsert {
     * committed range CONTAINS the true range (at worst admitting one
     * extra ulp of false-positive scan, never a false skip).
     */
+  // NB: the comparisons must be EXACT-binary (java.math.BigDecimal(d)
+  // expands the double's true value) — Scala's BigDecimal(d) goes through
+  // the double's shortest decimal string, which can sit on the OTHER side
+  // of the long and flip the adjustment direction.
   private def doubleAtMost(n: java.lang.Number): Double = n match {
     case _: java.lang.Long | _: java.lang.Integer =>
       val v = n.longValue(); val d = v.toDouble
-      if (BigDecimal(d) > BigDecimal(v)) Math.nextDown(d) else d
+      if (new java.math.BigDecimal(d)
+          .compareTo(java.math.BigDecimal.valueOf(v)) > 0) Math.nextDown(d)
+      else d
     case _ => n.doubleValue()
   }
 
   private def doubleAtLeast(n: java.lang.Number): Double = n match {
     case _: java.lang.Long | _: java.lang.Integer =>
       val v = n.longValue(); val d = v.toDouble
-      if (BigDecimal(d) < BigDecimal(v)) Math.nextUp(d) else d
+      if (new java.math.BigDecimal(d)
+          .compareTo(java.math.BigDecimal.valueOf(v)) < 0) Math.nextUp(d)
+      else d
     case _ => n.doubleValue()
   }
 
@@ -2555,6 +2563,173 @@ object Upsert {
       committer.commit(tablePath,
         cleaned ++ entries + (StatsRowcountKey -> nRows.toString))
       TableStats(nRows, colStats)
+    }
+
+  private val PartStatsKey = "__pstats"
+
+  case class IncrementalAnalyzeStats(stats: TableStats,
+                                     recomputedPartitions: Seq[String])
+
+  /** INCREMENTAL ANALYZE — stats maintenance proportional to CHANGE, not
+    * table size: per-partition key statistics (rows, nulls, min/max, and
+    * the MERGEABLE KMV bottom-k NDV sketch) live in one `_stats` sidecar
+    * file keyed by each partition's content fingerprint (data dir + MoR
+    * sidecar refs); a re-ANALYZE re-aggregates ONLY partitions whose
+    * fingerprint moved and merges the rest from the sidecar — at 100 TB
+    * that is the difference between a full-table NDV shuffle per stats
+    * refresh and one O(changed-days) job. The merged table stats commit
+    * under the SAME `__stats.*` keys the exact [[analyzeTable]] writes,
+    * so every consumer (readTableCbo's broadcast decision,
+    * [[graft.plans.StatsJoinReorder]], DESCRIBE STATISTICS) reads them
+    * unchanged.
+    *
+    * Scope: `keyCols` must be NON-NEGATIVE LONG columns (ids/keys — the
+    * columns join reordering needs NDV for; [[Sketches.mhash61]] fails
+    * fast on negatives). NDV is the KMV estimate — deterministic and
+    * exactly replayable cross-engine (the merged bottom-k of
+    * per-partition bottom-ks IS the global bottom-k), exact below k.
+    * Nulls/min/max/rowcount are exact. For exact-NDV full-column stats,
+    * the one-shot [[analyzeTable]] remains. A logical column rename
+    * changes the requested names and marks every partition stale (the
+    * sidecar's column set no longer matches) — conservative, never wrong.
+    */
+  def analyzeTableIncremental(spark: SparkSession, tablePath: String,
+                              committer: SnapshotCommitter,
+                              keyCols: Seq[String],
+                              k: Int = 256): IncrementalAnalyzeStats =
+    withOp(committer, tablePath, "analyze_incr") {
+      require(keyCols.nonEmpty, "incremental analyze needs key columns")
+      val manifest = committer.readManifest(tablePath)
+      val data = dataEntries(manifest)
+      require(data.nonEmpty, s"no committed table at $tablePath")
+      import graft.functions.expr.Sketches
+
+      def fingerprint(p: String): String = Seq(
+        manifest.get(p), manifest.get(s"$DelKeyPrefix$p"),
+        manifest.get(s"$DeltaKeyPrefix$p")).flatten.mkString("|")
+
+      // sidecar line: p \t fp \t rows \t col␁nulls␁minEnc␁maxEnc␁h,h,… ␀ …
+      final case class ColStat(nulls: Long, min: Option[String],
+                               max: Option[String], kmv: Array[Long])
+      final case class PartStat(fp: String, rows: Long,
+                                cols: Map[String, ColStat])
+      def parseSidecar(rel: String): Map[String, PartStat] = {
+        val f = new java.io.File(s"$tablePath/$rel")
+        if (!f.isFile) return Map.empty // vanished = recompute everything
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").filter(_.nonEmpty).map { line =>
+            val Array(p, fp, rows, colsBlob) = line.split("\t", 4)
+            val cols = colsBlob.split("\u0002").filter(_.nonEmpty).map { cb =>
+              val parts = cb.split("\u0001", 5)
+              val kmv =
+                if (parts(4).isEmpty) Array.empty[Long]
+                else parts(4).split(",").map(_.toLong)
+              parts(0) -> ColStat(parts(1).toLong, decOpt(parts(2)),
+                decOpt(parts(3)), kmv)
+            }.toMap
+            p -> PartStat(fp, rows.toLong, cols)
+          }.toMap
+      }
+      val prior = manifest.get(PartStatsKey).map(parseSidecar)
+        .getOrElse(Map.empty)
+
+      val parts = data.keys.toSeq.sorted
+      val stale = parts.filter { p =>
+        prior.get(p) match {
+          case Some(ps) => ps.fp != fingerprint(p) ||
+            ps.cols.keySet != keyCols.toSet
+          case None => true
+        }
+      }
+
+      // ONE job over the stale partitions, grouped by partition value:
+      // exact rows/nulls/min/max + the bottom-k hash set per key column
+      val pcPhys = manifest.getOrElse(PartColKey,
+        sys.error(s"no partition column committed at $tablePath"))
+      val pcLogical = toLogicalName(manifest, pcPhys)
+      val fresh: Map[String, PartStat] =
+        if (stale.isEmpty) Map.empty
+        else {
+          val src = readTablePartitions(spark, tablePath, stale, committer)
+          val aggs = count(lit(1)).as("__rows") +: keyCols.flatMap { c =>
+            Seq((count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+              min(col(c)).cast("string").as(s"${c}__min"),
+              max(col(c)).cast("string").as(s"${c}__max"),
+              Sketches.kmvSet(Sketches.mhash61(col(c)), k).as(s"${c}__kmv"))
+          }
+          val rows = src.groupBy(col(pcLogical).cast("string").as("__p"))
+            .agg(aggs.head, aggs.tail: _*).collect() // one row per partition
+          val computed = rows.map { r =>
+            val p = partKey(r.getAs[String]("__p"))
+            val cols = keyCols.map { c =>
+              c -> ColStat(r.getAs[Long](s"${c}__nulls"),
+                Option(r.getAs[String](s"${c}__min")),
+                Option(r.getAs[String](s"${c}__max")),
+                r.getAs[scala.collection.Seq[Long]](s"${c}__kmv").toArray)
+            }.toMap
+            p -> PartStat(fingerprint(p), r.getAs[Long]("__rows"), cols)
+          }.toMap
+          // a partition whose presented rows all vanished emits no group
+          // row: record it as empty so its fingerprint reads fresh
+          val empties = stale.filterNot(computed.contains).map { p =>
+            p -> PartStat(fingerprint(p), 0L,
+              keyCols.map(_ -> ColStat(0L, None, None, Array.empty[Long])).toMap)
+          }
+          computed ++ empties
+        }
+
+      val all: Map[String, PartStat] =
+        parts.map(p => p -> fresh.getOrElse(p, prior(p))).toMap
+
+      // merge: exact sums, type-aware min/max, global bottom-k estimate
+      val numericCols: Set[String] = {
+        val schema = readTablePartitions(spark, tablePath, Nil, committer).schema
+        keyCols.filter(c => schema.fields.find(_.name == c)
+          .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+          .toSet
+      }
+      def lt(c: String)(a: String, b: String): Boolean =
+        if (numericCols(c)) BigDecimal(a) < BigDecimal(b) else a < b
+      val nRows = all.values.map(_.rows).sum
+      val colStats = keyCols.map { c =>
+        val per = all.values.map(_.cols(c)).toSeq
+        val mins = per.flatMap(_.min)
+        val maxs = per.flatMap(_.max)
+        ColumnStats(c, per.map(_.nulls).sum,
+          Sketches.kmvMergeEstimate(per.map(_.kmv), k),
+          if (mins.isEmpty) None else Some(mins.reduce((a, b) => if (lt(c)(a, b)) a else b)),
+          if (maxs.isEmpty) None else Some(maxs.reduce((a, b) => if (lt(c)(a, b)) b else a)))
+      }
+
+      // write the new sidecar, commit stats + pointer in one flip, then
+      // drop the superseded sidecar (stats are ADVISORY: an as-of reader
+      // of an older version finds no stats = no CBO, never a wrong answer)
+      val statsDir = new java.io.File(s"$tablePath/_stats")
+      statsDir.mkdirs()
+      val rel = s"_stats/pstats-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
+      val body = parts.map { p =>
+        val ps = all(p)
+        val colsBlob = keyCols.map { c =>
+          val cs = ps.cols(c)
+          Seq(c, cs.nulls.toString, encOpt(cs.min), encOpt(cs.max),
+            cs.kmv.mkString(",")).mkString("\u0001")
+        }.mkString("\u0002")
+        s"$p\t${ps.fp}\t${ps.rows}\t$colsBlob"
+      }.mkString("\n")
+      java.nio.file.Files.write(new java.io.File(s"$tablePath/$rel").toPath,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val entries = colStats.map(c => s"$StatsColPrefix${c.column}" ->
+        Seq(c.nNulls.toString, c.nDistinct.toString, encOpt(c.min),
+          encOpt(c.max)).mkString("\t")).toMap
+      val cleaned = manifest.filterNot(_._1.startsWith(StatsColPrefix))
+      committer.commit(tablePath, cleaned ++ entries +
+        (StatsRowcountKey -> nRows.toString) + (PartStatsKey -> rel))
+      manifest.get(PartStatsKey).foreach(old =>
+        new java.io.File(s"$tablePath/$old").delete())
+      IncrementalAnalyzeStats(TableStats(nRows, colStats.sortBy(_.column)),
+        stale.map(org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName))
     }
 
   /** The committed statistics, if the table has been ANALYZEd. */

@@ -522,6 +522,121 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // Z-ORDER × PER-FILE STATS: ts-range-split files are re-clustered by
+    // OPTIMIZE-style compaction (zorderCols = user_id, ts_us), and the
+    // regenerated per-file sidecar stats then narrow a TWO-dimensional
+    // window INSIDE the single partition — the composition that makes
+    // multi-dim point/range lookups affordable at 100 TB (partition
+    // pruning bounds dirs, z-order + file stats bound the object GETs on
+    // both dims at once). A wrongful file skip loses rows the exact
+    // filter can't restore — hash-caught by the oracle recompute
+    "table_zorder_file_pruned" -> ((s, d) => {
+      val (out, c, uLo, uHi, tLo, tHi) = demoFixture(s, d, "zofp") {
+        val out = cachedTempDir("graft_zofp_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        pipeline.Upsert.enableRangeStats(out, Seq("user_id", "ts_us"), c)
+        withPersisted(fact(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          lit("all").as("part"))) { state =>
+          pipeline.Upsert.replacePartitionsAtomic(s,
+            state.repartitionByRange(16, col("ts_us")), out, "part",
+            Seq("all"), committer = c)
+          val bytes = pipeline.Maintenance.tableFileStats(out, c)
+            .map(_.bytes).sum
+          val st = pipeline.Maintenance.compact(s, out,
+            targetFileBytes = math.max(1L, bytes / 4),
+            zorderCols = Seq("user_id", "ts_us"), committer = c)
+          require(st.committed, "the z-order rewrite must commit")
+          val Array(uMin, uMax, tMin, tMax) = state.agg(
+            min("user_id"), max("user_id"), min("ts_us"), max("ts_us"))
+            .head().toSeq.map(_.asInstanceOf[Long]).toArray
+          // the lowest octant of both dims — inside one z-quadrant, so
+          // only that quadrant's files can intersect
+          val (uHi, tHi) = (uMin + (uMax - uMin) / 8, tMin + (tMax - tMin) / 8)
+          val m = c.readManifest(out)
+          val fstats = pipeline.Upsert.fileStatsOf(out, m, "all")
+          val surviving = fstats.keySet.count { f =>
+            Seq(("user_id", uMin, uHi), ("ts_us", tMin, tHi)).forall {
+              case (cn, lo, hi) =>
+                pipeline.Upsert.fileRangeOf(out, m, "all", f, cn)
+                  .forall { case (mn, mx) => mx >= lo && mn <= hi }
+            }
+          }
+          require(fstats.size < 2 || surviving < fstats.size,
+            s"the 2-dim window must file-prune: $surviving of ${fstats.size}")
+          (out, c, uMin, uHi, tMin, tHi)
+        }
+      }
+      sources.ManifestTable.readTableIndexed(s, out, c)
+        .filter(col("user_id").between(uLo, uHi) &&
+          col("ts_us").between(tLo, tHi))
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("value_cents"))
+    }),
+    // CROSS-TABLE ERASURE (the GDPR right-to-be-forgotten shape at
+    // 100 TB): one user's events retired from the fact via MERGE-ON-READ
+    // sidecars — O(the user's rows) written, NO partition rewrite — the
+    // per-user rollup recomputed, and BOTH new versions published in ONE
+    // atomic catalog flip: a reader resolving the catalog sees the user
+    // in both tables or in neither, never half-erased. The oracle
+    // recomputes the fact minus the target user, so an erasure that
+    // missed rows, dropped a bystander, or leaked through a read seam
+    // hash-mismatches; torn-flip atomicity is pinned by CatalogTxnSpec
+    "table_erasure" -> ((s, d) => {
+      val (cat, cc, tc) = demoFixture(s, d, "gdpr") {
+        val root = cachedTempDir("graft_gdpr_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val (cat, factP, aggP) = (s"$root/cat", s"$root/fact", s"$root/agg")
+        val cc = new graft.streaming.VersionedCommitter
+        val tc = new graft.streaming.VersionedCommitter
+        withPersisted(fact(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          pmod(col("event_id"), lit(8L)).as("bucket"))) { state =>
+          def aggOf(f: DataFrame) = f.groupBy("user_id").agg(
+            count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
+            .withColumn("part", lit("all"))
+          pipeline.Upsert.replacePartitionsAtomic(s, state, factP, "bucket",
+            (0L until 8L).map(_.toString), committer = tc)
+          pipeline.Upsert.replacePartitionsAtomic(s, aggOf(state), aggP,
+            "part", Seq("all"), committer = tc)
+          pipeline.Catalog.transaction(cat, cc, tc) { t =>
+            t.stage("fact", factP, tc.versions(factP).last)
+            t.stage("agg", aggP, tc.versions(aggP).last)
+          }
+          val target = state.agg(min(col("user_id"))).head().getLong(0)
+          val dataBefore = tc.readManifest(factP).filterNot(_._1.startsWith("__"))
+          // O(user's rows): the user's (bucket, event_id) keys land as
+          // deletion sidecars — no data dir rewrites
+          val st = pipeline.Upsert.deleteKeysMor(s, factP, "bucket",
+            Seq("event_id"),
+            state.filter(col("user_id") === target)
+              .select(col("bucket"), col("event_id")), tc)
+          require(st.deletedRows > 0, "the erasure must retire something")
+          require(tc.readManifest(factP).filterNot(_._1.startsWith("__")) ==
+            dataBefore, "erasure must rewrite NO data dir")
+          // rollup recomputed from the post-erasure fact read (the MoR
+          // seam applies the sidecars), then BOTH pins flip atomically
+          pipeline.Upsert.replacePartitionsAtomic(s,
+            aggOf(pipeline.Upsert.readTable(s, factP, tc)), aggP, "part",
+            Seq("all"), committer = tc)
+          pipeline.Catalog.transaction(cat, cc, tc) { t =>
+            t.stage("fact", factP, tc.versions(factP).last)
+            t.stage("agg", aggP, tc.versions(aggP).last)
+          }
+          val leaked = pipeline.Catalog.readTable(s, cat, "agg", cc, tc)
+            .filter(col("user_id") === target).count()
+          require(leaked == 0L, "the erased user leaked through the rollup")
+        }
+        (cat, cc, tc)
+      }
+      pipeline.Catalog.readTable(s, cat, "fact", cc, tc)
+        .select("event_id", "ts_us", "user_id", "event_type", "value_cents",
+          "bucket")
+    }),
     // INCREMENTAL ANALYZE exercised end-to-end: a day-partitioned fact
     // analyzed, ONE day's error events re-keyed (value zeroed at a later
     // ts), re-analyzed — the second pass must recompute exactly that day
@@ -3338,6 +3453,20 @@ object SparkEntry {
     // dirs promoted in place
     "table_type_widened" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
+    // the 2-dim z-window recomputed from events: the same lowest-octant
+    // bounds derived with the identical integer arithmetic
+    "table_zorder_file_pruned" ->
+      (s"$FactCte, st AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents FROM fact), " +
+        "b AS (SELECT min(user_id) AS umin, min(user_id) + (max(user_id) - min(user_id)) // 8 AS uhi, min(ts_us) AS tmin, min(ts_us) + (max(ts_us) - min(ts_us)) // 8 AS thi FROM st) " +
+        "SELECT st.event_id, st.ts_us, st.user_id, st.value_cents FROM st, b " +
+        "WHERE st.user_id BETWEEN b.umin AND b.uhi AND st.ts_us BETWEEN b.tmin AND b.thi"),
+    // the catalog-resolved fact after erasure: the keep-latest fact
+    // minus the smallest user's rows
+    "table_erasure" ->
+      (s"$FactCte, u AS (SELECT min(user_id) AS target FROM fact) " +
+        "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket " +
+        "FROM fact WHERE user_id <> (SELECT target FROM u)"),
     // merged incremental stats vs a global recompute of the final state:
     // exact rows/nulls/min/max, NDV via the identical bottom-k-by-mhash61
     // estimator (merged per-day bottom-ks ≡ the global bottom-k)

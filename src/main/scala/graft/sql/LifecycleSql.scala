@@ -24,6 +24,7 @@ import graft.streaming.VersionedCommitter
   *   VACUUM '/path/to/table' KEEP 5
   *   CLONE '/path/src' TO '/path/dst' [AT VERSION 2]
   *   ANALYZE TABLE '/path/to/table' COMPUTE STATISTICS
+  *   ANALYZE TABLE '/path/to/table' COMPUTE STATISTICS INCREMENTAL FOR COLUMNS a, b
   * }}}
   *
   * Tables are addressed by quoted path (these are path-based manifest
@@ -88,6 +89,26 @@ object LifecycleSql {
     }
   }
 
+  /** INCREMENTAL form: per-partition sketches re-aggregated only for
+    * content-changed partitions, merged stats committed under the same
+    * keys ([[graft.pipeline.Upsert.analyzeTableIncremental]]) — the
+    * O(change) stats cadence a 100-TB operator runs, exposed at the same
+    * SQL front door as the exact form.
+    */
+  case class AnalyzeIncrementalCommand(path: String, cols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("col_name", StringType), attr("n_rows", LongType),
+      attr("n_nulls", LongType), attr("n_distinct", LongType),
+      attr("min_s", StringType), attr("max_s", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val st = Upsert.analyzeTableIncremental(spark, path,
+        committerFor(path), cols).stats
+      st.columns.map(c => Row(c.column, st.rowCount, c.nNulls, c.nDistinct,
+        c.min.orNull, c.max.orNull))
+    }
+  }
+
   case class AnalyzeTableCommand(path: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       attr("col_name", StringType), attr("n_rows", LongType),
@@ -109,6 +130,7 @@ object LifecycleSql {
   private val CloneAt = s"(?i)\\s*CLONE\\s+$P\\s+TO\\s+$P\\s+AT\\s+VERSION\\s+(\\d+)\\s*;?\\s*".r
   private val Clone = s"(?i)\\s*CLONE\\s+$P\\s+TO\\s+$P\\s*;?\\s*".r
   private val Analyze = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*".r
+  private val AnalyzeIncr = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s+INCREMENTAL\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_,\\s]+?)\\s*;?\\s*".r
 
   /** The lifecycle command for `sqlText`, or None when it isn't one (the
     * caller delegates to Spark's parser).
@@ -119,6 +141,8 @@ object LifecycleSql {
     case Vacuum(p, k)      => Some(VacuumTableCommand(p, k.toInt))
     case CloneAt(s, d, v)  => Some(CloneTableCommand(s, d, Some(v.toLong)))
     case Clone(s, d)       => Some(CloneTableCommand(s, d, None))
+    case AnalyzeIncr(p, cs) => Some(AnalyzeIncrementalCommand(p,
+      cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case Analyze(p)        => Some(AnalyzeTableCommand(p))
     case _                 => None
   }

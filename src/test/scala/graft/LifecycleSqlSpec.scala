@@ -54,6 +54,22 @@ class LifecycleSqlSpec extends AnyFunSuite {
     assert(c.versions(path) == Seq(4L))
   }
 
+  test("ANALYZE ... INCREMENTAL FOR COLUMNS runs the per-partition path via SQL") {
+    val (path, c) = freshTable()
+    val stats = spark.sql(
+        s"ANALYZE TABLE '$path' COMPUTE STATISTICS INCREMENTAL FOR COLUMNS id, version")
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats("id") == ("id", 2L, 0L, 2L, "1", "2"))
+    assert(stats("version") == ("version", 2L, 0L, 2L, "100", "101"))
+    // the per-partition sketch sidecar landed and a re-run merges only
+    assert(c.readManifest(path).contains("__pstats"))
+    val again = Upsert.analyzeTableIncremental(spark, path, c,
+      Seq("id", "version"))
+    assert(again.recomputedPartitions.isEmpty,
+      "the SQL run must have left fresh per-partition stamps")
+  }
+
   test("CLONE ... TO ... AT VERSION creates a zero-copy branch via SQL") {
     val (path, _) = freshTable()
     val dst = Files.createTempDirectory("graft-lsql").toString + "/clone"

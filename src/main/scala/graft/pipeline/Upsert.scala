@@ -922,6 +922,11 @@ object Upsert {
     */
   private val fileStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]
+  // superseded sidecars are never re-read but their parsed entries would
+  // otherwise accumulate forever in a resident process (every partition
+  // rewrite stages a NEW sidecar path): cap-and-clear keeps the cache a
+  // cache — entries are immutable and cheap to re-read after a reset
+  private val FileStatsCacheCap = 4096
 
   /** fileName → stats-json for `partition`, from the committed sidecar
     * (checkpointed encoding) falling back to legacy per-file manifest
@@ -932,6 +937,7 @@ object Upsert {
     manifest.get(s"$FileStatsKeyPrefix$partition") match {
       case Some(rel) =>
         val abs = s"$tablePath/$rel"
+        if (fileStatsCache.size > FileStatsCacheCap) fileStatsCache.clear()
         fileStatsCache.computeIfAbsent(abs, _ => {
           val f = new java.io.File(abs)
           if (!f.isFile) Map.empty // vanished sidecar = no pruning, never a wrong skip
@@ -2602,6 +2608,17 @@ object Upsert {
       val manifest = committer.readManifest(tablePath)
       val data = dataEntries(manifest)
       require(data.nonEmpty, s"no committed table at $tablePath")
+      // fail FAST on the documented contract: a string/double key would
+      // otherwise die mid-job in the executor hash (ClassCastException)
+      // after the scan cost is paid
+      locally {
+        val schema = readTablePartitions(spark, tablePath, Nil, committer).schema
+        val bad = keyCols.filterNot(c => schema.fields.find(_.name == c)
+          .exists(_.dataType == org.apache.spark.sql.types.LongType))
+        require(bad.isEmpty,
+          s"incremental analyze key columns must be LONG (ids/keys): " +
+            s"${bad.mkString(",")} — use analyzeTable for full-column stats")
+      }
       import graft.functions.expr.Sketches
 
       def fingerprint(p: String): String = Seq(
@@ -2616,9 +2633,15 @@ object Upsert {
       def parseSidecar(rel: String): Map[String, PartStat] = {
         val f = new java.io.File(s"$tablePath/$rel")
         if (!f.isFile) return Map.empty // vanished = recompute everything
-        new String(java.nio.file.Files.readAllBytes(f.toPath),
+        val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").filter(_.nonEmpty).map { line =>
+          .split("\n").filter(_.nonEmpty)
+        // sketches taken at a different k do NOT merge with this run's: a
+        // smaller-k sketch truncated at 64 read into a k=256 merge would
+        // land in the "exact below k" branch and commit a wildly wrong
+        // NDV — a k mismatch marks every partition stale instead
+        if (!lines.headOption.contains(s"#k=$k")) return Map.empty
+        lines.drop(1).map { line =>
             val Array(p, fp, rows, colsBlob) = line.split("\t", 4)
             val cols = colsBlob.split("\u0002").filter(_.nonEmpty).map { cb =>
               val parts = cb.split("\u0001", 5)
@@ -2682,15 +2705,8 @@ object Upsert {
       val all: Map[String, PartStat] =
         parts.map(p => p -> fresh.getOrElse(p, prior(p))).toMap
 
-      // merge: exact sums, type-aware min/max, global bottom-k estimate
-      val numericCols: Set[String] = {
-        val schema = readTablePartitions(spark, tablePath, Nil, committer).schema
-        keyCols.filter(c => schema.fields.find(_.name == c)
-          .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
-          .toSet
-      }
-      def lt(c: String)(a: String, b: String): Boolean =
-        if (numericCols(c)) BigDecimal(a) < BigDecimal(b) else a < b
+      // merge: exact sums, long-ordered min/max, global bottom-k estimate
+      // (keys are contract-enforced LONG, so the string forms parse back)
       val nRows = all.values.map(_.rows).sum
       val colStats = keyCols.map { c =>
         val per = all.values.map(_.cols(c)).toSeq
@@ -2698,8 +2714,8 @@ object Upsert {
         val maxs = per.flatMap(_.max)
         ColumnStats(c, per.map(_.nulls).sum,
           Sketches.kmvMergeEstimate(per.map(_.kmv), k),
-          if (mins.isEmpty) None else Some(mins.reduce((a, b) => if (lt(c)(a, b)) a else b)),
-          if (maxs.isEmpty) None else Some(maxs.reduce((a, b) => if (lt(c)(a, b)) b else a)))
+          if (mins.isEmpty) None else Some(mins.minBy(_.toLong)),
+          if (maxs.isEmpty) None else Some(maxs.maxBy(_.toLong)))
       }
 
       // write the new sidecar, commit stats + pointer in one flip, then
@@ -2708,7 +2724,7 @@ object Upsert {
       val statsDir = new java.io.File(s"$tablePath/_stats")
       statsDir.mkdirs()
       val rel = s"_stats/pstats-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
-      val body = parts.map { p =>
+      val body = (s"#k=$k" +: parts.map { p =>
         val ps = all(p)
         val colsBlob = keyCols.map { c =>
           val cs = ps.cols(c)
@@ -2716,7 +2732,7 @@ object Upsert {
             cs.kmv.mkString(",")).mkString("\u0001")
         }.mkString("\u0002")
         s"$p\t${ps.fp}\t${ps.rows}\t$colsBlob"
-      }.mkString("\n")
+      }).mkString("\n")
       java.nio.file.Files.write(new java.io.File(s"$tablePath/$rel").toPath,
         body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val entries = colStats.map(c => s"$StatsColPrefix${c.column}" ->

@@ -42,8 +42,14 @@ object StreamMv {
     if (!batch.isEmpty)
       Upsert.upsertPartitionsAtomic(spark, batch, srcPath, partCol, keys,
         order, srcCommitter)
-    IncrementalMv.refresh(spark, srcPath, srcCommitter, mvPath, partCol,
-      keys, groups, aggs, mvCommitter)
+    // an empty FIRST batch (Spark can deliver one on a fresh stream or a
+    // checkpoint restart) leaves no committed source: refreshing would
+    // throw and kill the streaming query — no source, nothing to refresh
+    if (srcCommitter.versions(srcPath).isEmpty)
+      IncrementalMv.RefreshStats(-1L, -1L, Nil, applied = false)
+    else
+      IncrementalMv.refresh(spark, srcPath, srcCommitter, mvPath, partCol,
+        keys, groups, aggs, mvCommitter)
   }
 
   /** Wire a stream into continuous source + rollup maintenance. The

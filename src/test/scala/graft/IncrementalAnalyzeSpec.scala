@@ -91,6 +91,28 @@ class IncrementalAnalyzeSpec extends AnyFunSuite {
     assert(widened.recomputedPartitions.size == 3)
   }
 
+  test("a k change marks every sketch stale — truncated sets never merge as exact") {
+    val (path, c) = build()
+    Upsert.analyzeTableIncremental(spark, path, c, Seq("id"), k = 64)
+    // 3000 distinct ids: three 64-entry sketches would union to ≤192 <
+    // 256 and the merge would wrongly take the exact-below-k branch; the
+    // k-mismatch must recompute instead
+    val re = Upsert.analyzeTableIncremental(spark, path, c, Seq("id"), k = 256)
+    assert(re.recomputedPartitions.size == 3,
+      "a k change must mark every partition stale")
+    val ndv = re.stats.columns.head.nDistinct
+    assert(ndv >= 2400 && ndv <= 3600,
+      s"NDV $ndv betrays a truncated-sketch merge")
+  }
+
+  test("non-LONG key columns are rejected before any scan") {
+    val (path, c) = build()
+    val e = intercept[IllegalArgumentException] {
+      Upsert.analyzeTableIncremental(spark, path, c, Seq("p"))
+    }
+    assert(e.getMessage.contains("must be LONG"))
+  }
+
   test("NDV below k is exact; exact ANALYZE agrees on rows/nulls/min/max") {
     val (path, c) = build()
     val inc = Upsert.analyzeTableIncremental(spark, path, c, Seq("id"))

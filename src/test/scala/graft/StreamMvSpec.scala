@@ -93,6 +93,16 @@ class StreamMvSpec extends AnyFunSuite {
       c.versions(s"$root/src").max))
   }
 
+  test("an empty batch before any source commit is a no-op, not a crash") {
+    val root = Files.createTempDirectory("smv-empty").toString
+    val c = new VersionedCommitter
+    val empty = shaped(Tables.events(spark, "/root/testdata/sf0.001")).limit(0)
+    val st = StreamMv.upsertMvBatch(spark, empty, s"$root/src", s"$root/mv",
+      "day", keys, order, groups, aggs, c)
+    assert(!st.applied && st.touchedPartitions.isEmpty,
+      "no source, nothing to refresh — the streaming query must survive")
+  }
+
   test("replayed micro-batch converges: same source state, cursor-only refresh") {
     val ev = shaped(Tables.events(spark, "/root/testdata/sf0.001")).limit(100)
     val root = Files.createTempDirectory("smv-replay").toString

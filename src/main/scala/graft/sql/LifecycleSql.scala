@@ -23,6 +23,7 @@ import graft.streaming.VersionedCommitter
   *   RESTORE TABLE '/path/to/table' TO VERSION 3
   *   VACUUM '/path/to/table' KEEP 5
   *   CLONE '/path/src' TO '/path/dst' [AT VERSION 2]
+  *   DESCRIBE DETAIL '/path/to/table'
   *   ANALYZE TABLE '/path/to/table' COMPUTE STATISTICS
   *   ANALYZE TABLE '/path/to/table' COMPUTE STATISTICS INCREMENTAL FOR COLUMNS a, b
   * }}}
@@ -50,6 +51,27 @@ object LifecycleSql {
     new VersionedCommitter(retain = math.max(10, existing + 1))
   }
 
+
+  /** DESCRIBE DETAIL — the one-row operational summary (Delta's command
+    * of the same name): current version, data partitions, file count and
+    * bytes (from the manifest's own listing seam), exact row count when
+    * the committed `__rows` stamps prove it without a scan (−1 when MoR
+    * sidecars pend — a stale-looking number would be worse than none).
+    */
+  case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("version", LongType), attr("n_partitions", LongType),
+      attr("n_files", LongType), attr("size_bytes", LongType),
+      attr("n_rows", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val c = committerFor(path)
+      val files = Maintenance.tableFileStats(path, c)
+      val rows = Upsert.metadataRowCount(c.readManifest(path)).getOrElse(-1L)
+      Seq(Row(c.versions(path).lastOption.getOrElse(0L),
+        files.size.toLong, files.map(_.nFiles.toLong).sum,
+        files.map(_.bytes).sum, rows))
+    }
+  }
 
   case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -125,6 +147,7 @@ object LifecycleSql {
   // enforces the same line discipline)
   private val P = "'([^'\\n]+)'"
   private val History = s"(?i)\\s*DESCRIBE\\s+HISTORY\\s+$P\\s*;?\\s*".r
+  private val Detail = s"(?i)\\s*DESCRIBE\\s+DETAIL\\s+$P\\s*;?\\s*".r
   private val Restore = s"(?i)\\s*RESTORE\\s+TABLE\\s+$P\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*".r
   private val Vacuum = s"(?i)\\s*VACUUM\\s+$P\\s+KEEP\\s+(\\d+)\\s*;?\\s*".r
   private val CloneAt = s"(?i)\\s*CLONE\\s+$P\\s+TO\\s+$P\\s+AT\\s+VERSION\\s+(\\d+)\\s*;?\\s*".r
@@ -137,6 +160,7 @@ object LifecycleSql {
     */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case History(p)        => Some(DescribeHistoryCommand(p))
+    case Detail(p)         => Some(DescribeDetailCommand(p))
     case Restore(p, v)     => Some(RestoreTableCommand(p, v.toLong))
     case Vacuum(p, k)      => Some(VacuumTableCommand(p, k.toInt))
     case CloneAt(s, d, v)  => Some(CloneTableCommand(s, d, Some(v.toLong)))

@@ -54,6 +54,21 @@ class LifecycleSqlSpec extends AnyFunSuite {
     assert(c.versions(path) == Seq(4L))
   }
 
+  test("DESCRIBE DETAIL summarizes version/layout/rows; MoR suppresses the count") {
+    val (path, c) = freshTable()
+    val d = spark.sql(s"DESCRIBE DETAIL '$path'")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(d._1 == 2L && d._2 == 2L, s"version 2, 2 partitions: $d")
+    assert(d._3 >= 2L && d._4 > 0L, s"files and bytes must be positive: $d")
+    assert(d._5 == 2L, s"__rows stamps prove the exact count: $d")
+    // pending MoR sidecars change the PRESENTED count → -1, never a lie
+    Upsert.deleteKeysMor(spark, path, "day", keys = Seq("id"),
+      keyRows = Seq((1L, "d1")).toDF("id", "day"), committer = c)
+    val d2 = spark.sql(s"DESCRIBE DETAIL '$path'")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(d2._5 == -1L, s"pending sidecars must suppress the count: $d2")
+  }
+
   test("ANALYZE ... INCREMENTAL FOR COLUMNS runs the per-partition path via SQL") {
     val (path, c) = freshTable()
     val stats = spark.sql(

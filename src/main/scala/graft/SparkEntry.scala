@@ -1292,6 +1292,33 @@ object SparkEntry {
       val (out, c) = versionedDemo(s, d)
       pipeline.Upsert.tableChanges(s, out, 2L, 3L, Seq("event_id"), c)
     }),
+    // WRITE-TIME change feed: the same v(n-1)→v(n) delta, but the mutator
+    // staged the net change rows under its own commit's atomic flip
+    // (enableChangeFeed) — tableChanges READS the log, O(change rows)
+    // bytes, no diff join. Oracled against the same recomputed SQL diff
+    // as `table_changes`, so logged and diff-computed feeds must be
+    // hash-identical. (Versions shift by one: the enablement commit is
+    // v1, the three batches are v2..v4.)
+    "table_changes_logged" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "cdflog") {
+        val out = cachedTempDir("graft_cdf_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        pipeline.Upsert.enableChangeFeed(out, Seq("event_id"), c)
+        versionedDemoBatches(s, d).foreach { b =>
+          pipeline.Upsert.upsertPartitionsAtomic(s, b, out, "bucket",
+            keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+            committer = c)
+        }
+        require(c.readManifestAsOf(out, 4L).contains(pipeline.Upsert.CdfRelKey),
+          "the CDF demo's commits must carry their staged change logs")
+        (out, c)
+      }
+      val feed = pipeline.Upsert.tableChanges(s, out, 3L, 4L, Seq("event_id"), c)
+      require(feed.inputFiles.nonEmpty && feed.inputFiles.forall(_.contains("/__cdf/")),
+        "single-step spans must serve from the staged log, not the diff")
+      feed
+    }),
     // RESTORE TABLE ... TO VERSION: the 3-version demo suffers a
     // destructive mistake (v4 deletes every purchase), then rolls back by
     // COMMITTING v3's manifest as v5 — history stays append-only, no data
@@ -2317,6 +2344,32 @@ object SparkEntry {
     s"$VersionedDemoCte, r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) " +
       "SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1"
 
+  /** CDF oracle: both version states recomputed, keyed full-outer diff;
+    * IS DISTINCT FROM mirrors the engine's null-safe struct compare.
+    * Shared by `table_changes` (read-time pruned diff) and
+    * `table_changes_logged` (write-time staged log) — the two paths must
+    * produce the identical feed.
+    */
+  private val TableChangesDiffSql =
+    "WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
+      "CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM events), " +
+      "b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e), " +
+      "w AS (SELECT e.*, 1 AS batch FROM e, b WHERE ts_us <= lo + (hi - lo) // 2 " +
+      "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4 " +
+      "UNION ALL SELECT e.*, 3 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 2), " +
+      "s2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w WHERE batch <= 2) WHERE rn = 1), " +
+      "s3 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) WHERE rn = 1) " +
+      "SELECT * FROM (SELECT COALESCE(s3.event_id, s2.event_id) AS event_id, " +
+      "CASE WHEN s3.event_id IS NULL THEN s2.ts_us ELSE s3.ts_us END AS ts_us, " +
+      "CASE WHEN s3.event_id IS NULL THEN s2.user_id ELSE s3.user_id END AS user_id, " +
+      "CASE WHEN s3.event_id IS NULL THEN s2.event_type ELSE s3.event_type END AS event_type, " +
+      "CASE WHEN s3.event_id IS NULL THEN s2.value_cents ELSE s3.value_cents END AS value_cents, " +
+      "CASE WHEN s3.event_id IS NULL THEN s2.bucket ELSE s3.bucket END AS bucket, " +
+      "CASE WHEN s2.event_id IS NULL THEN 'insert' WHEN s3.event_id IS NULL THEN 'delete' " +
+      "WHEN (s2.ts_us, s2.user_id, s2.event_type, s2.value_cents, s2.bucket) IS DISTINCT FROM (s3.ts_us, s3.user_id, s3.event_type, s3.value_cents, s3.bucket) THEN 'update_post' END AS change_type " +
+      "FROM s2 FULL OUTER JOIN s3 ON s2.event_id = s3.event_id) " +
+      "WHERE change_type IS NOT NULL"
+
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
   private val FactCte =
     "WITH fact AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, value DESC) AS rn FROM events) WHERE rn = 1)"
@@ -2775,8 +2828,11 @@ object SparkEntry {
       "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, value, props FROM events WHERE CAST(ts AS TIMESTAMP) >= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 20 MINUTE",
     "q_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    // date-bounded right side ⇒ the expected set is provably non-empty
+    // (an all-rows-match anti-join would green-light almost any bug)
     "q_anti_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+      ("SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')"),
     // ordered funnel: tₖ = earliest step-k event strictly after tₖ₋₁
     "q_funnel" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'click' GROUP BY 1), " +
@@ -3293,25 +3349,10 @@ object SparkEntry {
         "SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1"),
     // CDF oracle: both version states recomputed, keyed full-outer diff;
     // IS DISTINCT FROM mirrors the engine's null-safe struct compare
-    "table_changes" ->
-      ("WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
-        "CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM events), " +
-        "b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e), " +
-        "w AS (SELECT e.*, 1 AS batch FROM e, b WHERE ts_us <= lo + (hi - lo) // 2 " +
-        "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4 " +
-        "UNION ALL SELECT e.*, 3 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 2), " +
-        "s2 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w WHERE batch <= 2) WHERE rn = 1), " +
-        "s3 AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) WHERE rn = 1) " +
-        "SELECT * FROM (SELECT COALESCE(s3.event_id, s2.event_id) AS event_id, " +
-        "CASE WHEN s3.event_id IS NULL THEN s2.ts_us ELSE s3.ts_us END AS ts_us, " +
-        "CASE WHEN s3.event_id IS NULL THEN s2.user_id ELSE s3.user_id END AS user_id, " +
-        "CASE WHEN s3.event_id IS NULL THEN s2.event_type ELSE s3.event_type END AS event_type, " +
-        "CASE WHEN s3.event_id IS NULL THEN s2.value_cents ELSE s3.value_cents END AS value_cents, " +
-        "CASE WHEN s3.event_id IS NULL THEN s2.bucket ELSE s3.bucket END AS bucket, " +
-        "CASE WHEN s2.event_id IS NULL THEN 'insert' WHEN s3.event_id IS NULL THEN 'delete' " +
-        "WHEN (s2.ts_us, s2.user_id, s2.event_type, s2.value_cents, s2.bucket) IS DISTINCT FROM (s3.ts_us, s3.user_id, s3.event_type, s3.value_cents, s3.bucket) THEN 'update_post' END AS change_type " +
-        "FROM s2 FULL OUTER JOIN s3 ON s2.event_id = s3.event_id) " +
-        "WHERE change_type IS NOT NULL"),
+    "table_changes" -> TableChangesDiffSql,
+    // the LOGGED feed must be hash-identical to the diff-computed one —
+    // same oracle (versions shift by one: enablement is v1)
+    "table_changes_logged" -> TableChangesDiffSql,
     // restore-to-v3 after the v4 purge must read back as the full
     // 3-batch keep-latest state, bit for bit
     "table_restored" -> VersionedFullStateSql,

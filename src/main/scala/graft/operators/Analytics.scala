@@ -200,14 +200,20 @@ object Analytics {
       .join(Tables.orders(spark, dir).select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_semi")
 
-  /** Left-anti join (NOT EXISTS): customers with no orders — the J2
-    * missing-dimension probe in its direct form (reference README.md:641-658
-    * uses LEFT JOIN + IS NULL; left_anti is the same plan without the
-    * null-filter detour).
+  /** Left-anti join (NOT EXISTS): customers with no RECENT orders — the
+    * J2 missing-dimension probe in its direct form (reference
+    * README.md:641-658 uses LEFT JOIN + IS NULL; left_anti is the same
+    * plan without the null-filter detour). The right side is date-bounded
+    * so the expected set is NON-empty at every SF: an unbounded
+    * anti-join over this data matches nothing, and a 0-row expectation
+    * passes under almost any bug (wrong key, swapped sides, dropped
+    * input all yield 0 rows).
     */
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select("c_custkey", "c_name")
-      .join(Tables.orders(spark, dir).select("o_custkey"),
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
 
   /** TPC-H Q10 shape: revenue lost to returned items per customer, top 20.

@@ -248,34 +248,24 @@ object Upsert {
     readBound(spark, manifest, tablePath, data)
   }
 
-  /** CHANGE DATA FEED between two committed versions — the Delta-CDF /
-    * Iceberg-changelog idea derived from snapshot history rather than
-    * logged at write time: since both states are exactly readable
-    * ([[readTableAsOf]]), the change set IS their keyed diff. Emits one
-    * row per changed key with `change_type` ∈ {`insert`, `update_post`,
+  /** Keyed NET diff of two readable states — the engine-owned comparison
+    * behind [[tableChanges]] and the write-time change log. Emits one row
+    * per changed key with `change_type` ∈ {`insert`, `update_post`,
     * `delete`}: post-image values for inserts/updates, the pre-image for
     * deletes. Unchanged keys (identical non-key columns, null-safe struct
-    * compare) emit nothing.
-    *
-    * Scale shape: one full-outer equi-join of the two version reads on
-    * the key — both sides manifest-pruned scans, the diff predicate a
-    * null-safe struct comparison inside the joined row (no second
-    * shuffle). Downstream incremental consumers apply this feed with
-    * [[upsertPartitions]]-style merges instead of re-reading the table —
-    * the change-propagation contract a 100-TB refresh DAG runs on.
+    * compare) emit nothing. One full-outer equi-join on the key; the diff
+    * predicate is a null-safe struct comparison inside the joined row (no
+    * second shuffle).
     */
-  def tableChanges(spark: SparkSession, tablePath: String,
-                   fromVersion: Long, toVersion: Long, keys: Seq[String],
-                   committer: graft.streaming.VersionedCommitter): DataFrame = {
-    val preRaw = readTableAsOf(spark, tablePath, fromVersion, committer)
-    val post = readTableAsOf(spark, tablePath, toVersion, committer)
+  private def keyedDiff(preRaw: DataFrame, post: DataFrame,
+                        keys: Seq[String]): DataFrame = {
     // add-column evolution between the versions is diffable: align the old
     // state to the new schema (added columns null on every pre row — a row
     // whose only change is a non-null added value reads as update_post,
     // which is exactly the CDF a consumer needs to back-fill the column)
     require(preRaw.columns.toSet.subsetOf(post.columns.toSet),
-      s"schema drift between versions $fromVersion and $toVersion is not " +
-        "diffable (only add-column evolution is)")
+      "schema drift between the diffed states is not diffable " +
+        "(only add-column evolution is)")
     val pre = post.columns.foldLeft(preRaw)((df, c) =>
       if (!df.columns.contains(c))
         df.withColumn(c, lit(null).cast(post.schema(c).dataType))
@@ -302,6 +292,173 @@ object Upsert {
           .otherwise(col(s"__post.$c")).as(c)) :+
         col("change_type"): _*)
   }
+
+  /** Partition keys whose committed CONTENT can differ between two
+    * manifests: the data entry moved (rewritten / dropped / added) or a
+    * pending MoR sidecar (`__del.`/`__delta.`) attached, detached, or
+    * repointed. Everything else is provably identical — data dirs are
+    * immutable, so an entry carrying the same rel in both versions reads
+    * back byte-for-byte the same — which is what lets the CDC diff skip
+    * reading untouched partitions entirely.
+    */
+  private def changedDataKeys(mFrom: Map[String, String],
+                              mTo: Map[String, String]): Set[String] =
+    (dataEntries(mFrom).keySet ++ dataEntries(mTo).keySet).filter { p =>
+      mFrom.get(p) != mTo.get(p) ||
+        mFrom.get(s"$DelKeyPrefix$p") != mTo.get(s"$DelKeyPrefix$p") ||
+        mFrom.get(s"$DeltaKeyPrefix$p") != mTo.get(s"$DeltaKeyPrefix$p")
+    }
+
+  /** CHANGE DATA FEED between two committed versions — the Delta-CDF /
+    * Iceberg-changelog idea on the manifest seam, cheapest available path
+    * first:
+    *
+    *  1. **Logged** (single-step, change feed enabled via
+    *     [[enableChangeFeed]]): the mutator already staged this commit's
+    *     net change rows under the same atomic flip (`__cdf` manifest
+    *     entry) — read them back directly, O(change rows) I/O, no join.
+    *  2. **Pruned diff** (any span): both as-of states are restricted to
+    *     the partitions whose manifest entry or MoR sidecar set differs
+    *     between the versions ([[changedDataKeys]]) before the keyed
+    *     full-outer diff — identical entries are immutable dirs and
+    *     provably contribute no change rows. A commit that touched 2 of
+    *     10k partitions diffs exactly those 2: O(changed partitions), not
+    *     O(table), which is what keeps the feed (and
+    *     [[IncrementalMv]]/[[graft.streaming.TableTail]] on top of it)
+    *     usable at 100 TB.
+    *
+    * Emits one row per changed key with `change_type` ∈ {`insert`,
+    * `update_post`, `delete`}: post-image values for inserts/updates, the
+    * pre-image for deletes ([[keyedDiff]]). Sound because keys are pinned
+    * to partitions (the [[upsertPartitions]] key→partition contract): a
+    * key cannot move between an untouched and a touched partition without
+    * touching both.
+    */
+  def tableChanges(spark: SparkSession, tablePath: String,
+                   fromVersion: Long, toVersion: Long, keys: Seq[String],
+                   committer: graft.streaming.VersionedCommitter): DataFrame = {
+    val mFrom = committer.readManifestAsOf(tablePath, fromVersion)
+    val mTo = committer.readManifestAsOf(tablePath, toVersion)
+    // logged fast path: only a SINGLE-step span can consume a commit's log
+    // directly (multi-version logs are per-commit deltas whose net
+    // composition needs the from-state for delete pre-images and A→B→A
+    // cancellation — exactly what the pruned diff computes anyway)
+    val logged =
+      if (toVersion == fromVersion + 1) loggedChanges(spark, tablePath, mTo, keys)
+      else None
+    logged.getOrElse {
+      val changed = changedDataKeys(mFrom, mTo)
+      // an empty state (metadata-only version, or a fully-emptied table)
+      // diffs as the other side's empty slice — all-inserts / all-deletes
+      (dataEntries(mFrom).nonEmpty, dataEntries(mTo).nonEmpty) match {
+        case (true, true) =>
+          keyedDiff(
+            emptyOrBound(spark, mFrom, tablePath,
+              dataEntries(mFrom).filter(e => changed(e._1))),
+            emptyOrBound(spark, mTo, tablePath,
+              dataEntries(mTo).filter(e => changed(e._1))), keys)
+        case (false, true) =>
+          val post = emptyOrBound(spark, mTo, tablePath,
+            dataEntries(mTo).filter(e => changed(e._1)))
+          keyedDiff(post.limit(0), post, keys)
+        case (true, false) =>
+          val pre = emptyOrBound(spark, mFrom, tablePath,
+            dataEntries(mFrom).filter(e => changed(e._1)))
+          keyedDiff(pre, pre.limit(0), keys)
+        case (false, false) => throw new IllegalArgumentException(
+          s"neither version $fromVersion nor $toVersion of $tablePath has data entries")
+      }
+    }
+  }
+
+  // ---- WRITE-TIME CHANGE FEED (Delta-CDF on the manifest seam) ----
+
+  /** Inline metadata: the PHYSICAL key columns the table's change feed
+    * diffs on (comma-joined). Present ⇒ every mutator stages this
+    * commit's net change rows alongside its data, under the same flip.
+    */
+  private val CdfKeysKey = "__cdfkeys"
+
+  /** Path metadata: THIS commit's staged change-row dir (rel). Strictly
+    * per-commit — every commit either writes its own entry or drops the
+    * predecessor's, so `manifestAsOf(v)`'s `__cdf` always describes
+    * exactly the v-1 → v delta. A GC-live dir ref like `__del.`/`__delta.`
+    * ([[liveDirRefs]], retained-version refs).
+    */
+  private[graft] val CdfRelKey = "__cdf"
+
+  /** Enable the write-time change feed: from the next commit on, every
+    * mutator (CoW partition replaces — upsert/delete/update/merge — and
+    * the MoR trickle paths) computes its net change rows ([[keyedDiff]]
+    * of the touched partitions' pre vs post state, O(touched) work it
+    * already pays for the rewrite) and stages them under the same atomic
+    * flip as the data. [[tableChanges]] then serves single-step spans by
+    * READING the log — O(change rows) bytes, no join — instead of
+    * diffing. `keys` are the table's logical merge keys (the
+    * [[upsertPartitions]] key→partition contract keys).
+    */
+  def enableChangeFeed(tablePath: String, keys: Seq[String],
+                       committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    require(keys.nonEmpty && keys.forall(c => !c.contains(",") && !c.contains("\t")),
+      "invalid change-feed key list")
+    val manifest = committer.readManifest(tablePath)
+    val phys = keys.map(physicalName(manifest, _))
+    committer.commit(tablePath, manifest + (CdfKeysKey -> phys.mkString(",")))
+  }
+
+  /** Drop the change-feed declaration (existing `__cdf` logs of retained
+    * versions stay readable until their versions expire).
+    */
+  def disableChangeFeed(tablePath: String,
+                        committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val manifest = committer.readManifest(tablePath)
+    committer.commit(tablePath, manifest - CdfKeysKey)
+  }
+
+  /** The commit's logged change rows, when `mTo` carries a `__cdf` entry
+    * whose declared keys match the requested ones (order-sensitive — the
+    * log's column layout is keyed on them). The read binds the schema the
+    * log was written with (the commit's logical schema + `change_type`),
+    * so an EMPTY log — a commit that changed nothing — reads back as the
+    * empty feed instead of failing schema inference. None ⇒ caller falls
+    * back to the pruned diff.
+    */
+  private def loggedChanges(spark: SparkSession, tablePath: String,
+                            mTo: Map[String, String],
+                            keys: Seq[String]): Option[DataFrame] =
+    for {
+      rel <- mTo.get(CdfRelKey)
+      declared <- mTo.get(CdfKeysKey)
+      if declared.split(",").toSeq.map(toLogicalName(mTo, _)) == keys
+      phys <- committedSchemaOf(mTo)
+    } yield {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val logical = phys.fields.map(f => f.copy(name = toLogicalName(mTo, f.name)))
+      val schema = StructType(
+        keys.flatMap(k => logical.find(_.name == k)) ++
+          logical.filterNot(f => keys.contains(f.name)) :+
+          StructField("change_type", StringType, nullable = true))
+      spark.read.schema(schema).parquet(s"$tablePath/$rel")
+    }
+
+  /** Stage `prior`→`post` net change rows for a mutator about to commit
+    * (no-op Map unless the change feed is enabled on `manifest`): writes
+    * `<batchDirName>/__cdf` and returns the manifest entry binding it to
+    * the commit. Both frames are LOGICAL-named states of exactly the
+    * touched partitions — O(touched) diff, never O(table).
+    */
+  private def stageCdf(manifest: Map[String, String], tablePath: String,
+                       batchDirName: String, pre: => DataFrame,
+                       post: => DataFrame): Map[String, String] =
+    manifest.get(CdfKeysKey) match {
+      case Some(declared) =>
+        val keysLog = declared.split(",").toSeq.map(toLogicalName(manifest, _))
+        val rel = s"$batchDirName/__cdf"
+        keyedDiff(pre, post, keysLog)
+          .write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
+        Map(CdfRelKey -> rel)
+      case None => Map.empty
+    }
 
   /** Apply a change feed ([[tableChanges]] output: rows + `change_type`)
     * to a partitioned manifest REPLICA — the downstream-consumer half of
@@ -671,7 +828,7 @@ object Upsert {
   private[graft] def liveDirRefs(manifest: Map[String, String]): Set[String] =
     manifest.collect {
       case (k, v) if !k.startsWith("__") || k.startsWith(DelKeyPrefix) ||
-        k.startsWith(DeltaKeyPrefix) => v
+        k.startsWith(DeltaKeyPrefix) || k == CdfRelKey => v
     }.toSet
 
   /** Sidecar rels committed for `prefix`, restricted to `parts` when a
@@ -1654,13 +1811,25 @@ object Upsert {
             Some(s"$batchDirName/delta/__dp=$p") else None)
         }.toMap
       }
-    val newManifest = (manifest --
+    val newManifest0 = (manifest --
       deltaEdits.collect { case (k, None) => k }) ++
       deltaEdits.collect { case (k, Some(rel)) => k -> rel } ++
       writtenParts.map(p => s"$DelKeyPrefix$p" -> s"$batchDirName/__dp=$p") +
       (DelKeysKey -> keysPhys.mkString(",")) +
       (PartColKey -> pcPhys) // pre-PartColKey tables gain it here — the
       // read-side anti-join resolves its join columns through it
+    // write-time change feed (no-op unless enabled): the touched
+    // partitions' pre state vs their post state under the new sidecars —
+    // the staged sidecar files already exist, so reading through the
+    // uncommitted manifest is exact. O(touched), the cost the delete's
+    // own sidecar rewrite already paid.
+    val touchedEntries = touchedEsc.flatMap(p => manifest.get(p).map(p -> _)).toMap
+    val cdfEntry =
+      if (!manifest.contains(CdfKeysKey)) Map.empty[String, String]
+      else stageCdf(manifest, tablePath, batchDirName,
+        emptyOrBound(spark, manifest, tablePath, touchedEntries),
+        emptyOrBound(spark, newManifest0, tablePath, touchedEntries))
+    val newManifest = (newManifest0 - CdfRelKey) ++ cdfEntry
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
       newManifest.values ++ committer.retainedReferences(tablePath),
@@ -1776,7 +1945,7 @@ object Upsert {
       writeStagedBloomSidecars(spark, manifest, s"$tablePath/$batchDirName",
         staged, combined.columns.toSeq)
     val pending = combined.count()
-    val newManifest = manifest ++
+    val newManifest0 = manifest ++
       writtenParts.map(p => s"$DeltaKeyPrefix$p" -> s"$batchDirName/__part=$p") ++
       mergedRanges ++
       // e.g. a stream's batch ledger — atomic with the sidecars it describes
@@ -1784,6 +1953,16 @@ object Upsert {
       (UpKeysKey -> keysPhys.mkString(",")) +
       (UpOrderKey -> orderPhys.mkString(",")) +
       (PartColKey -> pcPhys)
+    // write-time change feed (no-op unless enabled): touched partitions'
+    // pre state vs their post state under the new delta sidecars — the
+    // staged files exist, so the uncommitted-manifest read is exact
+    val touchedEntries = touchedEsc.flatMap(p => manifest.get(p).map(p -> _)).toMap
+    val cdfEntry =
+      if (!manifest.contains(CdfKeysKey)) Map.empty[String, String]
+      else stageCdf(manifest, tablePath, batchDirName,
+        emptyOrBound(spark, manifest, tablePath, touchedEntries),
+        emptyOrBound(spark, newManifest0, tablePath, touchedEntries))
+    val newManifest = (newManifest0 - CdfRelKey) ++ cdfEntry
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, liveDirRefs(manifest) ++
       newManifest.values ++ committer.retainedReferences(tablePath),
@@ -2034,7 +2213,8 @@ object Upsert {
     SnapshotGc.gcUnreferenced(tablePath,
       liveDirRefs(manifest) ++ committer.retainedReferences(tablePath),
       committer.gcGraceMs)
-    val rel = s"batch-${java.util.UUID.randomUUID().toString.take(8)}/data"
+    val batchDirName = s"batch-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rel = s"$batchDirName/data"
     data.write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
     val checks = manifest.collect {
       case (k, v) if k.startsWith(CheckPrefix) => k.stripPrefix(CheckPrefix) -> v
@@ -2050,11 +2230,22 @@ object Upsert {
         throw new CheckViolationException(bad, checks)
       }
     }
+    // write-time change feed across the overwrite (no-op unless enabled):
+    // a whole-table rebuild's change set is inherently O(table) — the
+    // same order as the write itself
+    val cdfEntry =
+      if (!manifest.contains(CdfKeysKey) || dataEntries(manifest).isEmpty)
+        Map.empty[String, String]
+      else stageCdf(manifest, tablePath, batchDirName,
+        emptyOrBound(spark, manifest, tablePath, dataEntries(manifest)),
+        toLogical(spark.read.parquet(s"$tablePath/$rel"), manifest))
     // metadata rides the SAME manifest flip — one atomic commit covers the
     // new snapshot and (e.g.) the batch-id ledger, which is what makes
     // replay-skip decisions crash-consistent with the data they describe
     committer.commit(tablePath,
-      Map("all" -> rel, SchemaKey -> data.schema.json) ++
+      Map("all" -> rel, SchemaKey -> data.schema.json) ++ cdfEntry ++
+        // change-feed enablement survives a full rebuild like the checks
+        manifest.get(CdfKeysKey).map(CdfKeysKey -> _) ++
         checks.map { case (n, e) => s"$CheckPrefix$n" -> e } ++
         // the stats declarations survive a whole-table overwrite like the
         // checks do (per-partition __range entries / bloom sidecars don't
@@ -2070,7 +2261,8 @@ object Upsert {
         manifest.get(DropColsKey).map(DropColsKey -> _) ++
         meta.map { case (k, v) => s"__$k" -> v })
     SnapshotGc.gcUnreferenced(tablePath,
-      liveDirRefs(manifest) + rel ++ committer.retainedReferences(tablePath),
+      liveDirRefs(manifest) + rel ++ cdfEntry.values ++
+        committer.retainedReferences(tablePath),
       committer.gcGraceMs)
   }
 
@@ -2248,8 +2440,10 @@ object Upsert {
     val genPart = genPartOf(manifest).filter { case (pc, src, _) =>
       data.columns.contains(src) && data.columns.contains(pc)
     }
+    val cdfEnabled = manifest.contains(CdfKeysKey)
     val consumers = (if (checks.nonEmpty) 1 else 0) +
-      (if (statCols.nonEmpty) 1 else 0) + (if (genPart.isDefined) 1 else 0)
+      (if (statCols.nonEmpty) 1 else 0) + (if (genPart.isDefined) 1 else 0) +
+      (if (cdfEnabled) 1 else 0)
     val stagedDf =
       if (writtenParts.isEmpty || consumers == 0) None
       else Some(writtenParts.toSeq.sorted.map { p =>
@@ -2303,6 +2497,25 @@ object Upsert {
       // unless enabled)
       stagedDf.foreach(writeStagedBloomSidecars(spark, manifest,
         s"$tablePath/$batchDirName", _, data.columns.toSeq))
+      // write-time change feed: net change rows of exactly the replaced
+      // partitions (pre = their committed MoR-applied state, post = the
+      // staged bytes) land in the batch dir and bind to this commit under
+      // the same flip (no-op Map unless enabled)
+      val cdfEntry =
+        if (!cdfEnabled) Map.empty[String, String]
+        else {
+          val preEntries = partsEsc.flatMap(p => manifest.get(p).map(p -> _)).toMap
+          // a table enabled BEFORE its first data commit has no committed
+          // schema to bind an empty read to — the incoming frame's empty
+          // slice is that state
+          val emptyState = toLogical(data.limit(0), manifest)
+          val pre =
+            if (preEntries.nonEmpty) emptyOrBound(spark, manifest, tablePath, preEntries)
+            else emptyState
+          stageCdf(manifest, tablePath, batchDirName, pre,
+            stagedDf.map(st => toLogical(st.drop("__part"), manifest))
+              .getOrElse(emptyState))
+        }
 
       // the post-staging jobs above can outlast a concurrent writer's GC
       // grace window (the batch dir's mtime froze when staging finished):
@@ -2331,9 +2544,10 @@ object Upsert {
           -- partsEsc.map(p => s"$DelKeyPrefix$p")
           -- partsEsc.map(p => s"$DeltaKeyPrefix$p")
           -- partsEsc.map(p => s"$RowsKeyPrefix$p")
-          -- staleFileRanges) ++ // rewritten partitions: old file names die
+          -- staleFileRanges // rewritten partitions: old file names die
+          - CdfRelKey) ++ // the change log is strictly per-commit
         writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
-        fileRanges ++
+        fileRanges ++ cdfEntry ++
         extraMeta + // e.g. a tail cursor — atomic with the data it describes
         (SchemaKey -> data.schema.json) + // the schema rides the same flip
         (PartColKey -> partCol) // lets metadata DDL protect the partitioning
@@ -2484,7 +2698,8 @@ object Upsert {
     require(srcAbs != dstAbs, "cannot clone a table onto itself")
     val rewritten = m.map { case (k, v) =>
       val isPathValue = !k.startsWith("__") || k.startsWith(DelKeyPrefix) ||
-        k.startsWith(DeltaKeyPrefix) || k.startsWith(FileStatsKeyPrefix)
+        k.startsWith(DeltaKeyPrefix) || k.startsWith(FileStatsKeyPrefix) ||
+        k == CdfRelKey
       if (isPathValue) k -> dstAbs.relativize(srcAbs.resolve(v)).toString
       else k -> v
     }

@@ -89,7 +89,14 @@ private[graft] object SnapshotGc {
     } {
       for {
         d <- Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
-        if d.isDirectory && !liveRel.contains(s"${b.getName}/${d.getName}")
+        // a live rel may name the subdir itself OR live DEEPER inside it
+        // (MoR delete rewrites surviving delta sidecars under
+        // `batch-⁎/delta/__dp=⁎`) — deleting the parent of a referenced
+        // nested dir would take the live data with it
+        if d.isDirectory && {
+          val sub = s"${b.getName}/${d.getName}"
+          !liveRel.exists(r => r == sub || r.startsWith(s"$sub/"))
+        }
       } org.apache.commons.io.FileUtils.deleteDirectory(d)
       val remaining = Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
       if (!remaining.exists(_.isDirectory))
@@ -448,10 +455,12 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     versionFiles(snapshotPath).flatMap { case (_, f) =>
       parse(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
         // `__del.`/`__delta.` values are sidecar DIRS an as-of read still
-        // applies — a retained version must keep them alive like data
+        // applies — a retained version must keep them alive like data —
+        // and `__cdf` is that version's staged change log (tableChanges
+        // on a retained span reads it back)
         .collect { case (k, rel)
           if !k.startsWith("__") || k.startsWith("__del.") ||
-            k.startsWith("__delta.") => rel }
+            k.startsWith("__delta.") || k == "__cdf" => rel }
     }.toSet
 }
 

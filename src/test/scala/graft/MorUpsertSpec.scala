@@ -174,4 +174,26 @@ class MorUpsertSpec extends AnyFunSuite {
       Upsert.dropColumn(path, "v", c)
     }.getMessage.contains("delta sidecars"))
   }
+
+  test("a partially-surviving delta sidecar outlives the delete's own GC cycle") {
+    val c = new VersionedCommitter
+    val path = freshTable(c)
+    // two pending delta rows in d1; deleting ONE rewrites the sidecar to a
+    // NESTED rel (batch-*/delta/__dp=d1) — the GC must treat a rel that
+    // lives DEEPER inside a subdir as keeping that subdir alive
+    Upsert.upsertKeysMor(spark, path, "day", Seq("id"), Seq("v"),
+      df(("d1", 1L, 11L), ("d1", 2L, 21L)), c)
+    Upsert.deleteKeysMor(spark, path, "day", Seq("id"),
+      Seq(("d1", 2L)).toDF("day", "id"), c)
+    val deltaRel = deltaEntries(path, c)("__delta.d1")
+    assert(deltaRel.contains("/delta/"), s"expected a nested rewrite: $deltaRel")
+    // the surviving pending row must still read back — before the
+    // nested-rel GC fix, deleteKeysMor's own post-commit GC deleted the
+    // parent `delta/` dir out from under it
+    assert(rows(path, c) == Set(("d1", 1L, 11L), ("d2", 3L, 30L), ("d2", 4L, 40L)))
+    // and it survives ANOTHER mutator's GC pass too
+    Upsert.upsertKeysMor(spark, path, "day", Seq("id"), Seq("v"),
+      df(("d2", 4L, 41L)), c)
+    assert(rows(path, c) == Set(("d1", 1L, 11L), ("d2", 3L, 30L), ("d2", 4L, 41L)))
+  }
 }

@@ -1570,6 +1570,28 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // the STATEMENT form of the same purge — `DELETE FROM '<path>' WHERE`
+    // through the injected parser (LifecycleSql) — must answer
+    // byte-identically to the API twin above (same oracle SQL)
+    "table_delete_where_sql" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "del_sql") {
+        val out = cachedTempDir("graft_delsql_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        val state = fact(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          pmod(col("event_id"), lit(8L)).as("bucket"))
+        pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+          (0L until 8L).map(_.toString), committer = c)
+        val deleted = s.sql(s"DELETE FROM '$out' WHERE event_type = 'error'")
+          .selectExpr("deleted_rows").head().getLong(0)
+        require(deleted > 0, "SQL delete demo must delete something")
+        (out, c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // MERGE-ON-READ DELETE (MorDeleteSpec pins materialization, history,
     // and GC): the same error-event purge as table_delete_where but via
     // deletion sidecars — NO partition rewrite; the read-back applies the
@@ -1683,6 +1705,43 @@ object SparkEntry {
         require(st.deletedRows > 0 && st.updatedRows > 0 && st.insertedRows > 0,
           "the MERGE demo must exercise all three clauses")
       }
+        (out, c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
+    // the STATEMENT form of the same three-clause merge — `MERGE INTO
+    // '<path>' USING view ON KEYS (…) WHEN …` through the injected parser
+    // — must answer byte-identically to the API twin (same oracle SQL);
+    // conditions reference the matched-pair view (target names natural,
+    // source under __src_)
+    "table_merge_into_sql" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "merge_sql") {
+        val out = cachedTempDir("graft_mergesql_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        withPersisted(fact(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          pmod(col("event_id"), lit(8L)).as("bucket"))) { state =>
+          pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+            (0L until 8L).map(_.toString), committer = c)
+          val source = state.filter(col("event_type") === "error")
+            .unionByName(state.filter(col("event_type") === "purchase")
+              .withColumn("value_cents", col("value_cents") * 2))
+            .unionByName(state.filter(col("event_type") === "click")
+              .withColumn("event_id", col("event_id") + 8000000000L))
+          val view = "merge_sql_src_" + d.replaceAll("[^A-Za-z0-9]", "_")
+          source.createOrReplaceTempView(view)
+          val st = s.sql(
+            s"""MERGE INTO '$out' USING $view ON KEYS (bucket, event_id)
+               |  WHEN MATCHED AND event_type = 'error' THEN DELETE
+               |  WHEN MATCHED AND event_type = 'purchase' THEN UPDATE SET value_cents = __src_value_cents
+               |  WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            .selectExpr("updated_rows", "deleted_rows", "inserted_rows").head()
+          require(st.getLong(0) > 0 && st.getLong(1) > 0 && st.getLong(2) > 0,
+            "the SQL MERGE demo must exercise all three clauses")
+        }
         (out, c)
       }
       pipeline.Upsert.readTable(s, out, c)
@@ -3396,6 +3455,9 @@ object SparkEntry {
     // rows — mirrored with the explicit IS NULL arm)
     "table_delete_where" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
+    // the DELETE statement twin must answer byte-identically
+    "table_delete_where_sql" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
     // the MoR-deleted table answers exactly like the copy-on-write form:
     // sidecar anti-join (pending buckets) and materialized rewrite
     // (compacted buckets) are both invisible to the result
@@ -3419,6 +3481,11 @@ object SparkEntry {
     // the merged table is the three clauses recomputed: error rows gone,
     // purchase cents doubled, click copies inserted under shifted ids
     "table_merge_into" ->
+      (s"$FactCte, s AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact) " +
+        "SELECT event_id, ts_us, user_id, event_type, CASE WHEN event_type = 'purchase' THEN value_cents * 2 ELSE value_cents END AS value_cents, bucket FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
+        "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'click'"),
+    // the MERGE statement twin must answer byte-identically
+    "table_merge_into_sql" ->
       (s"$FactCte, s AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact) " +
         "SELECT event_id, ts_us, user_id, event_type, CASE WHEN event_type = 'purchase' THEN value_cents * 2 ELSE value_cents END AS value_cents, bucket FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
         "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'click'"),

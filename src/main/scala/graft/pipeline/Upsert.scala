@@ -901,6 +901,16 @@ object Upsert {
       Some(entries.keySet)), manifest)
   }
 
+  /** The table's partition column under its LOGICAL (presented) name, if
+    * the manifest records one — the handle SQL DML statements resolve so
+    * their grammar needs no redundant PARTITIONED BY clause.
+    */
+  def partitionColumnOf(tablePath: String,
+                        committer: SnapshotCommitter = AtomicRenameCommitter): Option[String] = {
+    val m = committer.readManifest(tablePath)
+    m.get(PartColKey).map(toLogicalName(m, _))
+  }
+
   /** The `__`-prefixed metadata committed with the table (empty when none
     * or the table doesn't exist).
     */

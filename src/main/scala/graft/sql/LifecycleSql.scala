@@ -28,6 +28,26 @@ import graft.streaming.VersionedCommitter
   *   ANALYZE TABLE '/path/to/table' COMPUTE STATISTICS INCREMENTAL FOR COLUMNS a, b
   * }}}
   *
+  * and the DML statements the same operators type all day (the
+  * reference's audience writes statements, not API calls —
+  * `sql/bq_fact_vitals.sql:1`), mapping onto the engine's
+  * partition-granular mutators; the partition column resolves from the
+  * committed manifest, so no clause restates it:
+  *
+  * {{{
+  *   DELETE FROM '/path' WHERE event_type = 'error'
+  *   UPDATE '/path' SET value_cents = 0 WHERE event_type = 'error'
+  *   MERGE INTO '/path' USING src_view ON KEYS (bucket, event_id)
+  *     WHEN MATCHED AND __src_event_type = 'error' THEN DELETE
+  *     WHEN MATCHED AND __src_event_type = 'purchase' THEN UPDATE SET value_cents = __src_value_cents
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   OPTIMIZE '/path' [ZORDER BY (ts_us, user_id)]
+  * }}}
+  *
+  * MERGE conditions and SET expressions see [[Upsert.mergeInto]]'s
+  * matched-pair view (target columns natural, source columns `__src_`-
+  * prefixed) and `USING` takes a view name or a parenthesized SELECT.
+  *
   * Tables are addressed by quoted path (these are path-based manifest
   * tables, not catalog entries), which also keeps the grammar disjoint
   * from Spark's own `ANALYZE TABLE ident` / `DESCRIBE` statements — any
@@ -143,6 +163,89 @@ object LifecycleSql {
     }
   }
 
+  // ---- DML statements over the same path-addressed tables ----
+  // The partition column comes from the committed manifest (PartColKey),
+  // so the grammar carries no redundant PARTITIONED BY clause; predicates
+  // and SET expressions are Spark SQL, parsed at run time against the
+  // table's presented (logical) schema.
+
+  private def partColOf(path: String, c: VersionedCommitter): String =
+    Upsert.partitionColumnOf(path, c).getOrElse(throw new IllegalArgumentException(
+      s"'$path' is not a partitioned manifest table (no committed partition column)"))
+
+  case class DeleteWhereCommand(path: String, predicateSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("touched_partitions", StringType), attr("deleted_rows", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val c = committerFor(path)
+      val st = Upsert.deleteWhere(spark, path, partColOf(path, c),
+        org.apache.spark.sql.functions.expr(predicateSql), c)
+      Seq(Row(st.touchedPartitions.mkString(","), st.deletedRows))
+    }
+  }
+
+  case class UpdateWhereCommand(path: String, setSql: Seq[(String, String)],
+                                predicateSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("touched_partitions", StringType), attr("updated_rows", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val c = committerFor(path)
+      val st = Upsert.updateWhere(spark, path, partColOf(path, c),
+        org.apache.spark.sql.functions.expr(predicateSql),
+        setSql.map { case (k, v) =>
+          k -> org.apache.spark.sql.functions.expr(v) }.toMap, c)
+      Seq(Row(st.touchedPartitions.mkString(","), st.updatedRows))
+    }
+  }
+
+  /** `MERGE INTO '<path>' USING <source> ON KEYS (k, …) …` — `source` is
+    * either a registered (temp) view name or a parenthesized SELECT; the
+    * clause conditions and SET expressions see the engine's matched-pair
+    * view: target columns at their natural names, source columns under
+    * the `__src_` prefix ([[Upsert.mergeInto]]'s documented contract).
+    * `delete`/`updateCond` are SQL texts (`Some("true")` = unconditional
+    * delete clause); absent clauses are None/Nil.
+    */
+  case class MergeIntoCommand(path: String, source: String, keys: Seq[String],
+                              delete: Option[String],
+                              updateCond: Option[String],
+                              setSql: Seq[(String, String)],
+                              insertNotMatched: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("touched_partitions", StringType), attr("updated_rows", LongType),
+      attr("deleted_rows", LongType), attr("inserted_rows", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val c = committerFor(path)
+      val src =
+        if (source.startsWith("(")) spark.sql(source.stripPrefix("(").stripSuffix(")"))
+        else spark.table(source)
+      val st = Upsert.mergeInto(spark, path, partColOf(path, c), keys, src,
+        deleteCond = delete.map(org.apache.spark.sql.functions.expr),
+        updateCond = updateCond.map(org.apache.spark.sql.functions.expr),
+        set = setSql.map { case (k, v) =>
+          k -> org.apache.spark.sql.functions.expr(v) }.toMap,
+        insertNotMatched = insertNotMatched, committer = c)
+      Seq(Row(st.touchedPartitions.mkString(","), st.updatedRows,
+        st.deletedRows, st.insertedRows))
+    }
+  }
+
+  case class OptimizeCommand(path: String, zorderCols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("compacted_partitions", StringType), attr("files_before", LongType),
+      attr("files_after", LongType), attr("bytes_rewritten", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val st = Maintenance.compact(spark, path, zorderCols = zorderCols,
+        committer = committerFor(path))
+      Seq(Row(st.compacted.mkString(","), st.filesBefore, st.filesAfter,
+        st.bytesRewritten))
+    }
+  }
+
   // quoted single-line path: no quote/newline inside (the manifest layer
   // enforces the same line discipline)
   private val P = "'([^'\\n]+)'"
@@ -154,6 +257,82 @@ object LifecycleSql {
   private val Clone = s"(?i)\\s*CLONE\\s+$P\\s+TO\\s+$P\\s*;?\\s*".r
   private val Analyze = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*".r
   private val AnalyzeIncr = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s+INCREMENTAL\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_,\\s]+?)\\s*;?\\s*".r
+  // DML over path-addressed tables ((?s): predicates/sources may span lines)
+  private val Delete = s"(?is)\\s*DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*".r
+  private val Update = s"(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*".r
+  private val Merge = s"(?is)\\s*MERGE\\s+INTO\\s+$P\\s+USING\\s+(.+?)\\s+ON\\s+KEYS\\s*\\(([^)]+)\\)\\s*(.*?)\\s*;?\\s*".r
+  private val OptimizeZ = s"(?i)\\s*OPTIMIZE\\s+$P\\s+ZORDER\\s+BY\\s*\\(([A-Za-z0-9_,\\s]+)\\)\\s*;?\\s*".r
+  private val Optimize = s"(?i)\\s*OPTIMIZE\\s+$P\\s*;?\\s*".r
+  // a statement that LOOKS like graft DML (our verb + a quoted path) but
+  // fails the grammar must error loudly here — delegating it to Spark
+  // would produce a baffling parse error against the quoted path
+  private val DmlNearMiss =
+    "(?is)\\s*(MERGE\\s+INTO|DELETE\\s+FROM|UPDATE|OPTIMIZE)\\s+'.*".r
+
+  // MERGE clause tail: WHEN-pieces in any order, each exactly one of the
+  // three forms; an unconditional clause parses as condition "true"
+  private val DelClause =
+    "(?is)\\s*WHEN\\s+MATCHED\\s+(?:AND\\s+(.+?)\\s+)?THEN\\s+DELETE\\s*".r
+  private val UpdClause =
+    "(?is)\\s*WHEN\\s+MATCHED\\s+(?:AND\\s+(.+?)\\s+)?THEN\\s+UPDATE\\s+SET\\s+(.+?)\\s*".r
+  private val InsClause = "(?is)\\s*WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*".r
+
+  /** Split on TOP-LEVEL commas only (never inside parens, brackets, or
+    * quotes) — SET lists carry arbitrary SQL expressions.
+    */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"'        => quote = ch; cur += ch
+        case '(' | '['         => depth += 1; cur += ch
+        case ')' | ']'         => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c                 => cur += c
+      }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val Assign = "(?s)\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)".r
+
+  private def parseAssignments(s: String): Seq[(String, String)] =
+    splitTop(s).map {
+      case Assign(k, v) => k -> v.trim
+      case bad => throw new IllegalArgumentException(
+        s"malformed SET assignment '$bad' — expected <column> = <expression>")
+    }
+
+  private def parseMerge(path: String, source: String, keysCsv: String,
+                         tail: String): MergeIntoCommand = {
+    var delete: Option[String] = None
+    var updateCond: Option[String] = None
+    var setSql: Seq[(String, String)] = Nil
+    var insert = false
+    // split keeps each WHEN at the head of its piece; the first piece is
+    // empty when the tail starts with WHEN
+    val pieces = tail.split("(?i)(?=\\bWHEN\\b)").toSeq.filter(_.trim.nonEmpty)
+    if (pieces.isEmpty) throw new IllegalArgumentException(
+      "MERGE needs at least one WHEN clause")
+    pieces.foreach {
+      case DelClause(cond)      => delete = Some(Option(cond).getOrElse("true"))
+      case UpdClause(cond, set) =>
+        updateCond = Option(cond); setSql = parseAssignments(set)
+      case InsClause()          => insert = true
+      case bad => throw new IllegalArgumentException(
+        s"malformed MERGE clause '${bad.trim}' — expected WHEN MATCHED " +
+          "[AND <cond>] THEN DELETE | WHEN MATCHED [AND <cond>] THEN " +
+          "UPDATE SET <col> = <expr>, … | WHEN NOT MATCHED THEN INSERT *")
+    }
+    MergeIntoCommand(path, source.trim,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      delete, updateCond, setSql, insert)
+  }
 
   /** The lifecycle command for `sqlText`, or None when it isn't one (the
     * caller delegates to Spark's parser).
@@ -168,6 +347,19 @@ object LifecycleSql {
     case AnalyzeIncr(p, cs) => Some(AnalyzeIncrementalCommand(p,
       cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case Analyze(p)        => Some(AnalyzeTableCommand(p))
+    case Delete(p, pred)   => Some(DeleteWhereCommand(p, pred))
+    case Update(p, set, pred) =>
+      Some(UpdateWhereCommand(p, parseAssignments(set), pred))
+    case Merge(p, src, ks, tail) => Some(parseMerge(p, src, ks, tail))
+    case OptimizeZ(p, cs)  => Some(OptimizeCommand(p,
+      cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    case Optimize(p)       => Some(OptimizeCommand(p, Nil))
+    case DmlNearMiss(verb) => throw new IllegalArgumentException(
+      s"malformed graft ${verb.toUpperCase.replaceAll("\\s+", " ")} statement " +
+        "over a quoted table path — expected one of: DELETE FROM '<path>' " +
+        "WHERE <pred> | UPDATE '<path>' SET <col> = <expr>, … WHERE <pred> | " +
+        "MERGE INTO '<path>' USING <view|(SELECT …)> ON KEYS (k, …) WHEN … | " +
+        "OPTIMIZE '<path>' [ZORDER BY (col, …)]")
     case _                 => None
   }
 }

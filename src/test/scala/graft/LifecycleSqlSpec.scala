@@ -103,4 +103,102 @@ class LifecycleSqlSpec extends AnyFunSuite {
     val e = intercept[Exception] { spark.sql("DESCRIBE HISTORY unquoted") }
     assert(e.getMessage != null)
   }
+
+  private def tableRows(path: String, c: VersionedCommitter): Set[(String, Long, Long)] =
+    Upsert.readTable(spark, path, c).selectExpr("day", "id", "version")
+      .as[(String, Long, Long)].collect().toSet
+
+  test("DELETE FROM ... WHERE ≡ the API twin, NULL predicate rows kept") {
+    val (pSql, cSql) = freshTable()
+    val (pApi, cApi) = freshTable()
+    val got = spark.sql(s"DELETE FROM '$pSql' WHERE version = 100")
+      .as[(String, Long)].head()
+    val st = Upsert.deleteWhere(spark, pApi, "day",
+      org.apache.spark.sql.functions.expr("version = 100"), cApi)
+    assert(got == ((st.touchedPartitions.mkString(","), st.deletedRows)))
+    assert(tableRows(pSql, cSql) == tableRows(pApi, cApi))
+    assert(tableRows(pSql, cSql) == Set(("d1", 1L, 101L)))
+    // the SQL-driven commit carries the same history label as the API's
+    assert(spark.sql(s"DESCRIBE HISTORY '$pSql'")
+      .select("operation").as[String].collect().contains("delete_where"))
+  }
+
+  test("UPDATE ... SET ... WHERE ≡ the API twin, pre-update row visible to SET") {
+    val (pSql, cSql) = freshTable()
+    val (pApi, cApi) = freshTable()
+    val got = spark.sql(
+        s"UPDATE '$pSql' SET version = version + 1000 WHERE id = 2")
+      .as[(String, Long)].head()
+    val st = Upsert.updateWhere(spark, pApi, "day",
+      org.apache.spark.sql.functions.expr("id = 2"),
+      Map("version" -> org.apache.spark.sql.functions.expr("version + 1000")), cApi)
+    assert(got == ((st.touchedPartitions.mkString(","), st.updatedRows)))
+    assert(tableRows(pSql, cSql) == tableRows(pApi, cApi))
+    assert(tableRows(pSql, cSql).contains(("d2", 2L, 1100L)))
+  }
+
+  test("MERGE INTO with all three clauses ≡ the API twin") {
+    val (pSql, cSql) = freshTable() // rows: (d1,1,101), (d2,2,100)
+    val (pApi, cApi) = freshTable()
+    val source = Seq(("d1", 1L, 500L), ("d2", 2L, 500L), ("d1", 9L, 500L))
+      .toDF("day", "id", "version")
+    source.createOrReplaceTempView("merge_src")
+    val got = spark.sql(
+      s"""MERGE INTO '$pSql' USING merge_src ON KEYS (day, id)
+         |  WHEN MATCHED AND id = 2 THEN DELETE
+         |  WHEN MATCHED AND id = 1 THEN UPDATE SET version = __src_version
+         |  WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .as[(String, Long, Long, Long)].head()
+    val st = Upsert.mergeInto(spark, pApi, "day", Seq("day", "id"), source,
+      deleteCond = Some(org.apache.spark.sql.functions.expr("id = 2")),
+      updateCond = Some(org.apache.spark.sql.functions.expr("id = 1")),
+      set = Map("version" -> org.apache.spark.sql.functions.expr("__src_version")),
+      committer = cApi)
+    assert(got == ((st.touchedPartitions.mkString(","), st.updatedRows,
+      st.deletedRows, st.insertedRows)))
+    assert(tableRows(pSql, cSql) == tableRows(pApi, cApi))
+    assert(tableRows(pSql, cSql) ==
+      Set(("d1", 1L, 500L), ("d1", 9L, 500L)))
+    // parenthesized SELECT works as the source too (insert-only merge)
+    spark.sql(s"""MERGE INTO '$pSql' USING
+      |(SELECT 'd2' AS day, CAST(7 AS BIGINT) AS id, CAST(1 AS BIGINT) AS version)
+      |ON KEYS (day, id) WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(tableRows(pSql, cSql).contains(("d2", 7L, 1L)))
+  }
+
+  test("OPTIMIZE [ZORDER BY] compacts through SQL with the honest stats row") {
+    val (path, c) = freshTable()
+    // pending MoR delta gives the compaction real work (an already-tight
+    // layout is a legitimate no-op that commits nothing)
+    Upsert.upsertKeysMor(spark, path, "day", Seq("id"), Seq("version"),
+      Seq(("d1", 5L, 100L)).toDF("day", "id", "version"), c)
+    val row = spark.sql(s"OPTIMIZE '$path' ZORDER BY (id)")
+      .as[(String, Long, Long, Long)].head()
+    assert(row._2 >= row._3 && row._4 >= 0L, s"compaction stats: $row")
+    assert(tableRows(path, c) ==
+      Set(("d1", 1L, 101L), ("d1", 5L, 100L), ("d2", 2L, 100L)),
+      "OPTIMIZE must materialize the pending delta, never change the answer")
+    assert(!c.readManifest(path).keys.exists(_.startsWith("__delta.")),
+      "compaction must fold the sidecar in")
+    assert(spark.sql(s"DESCRIBE HISTORY '$path'")
+      .select("operation").as[String].collect().contains("compact"))
+  }
+
+  test("DML near-misses error loudly with the expected grammar, not a Spark parse error") {
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql("DELETE FROM '/tmp/x'") // missing WHERE
+    }
+    assert(e1.getMessage.contains("DELETE FROM '<path>' WHERE"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO '/tmp/x' USING v ON KEYS (id) WHEN MATCHED THEN UPSERT")
+    }
+    assert(e2.getMessage.contains("malformed"))
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql("OPTIMIZE '/tmp/x' SORT BY (id)")
+    }
+    assert(e3.getMessage.contains("OPTIMIZE"))
+    // unquoted targets are NOT ours: Spark's own error surfaces
+    val e4 = intercept[Exception] { spark.sql("DELETE FROM sometable") }
+    assert(!String.valueOf(e4.getMessage).contains("malformed graft"))
+  }
 }

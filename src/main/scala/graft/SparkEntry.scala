@@ -1030,6 +1030,22 @@ object SparkEntry {
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
     "retrieval_bm25" -> ((s, d) =>
       Retrieval.bm25TopK(Tables.documents(prep(s), d), Retrieval.DefaultQueries, 10)),
+    // INCREMENTAL lexical index: even doc_ids built into the persisted
+    // bucket-partitioned index, odd doc_ids ADMITTED as the arriving
+    // batch (appendToTextIndex, O(batch)) — the probe must answer
+    // byte-identically to BM25 over the FULL corpus (same oracle), with
+    // only the query tokens' buckets read (the ann_ivf_incremental
+    // pattern for text)
+    "retrieval_bm25_incremental" -> ((s, d) => {
+      val idx = demoFixture(prep(s), d, "bm25_inc") {
+        val out = cachedTempDir("graft_bm25idx_")
+        val all = Tables.documents(s, d)
+        Retrieval.buildTextIndex(all.filter(col("doc_id") % 2 === 0), out)
+        Retrieval.appendToTextIndex(all.filter(col("doc_id") % 2 === 1), out)
+        out
+      }
+      Retrieval.bm25TopKFromIndex(s, idx, Retrieval.DefaultQueries, 10)
+    }),
     "tok_collocations" -> ((s, d) =>
       TextOps.collocations(Tables.documents(prep(s), d), 5L, 20)),
     "tok_heavy_hitters" -> ((s, d) =>
@@ -3113,6 +3129,19 @@ object SparkEntry {
     // below is written with the SAME literals and association as the Spark
     // side so each term's double value is bit-identical
     "retrieval_bm25" ->
+      ("WITH q(q_id, qtext) AS (VALUES (0, 'spark join hash'), (1, 'customer order merge'), (2, 'slow scan filter vector')), " +
+        "qt AS (SELECT DISTINCT q_id, token FROM (SELECT CAST(q_id AS BIGINT) AS q_id, unnest(string_split(qtext, ' ')) AS token FROM q)), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "terms AS (SELECT qt.q_id, tf.doc_id, CAST(round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) * 1000000.0) AS BIGINT) AS term_micro FROM tf JOIN qt USING (token) JOIN df USING (token) JOIN dl USING (doc_id), st), " +
+        "sc AS (SELECT q_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM terms GROUP BY 1, 2) " +
+        "SELECT q_id, doc_id, score_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, score_micro, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10"),
+    // the grown (build + admit) index must answer exactly like BM25 over
+    // the full corpus — identical oracle to retrieval_bm25
+    "retrieval_bm25_incremental" ->
       ("WITH q(q_id, qtext) AS (VALUES (0, 'spark join hash'), (1, 'customer order merge'), (2, 'slow scan filter vector')), " +
         "qt AS (SELECT DISTINCT q_id, token FROM (SELECT CAST(q_id AS BIGINT) AS q_id, unnest(string_split(qtext, ' ')) AS token FROM q)), " +
         "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +

@@ -159,9 +159,60 @@ object Retrieval {
       .withColumn("bucket", bucketOf(col("token"), numBuckets))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokendf")
     dl.write.mode("overwrite").parquet(s"$path/doclen")
-    dl.agg(count(lit(1)).as("n_docs"),
+    // total_dl rides as an exact BIGINT so an APPEND can extend the
+    // corpus totals without double drift: avgdl is always the SAME ieee
+    // division of the same two longs, built or admitted-to
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"),
         (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       .withColumn("n_buckets", lit(numBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** ADMIT a batch of NEW documents into a persisted [[buildTextIndex]]
+    * index — the index-lifecycle other half ([[Ann.appendToIvfIndex]]'s
+    * shape for the lexical index). O(batch) work, never a rebuild:
+    *
+    *  - the batch's tf postings APPEND into the existing
+    *    bucket-partitioned layout (new files, no rewrite);
+    *  - per-token document frequencies land as PARTIAL count rows in the
+    *    same bucketed `tokendf` dirs — the read side sums partials after
+    *    bucket pruning (a ≤|query-vocab × appends| aggregate), so no
+    *    committed dir is ever read-modify-written;
+    *  - doc lengths append;
+    *  - the 1-row corpus stats rewrite from their own prior EXACT totals
+    *    (`n_docs`/`total_dl` BIGINTs) plus the batch's — `avgdl` stays
+    *    bit-identical to a from-scratch build of the full corpus.
+    *
+    * Contract (same as the IVF/LSH admissions): batch `doc_id`s are NEW —
+    * re-admitting an indexed document would double its postings. Single
+    * writer; a crash between the appends leaves a partially-admitted
+    * batch (re-index to repair) — the plain-dir index trades the manifest
+    * tables' atomic flip for zero-copy appends, like the IVF layout.
+    */
+  def appendToTextIndex(documents: DataFrame, path: String): Unit = {
+    val spark = documents.sparkSession
+    val statsAll = spark.read.parquet(s"$path/stats")
+    val prior = statsAll.select("n_docs", "total_dl", "n_buckets").head()
+    val numBuckets = prior.getInt(2)
+    val toks = documents.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    tf.withColumn("bucket", bucketOf(col("token"), numBuckets))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucketOf(col("token"), numBuckets))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/tokendf")
+    dl.write.mode("append").parquet(s"$path/doclen")
+    val batch = dl.agg(count(lit(1)).as("bn"), sum(col("dl")).as("bdl")).head()
+    val nDocs = prior.getLong(0) + batch.getLong(0)
+    val totalDl = prior.getLong(1) + batch.getLong(1)
+    import spark.implicits._
+    Seq((nDocs, totalDl)).toDF("n_docs", "total_dl")
+      .select(col("n_docs"), col("total_dl"),
+        // the identical two-long ieee division buildTextIndex performs
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"),
+        lit(numBuckets).as("n_buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -192,10 +243,12 @@ object Retrieval {
       .distinct().as[Long].collect()
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets.toSeq: _*))
+    // sum PARTIAL df rows (one per build/admission that saw the token) —
+    // a ≤|query vocab × appends|-row aggregate after pruning
     val dfq = spark.read.parquet(s"$path/tokendf")
       .filter(col("bucket").isin(buckets.toSeq: _*))
       .join(broadcast(qtok.select("token").distinct()), "token")
-      .select("token", "df")
+      .groupBy("token").agg(sum(col("df")).as("df"))
     val terms = postings
       .join(broadcast(qtok), "token")
       .join(dfq, "token")

@@ -102,6 +102,34 @@ class RetrievalSpec extends AnyFunSuite {
       s"postings scan must prune on the bucket partition column:\n$plan")
   }
 
+  test("append admission: seed-half build + odd-half admit ≡ full-corpus index") {
+    val all = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val even = all.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val odd = all.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val grown = java.nio.file.Files.createTempDirectory("graft-textidx-inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-textidx-full").toString
+    Retrieval.buildTextIndex(even, grown)
+    Retrieval.appendToTextIndex(odd, grown)
+    Retrieval.buildTextIndex(all, full)
+    // corpus stats must be EXACTLY the full build's (avgdl is the same
+    // two-long ieee division, never a drifted running double)
+    val gs = spark.read.parquet(s"$grown/stats")
+      .selectExpr("n_docs", "total_dl", "avgdl").head()
+    val fs = spark.read.parquet(s"$full/stats")
+      .selectExpr("n_docs", "total_dl", "avgdl").head()
+    assert(gs == fs, s"grown stats $gs != full-build stats $fs")
+    val queries = Retrieval.DefaultQueries
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val grownAns = Retrieval.bm25TopKFromIndex(spark, grown, queries, 10)
+    assert(rows(grownAns) == rows(Retrieval.bm25TopKFromIndex(spark, full, queries, 10)),
+      "admitting the odd half must answer identically to indexing the full corpus")
+    // the appended index still serves probes from pruned buckets only
+    val plan = grownAns.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"appended index must keep the bucket partition pruning:\n$plan")
+  }
+
   test("rank is dense from 1 and ordered by score desc") {
     val out = run("spark join")
     assert(out.map(_._3).toSeq == (1 to out.length))

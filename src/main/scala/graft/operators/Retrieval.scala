@@ -253,7 +253,11 @@ object Retrieval {
       .join(broadcast(qtok), "token")
       .join(dfq, "token")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+      // stats is ONE row by construction, but a parquet scan carries no
+      // structural boundedness evidence (the HintPolicySpec rule — same
+      // reasoning as dfq in bm25TopK): unhinted, the planner's measured
+      // size picks the broadcast nested-loop join on its own
+      .crossJoin(stats)
     scoreTerms(terms, k, k1, b)
   }
 }

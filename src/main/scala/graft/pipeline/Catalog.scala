@@ -99,10 +99,18 @@ object Catalog {
     // check makes the default rename committer fail loudly instead of
     // losing pins in every case but that razor-thin race.)
     val atFlip = committedEntries(catalogPath, catalogCommitter)
-    if (atFlip != before)
+    if (atFlip != before) {
+      // unlike a crash, this code path is alive: drop the :next pins this
+      // LOSING transaction just staged, or they would hold its orphaned
+      // versions against retention GC until some later transaction on the
+      // same entries happened to re-tag them
+      txn.staged.foreach { case (n, Pin(p, _)) =>
+        tableCommitter.deleteTag(p, nextTagName(n))
+      }
       throw new graft.streaming.ConcurrentCommitException(
         s"catalog $catalogPath changed during transaction " +
           s"(${txn.staged.keys.mkString(",")}): re-run against the new pins")
+    }
     val entries = before ++ txn.staged.map { case (n, Pin(p, v)) =>
       n -> s"$p\t$v"
     }

@@ -1091,29 +1091,38 @@ object Upsert {
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]
   // superseded sidecars are never re-read but their parsed entries would
   // otherwise accumulate forever in a resident process (every partition
-  // rewrite stages a NEW sidecar path): cap-and-clear keeps the cache a
-  // cache — entries are immutable and cheap to re-read after a reset
+  // rewrite stages a NEW sidecar path): at the cap, evict ONE arbitrary
+  // entry — a full clear() would thunder every live sidecar through a
+  // simultaneous re-read, and entries are immutable so any victim is safe
   private val FileStatsCacheCap = 4096
 
   /** fileName → stats-json for `partition`, from the committed sidecar
     * (checkpointed encoding) falling back to legacy per-file manifest
     * entries. Empty = no stats (cannot prune — the one-sided contract).
+    * Sidecars are resolved with local-filesystem I/O like every manifest
+    * read in this committer stack (the documented local-FS scope of the
+    * file protocol — a remote-FS port swaps the whole seam, not just this
+    * read); a momentarily unreadable sidecar degrades to no-skip for THIS
+    * call only and is never negatively cached, so a transient failure
+    * self-heals on the next read.
     */
   private[graft] def fileStatsOf(tablePath: String, manifest: Map[String, String],
                                  partition: String): Map[String, String] =
     manifest.get(s"$FileStatsKeyPrefix$partition") match {
       case Some(rel) =>
         val abs = s"$tablePath/$rel"
-        if (fileStatsCache.size > FileStatsCacheCap) fileStatsCache.clear()
-        fileStatsCache.computeIfAbsent(abs, _ => {
-          val f = new java.io.File(abs)
-          if (!f.isFile) Map.empty // vanished sidecar = no pruning, never a wrong skip
-          else new String(java.nio.file.Files.readAllBytes(f.toPath),
+        if (fileStatsCache.size > FileStatsCacheCap) {
+          val victims = fileStatsCache.keys()
+          if (victims.hasMoreElements) fileStatsCache.remove(victims.nextElement())
+        }
+        val f = new java.io.File(abs)
+        if (!f.isFile) Map.empty // vanished sidecar = no pruning, never a wrong skip (uncached)
+        else fileStatsCache.computeIfAbsent(abs, _ =>
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
               java.nio.charset.StandardCharsets.UTF_8)
             .split("\n").filter(_.nonEmpty).map { l =>
               val Array(n, j) = l.split("\t", 2); n -> j
-            }.toMap
-        })
+            }.toMap)
       case None =>
         val pfx = s"$FileRangeKeyPrefix$partition/"
         manifest.collect { case (k, v) if k.startsWith(pfx) =>
@@ -2833,9 +2842,13 @@ object Upsert {
       val manifest = committer.readManifest(tablePath)
       val data = dataEntries(manifest)
       require(data.nonEmpty, s"no committed table at $tablePath")
-      // fail FAST on the documented contract: a string/double key would
-      // otherwise die mid-job in the executor hash (ClassCastException)
-      // after the scan cost is paid
+      // fail FAST on what is checkable without a scan: the TYPE always (a
+      // string/double key would die mid-job in the executor hash after
+      // the scan cost is paid), the NON-NEGATIVE half of the contract
+      // whenever committed stats already prove a violation (a prior
+      // ANALYZE min < 0 means mhash61 WILL throw mid-job — refuse up
+      // front); without committed stats the sign check necessarily
+      // happens in-job, where mhash61 raises the same contract error
       locally {
         val schema = readTablePartitions(spark, tablePath, Nil, committer).schema
         val bad = keyCols.filterNot(c => schema.fields.find(_.name == c)
@@ -2843,6 +2856,13 @@ object Upsert {
         require(bad.isEmpty,
           s"incremental analyze key columns must be LONG (ids/keys): " +
             s"${bad.mkString(",")} — use analyzeTable for full-column stats")
+        val provenNegative = cboColStatsOf(manifest).toSeq.flatMap {
+          case (_, byName) => keyCols.filter(c =>
+            byName.get(c).flatMap(_.min).flatMap(_.toLongOption).exists(_ < 0L))
+        }
+        require(provenNegative.isEmpty,
+          s"incremental analyze key columns must be NON-NEGATIVE; committed " +
+            s"stats show min < 0 for: ${provenNegative.mkString(",")}")
       }
       import graft.functions.expr.Sketches
 
@@ -2999,6 +3019,32 @@ object Upsert {
       val byLogical = manifest.toSeq.collect {
         case (k, v) if k.startsWith(StatsColPrefix) =>
           k.stripPrefix(StatsColPrefix) -> v.split("\t", 4)(1).toLong
+      }
+      val byPhysical = byLogical.map { case (c, d) =>
+        physicalName(manifest, c) -> d
+      }
+      (n.toLong, (byLogical ++ byPhysical).toMap)
+    }
+
+  /** Per-column CBO stats line: NDV, null count, and the committed
+    * min/max renderings — what range-predicate selectivity estimation
+    * needs beyond [[cboStatsOf]]'s NDV.
+    */
+  private[graft] case class CboColStats(ndv: Long, nulls: Long,
+                                        min: Option[String], max: Option[String])
+
+  /** [[cboStatsOf]] extended with null counts and value ranges: (exact
+    * rowcount, column → (ndv, nulls, min, max)), keyed by BOTH the
+    * logical stats name and its current physical name. None = never
+    * ANALYZEd.
+    */
+  private[graft] def cboColStatsOf(manifest: Map[String, String]): Option[(Long, Map[String, CboColStats])] =
+    manifest.get(StatsRowcountKey).map { n =>
+      val byLogical = manifest.toSeq.collect {
+        case (k, v) if k.startsWith(StatsColPrefix) =>
+          val Array(nulls, ndv, mn, mx) = v.split("\t", 4)
+          k.stripPrefix(StatsColPrefix) ->
+            CboColStats(ndv.toLong, nulls.toLong, decOpt(mn), decOpt(mx))
       }
       val byPhysical = byLogical.map { case (c, d) =>
         physicalName(manifest, c) -> d

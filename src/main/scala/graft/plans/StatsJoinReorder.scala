@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, ExprId, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -28,9 +28,13 @@ import graft.sources.ManifestFileIndex
   *  - ≥3 relations, all joins INNER with no user join hints;
   *  - every leaf is a [[ManifestFileIndex]] relation carrying committed
   *    `__stats` (seen through the logical-rename / column-prune Projects
-  *    the read path composes — a Filter, MoR seam, or any other node
-  *    breaks the chain and gates the rule off, since the committed
-  *    rowcount no longer describes that input);
+  *    the read path composes); a leaf-adjacent Filter participates with
+  *    its selectivity estimated from the committed min/max (uniformity),
+  *    1/NDV for point equality, and null fractions for IsNotNull guards
+  *    — a selective filter on the big table can then beat an unfiltered
+  *    small one; a MoR seam or any other node still breaks the chain and
+  *    gates the rule off, since the committed rowcount no longer
+  *    describes that input;
   *  - every join condition conjunct is attr = attr across two distinct
   *    relations, with NDV committed for both sides;
   *  - the join graph is connected (a deliberate cartesian is left alone);
@@ -46,7 +50,15 @@ import graft.sources.ManifestFileIndex
   */
 object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
 
-  private case class Rel(plan: LogicalPlan, rows: Double, ndv: Map[ExprId, Long])
+  /** A costed input: rowcount estimate, per-column NDV, plus — for
+    * selectivity estimation on leaves — null counts and numeric value
+    * ranges from the committed stats (empty past a filter; only the leaf
+    * estimate consumes them).
+    */
+  private case class Rel(plan: LogicalPlan, rows: Double,
+                         ndv: Map[ExprId, Long],
+                         nulls: Map[ExprId, Long] = Map.empty,
+                         range: Map[ExprId, (Double, Double)] = Map.empty)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case j @ Join(_, _, Inner, Some(_), hint) if hint == JoinHint.NONE =>
@@ -161,9 +173,17 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
   private def leafStats(p: LogicalPlan): Option[Rel] = p match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation => fs.location match {
-        case m: ManifestFileIndex => m.cboStats.map { case (n, byName) =>
+        case m: ManifestFileIndex => m.cboColStats.map { case (n, byName) =>
+          def byId[T](f: graft.pipeline.Upsert.CboColStats => Option[T]): Map[ExprId, T] =
+            lr.output.flatMap(a =>
+              byName.get(a.name).flatMap(f).map(a.exprId -> _)).toMap
           Rel(lr, n.toDouble,
-            lr.output.flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap)
+            ndv = byId(c => Some(c.ndv)),
+            nulls = byId(c => Some(c.nulls)),
+            range = byId(c => for {
+              mn <- c.min.flatMap(s => s.toDoubleOption)
+              mx <- c.max.flatMap(s => s.toDoubleOption)
+            } yield (mn, mx)))
         }
         case _ => None
       }
@@ -175,15 +195,74 @@ object StatsJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
         case _ => false
       } =>
       leafStats(inner).map { r =>
-        val mapped = pl.flatMap {
-          case a: Attribute => r.ndv.get(a.exprId).map(a.exprId -> _)
-          case al @ Alias(src: Attribute, name) =>
+        def remap[T](src: Map[ExprId, T]): Map[ExprId, T] = pl.flatMap {
+          case a: Attribute => src.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(s: Attribute, _) =>
             // the logical rename: stats were committed under the OUTPUT
             // name, so re-key by it if present, else follow the source
-            r.ndv.get(src.exprId).map(al.exprId -> _)
+            src.get(s.exprId).map(al.exprId -> _)
         }.toMap
-        Rel(prj, r.rows, mapped)
+        Rel(prj, r.rows, remap(r.ndv), remap(r.nulls), remap(r.range))
+      }
+    // a FILTERED manifest leaf participates with its selectivity
+    // estimated from the committed stats (uniformity over [min,max] for
+    // range conjuncts, 1/ndv for point equality, null fraction for the
+    // optimizer's IsNotNull guards; anything unrecognized estimates 1.0
+    // — conservative, never a gate): a selective filter on the big table
+    // can legitimately beat an unfiltered small one, which a
+    // rowcount-only cost can never see
+    case f @ Filter(cond, inner) =>
+      leafStats(inner).map { r =>
+        val sel = splitConjunctivePredicates(cond)
+          .map(selectivity(_, r)).product
+        val est = math.max(1.0, r.rows * sel)
+        // ranges/nulls deliberately NOT propagated: they describe the
+        // unfiltered leaf, and only leaf-adjacent filters consume them
+        Rel(f, est,
+          r.ndv.map { case (k, v) => k -> math.min(v, math.max(1L, est.toLong)) })
       }
     case _ => None
+  }
+
+  /** Selectivity of one conjunct against a leaf's committed stats;
+    * unrecognized shapes (or missing/non-numeric stats) estimate 1.0 —
+    * the estimate can only shrink a filtered input, never inflate it.
+    */
+  private def selectivity(e: Expression, r: Rel): Double = {
+    def clamp(x: Double) = math.min(1.0, math.max(0.0, x))
+    def num(l: Literal): Option[Double] = l.value match {
+      case null => None
+      case n: Number => Some(n.doubleValue())
+      case d: java.math.BigDecimal => Some(d.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    // fraction of [min,max] at or above v (uniformity; open/closed
+    // boundary ignored — an estimate, not a result)
+    def above(a: Attribute, v: Double): Double =
+      r.range.get(a.exprId).fold(1.0) { case (mn, mx) =>
+        if (mx <= mn) 1.0 else clamp((mx - v) / (mx - mn))
+      }
+    def below(a: Attribute, v: Double): Double =
+      r.range.get(a.exprId).fold(1.0) { case (mn, mx) =>
+        if (mx <= mn) 1.0 else clamp((v - mn) / (mx - mn))
+      }
+    e match {
+      case IsNotNull(a: Attribute) =>
+        r.nulls.get(a.exprId).fold(1.0)(n => clamp(1.0 - n / math.max(1.0, r.rows)))
+      case EqualTo(a: Attribute, _: Literal) =>
+        r.ndv.get(a.exprId).fold(1.0)(n => 1.0 / math.max(1L, n))
+      case EqualTo(_: Literal, a: Attribute) =>
+        r.ndv.get(a.exprId).fold(1.0)(n => 1.0 / math.max(1L, n))
+      case GreaterThan(a: Attribute, l: Literal) => num(l).fold(1.0)(above(a, _))
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => num(l).fold(1.0)(above(a, _))
+      case LessThan(a: Attribute, l: Literal) => num(l).fold(1.0)(below(a, _))
+      case LessThanOrEqual(a: Attribute, l: Literal) => num(l).fold(1.0)(below(a, _))
+      case GreaterThan(l: Literal, a: Attribute) => num(l).fold(1.0)(below(a, _))
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => num(l).fold(1.0)(below(a, _))
+      case LessThan(l: Literal, a: Attribute) => num(l).fold(1.0)(above(a, _))
+      case LessThanOrEqual(l: Literal, a: Attribute) => num(l).fold(1.0)(above(a, _))
+      case _ => 1.0
+    }
   }
 }

@@ -169,6 +169,13 @@ final class ManifestFileIndex(spark: SparkSession, tablePath: String,
   private[graft] lazy val cboStats: Option[(Long, Map[String, Long])] =
     graft.pipeline.Upsert.cboStatsOf(manifest)
 
+  /** [[cboStats]] extended with null counts and min/max — the inputs
+    * [[graft.plans.StatsJoinReorder]]'s filter-selectivity estimates
+    * read.
+    */
+  private[graft] lazy val cboColStats: Option[(Long, Map[String, graft.pipeline.Upsert.CboColStats])] =
+    graft.pipeline.Upsert.cboColStatsOf(manifest)
+
   private[sources] def dataPaths: Seq[String] =
     entries.values.map(rel => s"$tablePath/$rel").toSeq
 

@@ -105,8 +105,12 @@ class CatalogTxnSpec extends AnyFunSuite {
     }
     assert(Catalog.pins(cat, ccA)("t").version == v2,
       "the winner's pin must be in force after the loser's conflict")
-    // the loser re-runs against the winner's state and succeeds; its
-    // stale :next pin from the conflicted attempt is re-used and cleaned
+    // the LOSING transaction is alive (not a crash): it must have dropped
+    // the :next pins it staged, or v3 would be retention-pinned by a
+    // transaction that never published
+    assert(!tc.tags(t).keySet.exists(_.endsWith(":next")),
+      "a conflicted (not crashed) transaction must clean its :next pins")
+    // the loser re-runs against the winner's state and succeeds
     Catalog.register(cat, "t", t, v3, ccB, tc)
     assert(values(Catalog.readTable(spark, cat, "t", ccB, tc)) ==
       Set((1L, 3L)))

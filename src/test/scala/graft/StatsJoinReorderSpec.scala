@@ -95,4 +95,53 @@ class StatsJoinReorderSpec extends AnyFunSuite {
       .join(a, f("k1") === a("ak1"))
     assert(outer.count() == 1000L)
   }
+
+  /** Filter-selectivity fixture: a triangle join graph where the greedy
+    * order on RAW rowcounts starts with the dim-dim edge, but a selective
+    * range filter on the fact (committed min/max → uniformity estimate)
+    * makes the filtered fact⋈B edge cheaper — the order must FLIP on the
+    * filter alone.
+    */
+  private def buildTriangle(): (String, String, String, VersionedCommitter) = {
+    val root = Files.createTempDirectory("graft-sjr3").toString
+    val c = new VersionedCommitter
+    val fact = (0L until 10000L)
+      .map(i => (i, i % 100L, (i * 7L) % 100L, "all")).toDF("id", "x", "y", "p")
+    val b = (0L until 1000L).map(i => (i % 100L, i % 50L, s"b$i", "all"))
+      .toDF("x2", "z", "b_name", "p")
+    val cc = (0L until 1000L).map(i => (i % 100L, i % 50L, s"c$i", "all"))
+      .toDF("y2", "z2", "c_name", "p")
+    val (fp, bp, cp) = (s"$root/fact", s"$root/b", s"$root/c")
+    Seq((fact, fp), (b, bp), (cc, cp)).foreach { case (df, p) =>
+      Upsert.replacePartitionsAtomic(spark, df, p, "p", Seq("all"), committer = c)
+      Upsert.analyzeTable(spark, p, c)
+    }
+    (fp, bp, cp, c)
+  }
+
+  test("a selective range filter on the fact flips the greedy order") {
+    val (fp, bp, cp, c) = buildTriangle()
+    def chain(filtered: Boolean) = {
+      val f0 = ManifestTable.readTableIndexed(spark, fp, c).select("id", "x", "y")
+      val f = if (filtered) f0.filter(col("id") < 100) else f0
+      val b = ManifestTable.readTableIndexed(spark, bp, c).select("x2", "z", "b_name")
+      val cd = ManifestTable.readTableIndexed(spark, cp, c).select("y2", "z2", "c_name")
+      f.join(b, col("x") === col("x2"))
+        .join(cd, col("y") === col("y2") && col("z") === col("z2"))
+    }
+    // unfiltered: |B⋈C| ≈ 1000·1000/50 = 20k beats both fact edges (100k)
+    // → the dim-dim edge joins first
+    val rawKeys = innermostJoinKeys(chain(filtered = false).queryExecution.optimizedPlan)
+    assert(rawKeys == Set("z", "z2"),
+      s"raw rowcounts must start with the dim-dim edge, got $rawKeys")
+    // id < 100 over committed [0, 9999] ⇒ sel ≈ 0.01 ⇒ fact' ≈ 100 rows ⇒
+    // |fact'⋈B| ≈ 100·1000/100 = 1000 — the filtered fact edge now wins
+    val q = chain(filtered = true)
+    val filteredKeys = innermostJoinKeys(q.queryExecution.optimizedPlan)
+    assert(filteredKeys == Set("x", "x2"),
+      s"the selective filter must flip the greedy order, got $filteredKeys")
+    // ordering is an estimate; the answer is exact and plan-independent
+    val rows = q.select("id", "b_name", "c_name").collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) < 100L))
+  }
 }

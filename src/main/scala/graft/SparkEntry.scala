@@ -2445,6 +2445,39 @@ object SparkEntry {
       "FROM s2 FULL OUTER JOIN s3 ON s2.event_id = s3.event_id) " +
       "WHERE change_type IS NOT NULL"
 
+  /** Shared oracle for `table_delete_where` and its statement twin —
+    * the fact minus the deleted class (SQL DELETE keeps null-evaluating
+    * rows — mirrored with the explicit IS NULL arm). One val so the
+    * twins can never drift.
+    */
+  private lazy val TableDeleteWhereSql =
+    s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL"
+
+  /** Shared oracle for `table_merge_into` and its statement twin: the
+    * three clauses recomputed — error rows gone, purchase cents doubled,
+    * click copies inserted under shifted ids.
+    */
+  private lazy val TableMergeIntoSql =
+    s"$FactCte, s AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact) " +
+      "SELECT event_id, ts_us, user_id, event_type, CASE WHEN event_type = 'purchase' THEN value_cents * 2 ELSE value_cents END AS value_cents, bucket FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
+      "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'click'"
+
+  /** Shared oracle for `retrieval_bm25` and the grown-index twin: the
+    * full Okapi formula replayed over the whole corpus in DuckDB,
+    * micro-unit integer scores, top-10 per query.
+    */
+  private lazy val RetrievalBm25Sql =
+    "WITH q(q_id, qtext) AS (VALUES (0, 'spark join hash'), (1, 'customer order merge'), (2, 'slow scan filter vector')), " +
+      "qt AS (SELECT DISTINCT q_id, token FROM (SELECT CAST(q_id AS BIGINT) AS q_id, unnest(string_split(qtext, ' ')) AS token FROM q)), " +
+      "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
+      "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
+      "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
+      "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+      "terms AS (SELECT qt.q_id, tf.doc_id, CAST(round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) * 1000000.0) AS BIGINT) AS term_micro FROM tf JOIN qt USING (token) JOIN df USING (token) JOIN dl USING (doc_id), st), " +
+      "sc AS (SELECT q_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM terms GROUP BY 1, 2) " +
+      "SELECT q_id, doc_id, score_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, score_micro, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10"
+
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
   private val FactCte =
     "WITH fact AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, value DESC) AS rn FROM events) WHERE rn = 1)"
@@ -3128,30 +3161,10 @@ object SparkEntry {
     // integer on both engines (see Retrieval scaladoc); the arithmetic
     // below is written with the SAME literals and association as the Spark
     // side so each term's double value is bit-identical
-    "retrieval_bm25" ->
-      ("WITH q(q_id, qtext) AS (VALUES (0, 'spark join hash'), (1, 'customer order merge'), (2, 'slow scan filter vector')), " +
-        "qt AS (SELECT DISTINCT q_id, token FROM (SELECT CAST(q_id AS BIGINT) AS q_id, unnest(string_split(qtext, ' ')) AS token FROM q)), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), " +
-        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
-        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
-        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
-        "terms AS (SELECT qt.q_id, tf.doc_id, CAST(round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) * 1000000.0) AS BIGINT) AS term_micro FROM tf JOIN qt USING (token) JOIN df USING (token) JOIN dl USING (doc_id), st), " +
-        "sc AS (SELECT q_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM terms GROUP BY 1, 2) " +
-        "SELECT q_id, doc_id, score_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, score_micro, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10"),
+    "retrieval_bm25" -> RetrievalBm25Sql,
     // the grown (build + admit) index must answer exactly like BM25 over
-    // the full corpus — identical oracle to retrieval_bm25
-    "retrieval_bm25_incremental" ->
-      ("WITH q(q_id, qtext) AS (VALUES (0, 'spark join hash'), (1, 'customer order merge'), (2, 'slow scan filter vector')), " +
-        "qt AS (SELECT DISTINCT q_id, token FROM (SELECT CAST(q_id AS BIGINT) AS q_id, unnest(string_split(qtext, ' ')) AS token FROM q)), " +
-        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
-        "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), " +
-        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1), " +
-        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
-        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
-        "terms AS (SELECT qt.q_id, tf.doc_id, CAST(round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) * 1000000.0) AS BIGINT) AS term_micro FROM tf JOIN qt USING (token) JOIN df USING (token) JOIN dl USING (doc_id), st), " +
-        "sc AS (SELECT q_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM terms GROUP BY 1, 2) " +
-        "SELECT q_id, doc_id, score_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, score_micro, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10"),
+    // the full corpus — same val as retrieval_bm25
+    "retrieval_bm25_incremental" -> RetrievalBm25Sql,
     "tok_collocations" -> {
       val lift = fxRatioSql("df_pair * n_docs", "df1 * df2", 4)
       "WITH nd AS (SELECT count(*) AS n_docs FROM documents), t AS (SELECT string_split(text, ' ') AS w FROM documents), u AS (SELECT token, count(*) AS df_tok FROM (SELECT unnest(list_distinct(w)) AS token FROM t) GROUP BY 1), b AS (SELECT bigram, count(*) AS df_pair FROM (SELECT unnest(list_distinct([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))])) AS bigram FROM t WHERE len(w) >= 2) GROUP BY 1), f AS (SELECT bigram, df_pair, string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2 FROM b WHERE df_pair >= 5), j AS (SELECT bigram, df_pair, u1.df_tok AS df1, u2.df_tok AS df2, n_docs FROM f JOIN u u1 ON f.w1 = u1.token JOIN u u2 ON f.w2 = u2.token, nd) " +
@@ -3482,11 +3495,10 @@ object SparkEntry {
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
     // the fact minus the deleted class (SQL DELETE keeps null-evaluating
     // rows — mirrored with the explicit IS NULL arm)
-    "table_delete_where" ->
-      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
-    // the DELETE statement twin must answer byte-identically
-    "table_delete_where_sql" ->
-      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL",
+    "table_delete_where" -> TableDeleteWhereSql,
+    // the DELETE statement twin must answer byte-identically — the SAME
+    // val, so a later oracle fix can never leave the twins divergent
+    "table_delete_where_sql" -> TableDeleteWhereSql,
     // the MoR-deleted table answers exactly like the copy-on-write form:
     // sidecar anti-join (pending buckets) and materialized rewrite
     // (compacted buckets) are both invisible to the result
@@ -3509,15 +3521,9 @@ object SparkEntry {
         "UNION ALL SELECT event_id, ts_us + 1, user_id, event_type, CAST(0 AS BIGINT), bucket FROM s WHERE event_type = 'error'"),
     // the merged table is the three clauses recomputed: error rows gone,
     // purchase cents doubled, click copies inserted under shifted ids
-    "table_merge_into" ->
-      (s"$FactCte, s AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact) " +
-        "SELECT event_id, ts_us, user_id, event_type, CASE WHEN event_type = 'purchase' THEN value_cents * 2 ELSE value_cents END AS value_cents, bucket FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
-        "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'click'"),
-    // the MERGE statement twin must answer byte-identically
-    "table_merge_into_sql" ->
-      (s"$FactCte, s AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact) " +
-        "SELECT event_id, ts_us, user_id, event_type, CASE WHEN event_type = 'purchase' THEN value_cents * 2 ELSE value_cents END AS value_cents, bucket FROM s WHERE event_type <> 'error' OR event_type IS NULL " +
-        "UNION ALL SELECT event_id + 8000000000, ts_us, user_id, event_type, value_cents, bucket FROM s WHERE event_type = 'click'"),
+    "table_merge_into" -> TableMergeIntoSql,
+    // the MERGE statement twin must answer byte-identically — same val
+    "table_merge_into_sql" -> TableMergeIntoSql,
     // the declarative (pushed-filter FileIndex) read must answer exactly
     // like the explicit pruned read — same recomputed week window
     "table_zone_pruned_auto" ->

@@ -198,13 +198,18 @@ object Retrieval {
       explode(TextFns.tokens(col("text"))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // batch totals FIRST: an empty batch (or one whose documents all
+    // tokenize to nothing — the build path records no doclen row for
+    // those either) is a clean no-op, not a null-sum NPE after the
+    // appends already ran
+    val batch = dl.agg(count(lit(1)).as("bn"), sum(col("dl")).as("bdl")).head()
+    if (batch.getLong(0) == 0L) return
     tf.withColumn("bucket", bucketOf(col("token"), numBuckets))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     tf.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("bucket", bucketOf(col("token"), numBuckets))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/tokendf")
     dl.write.mode("append").parquet(s"$path/doclen")
-    val batch = dl.agg(count(lit(1)).as("bn"), sum(col("dl")).as("bdl")).head()
     val nDocs = prior.getLong(0) + batch.getLong(0)
     val totalDl = prior.getLong(1) + batch.getLong(1)
     import spark.implicits._

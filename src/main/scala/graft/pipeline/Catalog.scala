@@ -103,9 +103,15 @@ object Catalog {
       // unlike a crash, this code path is alive: drop the :next pins this
       // LOSING transaction just staged, or they would hold its orphaned
       // versions against retention GC until some later transaction on the
-      // same entries happened to re-tag them
-      txn.staged.foreach { case (n, Pin(p, _)) =>
-        tableCommitter.deleteTag(p, nextTagName(n))
+      // same entries happened to re-tag them. Delete only a tag that
+      // still points at OUR staged version — a concurrent transaction on
+      // the same entry may have re-tagged :next to ITS version between
+      // our staging and this cleanup, and deleting that would strip a
+      // live transaction's retention pin (the residual read-then-delete
+      // window is the same one the inner CAS committer exists to close)
+      txn.staged.foreach { case (n, Pin(p, v)) =>
+        if (tableCommitter.tags(p).get(nextTagName(n)).contains(v))
+          tableCommitter.deleteTag(p, nextTagName(n))
       }
       throw new graft.streaming.ConcurrentCommitException(
         s"catalog $catalogPath changed during transaction " +

@@ -208,10 +208,13 @@ object Maintenance {
       // SHRANK the partition, so the pre-compaction count is stale
       Upsert.footerEntriesForDir(spark, statCols, tablePath, p.key, rel)
     }.toMap
+    // dropCarriedCdf: compaction's logical delta is EMPTY — carrying the
+    // predecessor's change log would serve a stale feed for this step
     committer.commit(tablePath,
-      manifest -- rewritten.map { case (p, _) => s"__del.${p.key}" }
+      Upsert.dropCarriedCdf(manifest
+        -- rewritten.map { case (p, _) => s"__del.${p.key}" }
         -- rewritten.map { case (p, _) => s"__delta.${p.key}" }
-        -- staleFileStats ++
+        -- staleFileStats) ++
         rewritten.map { case (p, rel) => p.key -> rel } ++ freshFileStats)
     // release the superseded layout one merge cycle late (reader grace)
     SnapshotGc.gcUnreferenced(tablePath, dataRefs ++ rewritten.map(_._2) ++

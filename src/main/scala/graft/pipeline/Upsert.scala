@@ -344,7 +344,8 @@ object Upsert {
     // composition needs the from-state for delete pre-images and A→B→A
     // cancellation — exactly what the pruned diff computes anyway)
     val logged =
-      if (toVersion == fromVersion + 1) loggedChanges(spark, tablePath, mTo, keys)
+      if (toVersion == fromVersion + 1)
+        loggedChanges(spark, tablePath, mFrom, mTo, keys)
       else None
     logged.getOrElse {
       val changed = changedDataKeys(mFrom, mTo)
@@ -381,11 +382,48 @@ object Upsert {
 
   /** Path metadata: THIS commit's staged change-row dir (rel). Strictly
     * per-commit — every commit either writes its own entry or drops the
-    * predecessor's, so `manifestAsOf(v)`'s `__cdf` always describes
-    * exactly the v-1 → v delta. A GC-live dir ref like `__del.`/`__delta.`
-    * ([[liveDirRefs]], retained-version refs).
+    * predecessor's ([[dropCarriedCdf]] at every non-mutator commit seam),
+    * so `manifestAsOf(v)`'s `__cdf` always describes exactly the v-1 → v
+    * delta. A GC-live dir ref like `__del.`/`__delta.` ([[liveDirRefs]],
+    * retained-version refs).
     */
   private[graft] val CdfRelKey = "__cdf"
+
+  /** Inline metadata: fingerprint of the PRE-commit state the staged log
+    * diffed against ([[stateFingerprint]]). The logged fast path serves a
+    * commit's log only when the requested from-state matches this base —
+    * the defense that makes a carried or COPIED log unservable even if a
+    * commit path misses [[dropCarriedCdf]] (RESTORE commits an old
+    * manifest verbatim as a new version; its carried log describes some
+    * other transition entirely).
+    */
+  private[graft] val CdfBaseKey = "__cdfbase"
+
+  /** Drop a predecessor's change-log keys from a manifest about to be
+    * committed by anything OTHER than a log-staging mutator. Two reasons:
+    * a carried `__cdf` would (a) be served as a stale feed for the wrong
+    * version step, and (b) pin its batch dir against GC forever through
+    * [[liveDirRefs]] even after every data entry moved on.
+    */
+  private[graft] def dropCarriedCdf(m: Map[String, String]): Map[String, String] =
+    m - CdfRelKey - CdfBaseKey
+
+  /** Order-independent fingerprint of a manifest's CONTENT-DETERMINING
+    * entries (data dirs + MoR sidecars) — exactly the inputs the
+    * write-time diff read. 64-bit-hex SHA-256 prefix: collision means two
+    * different table states, same fingerprint — 2⁻³² at a billion
+    * retained versions, and the blast radius is one wrong-but-plausible
+    * feed served where a pruned diff would have been recomputed.
+    */
+  private def stateFingerprint(m: Map[String, String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    m.toSeq.filter { case (k, _) => !k.startsWith("__") ||
+        k.startsWith(DelKeyPrefix) || k.startsWith(DeltaKeyPrefix) }
+      .sortBy(_._1).foreach { case (k, v) =>
+        md.update(s"$k\t$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
 
   /** Enable the write-time change feed: from the next commit on, every
     * mutator (CoW partition replaces — upsert/delete/update/merge — and
@@ -403,7 +441,8 @@ object Upsert {
       "invalid change-feed key list")
     val manifest = committer.readManifest(tablePath)
     val phys = keys.map(physicalName(manifest, _))
-    committer.commit(tablePath, manifest + (CdfKeysKey -> phys.mkString(",")))
+    committer.commit(tablePath,
+      dropCarriedCdf(manifest) + (CdfKeysKey -> phys.mkString(",")))
   }
 
   /** Drop the change-feed declaration (existing `__cdf` logs of retained
@@ -412,7 +451,7 @@ object Upsert {
   def disableChangeFeed(tablePath: String,
                         committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
     val manifest = committer.readManifest(tablePath)
-    committer.commit(tablePath, manifest - CdfKeysKey)
+    committer.commit(tablePath, dropCarriedCdf(manifest) - CdfKeysKey)
   }
 
   /** The commit's logged change rows, when `mTo` carries a `__cdf` entry
@@ -424,12 +463,19 @@ object Upsert {
     * back to the pruned diff.
     */
   private def loggedChanges(spark: SparkSession, tablePath: String,
+                            mFrom: Map[String, String],
                             mTo: Map[String, String],
                             keys: Seq[String]): Option[DataFrame] =
     for {
       rel <- mTo.get(CdfRelKey)
       declared <- mTo.get(CdfKeysKey)
       if declared.split(",").toSeq.map(toLogicalName(mTo, _)) == keys
+      // the log is served ONLY against the exact state it diffed from: a
+      // carried/copied log (a commit path that missed dropCarriedCdf, or
+      // RESTORE re-committing an old manifest) fails this and the caller
+      // recomputes the pruned diff instead of replaying the wrong delta
+      base <- mTo.get(CdfBaseKey)
+      if base == stateFingerprint(mFrom)
       phys <- committedSchemaOf(mTo)
     } yield {
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -456,7 +502,7 @@ object Upsert {
         val rel = s"$batchDirName/__cdf"
         keyedDiff(pre, post, keysLog)
           .write.mode(SaveMode.Overwrite).parquet(s"$tablePath/$rel")
-        Map(CdfRelKey -> rel)
+        Map(CdfRelKey -> rel, CdfBaseKey -> stateFingerprint(manifest))
       case None => Map.empty
     }
 
@@ -696,7 +742,7 @@ object Upsert {
     val updated =
       if (m2.isEmpty) manifest - ColMapKey
       else manifest + (ColMapKey -> m2.toSeq.sorted.map { case (p, l) => s"$p:$l" }.mkString(","))
-    committer.commit(tablePath, updated)
+    committer.commit(tablePath, dropCarriedCdf(updated))
   }
 
   // ---- COLUMN DROP without rewrite: like rename, a metadata-only commit.
@@ -776,7 +822,7 @@ object Upsert {
       (if (m2.isEmpty) Seq(ColMapKey) else Nil) --
       (if (ranges2.isEmpty) Seq(RangeColsKey) else Nil) --
       (if (blooms2.isEmpty) Seq(BloomColsKey, BloomItemsKey, BloomFppKey) else Nil)
-    committer.commit(tablePath, cleaned)
+    committer.commit(tablePath, dropCarriedCdf(cleaned))
   }
 
   // ---- MERGE-ON-READ DELETES (deletion sidecars): a point delete at
@@ -954,13 +1000,14 @@ object Upsert {
       require(bad.isEmpty,
         s"existing rows violate CHECK $name ($exprSql): ${bad(name)} rows")
     }
-    committer.commit(tablePath, manifest + (s"$CheckPrefix$name" -> exprSql))
+    committer.commit(tablePath,
+      dropCarriedCdf(manifest) + (s"$CheckPrefix$name" -> exprSql))
   }
 
   def dropConstraint(tablePath: String, name: String,
                      committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
     val manifest = committer.readManifest(tablePath)
-    committer.commit(tablePath, manifest - s"$CheckPrefix$name")
+    committer.commit(tablePath, dropCarriedCdf(manifest) - s"$CheckPrefix$name")
   }
 
   /** Per-constraint violating-row counts over `df`, ALL constraints in one
@@ -1015,7 +1062,8 @@ object Upsert {
     // callers speak logical names; the stats machinery (staged aggregates,
     // manifest entries, FileIndex consults) is physical throughout
     val phys = cols.map(physicalName(manifest, _))
-    committer.commit(tablePath, manifest + (RangeColsKey -> phys.mkString(",")))
+    committer.commit(tablePath,
+      dropCarriedCdf(manifest) + (RangeColsKey -> phys.mkString(",")))
   }
 
   /** Drop the zone-map declaration (existing `__range.` entries expire as
@@ -1024,7 +1072,7 @@ object Upsert {
   def disableRangeStats(tablePath: String,
                         committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
     val manifest = committer.readManifest(tablePath)
-    committer.commit(tablePath, manifest - RangeColsKey)
+    committer.commit(tablePath, dropCarriedCdf(manifest) - RangeColsKey)
   }
 
   private[graft] def rangeStatsCols(manifest: Map[String, String]): Seq[String] =
@@ -1111,18 +1159,26 @@ object Upsert {
     manifest.get(s"$FileStatsKeyPrefix$partition") match {
       case Some(rel) =>
         val abs = s"$tablePath/$rel"
-        if (fileStatsCache.size > FileStatsCacheCap) {
-          val victims = fileStatsCache.keys()
-          if (victims.hasMoreElements) fileStatsCache.remove(victims.nextElement())
-        }
-        val f = new java.io.File(abs)
-        if (!f.isFile) Map.empty // vanished sidecar = no pruning, never a wrong skip (uncached)
-        else fileStatsCache.computeIfAbsent(abs, _ =>
-          new String(java.nio.file.Files.readAllBytes(f.toPath),
+        val hit = fileStatsCache.get(abs)
+        if (hit != null) hit // cache hit pays no filesystem stat
+        else {
+          if (fileStatsCache.size > FileStatsCacheCap) {
+            val victims = fileStatsCache.keys()
+            if (victims.hasMoreElements) fileStatsCache.remove(victims.nextElement())
+          }
+          // read-or-degrade, UNCACHED on failure: a sidecar GC'd between
+          // any existence check and the read (a reader holding a
+          // pre-rewrite manifest racing the grace window) must degrade to
+          // no-skip for THIS call, never fail the scan or poison the cache
+          try fileStatsCache.computeIfAbsent(abs, _ =>
+            new String(java.nio.file.Files.readAllBytes(
+                new java.io.File(abs).toPath),
               java.nio.charset.StandardCharsets.UTF_8)
-            .split("\n").filter(_.nonEmpty).map { l =>
-              val Array(n, j) = l.split("\t", 2); n -> j
-            }.toMap)
+              .split("\n").filter(_.nonEmpty).map { l =>
+                val Array(n, j) = l.split("\t", 2); n -> j
+              }.toMap)
+          catch { case _: java.io.IOException => Map.empty[String, String] }
+        }
       case None =>
         val pfx = s"$FileRangeKeyPrefix$partition/"
         manifest.collect { case (k, v) if k.startsWith(pfx) =>
@@ -1403,7 +1459,7 @@ object Upsert {
           s"bloom stats cover integral and string columns; $c is ${f.get.dataType}")
       }
     }
-    committer.commit(tablePath, manifest +
+    committer.commit(tablePath, dropCarriedCdf(manifest) +
       (BloomColsKey -> phys.mkString(",")) +
       (BloomItemsKey -> expectedItemsPerPartition.toString) +
       (BloomFppKey -> fpp.toString))
@@ -1416,7 +1472,7 @@ object Upsert {
                         committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
     val manifest = committer.readManifest(tablePath)
     committer.commit(tablePath,
-      manifest - BloomColsKey - BloomItemsKey - BloomFppKey)
+      dropCarriedCdf(manifest) - BloomColsKey - BloomItemsKey - BloomFppKey)
   }
 
   private def bloomSupported(t: org.apache.spark.sql.types.DataType): Boolean = t match {
@@ -1544,7 +1600,7 @@ object Upsert {
       s"generated-partition declaration refused: rows exist where " +
         s"$pcPhys != $transform($srcPhys)")
     committer.commit(tablePath,
-      manifest + (GenPartKey -> s"$pcPhys\t$srcPhys\t${t.name}"))
+      dropCarriedCdf(manifest) + (GenPartKey -> s"$pcPhys\t$srcPhys\t${t.name}"))
   }
 
   private def toLogicalName(manifest: Map[String, String], phys: String): String =
@@ -1848,7 +1904,7 @@ object Upsert {
       else stageCdf(manifest, tablePath, batchDirName,
         emptyOrBound(spark, manifest, tablePath, touchedEntries),
         emptyOrBound(spark, newManifest0, tablePath, touchedEntries))
-    val newManifest = (newManifest0 - CdfRelKey) ++ cdfEntry
+    val newManifest = dropCarriedCdf(newManifest0) ++ cdfEntry
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, manifest.values.toSet ++
       newManifest.values ++ committer.retainedReferences(tablePath),
@@ -1981,7 +2037,7 @@ object Upsert {
       else stageCdf(manifest, tablePath, batchDirName,
         emptyOrBound(spark, manifest, tablePath, touchedEntries),
         emptyOrBound(spark, newManifest0, tablePath, touchedEntries))
-    val newManifest = (newManifest0 - CdfRelKey) ++ cdfEntry
+    val newManifest = dropCarriedCdf(newManifest0) ++ cdfEntry
     committer.commit(tablePath, newManifest)
     SnapshotGc.gcUnreferenced(tablePath, liveDirRefs(manifest) ++
       newManifest.values ++ committer.retainedReferences(tablePath),
@@ -2328,7 +2384,7 @@ object Upsert {
         }
       }
       committer.commit(tablePath,
-        manifest + (s"append-$id" -> rel) +
+        dropCarriedCdf(manifest) + (s"append-$id" -> rel) +
           (SchemaKey -> data.schema.json) ++
           meta.map { case (k, v) => s"__$k" -> v })
     }
@@ -2564,7 +2620,7 @@ object Upsert {
           -- partsEsc.map(p => s"$DeltaKeyPrefix$p")
           -- partsEsc.map(p => s"$RowsKeyPrefix$p")
           -- staleFileRanges // rewritten partitions: old file names die
-          - CdfRelKey) ++ // the change log is strictly per-commit
+          - CdfRelKey - CdfBaseKey) ++ // the change log is strictly per-commit
         writtenParts.map(v => v -> s"$batchDirName/__part=$v") ++ ranges ++
         fileRanges ++ cdfEntry ++
         extraMeta + // e.g. a tail cursor — atomic with the data it describes
@@ -2615,7 +2671,9 @@ object Upsert {
                    committer: graft.streaming.VersionedCommitter): RestoreStats = {
     val m = committer.readManifestAsOf(tablePath, toVersion)
     withOp(committer, tablePath, s"restore(v$toVersion)") {
-      committer.commit(tablePath, m)
+      // a restored manifest carries the SOURCE version's change log — for
+      // the restore commit it describes the wrong transition entirely
+      committer.commit(tablePath, dropCarriedCdf(m))
     }
     RestoreStats(toVersion, committer.versions(tablePath).last,
       dataEntries(m).size)
@@ -2673,9 +2731,16 @@ object Upsert {
           !k.startsWith(DelKeyPrefix) && !k.startsWith(DeltaKeyPrefix) &&
           k != GenPartKey
       } + (PartColKey -> pcPhys)
+      // the `cleaned` manifest deliberately hides the old layout's data
+      // entries, so a change log staged against it would read as
+      // all-inserts — garbage (repartition's true delta is EMPTY). Pull
+      // the enablement out of the impl's view and ride it back in via
+      // extraMeta, so the feed stays ENABLED but this commit logs nothing
+      // and tableChanges recomputes the (empty) pruned diff instead.
       replacePartitionsAtomicImpl(spark, table, tablePath, newPartCol,
         values.toSeq, crashBeforeCommit = false, committer,
-        manifestRead = Some(cleaned))
+        manifestRead = Some(dropCarriedCdf(cleaned) - CdfKeysKey),
+        extraMeta = cleaned.get(CdfKeysKey).map(CdfKeysKey -> _).toMap)
       RepartitionStats(newPartCol, values.length)
     }
 
@@ -2723,7 +2788,7 @@ object Upsert {
       else k -> v
     }
     withOp(dstCommitter, dstPath, s"clone($srcPath@v$srcVersion)") {
-      dstCommitter.commit(dstPath, rewritten)
+      dstCommitter.commit(dstPath, dropCarriedCdf(rewritten))
     }
     CloneStats(srcVersion, dataEntries(rewritten).size, 0L)
   }
@@ -2801,7 +2866,7 @@ object Upsert {
       // drop stats for columns no longer analyzed (renamed/dropped since)
       val cleaned = manifest.filterNot(_._1.startsWith(StatsColPrefix))
       committer.commit(tablePath,
-        cleaned ++ entries + (StatsRowcountKey -> nRows.toString))
+        dropCarriedCdf(cleaned ++ entries) + (StatsRowcountKey -> nRows.toString))
       TableStats(nRows, colStats)
     }
 
@@ -2984,7 +3049,7 @@ object Upsert {
         Seq(c.nNulls.toString, c.nDistinct.toString, encOpt(c.min),
           encOpt(c.max)).mkString("\t")).toMap
       val cleaned = manifest.filterNot(_._1.startsWith(StatsColPrefix))
-      committer.commit(tablePath, cleaned ++ entries +
+      committer.commit(tablePath, dropCarriedCdf(cleaned ++ entries) +
         (StatsRowcountKey -> nRows.toString) + (PartStatsKey -> rel))
       manifest.get(PartStatsKey).foreach(old =>
         new java.io.File(s"$tablePath/$old").delete())

@@ -259,7 +259,10 @@ object LifecycleSql {
   private val AnalyzeIncr = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s+INCREMENTAL\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_,\\s]+?)\\s*;?\\s*".r
   // DML over path-addressed tables ((?s): predicates/sources may span lines)
   private val Delete = s"(?is)\\s*DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*".r
-  private val Update = s"(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*;?\\s*".r
+  // SET and WHERE are separated by the first TOP-LEVEL `WHERE` (keyword
+  // scanner below), never by regex — a SET subquery's own WHERE must not
+  // truncate the assignment list
+  private val Update = s"(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)\\s*;?\\s*".r
   private val Merge = s"(?is)\\s*MERGE\\s+INTO\\s+$P\\s+USING\\s+(.+?)\\s+ON\\s+KEYS\\s*\\(([^)]+)\\)\\s*(.*?)\\s*;?\\s*".r
   private val OptimizeZ = s"(?i)\\s*OPTIMIZE\\s+$P\\s+ZORDER\\s+BY\\s*\\(([A-Za-z0-9_,\\s]+)\\)\\s*;?\\s*".r
   private val Optimize = s"(?i)\\s*OPTIMIZE\\s+$P\\s*;?\\s*".r
@@ -276,6 +279,42 @@ object LifecycleSql {
   private val UpdClause =
     "(?is)\\s*WHEN\\s+MATCHED\\s+(?:AND\\s+(.+?)\\s+)?THEN\\s+UPDATE\\s+SET\\s+(.+?)\\s*".r
   private val InsClause = "(?is)\\s*WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*".r
+
+  /** Offsets of each TOP-LEVEL occurrence of keyword `kw` in `s`:
+    * outside quotes, outside parens/brackets, and outside CASE…END
+    * blocks — what lets a `CASE WHEN … THEN … END` inside a MERGE SET
+    * expression (or a subquery's WHERE inside an UPDATE assignment)
+    * pass through the statement grammar intact.
+    */
+  private def topLevelKeywordOffsets(s: String, kw: String): Seq[Int] = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val k = kw.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var depth = 0
+    var caseDepth = 0
+    var quote: Char = 0
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else c match {
+        case '\'' | '"' => quote = c; i += 1
+        case '(' | '['  => depth += 1; i += 1
+        case ')' | ']'  => depth -= 1; i += 1
+        case _ if isWordChar(c) && (i == 0 || !isWordChar(s.charAt(i - 1))) =>
+          var j = i
+          while (j < s.length && isWordChar(s.charAt(j))) j += 1
+          val w = lower.substring(i, j)
+          if (w == "case") caseDepth += 1
+          else if (w == "end" && caseDepth > 0) caseDepth -= 1
+          else if (w == k && depth == 0 && caseDepth == 0) out += i
+          i = j
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
 
   /** Split on TOP-LEVEL commas only (never inside parens, brackets, or
     * quotes) — SET lists carry arbitrary SQL expressions.
@@ -312,18 +351,35 @@ object LifecycleSql {
                          tail: String): MergeIntoCommand = {
     var delete: Option[String] = None
     var updateCond: Option[String] = None
+    var hasUpdate = false
     var setSql: Seq[(String, String)] = Nil
     var insert = false
-    // split keeps each WHEN at the head of its piece; the first piece is
-    // empty when the tail starts with WHEN
-    val pieces = tail.split("(?i)(?=\\bWHEN\\b)").toSeq.filter(_.trim.nonEmpty)
-    if (pieces.isEmpty) throw new IllegalArgumentException(
-      "MERGE needs at least one WHEN clause")
+    // clause boundaries are the TOP-LEVEL `WHEN`s only — a CASE WHEN
+    // inside a clause condition or SET expression stays in its piece
+    val offs = topLevelKeywordOffsets(tail, "when")
+    if (offs.isEmpty || tail.substring(0, offs.head).trim.nonEmpty)
+      throw new IllegalArgumentException(
+        "MERGE needs WHEN clauses after ON KEYS (…)")
+    val pieces = offs.zipAll(offs.drop(1).map(Some(_)), 0, None).map {
+      case (a, b) => tail.substring(a, b.getOrElse(tail.length))
+    }
+    // first-clause-wins would silently drop a duplicate; refuse syntax
+    // the engine cannot express instead
+    def once(already: Boolean, what: String): Unit =
+      if (already) throw new IllegalArgumentException(
+        s"duplicate MERGE $what clause — the engine evaluates one " +
+          "condition per action (compose with OR / CASE instead)")
     pieces.foreach {
-      case DelClause(cond)      => delete = Some(Option(cond).getOrElse("true"))
+      case DelClause(cond) =>
+        once(delete.isDefined, "DELETE")
+        delete = Some(Option(cond).getOrElse("true"))
       case UpdClause(cond, set) =>
-        updateCond = Option(cond); setSql = parseAssignments(set)
-      case InsClause()          => insert = true
+        once(hasUpdate, "UPDATE")
+        hasUpdate = true; updateCond = Option(cond)
+        setSql = parseAssignments(set)
+      case InsClause() =>
+        once(insert, "INSERT")
+        insert = true
       case bad => throw new IllegalArgumentException(
         s"malformed MERGE clause '${bad.trim}' — expected WHEN MATCHED " +
           "[AND <cond>] THEN DELETE | WHEN MATCHED [AND <cond>] THEN " +
@@ -348,8 +404,16 @@ object LifecycleSql {
       cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case Analyze(p)        => Some(AnalyzeTableCommand(p))
     case Delete(p, pred)   => Some(DeleteWhereCommand(p, pred))
-    case Update(p, set, pred) =>
-      Some(UpdateWhereCommand(p, parseAssignments(set), pred))
+    case Update(p, rest) =>
+      // the statement's own WHERE is the first TOP-LEVEL one; a subquery
+      // WHERE inside an assignment stays with its assignment
+      val offs = topLevelKeywordOffsets(rest, "where")
+      if (offs.isEmpty) throw new IllegalArgumentException(
+        "UPDATE over a quoted table path needs a WHERE clause — " +
+          "UPDATE '<path>' SET <col> = <expr>, … WHERE <pred>")
+      Some(UpdateWhereCommand(p,
+        parseAssignments(rest.substring(0, offs.head)),
+        rest.substring(offs.head + "where".length).trim))
     case Merge(p, src, ks, tail) => Some(parseMerge(p, src, ks, tail))
     case OptimizeZ(p, cs)  => Some(OptimizeCommand(p,
       cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))

@@ -184,6 +184,37 @@ class LifecycleSqlSpec extends AnyFunSuite {
       .select("operation").as[String].collect().contains("compact"))
   }
 
+  test("CASE WHEN and subquery WHERE pass through the DML grammar intact") {
+    val (path, c) = freshTable() // (d1,1,101), (d2,2,100)
+    // CASE WHEN inside a MERGE SET expression must not be mis-read as a
+    // clause boundary
+    Seq(("d1", 1L, 7L), ("d2", 2L, 7L)).toDF("day", "id", "version")
+      .createOrReplaceTempView("case_src")
+    spark.sql(
+      s"""MERGE INTO '$path' USING case_src ON KEYS (day, id)
+         |  WHEN MATCHED THEN UPDATE SET version = CASE WHEN id = 1 THEN 111 ELSE version END""".stripMargin)
+    assert(tableRows(path, c) == Set(("d1", 1L, 111L), ("d2", 2L, 100L)))
+    // a subquery's own WHERE inside an UPDATE assignment must not
+    // truncate the SET list (the statement's WHERE is the TOP-LEVEL one)
+    spark.sql(s"UPDATE '$path' SET version = " +
+      "(SELECT 500 WHERE 1 = 1) WHERE id = 2")
+    assert(tableRows(path, c).contains(("d2", 2L, 500L)))
+  }
+
+  test("duplicate MERGE clauses refuse loudly instead of last-clause-wins") {
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO '/tmp/x' USING v ON KEYS (id) " +
+        "WHEN MATCHED AND a = 1 THEN UPDATE SET x = 1 " +
+        "WHEN MATCHED AND a = 2 THEN UPDATE SET x = 2")
+    }
+    assert(e.getMessage.contains("duplicate MERGE UPDATE"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("MERGE INTO '/tmp/x' USING v ON KEYS (id) " +
+        "WHEN MATCHED AND a = 1 THEN DELETE WHEN MATCHED THEN DELETE")
+    }
+    assert(e2.getMessage.contains("duplicate MERGE DELETE"))
+  }
+
   test("DML near-misses error loudly with the expected grammar, not a Spark parse error") {
     val e1 = intercept[IllegalArgumentException] {
       spark.sql("DELETE FROM '/tmp/x'") // missing WHERE

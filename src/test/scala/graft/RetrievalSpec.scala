@@ -128,6 +128,13 @@ class RetrievalSpec extends AnyFunSuite {
     val plan = grownAns.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"appended index must keep the bucket partition pruning:\n$plan")
+    // an EMPTY batch is a clean no-op: stats untouched, answers unchanged
+    Retrieval.appendToTextIndex(all.limit(0), grown)
+    assert(spark.read.parquet(s"$grown/stats")
+      .selectExpr("n_docs", "total_dl", "avgdl").head() == fs,
+      "an empty admission must not disturb the corpus stats")
+    assert(rows(Retrieval.bm25TopKFromIndex(spark, grown, queries, 10)) ==
+      rows(grownAns))
   }
 
   test("rank is dense from 1 and ordered by score desc") {

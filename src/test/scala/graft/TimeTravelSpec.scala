@@ -533,6 +533,47 @@ class TimeTravelSpec extends AnyFunSuite {
       Set((4L, 101L, "insert")), "A→B→A keys must cancel in a netted span")
   }
 
+  test("a carried or copied change log is never served: metadata commits, restore, compact") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    Upsert.enableChangeFeed(path, Seq("id"), c)               // v1
+    upsert(path, c, ("d1", 1L, 100L), ("d2", 2L, 100L))       // v2 (logs)
+    upsert(path, c, ("d1", 1L, 101L), ("d1", 3L, 101L))       // v3 (logs)
+    // metadata commit: ANALYZE must drop the carried log and its feed
+    // step must be EMPTY, not a replay of v3's log
+    Upsert.analyzeTable(spark, path, c)                       // v4
+    assert(!c.readManifestAsOf(path, 4L).contains("__cdf"),
+      "a metadata commit must not carry the predecessor's change log")
+    assert(Upsert.tableChanges(spark, path, 3L, 4L, Seq("id"), c).count() == 0L)
+    // RESTORE commits v2's manifest verbatim as v5 — v2's log describes
+    // v1→v2 (all inserts), but the TRUE v4→v5 delta is the rollback of
+    // v3 (key 3 deleted, key 1 back to 100)
+    Upsert.restoreTable(path, 2L, c)                          // v5
+    assert(!c.readManifestAsOf(path, 5L).contains("__cdf"),
+      "a restore must not carry the restored version's change log")
+    val rollback = Upsert.tableChanges(spark, path, 4L, 5L, Seq("id"), c)
+      .selectExpr("id", "version", "change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rollback == Set((1L, 100L, "update_post"), (3L, 101L, "delete")),
+      s"the restore step must diff as the rollback, got $rollback")
+    // compaction: logical delta EMPTY, log dropped
+    graft.pipeline.Maintenance.compact(spark, path, committer = c) // v6 (if work)
+    val last = c.versions(path).last
+    if (last > 5L) {
+      assert(!c.readManifestAsOf(path, last).contains("__cdf"))
+      assert(Upsert.tableChanges(spark, path, last - 1, last, Seq("id"), c)
+        .count() == 0L)
+    }
+    // and the NEXT mutator logs again, served as usual
+    upsert(path, c, ("d2", 2L, 106L))
+    val v = c.versions(path).last
+    val step = Upsert.tableChanges(spark, path, v - 1, v, Seq("id"), c)
+    assert(step.inputFiles.forall(_.contains("/__cdf/")),
+      "logging must resume after non-logging commits")
+    assert(step.selectExpr("id", "version", "change_type")
+      .as[(Long, Long, String)].collect().toSet == Set((2L, 106L, "update_post")))
+  }
+
   test("logged feed covers delete/update/merge and MoR mutators, and applyChanges replays it") {
     val path = Files.createTempDirectory("graft-tt").toString + "/t"
     val rep = Files.createTempDirectory("graft-tt").toString + "/rep"

@@ -79,13 +79,17 @@ object IncrementalMv {
       case Some(cur) if cur >= latest =>
         RefreshStats(cur, cur, Nil, applied = false)
       case Some(cur) =>
-        val changes = Upsert.tableChanges(spark, srcPath, cur, latest,
-          srcKeys, srcCommitter)
-        // which rollup groups moved: the feed's partition values (post
-        // image for inserts/updates, pre image for deletes — under the
-        // key→partition contract that IS the full touched set)
-        val touched = changes.select(col(partCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        // which rollup groups moved: the change feed's partition values
+        // (post image for inserts/updates, pre image for deletes — under
+        // the key→partition contract that IS the full touched set).
+        // Discovery is log-first ([[Upsert.changedPartitionValues]]):
+        // when every step has a servable write-time log, the set comes
+        // from O(Σ change rows) of log reads with NO diff join — the
+        // recompute below is then genuinely the only data work. A
+        // union-of-steps SUPERSET (a net-reverted partition) only causes
+        // a recompute that lands the same bytes, never a wrong rollup.
+        val touched = Upsert.changedPartitionValues(spark, srcPath, cur,
+          latest, srcKeys, partCol, srcCommitter)
         if (touched.isEmpty) {
           // version advanced with no data diff: advance the cursor alone,
           // atomically, replacing no partitions

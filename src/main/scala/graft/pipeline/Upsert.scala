@@ -372,6 +372,50 @@ object Upsert {
     }
   }
 
+  /** The single-step `version-1 → version` change feed from the commit's
+    * own staged log, when one is servable (change feed enabled at that
+    * commit, matching keys, matching base-state fingerprint) — O(change
+    * rows) read, no join. None ⇒ no servable log (compute the step via
+    * [[tableChanges]]' pruned diff instead). The consumer seam stepwise
+    * catch-up runs on ([[graft.streaming.TableTail]],
+    * [[IncrementalMv]]).
+    */
+  def tableChangesLogged(spark: SparkSession, tablePath: String,
+                         version: Long, keys: Seq[String],
+                         committer: graft.streaming.VersionedCommitter): Option[DataFrame] =
+    try {
+      val mFrom = committer.readManifestAsOf(tablePath, version - 1)
+      val mTo = committer.readManifestAsOf(tablePath, version)
+      loggedChanges(spark, tablePath, mFrom, mTo, keys)
+    } catch {
+      // an expired predecessor version means the step cannot be validated
+      // against its base state — not servable, caller falls back
+      case _: IllegalArgumentException => None
+    }
+
+  /** Partition values carrying change rows between two versions, derived
+    * as cheaply as the history allows: the UNION of per-step logged feeds
+    * when every step in the span has a servable log (O(Σ change rows)
+    * read, no join — a superset of the netted set, safe for any
+    * recompute-style consumer), otherwise the netted pruned diff's
+    * partition values. The discovery seam [[IncrementalMv.refresh]] uses
+    * to find its touched rollup groups without paying a diff join when
+    * logs exist.
+    */
+  def changedPartitionValues(spark: SparkSession, tablePath: String,
+                             fromVersion: Long, toVersion: Long,
+                             keys: Seq[String], partCol: String,
+                             committer: graft.streaming.VersionedCommitter): Seq[String] = {
+    val steps = ((fromVersion + 1) to toVersion)
+      .map(v => tableChangesLogged(spark, tablePath, v, keys, committer))
+    val feed =
+      if (steps.nonEmpty && steps.forall(_.isDefined))
+        steps.flatten.reduce(_ unionByName _)
+      else tableChanges(spark, tablePath, fromVersion, toVersion, keys, committer)
+    feed.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   // ---- WRITE-TIME CHANGE FEED (Delta-CDF on the manifest seam) ----
 
   /** Inline metadata: the PHYSICAL key columns the table's change feed

@@ -74,11 +74,44 @@ object TableTail {
       case Some(cur) if cur >= latest =>
         TailStats(cur, cur, applied = false)
       case Some(cur) =>
-        val changes = Upsert.tableChanges(spark, srcPath, cur, latest, keys,
-          srcCommitter)
-        Upsert.applyChanges(spark, changes, replicaPath, partCol, keys,
-          order, replicaCommitter, Map(CursorKey -> latest.toString))
+        // stepwise logged catch-up: when every step in the span has a
+        // servable write-time log (enableChangeFeed), apply the feeds
+        // version by version — O(Σ change rows) read, NO diff join, and
+        // each step commits its own cursor, so a crash mid-catch-up
+        // resumes from the last applied version instead of replaying the
+        // whole span. Bounded: past maxLoggedSteps the netted diff's one
+        // commit beats per-step version churn on the replica.
+        val span = latest - cur
+        val stepFeeds =
+          if (span > maxLoggedSteps) None
+          else {
+            val feeds = ((cur + 1) to latest).map(v =>
+              v -> Upsert.tableChangesLogged(spark, srcPath, v, keys, srcCommitter))
+            if (feeds.forall(_._2.isDefined))
+              Some(feeds.map { case (v, f) => v -> f.get })
+            else None
+          }
+        stepFeeds match {
+          case Some(feeds) =>
+            feeds.foreach { case (v, feed) =>
+              Upsert.applyChanges(spark, feed, replicaPath, partCol, keys,
+                order, replicaCommitter, Map(CursorKey -> v.toString))
+            }
+          case None =>
+            // netted pruned diff: one join over the changed partitions,
+            // one replica commit
+            val changes = Upsert.tableChanges(spark, srcPath, cur, latest,
+              keys, srcCommitter)
+            Upsert.applyChanges(spark, changes, replicaPath, partCol, keys,
+              order, replicaCommitter, Map(CursorKey -> latest.toString))
+        }
         TailStats(cur, latest, applied = true)
     }
   }
+
+  /** Catch-up spans longer than this always take the netted diff: N
+    * per-step replica commits would churn the replica's retained history
+    * for no read saving a single netted merge doesn't already have.
+    */
+  private val maxLoggedSteps = 16L
 }

@@ -90,4 +90,31 @@ class IncrementalMvSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSet ==
       Set(("d1", "a", 15L), ("d1", "b", 6L), ("d2", "a", 7L)))
   }
+
+  test("log-first touched discovery: logged spans skip the diff join, superset stays correct") {
+    val dir = Files.createTempDirectory("graft-imv").toString
+    val src = dir + "/src"; val mv = dir + "/mv"
+    val sc = new VersionedCommitter
+    Upsert.enableChangeFeed(src, Seq("id"), sc) // v1
+    Upsert.upsertPartitionsAtomic(spark,
+      df(("d1", 1L, 10L), ("d2", 2L, 20L), ("d3", 3L, 30L)),
+      src, "day", Seq("id"), Seq("v"), sc)      // v2
+    IncrementalMv.refresh(spark, src, sc, mv, "day", Seq("id"), Seq("day"), aggs)
+    // two logged steps: d1 updated then REVERTED (net-zero), d2 updated
+    Upsert.upsertPartitionsAtomic(spark,
+      df(("d1", 1L, 99L), ("d2", 2L, 21L)), src, "day", Seq("id"), Seq("v"), sc) // v3
+    graft.pipeline.Upsert.replacePartitionsAtomic(spark, df(("d1", 1L, 10L)),
+      src, "day", Seq("d1"), committer = sc)                                     // v4
+    // discovery from the logs: the union names d1 (net-reverted, a safe
+    // superset) and d2; the netted diff would name d2 alone — both are
+    // correct inputs to a recompute
+    val touched = Upsert.changedPartitionValues(spark, src, 2L, 4L,
+      Seq("id"), "day", sc)
+    assert(touched == Seq("d1", "d2"), s"log-union touched set: $touched")
+    val st = IncrementalMv.refresh(spark, src, sc, mv, "day", Seq("id"),
+      Seq("day"), aggs)
+    assert(st.applied && st.touchedPartitions == Seq("d1", "d2"))
+    assert(mvRows(mv) == Set(("d1", 10L, 10L, 1L), ("d2", 21L, 21L, 1L),
+      ("d3", 30L, 30L, 1L)), "the recomputed rollup must be exact")
+  }
 }

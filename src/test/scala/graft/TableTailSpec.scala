@@ -90,6 +90,40 @@ class TableTailSpec extends AnyFunSuite {
     }
   }
 
+  test("stepwise logged catch-up: per-version feeds, per-step cursors, no diff join") {
+    val dir = Files.createTempDirectory("graft-tail").toString
+    val src = dir + "/src"
+    val rep = dir + "/rep"
+    val sc = new VersionedCommitter
+    val rc = new VersionedCommitter // versioned replica: history asserts below
+    val keys = Seq("id"); val order = Seq("v")
+    Upsert.enableChangeFeed(src, keys, sc) // v1
+    Upsert.upsertPartitionsAtomic(spark,
+      df(("d1", 1L, 10L), ("d2", 2L, 20L)), src, "day", keys, order, sc) // v2
+    TableTail.replicate(spark, src, sc, rep, "day", keys, order, rc)
+    assert(TableTail.cursor(rep, rc).contains(2L))
+    // three logged source steps land while the replica sleeps
+    Upsert.upsertPartitionsAtomic(spark, df(("d1", 1L, 11L)), src, "day", keys, order, sc) // v3
+    Upsert.upsertPartitionsAtomic(spark, df(("d3", 3L, 30L)), src, "day", keys, order, sc) // v4
+    Upsert.deleteWhere(spark, src, "day", col("id") === 2L, sc)                            // v5
+    // every step is individually servable from its log
+    (3L to 5L).foreach { v =>
+      assert(Upsert.tableChangesLogged(spark, src, v, keys, sc).isDefined,
+        s"step $v must have a servable log")
+    }
+    val st = TableTail.replicate(spark, src, sc, rep, "day", keys, order, rc)
+    assert(st.applied && st.fromVersion == 2L && st.toVersion == 5L)
+    assert(rows(rep, rc) == rows(src, sc))
+    assert(rows(rep, rc) == Set(("d1", 1L, 11L), ("d3", 3L, 30L)))
+    // the stepwise path committed one replica version PER source step
+    // with monotonically advancing cursors — what lets a crash
+    // mid-catch-up resume instead of replaying the whole span
+    val cursors = rc.versions(rep).map(v =>
+      rc.readManifestAsOf(rep, v).get("__tailFrom").map(_.toLong))
+    assert(cursors.flatten.containsSlice(Seq(3L, 4L, 5L)),
+      s"per-step cursors must appear in the replica history: $cursors")
+  }
+
   test("schema evolution flows through the feed") {
     val dir = Files.createTempDirectory("graft-tail").toString
     val src = dir + "/src"

@@ -99,7 +99,13 @@ object PlanDump {
       // codes + LUT ADC + exact re-rank), and the per-file-stats
       // checkpointed week read (file pruning through the __fstats
       // sidecar inside one surviving partition)
-      "q_cbo_reorder", "ann_ivfpq_pca_topk", "table_file_pruned")
+      "q_cbo_reorder", "ann_ivfpq_pca_topk", "table_file_pruned",
+      // round 17: the manifest-diff-pruned CDC (the diff's scans list
+      // ONLY the changed partition's dirs in both as-of states), the
+      // write-time change-log read (a single parquet scan of the staged
+      // log — no join anywhere in the plan), and the grown BM25 index
+      // probe (partition-pruned postings + partial-df sum)
+      "table_changes", "table_changes_logged", "retrieval_bm25_incremental")
     val sb = new StringBuilder
     sb ++= "# PLANS — FINAL physical plans of the headline queries (sf0.1)\n\n"
     sb ++= "Generated by `graft.PlanDump` at HEAD. Every query is executed and its\n"

@@ -286,8 +286,12 @@ object StreamDedup {
 
     // commit: touched days re-point to the new batch dir (a read day whose
     // rows were all superseded away simply drops out), untouched days keep
-    // their existing entries; then release superseded data
-    val newManifest = (manifest -- readDays) ++
+    // their existing entries; then release superseded data. This merge
+    // stages no change log of its own, so a carried `__cdf` (a snapshot
+    // table someone enabled the feed on) is dropped like every
+    // non-logging commit does — see Upsert.dropCarriedCdf
+    val newManifest = graft.pipeline.Upsert.dropCarriedCdf(
+      (manifest -- readDays)) ++
       writtenDays.map(d => d -> s"$batchDirName/day_part=$d")
     committer.commit(snapshotPath, newManifest)
     // release superseded data ONE CYCLE LATE: keep everything either

@@ -533,6 +533,25 @@ class TimeTravelSpec extends AnyFunSuite {
       Set((4L, 101L, "insert")), "A→B→A keys must cancel in a netted span")
   }
 
+  test("the logged feed crosses add-column evolution with the commit's own schema") {
+    val path = Files.createTempDirectory("graft-tt").toString + "/t"
+    val c = new VersionedCommitter
+    Upsert.enableChangeFeed(path, Seq("id"), c)          // v1
+    upsert(path, c, ("d1", 1L, 100L), ("d1", 2L, 100L))  // v2
+    // v3 adds a nullable column and updates key 1; key 2 is untouched
+    // (null == null across the alignment) and must stay silent
+    Upsert.upsertPartitionsAtomic(spark,
+      Seq(("d1", 1L, 101.0, 101L, "a")).toDF("day", "id", "value", "version", "tag"),
+      path, "day", keys = Seq("id"), order = Seq("version"), committer = c)
+    val step = Upsert.tableChanges(spark, path, 2L, 3L, Seq("id"), c)
+    assert(step.inputFiles.nonEmpty && step.inputFiles.forall(_.contains("/__cdf/")),
+      "the evolution commit's feed must serve from its own staged log")
+    assert(step.columns.contains("tag"), "the log carries the NEW schema")
+    assert(step.selectExpr("id", "tag", "change_type")
+      .as[(Long, Option[String], String)].collect().toSet ==
+      Set((1L, Some("a"), "update_post")))
+  }
+
   test("a carried or copied change log is never served: metadata commits, restore, compact") {
     val path = Files.createTempDirectory("graft-tt").toString + "/t"
     val c = new VersionedCommitter

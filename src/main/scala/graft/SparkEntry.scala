@@ -945,6 +945,15 @@ object SparkEntry {
     "doc_sample_hash" -> ((s, d) =>
       TextOps.deterministicSample(Tables.documents(prep(s), d), "doc_id", "199a")
         .select("doc_id", "lang")),
+    // CCNet-style LM quality scoring: a bigram model trained on a
+    // deterministic ~half of the corpus scores EVERY document (so the
+    // unseen-context/unseen-pair smoothing paths are exercised and
+    // oracled, not just the in-model ones)
+    "doc_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(prep(s), d)
+      TextOps.lmPerplexity(
+        TextOps.deterministicSample(docs, "doc_id", "8000"), docs)
+    }),
     "lang_token_mix" -> ((s, d) =>
       TextOps.langTokenMix(Tables.documents(prep(s), d))),
     "doc_pack_chunks" -> ((s, d) =>
@@ -1786,6 +1795,56 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // the STATEMENT form of the same row-level update — `UPDATE '<path>'
+    // SET … WHERE …` through the injected parser — must answer
+    // byte-identically to the API twin above (same oracle val)
+    "table_update_where_sql" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "upd_sql") {
+        val out = cachedTempDir("graft_updsql_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        val state = fact(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          pmod(col("event_id"), lit(8L)).as("bucket"))
+        pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+          (0L until 8L).map(_.toString), committer = c)
+        val updated = s.sql(
+          s"UPDATE '$out' SET value_cents = 0 WHERE event_type = 'error'")
+          .selectExpr("updated_rows").head().getLong(0)
+        require(updated > 0, "SQL update demo must update something")
+        (out, c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
+    // the STATEMENT form of OPTIMIZE with a z-order clause — `OPTIMIZE
+    // '<path>' ZORDER BY (…)` through the injected parser, delegating to
+    // Maintenance.compact. Content-preservation oracle (identical to
+    // table_compacted's): a re-clustering that loses, duplicates, or
+    // reorders-into-wrong-partitions any row hash-mismatches; the
+    // pruning payoff of the z-layout is separately oracled by
+    // table_zorder_file_pruned.
+    "table_optimize_zorder_sql" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "optz_sql") {
+        val out = cachedTempDir("graft_optzsql_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        val state = fact(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          pmod(col("event_id"), lit(8L)).as("bucket"))
+        pipeline.Upsert.replacePartitionsAtomic(s, state.repartition(16),
+          out, "bucket", (0L until 8L).map(_.toString), committer = c)
+        val st = s.sql(s"OPTIMIZE '$out' ZORDER BY (user_id, ts_us)")
+          .selectExpr("files_before", "files_after").head()
+        require(st.getLong(1) < st.getLong(0),
+          s"the SQL OPTIMIZE must rewrite the fragmented layout: $st")
+        (out, c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // MANIFEST ZONE MAPS: the fact committed day-partitioned with
     // per-partition ts_us ranges; the week-window read prunes by the
     // committed stats BEFORE any listing, then applies the exact
@@ -2453,6 +2512,21 @@ object SparkEntry {
   private lazy val TableDeleteWhereSql =
     s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL"
 
+  /** Shared oracle for `table_update_where` and its statement twin —
+    * the CASE-mapped fact state: updated class zeroed, everything else
+    * identical. One val so the twins can never drift.
+    */
+  private lazy val TableUpdateWhereSql =
+    s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact"
+
+  /** Shared oracle for the content-preserving layout rewrites
+    * (`table_compacted`, `table_optimize_zorder_sql`): the committed
+    * fact state itself — a rewrite that loses, duplicates, or
+    * mis-partitions any row hash-mismatches.
+    */
+  private lazy val FactStateSql =
+    s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact"
+
   /** Shared oracle for `table_merge_into` and its statement twin: the
     * three clauses recomputed — error rows gone, purchase cents doubled,
     * click copies inserted under shifted ids.
@@ -3089,6 +3163,23 @@ object SparkEntry {
     },
     "doc_sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'",
+    // the bigram LM replayed: same md5 train split, same add-one
+    // conditional, the one ln() rounded to integer micro-nats per bigram
+    // occurrence BEFORE any sum (the retrieval_bm25 precedent), then
+    // exact BIGINT totals and a rounded integer division
+    "doc_lm_perplexity" ->
+      ("WITH tr AS (SELECT string_split(text, ' ') AS w FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'), " +
+        // tokens never contain spaces, so w1 splits back losslessly from
+        // the bigram string (the collocations-oracle trick)
+        "tb AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1 FROM (SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bigram FROM tr)), " +
+        "c12 AS (SELECT bigram, count(*) AS c12 FROM tb GROUP BY 1), " +
+        "c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM tr)), " +
+        "sc AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "sb AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) AS bigram FROM sc)), " +
+        "j AS (SELECT sb.doc_id, CAST(round(ln(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE) / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * -1000000.0) AS BIGINT) AS cost FROM sb LEFT JOIN c12 USING (bigram) LEFT JOIN c1 USING (w1) CROSS JOIN v), " +
+        "g AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cost) AS BIGINT) AS nll_micro FROM j GROUP BY 1) " +
+        s"SELECT doc_id, n_bigrams, nll_micro, ${fxDivSql("nll_micro", "n_bigrams")} AS avg_nll_micro FROM g"),
     "doc_chunks" ->
       "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w, unnest(range(0, len(w), 48)) AS start_tok, generate_subscripts(range(0, len(w), 48), 1) - 1 AS chunk_id FROM t) SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(start_tok AS BIGINT) AS start_tok, CAST(least(64, n_tokens - start_tok) AS BIGINT) AS chunk_len, array_to_string(w[start_tok + 1 : start_tok + 64], ' ') AS chunk_text FROM c",
     "doc_stratified_sample" ->
@@ -3491,8 +3582,10 @@ object SparkEntry {
     },
     // compaction is content-preserving: read-back of the bin-packed table
     // must equal the recomputed fact state, row for row
-    "table_compacted" ->
-      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact",
+    "table_compacted" -> FactStateSql,
+    // the OPTIMIZE … ZORDER BY statement is equally content-preserving —
+    // the SAME val, so the rewrites' oracles can never drift
+    "table_optimize_zorder_sql" -> FactStateSql,
     // the fact minus the deleted class (SQL DELETE keeps null-evaluating
     // rows — mirrored with the explicit IS NULL arm)
     "table_delete_where" -> TableDeleteWhereSql,
@@ -3549,8 +3642,10 @@ object SparkEntry {
         "FROM fact, w WHERE epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN w.lo AND w.lo + 604800000000"),
     // the CASE-mapped fact state: updated class zeroed, everything else
     // identical
-    "table_update_where" ->
-      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CASE WHEN event_type = 'error' THEN 0 ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents, event_id % 8 AS bucket FROM fact",
+    "table_update_where" -> TableUpdateWhereSql,
+    // the UPDATE statement twin must answer byte-identically — the SAME
+    // val, so a later oracle fix can never leave the twins divergent
+    "table_update_where_sql" -> TableUpdateWhereSql,
     // median/MAD daily-volume screen: integer counts keep every statistic
     // exact-in-double, so flags replay bit-for-bit
     "mon_anomaly_days" ->

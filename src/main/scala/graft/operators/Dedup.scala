@@ -73,16 +73,18 @@ object Dedup {
     * saturated bloom and the output doesn't change). Returns the batch
     * rows whose content is NOT present in the corpus.
     *
-    * The membership probe is a Scala UDF over the broadcast sketch — the
-    * one place a UDF is the right tool: Spark's own runtime-filter
-    * `BloomFilterMightContain` expression is internal-only, and the probe
-    * is a driver-built object lookup with no Catalyst-expressible
-    * equivalent. It sits in a narrow projection (no codegen boundary on
-    * the hot aggregation path).
+    * The membership probe is Spark's own runtime-filter expression
+    * `BloomFilterMightContain` (the engine used to carry its one Scala
+    * UDF here): the driver-built sketch is serialized and bound as a
+    * foldable BINARY literal — exactly the shape Spark's
+    * InjectRuntimeFilter produces from a scalar subquery — so the probe
+    * is codegen'd, deserializes the filter once per task via a plan
+    * reference object, and ships with the (torrent-broadcast) task
+    * binary rather than a separate broadcast variable. Zero UDFs remain
+    * in the engine's row path.
     */
   def bloomNewContent(corpus: DataFrame, batch: DataFrame,
                       contentCol: String, fpp: Double = 0.01): DataFrame = {
-    val spark = corpus.sparkSession
     // the bloom keys on the codegen'd 64-bit content hash (Spark 4's
     // sketch builder is long-keyed); a 64-bit collision is just one more
     // false positive for the verification join, which compares the full
@@ -96,12 +98,21 @@ object Dedup {
     // hashes; a real deployment carries this in table stats)
     val n = math.max(1L, hashes.count())
     val bloom = hashes.stat.bloomFilter("xh", n, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val might = udf((xh: Long) => bc.value.mightContainLong(xh))
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    def might(value: Column): Column = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(value)))
     val withH = batch
       .withColumn("__h", sha2(col(contentCol), 256))
-      // null content: xxhash64(null) is null, the UDF yields null, and a
-      // null __maybe would fail BOTH branch filters — the row would
+      // null content: xxhash64(null) is null, might_contain yields null,
+      // and a null __maybe would fail BOTH branch filters — the row would
       // silently vanish. Null content is definitionally "not present in
       // the corpus" here (SQL equality never matches null), so route it
       // to the definitely-new branch

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -801,5 +801,68 @@ object TextOps {
           col("df_pair") * col("n_docs"),
           col("df_w1") * col("df_w2"), 4).as("lift"))
       .orderBy(col("lift").desc, col("bigram")).limit(k)
+  }
+
+  /** Bigram-LM perplexity scoring — the CCNet/KenLM-style quality signal
+    * (Wenzek et al., "CCNet", LREC 2020): train an add-one-smoothed
+    * bigram language model on a reference slice, score every document by
+    * its average negative log-likelihood, and rank — low-NLL documents
+    * read like the reference corpus, high-NLL ones are the noise a
+    * pretraining mix filters out. (The reference repo has no text
+    * pipeline; this extends the engine's curation family.)
+    *
+    * Model: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) over `train`, where
+    * c(w1) counts w1 as a bigram CONTEXT (so Σ_w2 numerator = denominator
+    * and the conditional is proper) and V is the training vocabulary.
+    * Unseen contexts/pairs degrade smoothly via the same formula with
+    * zero counts — scoring is total over any `score` frame, including
+    * docs the model never saw.
+    *
+    * Determinism: the one transcendental (ln) is rounded to integer
+    * MICRO-NATS per bigram occurrence before any aggregation — the
+    * `retrieval_bm25` precedent — so the per-document sums and the
+    * final rounded-division average are exact BIGINT arithmetic that
+    * DuckDB replays bit-for-bit.
+    *
+    * Scale shape: both model tables are hash aggregates bounded by
+    * (observed-bigram, vocabulary) cardinality, never corpus size; the
+    * scoring side is two equi-joins keyed on near-uniform token strings
+    * (AQE broadcasts the model when it fits, degrades to shuffle joins
+    * when it doesn't — no forced hints) plus one broadcast 1-row
+    * vocabulary aggregate; the per-document rollup is a map-side-combining
+    * hash aggregate. Nothing is windowed, nothing collects.
+    */
+  def lmPerplexity(train: DataFrame, score: DataFrame): DataFrame = {
+    def bigramsOf(df: DataFrame, cols: Column*): DataFrame = {
+      val w = graft.functions.TextFns.tokens(col("text"))
+      // positional bigram MULTISET (every occurrence, unlike the
+      // distinct shingle set near-dup uses); <2-token docs have none
+      val arr = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ",
+            element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      df.select(cols :+ explode(arr).as("bigram"): _*)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    }
+    val trainBg = bigramsOf(train)
+    val pairCounts = trainBg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val ctxCounts = trainBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = train
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bigramsOf(score, col("doc_id"))
+      .join(pairCounts, Seq("bigram"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab)) // 1-row global aggregate
+      .withColumn("cost_micro",
+        round(log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          * lit(-1000000.0), 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cost_micro")).as("nll_micro"))
+      .withColumn("avg_nll_micro",
+        graft.functions.FxMath.roundedDiv(col("nll_micro"), col("n_bigrams")))
   }
 }

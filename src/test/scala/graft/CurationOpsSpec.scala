@@ -128,4 +128,40 @@ class CurationOpsSpec extends AnyFunSuite {
       .toMap
     assert(out == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("LM perplexity matches the hand-computed add-one bigram model") {
+    // train: "a b" ×3 and "a c" ×1 → c1(a)=4, c12(a b)=3, c12(a c)=1,
+    // V = {a,b,c} = 3
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"),  // seen pair:    -ln(4/7)
+      (11L, "a q"),  // unseen pair:  -ln(1/7)
+      (12L, "q q"),  // unseen ctx:   -ln(1/3)
+      (13L, "a")     // <2 tokens: no bigrams, must drop out
+    ).toDF("doc_id", "text")
+    def micro(p: Double): Long = math.round(math.log(p) * -1000000.0)
+    val got = TextOps.lmPerplexity(train, score).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_micro"))))
+      .toMap
+    assert(got == Map(
+      10L -> ((1L, micro(4.0 / 7.0))),
+      11L -> ((1L, micro(1.0 / 7.0))),
+      12L -> ((1L, micro(1.0 / 3.0)))))
+  }
+
+  test("LM perplexity ranks reference-like text below gibberish") {
+    val train = (0L until 30L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "zxq vbn mmw qqa ppl")).toDF("doc_id", "text")
+    val nll = TextOps.lmPerplexity(train, score).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("avg_nll_micro"))
+      .toMap
+    assert(nll(100L) < nll(101L),
+      s"in-domain text must score a lower avg NLL than gibberish: $nll")
+  }
 }

@@ -104,4 +104,18 @@ class DedupSpec extends AnyFunSuite {
       .count()
     assert(got == 31L, "every unique batch doc must survive a saturated bloom")
   }
+
+  test("bloom membership probe is the native codegen'd expression, not a UDF") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    // batch from range (not a LocalRelation): ConvertToLocalRelation would
+    // otherwise constant-fold the probe away before the physical plan
+    val batch = spark.range(10).select(col("id").as("doc_id"),
+      concat(lit("text "), col("id")).as("text"))
+    val plan = Dedup.bloomNewContent(corpus, batch, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the native BloomFilterMightContain probe in the plan:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"the engine's row path must stay UDF-free:\n$plan")
+  }
 }

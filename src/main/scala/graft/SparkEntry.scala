@@ -1105,6 +1105,10 @@ object SparkEntry {
       Components.qualitySurvivorClusters(Tables.documents(prep(s), d), 0.7)),
     "ann_cosine_topk" -> ((s, d) =>
       Ann.bruteTopK(Tables.embeddings(prep(s), d), 10, 5)),
+    // contrastive-pair mining: per anchor, the 5 nearest vectors of a
+    // DIFFERENT label — the hard negatives a contrastive loss trains on
+    "emb_hard_negatives" -> ((s, d) =>
+      Ann.hardNegatives(Tables.embeddings(prep(s), d), 10, 5)),
     "ann_ivf_topk" -> ((s, d) =>
       Ann.ivfTopKWithCentroids(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture), 10, 5)),
@@ -1309,6 +1313,18 @@ object SparkEntry {
       val (out, c) = versionedDemo(s, d)
       val ts2 = c.commitTimestamps(out)(2L)
       pipeline.Upsert.readTableAsOfTimestamp(s, out, ts2, c)
+    }),
+    // the READ-side statement surface: `SELECT … FROM '<path>' VERSION AS
+    // OF 2` through the injected parser — the quoted-path relation
+    // rewrites to the manifest-table read (full readTable semantics) and
+    // the rest of the statement is ordinary Spark SQL; the oracle
+    // recomputes the v2 state and aggregates it identically, so a rewrite
+    // that resolved the wrong version, dropped the pin, or scanned raw
+    // files (bypassing MoR/evolution) hash-mismatches
+    "table_select_sql" -> ((s, d) => {
+      val (out, _) = versionedDemo(s, d)
+      s.sql(s"SELECT event_type, count(*) AS n, sum(value_cents) AS cents " +
+        s"FROM '$out' VERSION AS OF 2 GROUP BY event_type")
     }),
     // CHANGE DATA FEED v2→v3 of the same versioned table: inserts are the
     // batch-3-exclusive keys, update_post the keys whose winning row
@@ -3355,6 +3371,9 @@ object SparkEntry {
         annTopKSql("rs", 5)),
     "ann_cosine_topk" ->
       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
+    // the same brute-force ranking restricted to label-mismatched pairs
+    "emb_hard_negatives" ->
+      "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings), q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label FROM e WHERE vec_id < 10), s AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q.q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q.q_emb, q.q_emb)), 0), 6) AS cos FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id AND e.label <> q.q_label) SELECT q_id, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM s) WHERE rk <= 5",
     // exact IVF mirror from the committed quantizer: DuckDB re-derives the
     // bucket assignment, the probe set, and the candidate re-score — not a
     // recall gate but the same candidate pipeline replayed cross-engine
@@ -3530,6 +3549,15 @@ object SparkEntry {
         "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4), " +
         "r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) " +
         "SELECT event_id, ts_us, user_id, event_type, value_cents, bucket FROM r WHERE rn = 1"),
+    // the SQL read surface aggregates the same recomputed v2 state
+    "table_select_sql" ->
+      ("WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +
+        "CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM events), " +
+        "b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e), " +
+        "w AS (SELECT e.*, 1 AS batch FROM e, b WHERE ts_us <= lo + (hi - lo) // 2 " +
+        "UNION ALL SELECT e.*, 2 AS batch FROM e, b WHERE ts_us > lo + (hi - lo) // 4 AND ts_us <= lo + (3 * (hi - lo)) // 4), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts_us DESC, value_cents DESC, batch DESC) AS rn FROM w) " +
+        "SELECT event_type, count(*) AS n, CAST(sum(value_cents) AS BIGINT) AS cents FROM r WHERE rn = 1 GROUP BY event_type"),
     // TIMESTAMP AS OF must resolve the same v2 state — same recompute
     "table_time_travel_ts" ->
       ("WITH e AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, " +

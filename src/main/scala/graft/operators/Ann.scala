@@ -61,6 +61,36 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training pairs: per anchor
+    * (`vec_id < nAnchors`), the k most-cosine-similar vectors whose
+    * LABEL differs — near in embedding space, wrong class, exactly the
+    * negatives a contrastive loss learns the most from (the in-batch-
+    * random alternative mostly yields easy, uninformative negatives).
+    *
+    * Exact baseline, same shape as [[bruteTopK]] with the label
+    * predicate fused into the scoring scan: the anchor table broadcasts
+    * (bounded by nAnchors), the corpus streams once, and the k-bounded
+    * [[topKPerQuery]] aggregate keeps the shuffle at ≤ k rows per
+    * (anchor × partition). The 100-TB path swaps the corpus stream for
+    * the persisted IVF index probe (assign anchors to buckets, score
+    * probed postings only) with the same label filter on the candidate
+    * set — candidates carry their label through the postings, so the
+    * composition is a one-line predicate, not a new operator.
+    */
+  def hardNegatives(embeddings: DataFrame, nAnchors: Int, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"), col("label"))
+    val anchors = corpus.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        round(SimFns.cosine(col("emb"), col("q_emb")), 6).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF index build + probe. Centroids are seeded k-means++ style from a
     * deterministic driver-held candidate pool and refined with `lloydIters`
     * k-means (Lloyd) iterations; every vector is then assigned to its

@@ -44,6 +44,15 @@ import graft.streaming.VersionedCommitter
   *   OPTIMIZE '/path' [ZORDER BY (ts_us, user_id)]
   * }}}
   *
+  * and the READ side of the same statement surface — quoted-path
+  * relations in ordinary queries, optionally time-travel-pinned
+  * (see [[LifecycleSql.rewritePathReads]]):
+  *
+  * {{{
+  *   SELECT event_type, count(*) FROM '/path' VERSION AS OF 3 GROUP BY 1
+  *   SELECT … FROM '/path/a' a JOIN '/path/b' b ON a.k = b.k
+  * }}}
+  *
   * MERGE conditions and SET expressions see [[Upsert.mergeInto]]'s
   * matched-pair view (target columns natural, source columns `__src_`-
   * prefixed) and `USING` takes a view name or a parenthesized SELECT.
@@ -426,6 +435,87 @@ object LifecycleSql {
         "OPTIMIZE '<path>' [ZORDER BY (col, …)]")
     case _                 => None
   }
+
+  private val QueryHead = "(?is)\\s*(?:select|with)\\b.*".r
+  private val VersionClause =
+    "(?is)\\s+version\\s+as\\s+of\\s+(\\d+)".r
+  private val TimestampClause =
+    "(?is)\\s+timestamp\\s+as\\s+of\\s+(\\d+)".r
+
+  /** Read-side statement surface: `SELECT … FROM '<path>' [VERSION AS OF
+    * <n> | TIMESTAMP AS OF <epoch-ms>] …` — quoted-path relation
+    * references (after FROM or JOIN, at any nesting depth, outside string
+    * literals) rewrite to session temp views over the manifest-table read
+    * and the rewritten text goes to Spark's parser. The view is
+    * `createOrReplaceTempView`'d on EVERY parse, so an un-pinned
+    * reference always reflects the table's current version, and the read
+    * carries full [[Upsert.readTable]] semantics — MoR sidecars, schema
+    * evolution, time travel — not a bare file scan. Returns None when the
+    * statement is not a query or references no quoted path (zero overhead
+    * and zero behavior change for ordinary SQL, which has no `FROM
+    * '<literal>'` production to collide with).
+    */
+  private[sql] def rewritePathReads(sqlText: String): Option[String] = {
+    if (!QueryHead.matches(sqlText)) return None
+    val out = new StringBuilder
+    var i = 0
+    var rewrote = false
+    var quote: Char = 0
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < sqlText.length) {
+      val c = sqlText.charAt(i)
+      if (quote != 0) { out.append(c); if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { out.append(c); quote = c; i += 1 }
+      else if (isWordChar(c) && (i == 0 || !isWordChar(sqlText.charAt(i - 1)))) {
+        var j = i
+        while (j < sqlText.length && isWordChar(sqlText.charAt(j))) j += 1
+        val w = sqlText.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+        var k = j
+        while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
+        if ((w == "from" || w == "join") &&
+            k < sqlText.length && sqlText.charAt(k) == '\'') {
+          val close = sqlText.indexOf('\'', k + 1)
+          require(close > k, s"unterminated quoted path after ${w.toUpperCase}")
+          val path = sqlText.substring(k + 1, close)
+          val rest = sqlText.substring(close + 1)
+          val (suffix, tailStart) = VersionClause.findPrefixMatchOf(rest) match {
+            case Some(m) => (s"@v${m.group(1)}", close + 1 + m.end)
+            case None => TimestampClause.findPrefixMatchOf(rest) match {
+              case Some(m) => (s"@t${m.group(1)}", close + 1 + m.end)
+              case None => ("", close + 1)
+            }
+          }
+          out.append(sqlText.substring(i, j)).append(' ')
+            .append(registerPathView(path, suffix))
+          rewrote = true
+          i = tailStart
+        } else { out.append(sqlText.substring(i, j)); i = j }
+      } else { out.append(c); i += 1 }
+    }
+    if (rewrote) Some(out.toString) else None
+  }
+
+  /** Register (or refresh) the temp view for `path` at the pinned
+    * `suffix` ("" current, "@v<n>" version, "@t<ms>" timestamp) and
+    * return its deterministic name. The md5 of path+pin keys the name, so
+    * the same reference in one statement — or across statements — shares
+    * one view; re-registration is how an un-pinned view tracks commits.
+    */
+  private def registerPathView(path: String, suffix: String): String = {
+    val spark = SparkSession.active
+    val c = committerFor(path)
+    val df = suffix match {
+      case "" => Upsert.readTable(spark, path, c)
+      case v if v.startsWith("@v") =>
+        Upsert.readTableAsOf(spark, path, v.drop(2).toLong, c)
+      case t => Upsert.readTableAsOfTimestamp(spark, path, t.drop(2).toLong, c)
+    }
+    val name = "graft_path_" + java.security.MessageDigest.getInstance("MD5")
+      .digest((path + suffix).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    df.createOrReplaceTempView(name)
+    name
+  }
 }
 
 /** Delegating parser: lifecycle statements short-circuit to their
@@ -433,7 +523,11 @@ object LifecycleSql {
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    LifecycleSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    LifecycleSql.parse(sqlText).getOrElse(
+      LifecycleSql.rewritePathReads(sqlText) match {
+        case Some(rewritten) => delegate.parsePlan(rewritten)
+        case None            => delegate.parsePlan(sqlText)
+      })
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =

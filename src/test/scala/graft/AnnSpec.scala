@@ -25,6 +25,19 @@ class AnnSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("hard negatives exclude same-label vectors even when nearest") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),   // anchor, label 7
+      (1L, Array(1.0f, 0.05f), 7),  // nearest of all — but same label
+      (2L, Array(1.0f, 0.2f), 8),   // nearest other-label → rank 1
+      (3L, Array(1.0f, 1.0f), 8),   // → rank 2
+      (4L, Array(0.0f, 1.0f), 7)    // same label again: never emitted
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegatives(vecs, nAnchors = 1, k = 3)
+      .orderBy("rk").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(out == Seq(2L, 3L), s"same-label vectors must never mine: $out")
+  }
+
   test("IVF recall@5 vs brute is high on the fixture corpus") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -232,4 +232,44 @@ class LifecycleSqlSpec extends AnyFunSuite {
     val e4 = intercept[Exception] { spark.sql("DELETE FROM sometable") }
     assert(!String.valueOf(e4.getMessage).contains("malformed graft"))
   }
+
+  test("SELECT over a quoted path reads the table, pinned or current") {
+    val (path, c) = freshTable()
+    // current state: keep-latest per key → (1,101),(2,100)
+    assert(spark.sql(s"SELECT id, version FROM '$path' ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 101L), (2L, 100L)))
+    // VERSION AS OF pins the first commit
+    assert(spark
+      .sql(s"SELECT id, version FROM '$path' VERSION AS OF 1 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 100L), (2L, 100L)))
+    // TIMESTAMP AS OF resolves by commit wall-clock
+    val ts1 = c.commitTimestamps(path)(1L)
+    assert(spark
+      .sql(s"SELECT id, version FROM '$path' TIMESTAMP AS OF $ts1 ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 100L), (2L, 100L)))
+    // an un-pinned reference tracks new commits: the view re-registers
+    // on every parse, so the same statement sees the new row
+    Upsert.upsertPartitionsAtomic(spark,
+      Seq(("d2", 3L, 300L)).toDF("day", "id", "version"),
+      path, "day", keys = Seq("id"), order = Seq("version"), committer = c)
+    assert(spark.sql(s"SELECT count(*) AS n FROM '$path'")
+      .as[Long].head() == 3L)
+  }
+
+  test("quoted-path JOIN, subqueries, and string literals survive the rewrite") {
+    val (path, _) = freshTable()
+    // path refs after FROM and JOIN, at nested depth, in one statement
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM '$path' a JOIN '$path' b ON a.id = b.id " +
+        s"WHERE a.id IN (SELECT id FROM '$path' VERSION AS OF 1)")
+      .as[Long].head()
+    assert(n == 2L)
+    // a literal containing FROM '<path>' must NOT be rewritten
+    val s = spark.sql(
+      s"SELECT 'reads FROM ''/nope'' happily' AS s FROM '$path' LIMIT 1")
+      .as[String].head()
+    assert(s == "reads FROM '/nope' happily")
+    // ordinary SQL with no quoted path is untouched (delegates verbatim)
+    assert(spark.sql("SELECT 'from' AS w").as[String].head() == "from")
+  }
 }

@@ -1787,6 +1787,57 @@ object SparkEntry {
       }
       pipeline.Upsert.readTable(s, out, c)
     }),
+    // the WRITE half of the statement surface, append shape: two
+    // INSERT INTO statements land the even and odd event halves as
+    // atomic appends; the read-back must be the exact multiset of the
+    // source (a dropped batch, duplicated append, or schema drift
+    // hash-mismatches). inserted_rows is metadata-proved per statement.
+    "table_insert_into_sql" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "ins_sql") {
+        val out = cachedTempDir("graft_inssql_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        val view = "ins_src_" + Integer.toHexString(d.hashCode)
+        Tables.events(prep(s), d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+          .createOrReplaceTempView(view)
+        val n1 = s.sql(s"INSERT INTO '$out' SELECT * FROM $view " +
+          "WHERE event_id % 2 = 0").selectExpr("inserted_rows")
+          .head().getLong(0)
+        val n2 = s.sql(s"INSERT INTO '$out' SELECT * FROM $view " +
+          "WHERE event_id % 2 = 1").selectExpr("inserted_rows")
+          .head().getLong(0)
+        require(n1 > 0 && n2 > 0, s"both INSERTs must land rows: $n1/$n2")
+        (out, c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
+    // the WRITE half, snapshot shape: CREATE OR REPLACE TABLE …
+    // PARTITIONED BY (bucket) AS SELECT — the reference's own CTAS
+    // (bq_fact_vitals.sql:1) as a statement over manifest tables, with
+    // the partition list derived from the result. Content-preservation
+    // oracle over the recomputed projection.
+    "table_ctas_sql" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "ctas_sql") {
+        val out = cachedTempDir("graft_ctassql_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        val view = "ctas_src_" + Integer.toHexString(d.hashCode)
+        Tables.events(prep(s), d).select(
+          col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          pmod(col("event_id"), lit(8L)).as("bucket"))
+          .createOrReplaceTempView(view)
+        val st = s.sql(s"CREATE OR REPLACE TABLE '$out' PARTITIONED BY " +
+          s"(bucket) AS SELECT * FROM $view")
+          .selectExpr("rows_written", "n_partitions").head()
+        require(st.getLong(0) > 0 && st.getLong(1) == 8L,
+          s"the CTAS demo must write all 8 buckets: $st")
+        (out, c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     // ROW-LEVEL UPDATE: same partition surgery as the delete, with the
     // assignments evaluated against the pre-update row — error events'
     // value zeroed in place, everything else byte-identical. Oracle is
@@ -3668,6 +3719,13 @@ object SparkEntry {
       (s"$FactCte, w AS (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo FROM fact) " +
         "SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, strftime(CAST(ts AS DATE), '%Y%m%d') AS day " +
         "FROM fact, w WHERE epoch_us(CAST(ts AS TIMESTAMP)) BETWEEN w.lo AND w.lo + 604800000000"),
+    // the INSERTed multiset is exactly the source projection (the even
+    // and odd halves reunited)
+    "table_insert_into_sql" ->
+      "SELECT event_id, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents FROM events",
+    // the CTAS result is exactly the recomputed projection
+    "table_ctas_sql" ->
+      "SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM events",
     // the CASE-mapped fact state: updated class zeroed, everything else
     // identical
     "table_update_where" -> TableUpdateWhereSql,

@@ -2362,7 +2362,11 @@ object Upsert {
     // new snapshot and (e.g.) the batch-id ledger, which is what makes
     // replay-skip decisions crash-consistent with the data they describe
     committer.commit(tablePath,
-      Map("all" -> rel, SchemaKey -> data.schema.json) ++ cdfEntry ++
+      Map("all" -> rel, SchemaKey -> data.schema.json) ++
+        // footer-proved row count: metadata COUNT(*) / DESCRIBE DETAIL /
+        // INSERT accounting work on snapshot tables like on partitioned
+        // ones (one footer read per staged file, already-written bytes)
+        footerEntriesForDir(spark, Nil, tablePath, "all", rel) ++ cdfEntry ++
         // change-feed enablement survives a full rebuild like the checks
         manifest.get(CdfKeysKey).map(CdfKeysKey -> _) ++
         checks.map { case (n, e) => s"$CheckPrefix$n" -> e } ++
@@ -2430,6 +2434,10 @@ object Upsert {
       committer.commit(tablePath,
         dropCarriedCdf(manifest) + (s"append-$id" -> rel) +
           (SchemaKey -> data.schema.json) ++
+          // footer-proved row count for the new entry: existing entries
+          // keep their stamps, so the metadata COUNT(*) stays provable
+          // across appends (and INSERT INTO's inserted_rows is exact)
+          footerEntriesForDir(spark, Nil, tablePath, s"append-$id", rel) ++
           meta.map { case (k, v) => s"__$k" -> v })
     }
 

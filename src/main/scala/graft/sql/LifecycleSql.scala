@@ -42,6 +42,8 @@ import graft.streaming.VersionedCommitter
   *     WHEN MATCHED AND __src_event_type = 'purchase' THEN UPDATE SET value_cents = __src_value_cents
   *     WHEN NOT MATCHED THEN INSERT *
   *   OPTIMIZE '/path' [ZORDER BY (ts_us, user_id)]
+  *   INSERT INTO '/path' SELECT …
+  *   CREATE [OR REPLACE] TABLE '/path' [PARTITIONED BY (day)] AS SELECT …
   * }}}
   *
   * and the READ side of the same statement surface — quoted-path
@@ -242,6 +244,80 @@ object LifecycleSql {
     }
   }
 
+  /** INSERT INTO '<path>' <query> — atomic append to a log/ledger table
+    * ([[Upsert.appendTableAtomic]]: CHECK constraints and the evolution
+    * gate apply, one new manifest entry, existing entries untouched).
+    * Partition-managed tables refuse (their write paths are keyed —
+    * MERGE INTO / the upsert API — a blind multiset append would corrupt
+    * keep-latest semantics); the appendTableAtomic precondition carries
+    * the loud error. The inner query is ordinary Spark SQL parsed by
+    * THIS parser, so `INSERT INTO '/a' SELECT … FROM '/b' VERSION AS OF
+    * 2` composes. `inserted_rows` is metadata-proved (committed `__rows`
+    * stamps before vs after), never a second execution of the query;
+    * −1 when either side can't be proved.
+    */
+  case class InsertIntoCommand(path: String, querySql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("inserted_rows", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val c = committerFor(path)
+      val pre = Upsert.metadataRowCount(c.readManifest(path)).getOrElse(
+        if (c.versions(path).isEmpty) 0L else -1L)
+      Upsert.appendTableAtomic(spark, spark.sql(querySql), path, c)
+      val post = Upsert.metadataRowCount(c.readManifest(path)).getOrElse(-1L)
+      Seq(Row(if (pre >= 0 && post >= 0) post - pre else -1L))
+    }
+  }
+
+  /** CREATE [OR REPLACE] TABLE '<path>' [PARTITIONED BY (col)] AS
+    * <query> — the reference's own CTAS shape (bq_fact_vitals.sql:1)
+    * over manifest tables: unpartitioned CTAS is one atomic snapshot
+    * ([[Upsert.writeTableAtomic]]); PARTITIONED BY routes the result
+    * through [[Upsert.replacePartitionsAtomic]] with the partition list
+    * derived from the result itself (one distinct-collect, bounded by
+    * partition count — the standard dynamic-partition-overwrite shape).
+    * Without OR REPLACE an existing table refuses loudly.
+    */
+  case class CreateTableAsCommand(path: String, orReplace: Boolean,
+                                  partitionBy: Option[String],
+                                  querySql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("rows_written", LongType), attr("n_partitions", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val c = committerFor(path)
+      if (!orReplace && c.versions(path).nonEmpty)
+        throw new IllegalArgumentException(
+          s"table '$path' already exists — use CREATE OR REPLACE TABLE " +
+            "to overwrite it (the previous versions stay time-travelable)")
+      val df = spark.sql(querySql)
+      partitionBy match {
+        case Some(pc) =>
+          df.persist()
+          try {
+            // REPLACE means the whole table: old data entries absent from
+            // the new result land in the replace set with nothing staged,
+            // so the commit drops them (the emptied-partition rule) —
+            // otherwise stale partitions would survive the overwrite
+            val old = c.readManifest(path).keys
+              .filterNot(_.startsWith("__")).toSeq
+            val parts = (df.select(org.apache.spark.sql.functions
+                .col(pc).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSeq ++ old).distinct.sorted
+            Upsert.replacePartitionsAtomic(spark, df, path, pc, parts, c)
+            val rows = Upsert.metadataRowCount(c.readManifest(path))
+              .getOrElse(-1L)
+            Seq(Row(rows, parts.size.toLong))
+          } finally df.unpersist()
+        case None =>
+          Upsert.writeTableAtomic(spark, df, path, c)
+          Seq(Row(Upsert.metadataRowCount(c.readManifest(path))
+            .getOrElse(-1L), 1L))
+      }
+    }
+  }
+
   case class OptimizeCommand(path: String, zorderCols: Seq[String])
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -275,11 +351,17 @@ object LifecycleSql {
   private val Merge = s"(?is)\\s*MERGE\\s+INTO\\s+$P\\s+USING\\s+(.+?)\\s+ON\\s+KEYS\\s*\\(([^)]+)\\)\\s*(.*?)\\s*;?\\s*".r
   private val OptimizeZ = s"(?i)\\s*OPTIMIZE\\s+$P\\s+ZORDER\\s+BY\\s*\\(([A-Za-z0-9_,\\s]+)\\)\\s*;?\\s*".r
   private val Optimize = s"(?i)\\s*OPTIMIZE\\s+$P\\s*;?\\s*".r
+  private val InsertInto = s"(?is)\\s*INSERT\\s+INTO\\s+$P\\s+(.+?)\\s*;?\\s*".r
+  private val CreateTableAs =
+    (s"(?is)\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+$P\\s+" +
+      "(?:PARTITIONED\\s+BY\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)\\s+)?" +
+      "AS\\s+(.+?)\\s*;?\\s*").r
   // a statement that LOOKS like graft DML (our verb + a quoted path) but
   // fails the grammar must error loudly here — delegating it to Spark
   // would produce a baffling parse error against the quoted path
   private val DmlNearMiss =
-    "(?is)\\s*(MERGE\\s+INTO|DELETE\\s+FROM|UPDATE|OPTIMIZE)\\s+'.*".r
+    ("(?is)\\s*(MERGE\\s+INTO|DELETE\\s+FROM|UPDATE|OPTIMIZE|INSERT\\s+INTO|" +
+      "CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE)\\s+'.*").r
 
   // MERGE clause tail: WHEN-pieces in any order, each exactly one of the
   // three forms; an unconditional clause parses as condition "true"
@@ -427,12 +509,17 @@ object LifecycleSql {
     case OptimizeZ(p, cs)  => Some(OptimizeCommand(p,
       cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case Optimize(p)       => Some(OptimizeCommand(p, Nil))
+    case InsertInto(p, q)  => Some(InsertIntoCommand(p, q))
+    case CreateTableAs(rep, p, pc, q) =>
+      Some(CreateTableAsCommand(p, rep != null, Option(pc), q))
     case DmlNearMiss(verb) => throw new IllegalArgumentException(
       s"malformed graft ${verb.toUpperCase.replaceAll("\\s+", " ")} statement " +
         "over a quoted table path — expected one of: DELETE FROM '<path>' " +
         "WHERE <pred> | UPDATE '<path>' SET <col> = <expr>, … WHERE <pred> | " +
         "MERGE INTO '<path>' USING <view|(SELECT …)> ON KEYS (k, …) WHEN … | " +
-        "OPTIMIZE '<path>' [ZORDER BY (col, …)]")
+        "OPTIMIZE '<path>' [ZORDER BY (col, …)] | INSERT INTO '<path>' " +
+        "<query> | CREATE [OR REPLACE] TABLE '<path>' [PARTITIONED BY " +
+        "(col)] AS <query>")
     case _                 => None
   }
 

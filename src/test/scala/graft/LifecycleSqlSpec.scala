@@ -233,6 +233,51 @@ class LifecycleSqlSpec extends AnyFunSuite {
     assert(!String.valueOf(e4.getMessage).contains("malformed graft"))
   }
 
+  test("INSERT INTO appends atomically; partitioned targets refuse") {
+    val path = Files.createTempDirectory("graft-lsql").toString + "/log"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").createOrReplaceTempView("ins_a")
+    Seq((3L, "c")).toDF("id", "s").createOrReplaceTempView("ins_b")
+    val n1 = spark.sql(s"INSERT INTO '$path' SELECT * FROM ins_a")
+      .as[Long].head()
+    val n2 = spark.sql(s"INSERT INTO '$path' SELECT * FROM ins_b")
+      .as[Long].head()
+    assert((n1, n2) == ((2L, 1L)), "inserted_rows is metadata-proved")
+    // the read surface composes: SELECT over the just-appended path
+    assert(spark.sql(s"SELECT id FROM '$path' ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // a keyed partition-managed table refuses a blind multiset append
+    val (pt, _) = freshTable()
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO '$pt' SELECT * FROM ins_a")
+    }
+    assert(String.valueOf(e.getMessage).contains("append"))
+  }
+
+  test("CTAS creates, refuses an existing table, and OR REPLACE overwrites") {
+    val path = Files.createTempDirectory("graft-lsql").toString + "/ctas"
+    Seq((1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day")
+      .createOrReplaceTempView("ctas_src")
+    val st = spark.sql(s"CREATE TABLE '$path' PARTITIONED BY (day) " +
+      "AS SELECT * FROM ctas_src").as[(Long, Long)].head()
+    assert(st == ((3L, 2L)), "rows_written × n_partitions from the result")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE TABLE '$path' AS SELECT * FROM ctas_src")
+    }
+    assert(e.getMessage.contains("CREATE OR REPLACE"))
+    // OR REPLACE commits a new version; the old one stays time-travelable
+    spark.sql(s"CREATE OR REPLACE TABLE '$path' PARTITIONED BY (day) " +
+      "AS SELECT id + 10 AS id, day FROM ctas_src WHERE day = 'd1'")
+    assert(spark.sql(s"SELECT id FROM '$path' ORDER BY id")
+      .as[Long].collect().toSeq == Seq(11L, 12L))
+    assert(spark.sql(s"SELECT id FROM '$path' VERSION AS OF 1 ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // unpartitioned CTAS is one atomic snapshot
+    val p2 = Files.createTempDirectory("graft-lsql").toString + "/snap"
+    assert(spark.sql(s"CREATE TABLE '$p2' AS SELECT * FROM ctas_src")
+      .as[(Long, Long)].head() == ((3L, 1L)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM '$p2'").as[Long].head() == 3L)
+  }
+
   test("SELECT over a quoted path reads the table, pinned or current") {
     val (path, c) = freshTable()
     // current state: keep-latest per key → (1,101),(2,100)

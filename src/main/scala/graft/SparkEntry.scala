@@ -2120,6 +2120,35 @@ object SparkEntry {
     // mapping applied on the wrong side (dropped column, null back-fill,
     // doubled rows) hash-mismatches. Rename/evolution/stats composition
     // is pinned in TableRenameSpec.
+    // the STATEMENT form of the metadata-only rename: ALTER TABLE …
+    // RENAME COLUMN through the injected parser, then an upsert under the
+    // new name — byte-identical oracle to the API twin (same val-free
+    // recompute), so a rename that rewrote data, lost the mapping, or
+    // missed the post-rename write hash-mismatches
+    "table_alter_rename_sql" -> ((s, d) => {
+      val (out, c) = demoFixture(s, d, "ren_sql") {
+        val out = cachedTempDir("graft_rensql_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        val c = new graft.streaming.VersionedCommitter
+        val state = fact(s, d).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("value_cents"),
+          pmod(col("event_id"), lit(8L)).as("bucket"))
+        pipeline.Upsert.replacePartitionsAtomic(s, state, out, "bucket",
+          (0L until 8L).map(_.toString), committer = c)
+        val r = s.sql(s"ALTER TABLE '$out' RENAME COLUMN value_cents TO cents")
+          .selectExpr("action").head().getString(0)
+        require(r == "rename_column", s"unexpected ALTER result: $r")
+        pipeline.Upsert.upsertPartitionsAtomic(s,
+          state.filter(col("bucket") === 0L)
+            .withColumnRenamed("value_cents", "cents"),
+          out, "bucket", keys = Seq("event_id"),
+          order = Seq("ts_us", "cents"), committer = c)
+        (out, c)
+      }
+      pipeline.Upsert.readTable(s, out, c)
+    }),
     "table_renamed_column" -> ((s, d) => {
       val (out, c) = demoFixture(s, d, "ren") {
       val out = cachedTempDir("graft_ren_")
@@ -3819,6 +3848,9 @@ object SparkEntry {
     // the renamed table must be the full fact state under the LOGICAL
     // name — same rows, new column name, no rewrite
     "table_renamed_column" ->
+      s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id % 8 AS bucket FROM fact",
+    // the ALTER statement twin answers byte-identically
+    "table_alter_rename_sql" ->
       s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id % 8 AS bucket FROM fact",
     // the post-drop table is exactly the fact minus the dropped column
     "table_dropped_column" ->

@@ -44,6 +44,8 @@ import graft.streaming.VersionedCommitter
   *   OPTIMIZE '/path' [ZORDER BY (ts_us, user_id)]
   *   INSERT INTO '/path' SELECT …
   *   CREATE [OR REPLACE] TABLE '/path' [PARTITIONED BY (day)] AS SELECT …
+  *   ALTER TABLE '/path' RENAME COLUMN a TO b | DROP COLUMN a
+  *   ALTER TABLE '/path' ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n
   * }}}
   *
   * and the READ side of the same statement surface — quoted-path
@@ -244,6 +246,34 @@ object LifecycleSql {
     }
   }
 
+  /** ALTER TABLE '<path>' … — the metadata-only DDL the engine already
+    * types: RENAME/DROP COLUMN are O(1) manifest commits (no data
+    * rewrite; as-of reads keep the contemporaneous schema), ADD/DROP
+    * CONSTRAINT manage write-time CHECKs (ADD validates existing rows
+    * first, exactly like the API). One row back confirming the commit.
+    */
+  case class AlterTableCommand(path: String, action: String,
+                               arg1: String, arg2: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("action", StringType), attr("detail", StringType),
+      attr("new_version", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val c = committerFor(path)
+      val detail = action match {
+        case "rename_column" =>
+          Upsert.renameColumn(path, arg1, arg2, c); s"$arg1 -> $arg2"
+        case "drop_column" =>
+          Upsert.dropColumn(path, arg1, c); arg1
+        case "add_constraint" =>
+          Upsert.addConstraint(spark, path, arg1, arg2, c); s"$arg1: $arg2"
+        case "drop_constraint" =>
+          Upsert.dropConstraint(path, arg1, c); arg1
+      }
+      Seq(Row(action, detail, c.versions(path).lastOption.getOrElse(0L)))
+    }
+  }
+
   /** INSERT INTO '<path>' <query> — atomic append to a log/ledger table
     * ([[Upsert.appendTableAtomic]]: CHECK constraints and the evolution
     * gate apply, one new manifest entry, existing entries untouched).
@@ -352,6 +382,15 @@ object LifecycleSql {
   private val OptimizeZ = s"(?i)\\s*OPTIMIZE\\s+$P\\s+ZORDER\\s+BY\\s*\\(([A-Za-z0-9_,\\s]+)\\)\\s*;?\\s*".r
   private val Optimize = s"(?i)\\s*OPTIMIZE\\s+$P\\s*;?\\s*".r
   private val InsertInto = s"(?is)\\s*INSERT\\s+INTO\\s+$P\\s+(.+?)\\s*;?\\s*".r
+  private val C = "([A-Za-z0-9_]+)"
+  private val AlterRename =
+    s"(?i)\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+$C\\s+TO\\s+$C\\s*;?\\s*".r
+  private val AlterDropCol =
+    s"(?i)\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+COLUMN\\s+$C\\s*;?\\s*".r
+  private val AlterAddCheck =
+    s"(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+CONSTRAINT\\s+$C\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*".r
+  private val AlterDropCheck =
+    s"(?i)\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+$C\\s*;?\\s*".r
   private val CreateTableAs =
     (s"(?is)\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+$P\\s+" +
       "(?:PARTITIONED\\s+BY\\s*\\(\\s*([A-Za-z0-9_]+)\\s*\\)\\s+)?" +
@@ -361,7 +400,7 @@ object LifecycleSql {
   // would produce a baffling parse error against the quoted path
   private val DmlNearMiss =
     ("(?is)\\s*(MERGE\\s+INTO|DELETE\\s+FROM|UPDATE|OPTIMIZE|INSERT\\s+INTO|" +
-      "CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE)\\s+'.*").r
+      "CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE|ALTER\\s+TABLE)\\s+'.*").r
 
   // MERGE clause tail: WHEN-pieces in any order, each exactly one of the
   // three forms; an unconditional clause parses as condition "true"
@@ -510,6 +549,12 @@ object LifecycleSql {
       cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case Optimize(p)       => Some(OptimizeCommand(p, Nil))
     case InsertInto(p, q)  => Some(InsertIntoCommand(p, q))
+    case AlterRename(p, a, b) => Some(AlterTableCommand(p, "rename_column", a, b))
+    case AlterDropCol(p, a)   => Some(AlterTableCommand(p, "drop_column", a, null))
+    case AlterAddCheck(p, n, e) =>
+      Some(AlterTableCommand(p, "add_constraint", n, e.trim))
+    case AlterDropCheck(p, n) =>
+      Some(AlterTableCommand(p, "drop_constraint", n, null))
     case CreateTableAs(rep, p, pc, q) =>
       Some(CreateTableAsCommand(p, rep != null, Option(pc), q))
     case DmlNearMiss(verb) => throw new IllegalArgumentException(
@@ -519,7 +564,8 @@ object LifecycleSql {
         "MERGE INTO '<path>' USING <view|(SELECT …)> ON KEYS (k, …) WHEN … | " +
         "OPTIMIZE '<path>' [ZORDER BY (col, …)] | INSERT INTO '<path>' " +
         "<query> | CREATE [OR REPLACE] TABLE '<path>' [PARTITIONED BY " +
-        "(col)] AS <query>")
+        "(col)] AS <query> | ALTER TABLE '<path>' RENAME COLUMN a TO b | " +
+        "DROP COLUMN a | ADD CONSTRAINT n CHECK (<expr>) | DROP CONSTRAINT n")
     case _                 => None
   }
 

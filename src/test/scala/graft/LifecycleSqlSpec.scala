@@ -278,6 +278,35 @@ class LifecycleSqlSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) AS n FROM '$p2'").as[Long].head() == 3L)
   }
 
+  test("ALTER TABLE renames/drops columns and manages CHECKs via SQL") {
+    val (path, c) = freshTable()
+    val r = spark.sql(s"ALTER TABLE '$path' RENAME COLUMN version TO rev")
+      .as[(String, String, Long)].head()
+    assert(r._1 == "rename_column" && r._2 == "version -> rev")
+    assert(spark.sql(s"SELECT id, rev FROM '$path' ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 101L), (2L, 100L)))
+    // ADD CONSTRAINT validates existing rows, then gates writes
+    spark.sql(s"ALTER TABLE '$path' ADD CONSTRAINT pos CHECK (rev > 0)")
+    val e = intercept[Exception] {
+      Upsert.upsertPartitionsAtomic(spark,
+        Seq(("d1", 9L, -5L)).toDF("day", "id", "rev"),
+        path, "day", keys = Seq("id"), order = Seq("rev"), committer = c)
+    }
+    assert(String.valueOf(e.getMessage).contains("pos"))
+    spark.sql(s"ALTER TABLE '$path' DROP CONSTRAINT pos")
+    Upsert.upsertPartitionsAtomic(spark,
+      Seq(("d1", 9L, -5L)).toDF("day", "id", "rev"),
+      path, "day", keys = Seq("id"), order = Seq("rev"), committer = c)
+    // DROP COLUMN is metadata-only; the current read stops binding it
+    spark.sql(s"ALTER TABLE '$path' DROP COLUMN rev")
+    assert(!spark.sql(s"SELECT * FROM '$path'").columns.contains("rev"))
+    // a violating ADD CONSTRAINT refuses (id 9 exists now)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$path' ADD CONSTRAINT small CHECK (id < 9)")
+    }
+    assert(String.valueOf(e2.getMessage).contains("small"))
+  }
+
   test("SELECT over a quoted path reads the table, pinned or current") {
     val (path, c) = freshTable()
     // current state: keep-latest per key → (1,101),(2,100)

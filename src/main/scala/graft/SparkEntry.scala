@@ -1333,6 +1333,12 @@ object SparkEntry {
       val (out, c) = versionedDemo(s, d)
       pipeline.Upsert.tableChanges(s, out, 2L, 3L, Seq("event_id"), c)
     }),
+    // the change feed as a SQL relation: CHANGES('<path>', 2, 3, keys)
+    // through the read rewrite — byte-identical oracle to the API twin
+    "table_changes_sql" -> ((s, d) => {
+      val (out, _) = versionedDemo(s, d)
+      s.sql(s"SELECT * FROM CHANGES('$out', 2, 3, 'event_id')")
+    }),
     // WRITE-TIME change feed: the same v(n-1)→v(n) delta, but the mutator
     // staged the net change rows under its own commit's atomic flip
     // (enableChangeFeed) — tableChanges READS the log, O(change rows)
@@ -3650,6 +3656,8 @@ object SparkEntry {
     // CDF oracle: both version states recomputed, keyed full-outer diff;
     // IS DISTINCT FROM mirrors the engine's null-safe struct compare
     "table_changes" -> TableChangesDiffSql,
+    // the SQL relation form must be hash-identical to the API twin
+    "table_changes_sql" -> TableChangesDiffSql,
     // the LOGGED feed must be hash-identical to the diff-computed one —
     // same oracle (versions shift by one: enablement is v1)
     "table_changes_logged" -> TableChangesDiffSql,

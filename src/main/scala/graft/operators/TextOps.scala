@@ -845,9 +845,14 @@ object TextOps {
       df.select(cols :+ explode(arr).as("bigram"): _*)
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
     }
-    val trainBg = bigramsOf(train)
-    val pairCounts = trainBg.groupBy("bigram").agg(count(lit(1)).as("c12"))
-    val ctxCounts = trainBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val pairCountsFull = bigramsOf(train)
+      .groupBy("bigram", "w1").agg(count(lit(1)).as("c12"))
+    val pairCounts = pairCountsFull.select("bigram", "c12")
+    // c(w1) = Σ_w2 c(w1,w2) exactly, so the context counts re-aggregate
+    // the vocab-bounded pair table — NOT the corpus-sized bigram
+    // multiset a second time (one corpus-wide shuffle saved; at 100 TB
+    // the model build is one pass + one tiny rollup)
+    val ctxCounts = pairCountsFull.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = train
       .select(explode(graft.functions.TextFns.tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))

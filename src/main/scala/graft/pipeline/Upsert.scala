@@ -380,6 +380,17 @@ object Upsert {
     * catch-up runs on ([[graft.streaming.TableTail]],
     * [[IncrementalMv]]).
     */
+  /** The declared change-feed key columns (logical names) when the table
+    * has CDF enabled — the SQL `CHANGES('<path>', v1, v2)` relation
+    * resolves its keys here instead of making the caller restate them.
+    */
+  def changeFeedKeys(tablePath: String,
+                     committer: SnapshotCommitter = AtomicRenameCommitter): Option[Seq[String]] = {
+    val m = committer.readManifest(tablePath)
+    m.get(CdfKeysKey).map(_.split(",").filter(_.nonEmpty).toSeq
+      .map(toLogicalName(m, _)))
+  }
+
   def tableChangesLogged(spark: SparkSession, tablePath: String,
                          version: Long, keys: Seq[String],
                          committer: graft.streaming.VersionedCommitter): Option[DataFrame] =

@@ -55,6 +55,7 @@ import graft.streaming.VersionedCommitter
   * {{{
   *   SELECT event_type, count(*) FROM '/path' VERSION AS OF 3 GROUP BY 1
   *   SELECT … FROM '/path/a' a JOIN '/path/b' b ON a.k = b.k
+  *   SELECT * FROM CHANGES('/path', 2, 3)          -- the change feed
   * }}}
   *
   * MERGE conditions and SET expressions see [[Upsert.mergeInto]]'s
@@ -574,6 +575,8 @@ object LifecycleSql {
     "(?is)\\s+version\\s+as\\s+of\\s+(\\d+)".r
   private val TimestampClause =
     "(?is)\\s+timestamp\\s+as\\s+of\\s+(\\d+)".r
+  private val ChangesRel =
+    "(?is)changes\\s*\\(\\s*'([^'\\n]+)'\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*(?:,\\s*'([^']*)'\\s*)?\\)".r
 
   /** Read-side statement surface: `SELECT … FROM '<path>' [VERSION AS OF
     * <n> | TIMESTAMP AS OF <epoch-ms>] …` — quoted-path relation
@@ -606,6 +609,17 @@ object LifecycleSql {
         var k = j
         while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
         if ((w == "from" || w == "join") &&
+            ChangesRel.findPrefixMatchOf(sqlText.substring(k)).isDefined) {
+          // CHANGES('<path>', v1, v2 [, 'k1,k2']): the change feed as a
+          // SQL relation — keys resolve from the table's CDF declaration
+          // when the 4th argument is omitted
+          val m = ChangesRel.findPrefixMatchOf(sqlText.substring(k)).get
+          out.append(sqlText.substring(i, j)).append(' ')
+            .append(registerChangesView(m.group(1), m.group(2).toLong,
+              m.group(3).toLong, Option(m.group(4))))
+          rewrote = true
+          i = k + m.end
+        } else if ((w == "from" || w == "join") &&
             k < sqlText.length && sqlText.charAt(k) == '\'') {
           val close = sqlText.indexOf('\'', k + 1)
           require(close > k, s"unterminated quoted path after ${w.toUpperCase}")
@@ -626,6 +640,31 @@ object LifecycleSql {
       } else { out.append(c); i += 1 }
     }
     if (rewrote) Some(out.toString) else None
+  }
+
+  /** Register (or refresh) the temp view for the `CHANGES('<path>', v1,
+    * v2 [, 'keys'])` relation: [[Upsert.tableChanges]] between the two
+    * versions, keys from the explicit 4th argument or the table's CDF
+    * declaration — absent both, the error says which to provide.
+    */
+  private def registerChangesView(path: String, from: Long, to: Long,
+                                  keysArg: Option[String]): String = {
+    val spark = SparkSession.active
+    val c = committerFor(path)
+    val keys = keysArg.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .orElse(Upsert.changeFeedKeys(path, c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CHANGES('$path', $from, $to) needs key columns — enable the " +
+          "change feed on the table (Upsert.enableChangeFeed) or pass " +
+          "them explicitly: CHANGES('<path>', v1, v2, 'k1,k2')"))
+    val df = Upsert.tableChanges(spark, path, from, to, keys, c)
+    val name = "graft_changes_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$path@$from-$to:${keys.mkString(",")}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    df.createOrReplaceTempView(name)
+    name
   }
 
   /** Register (or refresh) the temp view for `path` at the pinned

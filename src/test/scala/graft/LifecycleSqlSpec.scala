@@ -330,6 +330,33 @@ class LifecycleSqlSpec extends AnyFunSuite {
       .as[Long].head() == 3L)
   }
 
+  test("CHANGES() exposes the change feed as a SQL relation") {
+    val (path, c) = freshTable() // v1: (1,100),(2,100); v2: (1,101)
+    // explicit keys ≡ the API feed
+    val sql = spark.sql(s"SELECT * FROM CHANGES('$path', 1, 2, 'id')")
+      .selectExpr("id", "version", "change_type")
+      .as[(Long, Long, String)].collect().toSet
+    val api = Upsert.tableChanges(spark, path, 1L, 2L, Seq("id"), c)
+      .selectExpr("id", "version", "change_type")
+      .as[(Long, Long, String)].collect().toSet
+    assert(sql == api && sql == Set((1L, 101L, "update_post")))
+    // a CDF-declared table resolves keys implicitly
+    Upsert.enableChangeFeed(path, Seq("id"), c) // v3 (metadata-only)
+    Upsert.upsertPartitionsAtomic(spark,
+      Seq(("d2", 5L, 500L)).toDF("day", "id", "version"),
+      path, "day", keys = Seq("id"), order = Seq("version"), committer = c)
+    assert(spark.sql(s"SELECT id FROM CHANGES('$path', 3, 4)")
+      .as[Long].collect().toSeq == Seq(5L))
+    // absent both declarations, the error says what to provide
+    val p2 = Files.createTempDirectory("graft-lsql").toString + "/nofeed"
+    Seq((1L, "x")).toDF("id", "s").createOrReplaceTempView("chg_src")
+    spark.sql(s"INSERT INTO '$p2' SELECT * FROM chg_src")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM CHANGES('$p2', 0, 1)")
+    }
+    assert(e.getMessage.contains("key columns"))
+  }
+
   test("quoted-path JOIN, subqueries, and string literals survive the rewrite") {
     val (path, _) = freshTable()
     // path refs after FROM and JOIN, at nested depth, in one statement

@@ -105,7 +105,15 @@ object PlanDump {
       // write-time change-log read (a single parquet scan of the staged
       // log — no join anywhere in the plan), and the grown BM25 index
       // probe (partition-pruned postings + partial-df sum)
-      "table_changes", "table_changes_logged", "retrieval_bm25_incremental")
+      "table_changes", "table_changes_logged", "retrieval_bm25_incremental",
+      // round 17b: the bigram-LM scorer (one corpus pass builds the pair
+      // table, context counts re-aggregate THAT — two unhinted model
+      // joins + one broadcast vocab aggregate feed the per-doc rollup),
+      // label-filtered hard-negative mining (the predicate fused into
+      // the broadcast scoring scan), and the read-side SQL surface (the
+      // plan is the manifest-table read under the pinned version — the
+      // rewrite leaves no trace, which is the point)
+      "doc_lm_perplexity", "emb_hard_negatives", "table_select_sql")
     val sb = new StringBuilder
     sb ++= "# PLANS — FINAL physical plans of the headline queries (sf0.1)\n\n"
     sb ++= "Generated by `graft.PlanDump` at HEAD. Every query is executed and its\n"

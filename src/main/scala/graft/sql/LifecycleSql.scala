@@ -601,7 +601,22 @@ object LifecycleSql {
     while (i < sqlText.length) {
       val c = sqlText.charAt(i)
       if (quote != 0) { out.append(c); if (c == quote) quote = 0; i += 1 }
-      else if (c == '\'' || c == '"') { out.append(c); quote = c; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') {
+        // string literals AND backtick identifiers are opaque
+        out.append(c); quote = c; i += 1
+      } else if (c == '-' && i + 1 < sqlText.length &&
+          sqlText.charAt(i + 1) == '-') {
+        // line comment: copy to end of line, rewrite nothing inside
+        val eol = sqlText.indexOf('\n', i)
+        val end = if (eol < 0) sqlText.length else eol + 1
+        out.append(sqlText.substring(i, end)); i = end
+      } else if (c == '/' && i + 1 < sqlText.length &&
+          sqlText.charAt(i + 1) == '*') {
+        // block comment: copy to the closing */ (or end of text)
+        val close = sqlText.indexOf("*/", i + 2)
+        val end = if (close < 0) sqlText.length else close + 2
+        out.append(sqlText.substring(i, end)); i = end
+      }
       else if (isWordChar(c) && (i == 0 || !isWordChar(sqlText.charAt(i - 1)))) {
         var j = i
         while (j < sqlText.length && isWordChar(sqlText.charAt(j))) j += 1

@@ -372,5 +372,13 @@ class LifecycleSqlSpec extends AnyFunSuite {
     assert(s == "reads FROM '/nope' happily")
     // ordinary SQL with no quoted path is untouched (delegates verbatim)
     assert(spark.sql("SELECT 'from' AS w").as[String].head() == "from")
+    // comments never trigger a rewrite — a commented-out path to a
+    // nonexistent table must not be resolved (it would fail the read)
+    assert(spark.sql(
+      s"SELECT id -- was: FROM '/nonexistent'\nFROM '$path' LIMIT 1")
+      .as[Long].count() == 1L)
+    assert(spark.sql(
+      s"SELECT id /* FROM '/nonexistent' */ FROM '$path' LIMIT 1")
+      .as[Long].count() == 1L)
   }
 }

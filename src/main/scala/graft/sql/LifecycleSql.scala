@@ -26,6 +26,8 @@ import graft.streaming.VersionedCommitter
   *   DESCRIBE DETAIL '/path/to/table'
   *   ANALYZE TABLE '/path/to/table' COMPUTE STATISTICS
   *   ANALYZE TABLE '/path/to/table' COMPUTE STATISTICS INCREMENTAL FOR COLUMNS a, b
+  *   SHOW PARTITIONS '/path/to/table'
+  *   SHOW CONSTRAINTS '/path/to/table'
   * }}}
   *
   * and the DML statements the same operators type all day (the
@@ -247,6 +249,37 @@ object LifecycleSql {
     }
   }
 
+  /** SHOW PARTITIONS '<path>' — the committed data partitions with their
+    * footer-proved row stamps (−1 when a partition predates stamping or
+    * MoR sidecars pend on it); metadata-only, no scan.
+    */
+  case class ShowPartitionsCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("partition", StringType), attr("n_rows", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val m = committerFor(path).readManifest(path)
+      val morPending = m.keys.exists(k =>
+        k.startsWith("__del.") || k.startsWith("__delta."))
+      m.filterNot(_._1.startsWith("__")).keys.toSeq.sorted.map { p =>
+        val rows =
+          if (morPending) -1L
+          else m.get(s"${Upsert.RowsKeyPrefix}$p").map(_.toLong).getOrElse(-1L)
+        Row(p, rows)
+      }
+    }
+  }
+
+  /** SHOW CONSTRAINTS '<path>' — the committed CHECKs, name + SQL. */
+  case class ShowConstraintsCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("name", StringType), attr("check_sql", StringType))
+    override def run(spark: SparkSession): Seq[Row] =
+      committerFor(path).readManifest(path).collect {
+        case (k, v) if k.startsWith("__check.") =>
+          Row(k.stripPrefix("__check."), v)
+      }.toSeq.sortBy(_.getString(0))
+  }
+
   /** ALTER TABLE '<path>' … — the metadata-only DDL the engine already
     * types: RENAME/DROP COLUMN are O(1) manifest commits (no data
     * rewrite; as-of reads keep the contemporaneous schema), ADD/DROP
@@ -372,6 +405,8 @@ object LifecycleSql {
   private val CloneAt = s"(?i)\\s*CLONE\\s+$P\\s+TO\\s+$P\\s+AT\\s+VERSION\\s+(\\d+)\\s*;?\\s*".r
   private val Clone = s"(?i)\\s*CLONE\\s+$P\\s+TO\\s+$P\\s*;?\\s*".r
   private val Analyze = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*".r
+  private val ShowParts = s"(?i)\\s*SHOW\\s+PARTITIONS\\s+$P\\s*;?\\s*".r
+  private val ShowChecks = s"(?i)\\s*SHOW\\s+CONSTRAINTS\\s+$P\\s*;?\\s*".r
   private val AnalyzeIncr = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s+INCREMENTAL\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_,\\s]+?)\\s*;?\\s*".r
   // DML over path-addressed tables ((?s): predicates/sources may span lines)
   private val Delete = s"(?is)\\s*DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*".r
@@ -534,6 +569,8 @@ object LifecycleSql {
     case AnalyzeIncr(p, cs) => Some(AnalyzeIncrementalCommand(p,
       cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case Analyze(p)        => Some(AnalyzeTableCommand(p))
+    case ShowParts(p)      => Some(ShowPartitionsCommand(p))
+    case ShowChecks(p)     => Some(ShowConstraintsCommand(p))
     case Delete(p, pred)   => Some(DeleteWhereCommand(p, pred))
     case Update(p, rest) =>
       // the statement's own WHERE is the first TOP-LEVEL one; a subquery

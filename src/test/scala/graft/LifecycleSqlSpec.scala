@@ -330,6 +330,15 @@ class LifecycleSqlSpec extends AnyFunSuite {
       .as[Long].head() == 3L)
   }
 
+  test("SHOW PARTITIONS / SHOW CONSTRAINTS are metadata-only reads") {
+    val (path, _) = freshTable()
+    assert(spark.sql(s"SHOW PARTITIONS '$path'")
+      .as[(String, Long)].collect().toSeq == Seq(("d1", 1L), ("d2", 1L)))
+    spark.sql(s"ALTER TABLE '$path' ADD CONSTRAINT pos CHECK (version > 0)")
+    assert(spark.sql(s"SHOW CONSTRAINTS '$path'")
+      .as[(String, String)].collect().toSeq == Seq(("pos", "version > 0")))
+  }
+
   test("CHANGES() exposes the change feed as a SQL relation") {
     val (path, c) = freshTable() // v1: (1,100),(2,100); v2: (1,101)
     // explicit keys ≡ the API feed

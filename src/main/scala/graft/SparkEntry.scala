@@ -945,6 +945,23 @@ object SparkEntry {
     "doc_sample_hash" -> ((s, d) =>
       TextOps.deterministicSample(Tables.documents(prep(s), d), "doc_id", "199a")
         .select("doc_id", "lang")),
+    // the END-TO-END curation pipeline written to disk then read back —
+    // the LLM-data flagship analog of pipeline_star_disk: exact dedup →
+    // greedy near-dup pruning (prefix-filtered Jaccard) → quality gate →
+    // language/token enrichment, every stage replayed by the oracle, so
+    // a wrong survivor choice, a leaked duplicate, or a mis-gated doc
+    // hash-mismatches end-to-end (the per-stage operators are separately
+    // oracled; this pins their COMPOSITION + the disk round trip)
+    // honest build cost by design (the pipeline_star_disk convention):
+    // every invocation runs the whole pipeline to disk — NOT a memoized
+    // fixture — so the bench measures curation, not a parquet read
+    "curation_disk" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_curation_" +
+        Integer.toHexString(d.hashCode)
+      pipeline.Curation.run(s, d, out)
+      s.read.parquet(s"$out/curated_documents")
+        .select("doc_id", "quality_score", "predicted_lang", "n_tokens")
+    }),
     // CCNet-style LM quality scoring: a bigram model trained on a
     // deterministic ~half of the corpus scores EVERY document (so the
     // unseen-context/unseen-pair smoothing paths are exercised and
@@ -3265,6 +3282,27 @@ object SparkEntry {
     },
     "doc_sample_hash" ->
       "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'",
+    // the full curation pipeline replayed: exact-dedup keep set → Jaccard
+    // pairs among survivors → greedy higher-id drop → quality gate at 0.3
+    // → language + token enrichment (each stage reuses its standalone
+    // oracle's arithmetic, composed over the previous stage's survivors)
+    "curation_disk" -> {
+      val n = "len(string_split(text, ' '))"
+      val stops = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"
+      val dist = "len(list_distinct(string_split(text, ' ')))"
+      val qexpr = fxRatioSql(s"($dist) * (($n) - ($stops))", s"($n) * ($n)", 4)
+      "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), " +
+        "ex AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex), " +
+        "s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), " +
+        s"pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $JaccardExprSql >= 0.8), " +
+        "nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM pairs)), " +
+        s"q AS (SELECT doc_id, $qexpr AS quality_score FROM nd), " +
+        "lg AS (SELECT doc_id, list_max([{'score': len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))), 'lang': 'en'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein'))), 'lang': 'de'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'de', 'que', 'y', 'un'))), 'lang': 'es'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'et', 'les', 'des', 'un'))), 'lang': 'fr'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('的', '是', '了', '在', '和'))), 'lang': 'zh'}]) AS best FROM nd) " +
+        "SELECT nd.doc_id, q.quality_score, CASE WHEN lg.best.score > 0 THEN lg.best.lang ELSE 'und' END AS predicted_lang, " +
+        "CAST(len(string_split(nd.text, ' ')) AS BIGINT) AS n_tokens " +
+        "FROM nd JOIN q USING (doc_id) JOIN lg USING (doc_id) WHERE q.quality_score >= 0.3"
+    },
     // the bigram LM replayed: same md5 train split, same add-one
     // conditional, the one ln() rounded to integer micro-nats per bigram
     // occurrence BEFORE any sum (the retrieval_bm25 precedent), then

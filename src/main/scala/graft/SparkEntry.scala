@@ -952,6 +952,36 @@ object SparkEntry {
     // a wrong survivor choice, a leaked duplicate, or a mis-gated doc
     // hash-mismatches end-to-end (the per-stage operators are separately
     // oracled; this pins their COMPOSITION + the disk round trip)
+    // INCREMENTAL curation admission: the corpus split at the id midpoint
+    // (monotone-id ingest — every seed id < every batch id), the seed
+    // curated once and its exact survivors indexed (memoized fixture),
+    // then the batch admitted against the committed corpus — exact dedup
+    // via the Bloom-routed verification join, near-dups via the
+    // band-pruned index probe, the same quality gate. Oracle = the SAME
+    // whole-corpus curation SQL as curation_disk: the admission path must
+    // reproduce the batch recompute bit for bit, or it hash-mismatches
+    "curation_incremental" -> ((s, d) => {
+      val docs = Tables.documents(prep(s), d)
+      def seedExactOf(seed: DataFrame) = seed.join(
+        Dedup.exactByContent(seed, "text", "doc_id")
+          .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val (split, idx) = demoFixture(s, d, "cur_incr") {
+        val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
+        val idx = cachedTempDir("graft_curidx_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+        DedupIndex.buildIndex(
+          seedExactOf(docs.filter(col("doc_id") < split)), idx)
+        (split, idx)
+      }
+      val seed = docs.filter(col("doc_id") < split)
+      val (seedCurated, _, _) =
+        pipeline.Curation.curateStaged(seed, collectStats = false)
+      val (admitted, _) = pipeline.Curation.admitBatch(s, seedExactOf(seed),
+        idx, docs.filter(col("doc_id") >= split))
+      val cols = Seq("doc_id", "quality_score", "predicted_lang", "n_tokens")
+      seedCurated.select(cols.map(col): _*)
+        .unionByName(admitted.select(cols.map(col): _*))
+    }),
     // honest build cost by design (the pipeline_star_disk convention):
     // every invocation runs the whole pipeline to disk — NOT a memoized
     // fixture — so the bench measures curation, not a parquet read
@@ -2631,6 +2661,31 @@ object SparkEntry {
   private lazy val TableDeleteWhereSql =
     s"$FactCte SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, user_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents, event_id % 8 AS bucket FROM fact WHERE event_type <> 'error' OR event_type IS NULL"
 
+  /** Shared oracle for `curation_disk` and `curation_incremental`: the
+    * whole-corpus curation replayed stage by stage — exact-dedup keep
+    * set, Jaccard pairs among the survivors, greedy higher-id drop, the
+    * 0.3 quality gate, language + token enrichment. One val: the
+    * incremental admission path must reproduce the batch recompute
+    * exactly or its twin hash-mismatches.
+    */
+  private lazy val CurationSql = {
+    val n = "len(string_split(text, ' '))"
+    val stops = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"
+    val dist = "len(list_distinct(string_split(text, ' ')))"
+    val qexpr = fxRatioSql(s"($dist) * (($n) - ($stops))", s"($n) * ($n)", 4)
+    "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), " +
+      "ex AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), " +
+      "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex), " +
+      "s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), " +
+      s"pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $JaccardExprSql >= 0.8), " +
+      "nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM pairs)), " +
+      s"q AS (SELECT doc_id, $qexpr AS quality_score FROM nd), " +
+      "lg AS (SELECT doc_id, list_max([{'score': len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))), 'lang': 'en'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein'))), 'lang': 'de'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'de', 'que', 'y', 'un'))), 'lang': 'es'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'et', 'les', 'des', 'un'))), 'lang': 'fr'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('的', '是', '了', '在', '和'))), 'lang': 'zh'}]) AS best FROM nd) " +
+      "SELECT nd.doc_id, q.quality_score, CASE WHEN lg.best.score > 0 THEN lg.best.lang ELSE 'und' END AS predicted_lang, " +
+      "CAST(len(string_split(nd.text, ' ')) AS BIGINT) AS n_tokens " +
+      "FROM nd JOIN q USING (doc_id) JOIN lg USING (doc_id) WHERE q.quality_score >= 0.3"
+  }
+
   /** Shared oracle for `table_update_where` and its statement twin —
     * the CASE-mapped fact state: updated class zeroed, everything else
     * identical. One val so the twins can never drift.
@@ -3286,23 +3341,10 @@ object SparkEntry {
     // pairs among survivors → greedy higher-id drop → quality gate at 0.3
     // → language + token enrichment (each stage reuses its standalone
     // oracle's arithmetic, composed over the previous stage's survivors)
-    "curation_disk" -> {
-      val n = "len(string_split(text, ' '))"
-      val stops = "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))"
-      val dist = "len(list_distinct(string_split(text, ' ')))"
-      val qexpr = fxRatioSql(s"($dist) * (($n) - ($stops))", s"($n) * ($n)", 4)
-      "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)), " +
-        "ex AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), " +
-        "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM ex), " +
-        "s AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS sh FROM t), " +
-        s"pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $JaccardExprSql >= 0.8), " +
-        "nd AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_b FROM pairs)), " +
-        s"q AS (SELECT doc_id, $qexpr AS quality_score FROM nd), " +
-        "lg AS (SELECT doc_id, list_max([{'score': len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))), 'lang': 'en'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein'))), 'lang': 'de'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'de', 'que', 'y', 'un'))), 'lang': 'es'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'et', 'les', 'des', 'un'))), 'lang': 'fr'}, {'score': len(list_filter(string_split(text, ' '), x -> x IN ('的', '是', '了', '在', '和'))), 'lang': 'zh'}]) AS best FROM nd) " +
-        "SELECT nd.doc_id, q.quality_score, CASE WHEN lg.best.score > 0 THEN lg.best.lang ELSE 'und' END AS predicted_lang, " +
-        "CAST(len(string_split(nd.text, ' ')) AS BIGINT) AS n_tokens " +
-        "FROM nd JOIN q USING (doc_id) JOIN lg USING (doc_id) WHERE q.quality_score >= 0.3"
-    },
+    "curation_disk" -> CurationSql,
+    // the incremental admission must reproduce the whole-corpus curation
+    // bit for bit — the SAME val, so the twins can never drift
+    "curation_incremental" -> CurationSql,
     // the bigram LM replayed: same md5 train split, same add-one
     // conditional, the one ln() rounded to integer micro-nats per bigram
     // occurrence BEFORE any sum (the retrieval_bm25 precedent), then

@@ -113,6 +113,59 @@ object Curation {
       if (collectStats) Seq(nearDeduped) else ccCache.toSeq)
   }
 
+  /** Incremental admission — the production shape of [[curateStaged]]
+    * for a corpus that grows over time: a new batch is curated AGAINST
+    * the committed corpus without recomputing it. Requires ids ordered
+    * across batches (every seed doc_id < every batch doc_id — the
+    * natural monotone-id ingest); then [[Greedy]]'s drop-the-higher-id
+    * rule makes prior curation immune to later batches, so
+    * `seed curation ∪ admitted batches ≡ whole-corpus curation` exactly.
+    *
+    * Per-batch cost is O(batch + candidates), never O(corpus):
+    *  - exact dedup: within-batch hash group-by, then the Bloom-routed
+    *    verification join against the seed's exact survivors
+    *    ([[Dedup.bloomNewContent]] — the sketch routes, the 256-bit
+    *    anti-join decides);
+    *  - near-dup: [[graft.operators.DedupIndex.probeDelta]] against the
+    *    persisted band index of the seed's EXACT survivors (the greedy
+    *    pair universe — near-dup-dropped and quality-dropped seed docs
+    *    still suppress batch twins, exactly like the batch form); the
+    *    index read is band-bucket partition-pruned, batch↔batch pairs
+    *    come from the same probe;
+    *  - quality/language/token enrichment: the identical narrow
+    *    projections.
+    * The caller extends the index with the batch's exact survivors
+    * ([[graft.operators.DedupIndex.appendToIndex]]) so the NEXT batch
+    * sees this one as corpus.
+    */
+  def admitBatch(spark: SparkSession, seedExact: DataFrame,
+                 indexPath: String, batch: DataFrame,
+                 jaccardThreshold: Double = 0.8,
+                 minQuality: Double = 0.3): (DataFrame, DataFrame) = {
+    // 1. exact dedup: min-id within the batch, then content new vs seed
+    val keepB = Dedup.exactByContent(batch, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val batchExact = Dedup.bloomNewContent(
+      seedExact, batch.join(keepB, Seq("doc_id"), "left_semi"), "text")
+      .localCheckpoint(true) // consumed by the probe, the anti-join, and the caller's index append
+    // 2. near-dup: a batch doc drops iff it is the HIGHER id of any
+    //    exact-survivor pair — seed ids are all lower, batch↔batch pairs
+    //    canonicalize doc_a < doc_b, so the drop set is just doc_b
+    val dupHigh = graft.operators.DedupIndex
+      .probeDelta(spark, indexPath, batchExact, jaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val nearDeduped = batchExact.join(dupHigh, Seq("doc_id"), "left_anti")
+    // 3. the same quality gate + enrichment as the batch form
+    val quality = TextOps.textQuality(nearDeduped)
+      .select("doc_id", "quality_score")
+    val admitted = nearDeduped
+      .join(quality, "doc_id")
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("predicted_lang", TextFns.langId(TextFns.tokens(col("text"))))
+      .withColumn("n_tokens", size(TextFns.tokens(col("text"))).cast("long"))
+    (admitted, batchExact)
+  }
+
   /** Curated corpus → model-ready tensors: vocabulary-encode every token
     * position and assign concat-and-chunk packs — the full
     * curate → encode → pack tail of a training-data pipeline in one

@@ -99,4 +99,52 @@ class CurationSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.max("token_id")).first()
     assert(ids.getLong(0) >= 0L && ids.getLong(1) <= 200L)
   }
+
+  test("incremental admission ≡ whole-corpus curation (ordered ids)") {
+    import org.apache.spark.sql.functions.col
+    val other = (1 to 40).map(i => s"w$i").mkString(" ")
+    val otherNear = ((1 to 39).map(i => s"w$i") :+ "x").mkString(" ")
+    val seed = Seq(
+      (1L, base), (2L, base),   // exact dup within seed → keep 1
+      (3L, junk),               // quality-dropped in seed — must STILL
+                                //   suppress batch twins of its text
+      (4L, other))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),              // exact dup of seed 1 → dropped
+      (11L, junk),              // exact dup of quality-dropped seed 3 → dropped
+      (12L, otherNear),         // near-dup of seed 4 → dropped
+      (13L, nearDup),           // near-dup of seed 1 → dropped
+      (14L, "fresh unique tokens " + (1 to 30).map(i => s"z$i").mkString(" ")),
+      (15L, "fresh unique tokens " + (1 to 30).map(i => s"z$i").mkString(" ")) // exact dup of 14 within batch
+    ).toDF("doc_id", "text")
+    val union = seed.unionByName(batch)
+
+    val idx = java.nio.file.Files.createTempDirectory("graft-curidx").toString + "/i"
+    def exactOf(df: org.apache.spark.sql.DataFrame) = df.join(
+      graft.operators.Dedup.exactByContent(df, "text", "doc_id")
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    graft.operators.DedupIndex.buildIndex(exactOf(seed), idx)
+
+    val (seedCurated, _) = Curation.curate(seed, collectStats = false)
+    val (admitted, batchExact) = Curation.admitBatch(spark, exactOf(seed), idx, batch)
+    val incremental = seedCurated.select("doc_id")
+      .unionByName(admitted.select("doc_id"))
+      .as[Long].collect().toSet
+    val full = Curation.curate(union, collectStats = false)._1
+      .select("doc_id").as[Long].collect().toSet
+    assert(incremental == full,
+      s"admission must reproduce the batch recompute: inc=$incremental full=$full")
+    assert(incremental == Set(1L, 4L, 14L),
+      "exact twins (incl. of a quality-dropped seed doc), near-dups, and " +
+        "the within-batch dup must all drop")
+    // the lifecycle's third step: the batch's exact survivors extend the
+    // index so the NEXT batch sees them as corpus
+    graft.operators.DedupIndex.appendToIndex(batchExact, idx)
+    val (admitted2, _) = Curation.admitBatch(spark, exactOf(union), idx,
+      Seq((20L, "fresh unique tokens " + (1 to 29).map(i => s"z$i")
+        .mkString(" ") + " zz")).toDF("doc_id", "text")) // near-dup of 14
+    assert(admitted2.select("doc_id").as[Long].collect().isEmpty,
+      "a later batch must see the admitted batch as corpus")
+  }
 }

@@ -933,9 +933,12 @@ object SparkEntry {
     // the scale default for the length profile: rank-sketch quantiles with
     // bounded aggregation state (the exact form above is the oracle-only
     // companion — its per-value count map is an OOM risk at 100 TB).
-    // rows-only here; PropertySpec gates its rank error vs exact at sf0.1
+    // Emitted as a rank-error CERTIFICATE (p, n_docs, within_bound) so the
+    // oracle can adjudicate without replaying KLL internals: within_bound
+    // asserts the estimate's realized rank interval intersects [p−ε, p+ε];
+    // PropertySpec additionally gates the raw-estimate form vs exact sf0.1
     "corpus_token_quantiles_sketch" -> ((s, d) =>
-      TextOps.tokenQuantilesSketch(Tables.documents(prep(s), d))),
+      TextOps.tokenQuantilesSketchChecked(Tables.documents(prep(s), d))),
     // the sketch's REPLAYABLE companion: bottom-k-by-hash sample + exact
     // percentiles — same O(k) state, but DuckDB reproduces the estimate
     "corpus_token_quantiles_sample" -> ((s, d) =>
@@ -3292,6 +3295,13 @@ object SparkEntry {
       "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_filter(string_split(text, ''), c -> c != ''), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 131 + c) % 2147483647) AS rolling_hash FROM documents",
     "corpus_token_quantiles" ->
       "SELECT round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 4) AS p50, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.9), 4) AS p90, round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99), 4) AS p99 FROM documents",
+    // the sketch certificate: the oracle recomputes n_docs and asserts the
+    // rank-error booleans TRUE — it never needs the KLL estimates, which
+    // the Spark side has already ranked against the corpus (within_bound
+    // FALSE on any percentile ⇒ hash mismatch ⇒ the sketch broke contract)
+    "corpus_token_quantiles_sketch" ->
+      ("SELECT CAST(p AS DOUBLE) AS p, (SELECT count(*) FROM documents) AS n_docs, " +
+        "TRUE AS within_bound FROM (VALUES (0.5), (0.9), (0.99)) t(p)"),
     // replay of the bottom-k-by-hash sample (Sketches): the identical
     // sampled subset via row_number over (h, value), then the same exact
     // interpolated percentiles over it

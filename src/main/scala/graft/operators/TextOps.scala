@@ -89,8 +89,10 @@ object TextOps {
     * O(accuracy) per partition regardless of corpus size or value
     * cardinality, vs exact `percentile`'s per-value count map. Same output
     * schema; rank error ≤ n/accuracy is gated against the exact result in
-    * `PropertySpec` (no cross-engine oracle — sketch internals differ
-    * between engines by design).
+    * `PropertySpec`, and [[tokenQuantilesSketchChecked]] carries the same
+    * bound as a cross-engine-adjudicable certificate (the raw estimates
+    * themselves have no oracle — sketch internals differ between engines
+    * by design).
     */
   /** [[tokenQuantilesSketch]]'s REPLAYABLE companion: a deterministic
     * bottom-k-by-hash sample of per-doc token counts + exact interpolated
@@ -124,6 +126,49 @@ object TextOps {
         round(element_at(col("qs"), 1), 4).as("p50"),
         round(element_at(col("qs"), 2), 4).as("p90"),
         round(element_at(col("qs"), 3), 4).as("p99"))
+
+  /** [[tokenQuantilesSketch]]'s DRIVER-ADJUDICABLE form: instead of the raw
+    * KLL estimates (a black box no other engine replays), emit per target
+    * quantile a CERTIFICATE that the estimate honors the sketch's rank-error
+    * contract — `within_bound` = does `[p−ε, p+ε]` (ε = 1/accuracy + 1/n)
+    * intersect the estimate's realized rank interval `[count(<v)/n,
+    * count(≤v)/n]`? (The interval, not a point rank, because token counts
+    * are discrete and heavily tied — same tie-run reasoning as the
+    * `PropertySpec` gate, here computed distributed.) A cross-engine oracle
+    * recomputes `n_docs` and asserts the booleans TRUE without ever seeing
+    * the sketch internals.
+    *
+    * Scale shape: pass 1 is the O(accuracy)-state sketch agg; pass 2 ranks
+    * the three estimates via one conditional-count hash agg against a
+    * 3-row broadcast — no per-value state, no sort.
+    */
+  def tokenQuantilesSketchChecked(documents: DataFrame,
+      accuracy: Int = 10000): DataFrame = {
+    val lens = documents
+      .select(size(TextFns.tokens(col("text"))).cast("double").as("n_tokens"))
+    val probes = lens
+      .agg(
+        expr(s"approx_percentile(n_tokens, array(0.5D, 0.9D, 0.99D), $accuracy)")
+          .as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("n"), explode(arrays_zip(
+        array(lit(0.5d), lit(0.9d), lit(0.99d)).as("p"),
+        col("qs").as("est"))).as("z"))
+      .select(col("n"), col("z.p").as("p"), col("z.est").as("est"))
+    lens.crossJoin(broadcast(probes))
+      .groupBy(col("p"), col("est"), col("n"))
+      .agg(
+        sum(when(col("n_tokens") < col("est"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("n_tokens") <= col("est"), 1L).otherwise(0L)).as("hi"))
+      .select(
+        col("p"),
+        col("n").as("n_docs"),
+        {
+          val eps = lit(1.0 / accuracy) + lit(1.0) / col("n")
+          ((col("lo") / col("n") - eps <= col("p")) &&
+            (col("p") <= col("hi") / col("n") + eps)).as("within_bound")
+        })
+  }
 
   /** Per-document quality decile — stratification for curriculum/mix
     * construction. Scale shape: decile BOUNDARIES are one exact-percentile

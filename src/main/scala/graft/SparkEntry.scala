@@ -960,7 +960,10 @@ object SparkEntry {
     // curated once and its exact survivors indexed (memoized fixture),
     // then the batch admitted against the committed corpus — exact dedup
     // via the Bloom-routed verification join, near-dups via the
-    // band-pruned index probe, the same quality gate. Oracle = the SAME
+    // bucket-pruned prefix-index probe (the EXACT candidate generator —
+    // same scheme as the batch path's jaccardJoin, under the index's
+    // frozen shingle order — so this equivalence is deterministic, not
+    // LSH-recall-probabilistic), the same quality gate. Oracle = the SAME
     // whole-corpus curation SQL as curation_disk: the admission path must
     // reproduce the batch recompute bit for bit, or it hash-mismatches
     "curation_incremental" -> ((s, d) => {
@@ -1114,10 +1117,11 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) =>
       DedupApprox.minhashPairs(Tables.documents(prep(s), d), 0.7)),
     // INCREMENTAL dedup: corpus (3/4 of docs) fingerprinted into the
-    // persisted bucket-partitioned LSH index, the remaining 1/4 probed as
-    // the arriving batch — near-dup pairs touching the delta, exactly the
-    // whole-corpus pair set restricted to delta-involving pairs (the
-    // dedup_minhash recall convention: candidates LSH, refine exact)
+    // persisted bucket-partitioned prefix index, the remaining 1/4 probed
+    // as the arriving batch — near-dup pairs touching the delta, exactly
+    // the whole-corpus pair set restricted to delta-involving pairs
+    // (EXACT by construction: prefix-filter candidates under the index's
+    // frozen shingle order, exact-Jaccard refine — no LSH recall caveat)
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(prep(s), d)
       val idx = lshIndex(s, d, docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0))

@@ -83,16 +83,31 @@ object DedupApprox {
     (jaccardJoinImpl(inv, threshold), () => { inv.unpersist(blocking = false); () })
   }
 
-  private def jaccardJoinImpl(inv: DataFrame, threshold: Double): DataFrame = {
-    // global canonical order: shingle document-frequency, then the shingle
-    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+  /** Per-doc PPJoin prefix postings `(doc_id, n, pos, shingle)` under the
+    * global (df, shingle) total order given by `freq`: position = rank of
+    * the shingle in the doc's full sorted set, kept iff within the first
+    * |S| − ⌈t·|S|⌉ + 1. Shingles absent from `freq` order as df = 0 —
+    * FIRST (rarest) — which is what makes a FROZEN corpus-frequency table
+    * usable for incremental probes ([[DedupIndex]]): correctness of prefix
+    * filtering needs only that every doc's prefix is computed under the
+    * SAME total order, and (0-filled df, shingle) is total and frozen.
+    */
+  private[operators] def prefixPostings(inv: DataFrame, freq: DataFrame,
+                                        threshold: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
     val prefixLen = col("n") - ceil(col("n") * threshold).cast("int") + 1
-    val prefix = inv.join(freq, "shingle")
+    inv.join(freq, Seq("shingle"), "left")
+      .na.fill(0L, Seq("df"))
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= prefixLen)
       .select(col("doc_id"), col("n"), col("pos"), col("shingle"))
+  }
+
+  private def jaccardJoinImpl(inv: DataFrame, threshold: Double): DataFrame = {
+    // global canonical order: shingle document-frequency, then the shingle
+    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = prefixPostings(inv, freq, threshold)
     // PPJoin candidate pruning (Xiao et al., WWW'08) — two upper-bound
     // filters that can never drop a true pair, applied INSIDE the
     // shingle-key join before the dedup shuffle:
@@ -115,6 +130,32 @@ object DedupApprox {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     exactJaccardRefine(candidates, inv, threshold)
+  }
+
+  /** Asymmetric-sides PPJoin candidate generation: prefix postings `a`
+    * joined against prefix postings `b` on the shared shingle, the same
+    * length + positional upper-bound filters as [[jaccardJoinImpl]], pairs
+    * canonicalized (doc_a < doc_b) and deduped. Unlike the self-join form
+    * this cannot order-prune before the join (a pair may surface with
+    * either side holding the smaller id), so least/greatest + distinct
+    * canonicalizes — the [[DedupIndex]] probe shape, where `a` is the
+    * delta and `b` is corpus-prefix ∪ delta-prefix. EXACT: no true pair
+    * at ≥ `threshold` is dropped, provided both sides' prefixes were
+    * computed under the same total order at a base threshold ≤ `threshold`.
+    */
+  private[operators] def prefixCandidates(a: DataFrame, b: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.n") + col("b.n"))).cast("int")
+    a.as("a").join(b.as("b"), "shingle")
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .filter(col("a.n") >= ceil(col("b.n") * threshold).cast("int") &&
+        col("b.n") >= ceil(col("a.n") * threshold).cast("int"))
+      .filter(lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >= alpha)
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
   }
 
   /** Number of MinHash permutations and LSH banding (16 = 4 bands × 4 rows:

@@ -3,43 +3,63 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted LSH dedup index + incremental probe — the production shape of
-  * near-dup at 100 TB: the historical corpus is fingerprinted ONCE into an
-  * on-disk index, and each new crawl batch is deduplicated against it (and
-  * itself) touching only the index buckets its own keys hash into. Re-running
-  * the whole-corpus pair join per batch ([[DedupApprox.minhashPairs]]) is the
-  * special case "every batch is the full corpus"; this operator is the
-  * incremental form, the same split the persisted IVF/BM25 indexes make for
-  * vectors and retrieval ([[Ann.buildIvfIndex]], [[Retrieval]]).
+/** Persisted EXACT dedup index + incremental probe — the production shape of
+  * near-dup at 100 TB: the historical corpus is indexed ONCE on disk, and
+  * each new crawl batch is deduplicated against it (and itself) without ever
+  * generating a corpus×corpus pair. Re-running the whole-corpus pair join
+  * per batch ([[DedupApprox.jaccardJoin]]) is the special case "every batch
+  * is the full corpus"; this operator is the incremental form, the same
+  * split the persisted IVF/BM25 indexes make for vectors and retrieval
+  * ([[Ann.buildIvfIndex]], [[Retrieval]]).
+  *
+  * Candidate generation is the PPJoin prefix-filter scheme (Bayardo et al.
+  * All-Pairs; Xiao et al. WWW'08) — the same exact, no-false-negative
+  * generator as [[DedupApprox.jaccardJoin]] — NOT MinHash banding. An
+  * earlier revision of this index generated candidates from LSH band
+  * agreement; at 4 bands × 4 rows a true Jaccard-0.8 pair band-misses with
+  * probability (1−0.8⁴)⁴ ≈ 12 %, so the probe was only probabilistically
+  * equal to the whole-corpus recompute it claims to reproduce — a
+  * threshold-grazing near-dup could be silently admitted. Prefix filtering
+  * closes that hole: for any pair with J ≥ t, the two docs' prefixes under
+  * a consistent global shingle order MUST intersect, so the probe's output
+  * (after the exact-Jaccard refine both schemes share) equals the
+  * whole-corpus pair set restricted to delta-touching pairs, bit for bit.
+  *
+  * Prefix filtering needs every doc's prefix computed under the SAME total
+  * order. Order quality only affects COST (rare-first keeps hot shingles
+  * out of prefixes), never correctness — so the index FREEZES the seed
+  * corpus's (document-frequency, shingle) order at build time in `freq/`,
+  * and every later prefix (appended batches, probe deltas) is computed
+  * against that frozen table, with unseen shingles ordering as df = 0 —
+  * first, i.e. rarest, which is also the efficiency-correct guess for
+  * genuinely new vocabulary. Frequency DRIFT as the corpus grows degrades
+  * pruning efficiency gradually (a once-rare shingle that becomes common
+  * stays prefix-eligible) but can never drop a true pair.
   *
   * Index layout (plain bucket-partitioned parquet):
-  *  - `bands/band_bucket=<bh mod BandBuckets>/` — the per-doc LSH band keys
-  *    ([[DedupApprox.bandKeys]]: `Bands` rows per doc, content-free);
+  *  - `freq/sh_bucket=<xxhash64(shingle) mod ShingleBuckets>/` — the FROZEN
+  *    `(shingle, df)` order table (written at build, never updated);
+  *  - `prefix/sh_bucket=…/` — per-doc prefix postings `(doc_id, n, pos,
+  *    shingle)` at [[IndexThreshold]] (prefixes for a LOWER threshold are
+  *    longer, so any probe at ≥ [[IndexThreshold]] sees a candidate
+  *    superset — still exact, just less pruned);
   *  - `shingles/doc_bucket=<doc_id mod DocBuckets>/` — the exact-refine
   *    inverted index `(doc_id, n, shingle)`.
   *
   * Probe I/O contract: a delta batch reads ONLY
-  *  - the band buckets its own band hashes land in, and
+  *  - the freq + prefix shingle buckets its own shingles hash into, and
   *  - the shingle buckets of its candidates' corpus docs
-  * — both resolved as partition values (`PartitionFilters`, asserted in
-  * `DedupIndexSpec`). Bucket pruning engages when the batch's hash
-  * fan-out is below the bucket count (trickle-sized batches); for
-  * realistic batches the fan-out saturates and the index reads are a
-  * LINEAR corpus scan — the structural win is elsewhere: the probe never
-  * generates or refines corpus×corpus pairs, which is the term that
-  * grows superlinearly with the corpus. Measured (`DedupIndexProbe`,
-  * BASELINE.md): at 400k docs / 1% batch the probe beats re-running the
-  * whole-corpus join 1.55× and the gap widens with corpus size; below
-  * ~100k docs the whole-corpus join is cheaper — the index pays off
-  * exactly when corpora are big, which is when you need it. The two
-  * driver-side `collect`s are bucket-id lists, bounded by
-  * `BandBuckets`/`DocBuckets` — O(model), never O(data).
-  *
-  * Same candidate semantics as [[DedupApprox.minhashPairs]] restricted to
-  * pairs touching the delta: LSH band agreement generates candidates, the
-  * exact Jaccard refine (delta postings computed fresh, corpus postings
-  * bucket-pruned) keeps true pairs at `threshold` — sketchy generation,
-  * exact verification.
+  * — all resolved as partition values (`PartitionFilters`, asserted in
+  * `DedupIndexSpec`). Bucket pruning engages when the batch's hash fan-out
+  * is below the bucket count (trickle-sized batches); for realistic batches
+  * the fan-out saturates and the index reads are a LINEAR index scan — the
+  * structural win is elsewhere: the probe never generates or refines
+  * corpus×corpus pairs, which is the term that grows superlinearly with
+  * the corpus. Measured (`DedupIndexProbe`, BASELINE.md): the probe beats
+  * re-running the whole-corpus join once corpora pass a few hundred
+  * thousand docs, and the gap widens with corpus size. The driver-side
+  * `collect`s are bucket-id lists, bounded by `ShingleBuckets`/`DocBuckets`
+  * — O(model), never O(data).
   */
 object DedupIndex {
 
@@ -47,20 +67,39 @@ object DedupIndex {
     * stores them in index metadata; here they are fixed so the committed
     * layout and the probe always agree). More buckets = finer probe
     * pruning, more files. */
-  val BandBuckets = 16
+  val ShingleBuckets = 16
   val DocBuckets = 16
 
+  /** The threshold the committed prefixes are sized for. Probes at any
+    * `threshold ≥ IndexThreshold` are exact (stored prefixes are supersets
+    * of what that threshold needs); probing BELOW it would false-negative
+    * and is rejected. */
+  val IndexThreshold = 0.6
+
+  private def shBucket = pmod(xxhash64(col("shingle")), lit(ShingleBuckets.toLong))
+
   /** Fingerprint `documents` into the on-disk index at `indexPath`
-    * (overwrite). Both sub-indexes are one narrow projection + one write
-    * each — no joins, no all-pairs anything; cost is O(corpus) once,
-    * amortized over every subsequent batch probe.
+    * (overwrite): freeze the corpus df order, then write the prefix and
+    * full-posting sub-indexes. One window shuffle (per-doc shingle ranks)
+    * + three narrow writes — no joins against anything preexisting, no
+    * all-pairs anything; cost is O(corpus postings) once, amortized over
+    * every subsequent batch probe.
     */
   def buildIndex(documents: DataFrame, indexPath: String): Unit = {
-    DedupApprox.bandKeys(documents)
-      .withColumn("band_bucket", pmod(col("bh"), lit(BandBuckets.toLong)))
+    val inv = DedupApprox.shingleIndex(documents)
+    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    freq.withColumn("sh_bucket", shBucket)
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("band_bucket").parquet(s"$indexPath/bands")
-    DedupApprox.shingleIndex(documents)
+      .partitionBy("sh_bucket").parquet(s"$indexPath/freq")
+    // read the COMMITTED table back so build-time prefixes and every later
+    // probe/append provably order under the same frozen values
+    val frozen = documents.sparkSession.read.parquet(s"$indexPath/freq")
+      .select("shingle", "df")
+    DedupApprox.prefixPostings(inv, frozen, IndexThreshold)
+      .withColumn("sh_bucket", shBucket)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("sh_bucket").parquet(s"$indexPath/prefix")
+    inv
       .withColumn("doc_bucket", pmod(col("doc_id"), lit(DocBuckets.toLong)))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("doc_bucket").parquet(s"$indexPath/shingles")
@@ -71,18 +110,22 @@ object DedupIndex {
     * Pairs are emitted once as (doc_a < doc_b) with the exact Jaccard.
     * Caller contract: delta doc_ids are disjoint from the indexed corpus
     * (an id present in both would pair with itself through a stale
-    * fingerprint).
+    * fingerprint), and `threshold ≥ IndexThreshold`.
     */
   def probeDelta(spark: SparkSession, indexPath: String, delta: DataFrame,
                  threshold: Double): DataFrame = {
-    // constant Bands rows per delta doc; checkpointed because candidate
-    // generation and (via the bucket list) the pruned index read both
-    // consume it
-    val deltaBands = DedupApprox.bandKeys(delta).localCheckpoint(true)
+    require(threshold >= IndexThreshold,
+      s"index prefixes are sized for thresholds >= $IndexThreshold; got $threshold")
+    // checkpointed: consumed by the frozen-order prefix computation AND
+    // both refine sides
+    val deltaInv = DedupApprox.shingleIndex(delta).localCheckpoint(true)
     // checkpointed: consumed by both the bucket-list collect and the
-    // refine (the band-pruned scan therefore lives in THIS stage's plan,
-    // asserted via the candidateStage seam in DedupIndexSpec)
-    val candidates = candidateStage(spark, indexPath, deltaBands)
+    // candidate join (the sh_bucket-pruned prefix scan therefore lives in
+    // THIS stage's plan, asserted via the candidateStage seam in
+    // DedupIndexSpec)
+    val deltaPrefix =
+      deltaPrefixOfInv(spark, indexPath, deltaInv).localCheckpoint(true)
+    val candidates = candidateStage(spark, indexPath, deltaPrefix, threshold)
       .localCheckpoint(true)
 
     // refine postings: delta fresh, corpus bucket-pruned to candidate docs
@@ -95,51 +138,72 @@ object DedupIndex {
     val corpusInv = spark.read.parquet(s"$indexPath/shingles")
       .filter(col("doc_bucket").isin(candidateDocBuckets: _*))
       .select("doc_id", "n", "shingle")
-    val inv = corpusInv.union(DedupApprox.shingleIndex(delta))
+    val inv = corpusInv.union(deltaInv)
     DedupApprox.exactJaccardRefine(candidates, inv, threshold)
   }
 
   /** Admit a probed batch into the index — the lifecycle's third step
-    * (probe → retain survivors → EXTEND): the batch's fingerprints append
-    * into the same bucket layout, so the next batch's probe sees this one
-    * as corpus. Appends are new files in existing bucket dirs — no
-    * rewrite of prior index data, O(batch) I/O. Caller admits whichever
-    * doc set survived its retention policy (typically the probe's
-    * non-duplicates, or everything when near-dups are kept and only
-    * clustered downstream). Same id-disjointness contract as
-    * [[probeDelta]].
+    * (probe → retain survivors → EXTEND): the batch's postings and
+    * frozen-order prefixes append into the same bucket layout, so the next
+    * batch's probe sees this one as corpus. `freq/` is NOT updated — the
+    * order must stay the one every committed prefix was computed under.
+    * Appends are new files in existing bucket dirs — no rewrite of prior
+    * index data, O(batch) I/O. Caller admits whichever doc set survived
+    * its retention policy (typically the probe's non-duplicates, or
+    * everything when near-dups are kept and only clustered downstream).
+    * Same id-disjointness contract as [[probeDelta]].
     */
   def appendToIndex(documents: DataFrame, indexPath: String): Unit = {
-    DedupApprox.bandKeys(documents)
-      .withColumn("band_bucket", pmod(col("bh"), lit(BandBuckets.toLong)))
+    val inv = DedupApprox.shingleIndex(documents)
+    val frozen = documents.sparkSession.read.parquet(s"$indexPath/freq")
+      .select("shingle", "df")
+    DedupApprox.prefixPostings(inv, frozen, IndexThreshold)
+      .withColumn("sh_bucket", shBucket)
       .write.mode(SaveMode.Append)
-      .partitionBy("band_bucket").parquet(s"$indexPath/bands")
-    DedupApprox.shingleIndex(documents)
+      .partitionBy("sh_bucket").parquet(s"$indexPath/prefix")
+    inv
       .withColumn("doc_bucket", pmod(col("doc_id"), lit(DocBuckets.toLong)))
       .write.mode(SaveMode.Append)
       .partitionBy("doc_bucket").parquet(s"$indexPath/shingles")
   }
 
-  /** Candidate generation against the band index: the corpus side is read
-    * with a `band_bucket` partition filter resolved from the delta's own
-    * band hashes. Delta side 'a' ⇒ every candidate touches the delta;
-    * least/greatest + distinct canonicalizes delta↔delta pairs found from
-    * both ends.
+  /** Delta prefixes under the index's frozen order — the freq read is
+    * sh_bucket-pruned to the delta's own shingle buckets (a `collect` of
+    * ≤ ShingleBuckets bucket ids, O(model)).
+    */
+  private def deltaPrefixOfInv(spark: SparkSession, indexPath: String,
+                               deltaInv: DataFrame): DataFrame = {
+    val deltaShBuckets = deltaInv
+      .select(shBucket.as("b")).distinct()
+      .collect().map(_.getLong(0)) // ≤ ShingleBuckets values
+    val frozen = spark.read.parquet(s"$indexPath/freq")
+      .filter(col("sh_bucket").isin(deltaShBuckets: _*))
+      .select("shingle", "df")
+    DedupApprox.prefixPostings(deltaInv, frozen, IndexThreshold)
+  }
+
+  /** [[deltaPrefixOfInv]] from raw documents — the test seam for the
+    * pruned-read plan assertions. */
+  private[graft] def deltaPrefixStage(spark: SparkSession, indexPath: String,
+                                      delta: DataFrame): DataFrame =
+    deltaPrefixOfInv(spark, indexPath, DedupApprox.shingleIndex(delta))
+
+  /** Candidate generation against the prefix index: the corpus side is
+    * read with a `sh_bucket` partition filter resolved from the delta's
+    * own prefix shingles. Delta side 'a' ⇒ every candidate touches the
+    * delta; least/greatest + distinct inside [[DedupApprox.prefixCandidates]]
+    * canonicalizes delta↔delta pairs found from both ends.
     */
   private[graft] def candidateStage(spark: SparkSession, indexPath: String,
-                                    deltaBands: DataFrame): DataFrame = {
-    val probedBandBuckets = deltaBands
-      .select(pmod(col("bh"), lit(BandBuckets.toLong)).as("b")).distinct()
-      .collect().map(_.getLong(0)) // ≤ BandBuckets values
-    val corpusBands = spark.read.parquet(s"$indexPath/bands")
-      .filter(col("band_bucket").isin(probedBandBuckets: _*))
-      .select("doc_id", "band", "bh")
-    deltaBands.as("a")
-      .join(corpusBands.union(deltaBands).as("b"), Seq("band", "bh"))
-      .filter(col("a.doc_id") =!= col("b.doc_id"))
-      .select(
-        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+                                    deltaPrefix: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val probedShBuckets = deltaPrefix
+      .select(shBucket.as("b")).distinct()
+      .collect().map(_.getLong(0)) // ≤ ShingleBuckets values
+    val corpusPrefix = spark.read.parquet(s"$indexPath/prefix")
+      .filter(col("sh_bucket").isin(probedShBuckets: _*))
+      .select("doc_id", "n", "pos", "shingle")
+    DedupApprox.prefixCandidates(
+      deltaPrefix, corpusPrefix.union(deltaPrefix), threshold)
   }
 }

@@ -127,11 +127,15 @@ object Curation {
     *    ([[Dedup.bloomNewContent]] — the sketch routes, the 256-bit
     *    anti-join decides);
     *  - near-dup: [[graft.operators.DedupIndex.probeDelta]] against the
-    *    persisted band index of the seed's EXACT survivors (the greedy
+    *    persisted prefix index of the seed's EXACT survivors (the greedy
     *    pair universe — near-dup-dropped and quality-dropped seed docs
-    *    still suppress batch twins, exactly like the batch form); the
-    *    index read is band-bucket partition-pruned, batch↔batch pairs
-    *    come from the same probe;
+    *    still suppress batch twins, exactly like the batch form). The
+    *    probe's candidate generator is the SAME exact prefix-filter
+    *    scheme as the batch path's `jaccardJoin` (under the index's
+    *    frozen shingle order), so the batch-recompute equivalence is
+    *    deterministic, not LSH-recall-probabilistic; the index read is
+    *    shingle-bucket partition-pruned, batch↔batch pairs come from the
+    *    same probe;
     *  - quality/language/token enrichment: the identical narrow
     *    projections.
     * The caller extends the index with the batch's exact survivors

@@ -7,9 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{DedupApprox, DedupIndex}
 
-/** Incremental dedup against the persisted LSH index: probe ≡ the
-  * whole-corpus pair join restricted to delta-touching pairs, delta↔delta
-  * caught, corpus↔corpus excluded, bucket-pruned index reads, empty-safe.
+/** Incremental dedup against the persisted prefix index: probe ≡ the EXACT
+  * whole-corpus pair join restricted to delta-touching pairs (no LSH recall
+  * caveat — the candidate generator is prefix filtering under the index's
+  * frozen shingle order), delta↔delta caught, corpus↔corpus excluded,
+  * bucket-pruned index reads, empty-safe.
   */
 class DedupIndexSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -32,13 +34,15 @@ class DedupIndexSpec extends AnyFunSuite {
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
 
-  test("probe equals the whole-corpus pair join restricted to delta-touching pairs") {
+  test("probe equals the exact whole-corpus pair join restricted to delta-touching pairs") {
     val idx = Files.createTempDirectory("graft-lshidx").toString
     DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx)
     val got = pairsOf(DedupIndex.probeDelta(spark, idx,
       deltaDocs.toDF("doc_id", "text"), 0.6))
 
-    val all = pairsOf(DedupApprox.minhashPairs(
+    // the EXACT generator, not minhashPairs: the probe carries no LSH
+    // recall caveat, so it must reproduce the exact join's restriction
+    val all = pairsOf(DedupApprox.jaccardJoin(
       (corpusDocs ++ deltaDocs).toDF("doc_id", "text"), 0.6))
     val deltaIds = deltaDocs.map(_._1).toSet
     val expected = all.filter { case (a, b) =>
@@ -57,9 +61,9 @@ class DedupIndexSpec extends AnyFunSuite {
     probe.collect()
     // plan-text assertions (the RunLogSpec pattern — scan nodes sit inside
     // AQE query stages that TreeNode.collect does not descend into). The
-    // refine plan carries the doc_bucket-pruned shingle scan; the band
-    // scan lives behind the candidates checkpoint, so it is asserted on
-    // the candidateStage seam.
+    // refine plan carries the doc_bucket-pruned shingle scan; the frozen
+    // freq and corpus-prefix scans live behind the probe's checkpoints, so
+    // they are asserted on the deltaPrefixStage/candidateStage seams.
     // value-list membership renders as "IN (…)" for few values, "INSET …"
     // for many — both are the pruned form
     def pruned(plan: String, bucketCol: String): Boolean =
@@ -69,12 +73,28 @@ class DedupIndexSpec extends AnyFunSuite {
     val plan = probe.queryExecution.executedPlan.toString
     assert(pruned(plan, "doc_bucket"),
       s"expected doc_bucket membership pruning in:\n$plan")
-    val cand = DedupIndex.candidateStage(spark, idx,
-      DedupApprox.bandKeys(deltaDocs.toDF("doc_id", "text")))
+    val deltaPrefix = DedupIndex.deltaPrefixStage(spark, idx,
+      deltaDocs.toDF("doc_id", "text"))
+    deltaPrefix.collect()
+    val prefixPlan = deltaPrefix.queryExecution.executedPlan.toString
+    assert(pruned(prefixPlan, "sh_bucket"),
+      s"expected sh_bucket membership pruning on the freq read in:\n$prefixPlan")
+    val cand = DedupIndex.candidateStage(spark, idx, deltaPrefix, 0.6)
     cand.collect()
     val candPlan = cand.queryExecution.executedPlan.toString
-    assert(pruned(candPlan, "band_bucket"),
-      s"expected band_bucket membership pruning in:\n$candPlan")
+    assert(pruned(candPlan, "sh_bucket"),
+      s"expected sh_bucket membership pruning on the prefix read in:\n$candPlan")
+  }
+
+  test("a probe below the index's committed threshold is rejected") {
+    val idx = Files.createTempDirectory("graft-lshidx").toString
+    DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx)
+    // stored prefixes are sized for IndexThreshold — a lower probe would
+    // silently false-negative, so it must fail loudly instead
+    assertThrows[IllegalArgumentException] {
+      DedupIndex.probeDelta(spark, idx, deltaDocs.toDF("doc_id", "text"),
+        DedupIndex.IndexThreshold - 0.1)
+    }
   }
 
   test("append extends the index: the next batch probes against the admitted one") {

@@ -250,22 +250,37 @@ object LifecycleSql {
   }
 
   /** SHOW PARTITIONS '<path>' — the committed data partitions with their
-    * footer-proved row stamps (−1 when a partition predates stamping or
-    * MoR sidecars pend on it); metadata-only, no scan.
+    * footer-proved row stamps (−1 only for a partition that predates
+    * stamping or that MoR sidecars pend on — sidecar keys encode their
+    * partition, so the check is scoped per key, not table-wide). Refuses
+    * a table with no committed partition column (a snapshot/log table's
+    * 'all'/'append-<id>' data entries are storage layout, not
+    * partitions). Metadata-only, no scan.
     */
   case class ShowPartitionsCommand(path: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       attr("partition", StringType), attr("n_rows", LongType))
     override def run(spark: SparkSession): Seq[Row] = {
-      val m = committerFor(path).readManifest(path)
-      val morPending = m.keys.exists(k =>
-        k.startsWith("__del.") || k.startsWith("__delta."))
-      m.filterNot(_._1.startsWith("__")).keys.toSeq.sorted.map { p =>
-        val rows =
-          if (morPending) -1L
-          else m.get(s"${Upsert.RowsKeyPrefix}$p").map(_.toLong).getOrElse(-1L)
-        Row(p, rows)
-      }
+      val c = committerFor(path)
+      partColOf(path, c) // loud refusal on a non-partitioned table
+      val m = c.readManifest(path)
+      // a table can carry residual non-partition data entries from a
+      // pre-partitioning layout ('all' snapshot, 'append-<id>' log) until
+      // the next whole-table replace drops them — those are not values of
+      // the partition column, so they are not SHOW PARTITIONS rows. They
+      // are recognizable by carrying no per-partition row stamp AND
+      // matching the reserved layout names.
+      val layoutEntry = "^(all|append-[0-9]+)$".r
+      m.filterNot(_._1.startsWith("__")).keys.toSeq.sorted
+        .filterNot(p => layoutEntry.matches(p) &&
+          !m.contains(s"${Upsert.RowsKeyPrefix}$p"))
+        .map { p =>
+          val pending = m.contains(s"__del.$p") || m.contains(s"__delta.$p")
+          val rows =
+            if (pending) -1L
+            else m.get(s"${Upsert.RowsKeyPrefix}$p").map(_.toLong).getOrElse(-1L)
+          Row(p, rows)
+        }
     }
   }
 
@@ -363,9 +378,22 @@ object LifecycleSql {
             // REPLACE means the whole table: old data entries absent from
             // the new result land in the replace set with nothing staged,
             // so the commit drops them (the emptied-partition rule) —
-            // otherwise stale partitions would survive the overwrite
+            // otherwise stale partitions would survive the overwrite.
+            // Old entries are manifest KEYS (Hive-escaped partition values,
+            // or 'all'/'append-<id>' from a previous snapshot/log layout):
+            // UNESCAPE them back to raw values before mixing them into the
+            // replace list, or replacePartitionsAtomic's own escaping
+            // would double-escape (partKey('a%20b') = 'a%2520b') and the
+            // drop would miss the real key, leaving the stale partition
+            // alive under the overwrite. Non-partition entries ('all',
+            // 'append-<id>') unescape to themselves and are dropped by the
+            // emptied-partition rule; a NEW partition value that happens
+            // to equal such a key stages rows and simply wins the slot
+            // (both covered in SqlLifecycleSpec).
             val old = c.readManifest(path).keys
               .filterNot(_.startsWith("__")).toSeq
+              .map(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName)
             val parts = (df.select(org.apache.spark.sql.functions
                 .col(pc).cast("string")).distinct()
               .collect().map(_.getString(0)).toSeq ++ old).distinct.sorted
@@ -610,8 +638,54 @@ object LifecycleSql {
   private val QueryHead = "(?is)\\s*(?:select|with)\\b.*".r
   private val VersionClause =
     "(?is)\\s+version\\s+as\\s+of\\s+(\\d+)".r
+  // integer epoch-ms OR a quoted date/timestamp literal (parsed as UTC
+  // when zoneless) — a quoted form left unmatched would strand a dangling
+  // "TIMESTAMP AS OF …" in the delegated text and surface as a baffling
+  // parse error against the generated view name
   private val TimestampClause =
-    "(?is)\\s+timestamp\\s+as\\s+of\\s+(\\d+)".r
+    "(?is)\\s+timestamp\\s+as\\s+of\\s+(?:(\\d+)|'([^'\\n]+)')".r
+
+  private def timestampAsOfEpochMs(m: scala.util.matching.Regex.Match): Long =
+    Option(m.group(1)).map(_.toLong).getOrElse {
+      val s = m.group(2).trim
+      try {
+        if (s.matches("\\d{4}-\\d{2}-\\d{2}"))
+          java.time.LocalDate.parse(s)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+        else {
+          val norm = s.replace(' ', 'T')
+          (try java.time.Instant.parse(norm) // carries Z / an offset
+          catch { case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(norm)
+              .atZone(java.time.ZoneOffset.UTC).toInstant
+          }).toEpochMilli
+        }
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"TIMESTAMP AS OF '$s' is not a supported pin — use an " +
+              "epoch-ms integer, 'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss[.fff]' " +
+              "or an ISO-8601 instant (zoneless forms are read as UTC)")
+      }
+    }
+
+  /** Words that legitimately precede '(' without naming a function — used
+    * to tell function-call parens (whose interior FROM is SQL-standard
+    * trim/extract/substring syntax, never a relation reference) from
+    * subquery/grouping parens. */
+  private val NonFunctionWords = Set(
+    "from", "join", "where", "on", "and", "or", "not", "in", "exists",
+    "between", "select", "union", "all", "intersect", "except", "as",
+    "when", "then", "else", "case", "end", "by", "group", "order",
+    "having", "limit", "distinct", "values", "over", "using", "lateral",
+    "cross", "inner", "left", "right", "full", "outer", "semi", "anti",
+    "with", "like", "rlike", "ilike", "escape", "is", "div", "any", "some")
+
+  /** Only literals that plausibly NAME A TABLE PATH are rewritten — a
+    * bare word like the trim source in `trim(BOTH 'x' FROM 'xxabcx')`
+    * must stay a string literal. */
+  private def looksLikePath(s: String): Boolean =
+    s.contains('/') || s.matches("[A-Za-z][A-Za-z0-9+.\\-]*:.*")
   private val ChangesRel =
     "(?is)changes\\s*\\(\\s*'([^'\\n]+)'\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*(?:,\\s*'([^']*)'\\s*)?\\)".r
 
@@ -624,9 +698,12 @@ object LifecycleSql {
     * reference always reflects the table's current version, and the read
     * carries full [[Upsert.readTable]] semantics — MoR sidecars, schema
     * evolution, time travel — not a bare file scan. Returns None when the
-    * statement is not a query or references no quoted path (zero overhead
-    * and zero behavior change for ordinary SQL, which has no `FROM
-    * '<literal>'` production to collide with).
+    * statement is not a query or references no quoted path. Ordinary SQL
+    * DOES have `FROM '<literal>'` productions — `trim(BOTH 'x' FROM
+    * 'xxabcx')`, `extract(YEAR FROM …)`, `substring(s FROM 2)` — so two
+    * guards keep those intact: a FROM inside a function-call paren frame
+    * is never a relation reference, and only literals that look like
+    * paths ([[looksLikePath]]: contain '/' or a URI scheme) rewrite.
     */
   private[sql] def rewritePathReads(sqlText: String): Option[String] = {
     if (!QueryHead.matches(sqlText)) return None
@@ -634,10 +711,21 @@ object LifecycleSql {
     var i = 0
     var rewrote = false
     var quote: Char = 0
+    // paren-kind stack: true = function-call paren (preceding token was a
+    // function-name word), false = subquery/grouping paren. Inside a
+    // function-call frame a FROM is SQL-standard argument syntax —
+    // trim(BOTH 'x' FROM 'xxabcx'), extract(YEAR FROM ts), substring(s
+    // FROM 2) — and must never be treated as a relation reference.
+    var parenKinds = List.empty[Boolean]
+    var prevWord = "" // last word token emitted, lowercased
+    var prevSig: Char = 0 // last significant (non-ws, non-comment) char
     def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    def inFunctionArgs = parenKinds.headOption.getOrElse(false)
     while (i < sqlText.length) {
       val c = sqlText.charAt(i)
-      if (quote != 0) { out.append(c); if (c == quote) quote = 0; i += 1 }
+      if (quote != 0) {
+        out.append(c); if (c == quote) { quote = 0; prevSig = c }; i += 1
+      }
       else if (c == '\'' || c == '"' || c == '`') {
         // string literals AND backtick identifiers are opaque
         out.append(c); quote = c; i += 1
@@ -660,36 +748,55 @@ object LifecycleSql {
         val w = sqlText.substring(i, j).toLowerCase(java.util.Locale.ROOT)
         var k = j
         while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
-        if ((w == "from" || w == "join") &&
+        lazy val quotedLiteral: Option[String] =
+          if (k < sqlText.length && sqlText.charAt(k) == '\'') {
+            val close = sqlText.indexOf('\'', k + 1)
+            if (close > k) Some(sqlText.substring(k + 1, close)) else None
+          } else None
+        if (!inFunctionArgs && (w == "from" || w == "join") &&
             ChangesRel.findPrefixMatchOf(sqlText.substring(k)).isDefined) {
           // CHANGES('<path>', v1, v2 [, 'k1,k2']): the change feed as a
           // SQL relation — keys resolve from the table's CDF declaration
           // when the 4th argument is omitted
           val m = ChangesRel.findPrefixMatchOf(sqlText.substring(k)).get
-          out.append(sqlText.substring(i, j)).append(' ')
-            .append(registerChangesView(m.group(1), m.group(2).toLong,
-              m.group(3).toLong, Option(m.group(4))))
+          val view = registerChangesView(m.group(1), m.group(2).toLong,
+            m.group(3).toLong, Option(m.group(4)))
+          out.append(sqlText.substring(i, j)).append(' ').append(view)
           rewrote = true
+          prevWord = view; prevSig = view.last
           i = k + m.end
-        } else if ((w == "from" || w == "join") &&
-            k < sqlText.length && sqlText.charAt(k) == '\'') {
-          val close = sqlText.indexOf('\'', k + 1)
-          require(close > k, s"unterminated quoted path after ${w.toUpperCase}")
-          val path = sqlText.substring(k + 1, close)
+        } else if (!inFunctionArgs && (w == "from" || w == "join") &&
+            quotedLiteral.exists(looksLikePath)) {
+          val path = quotedLiteral.get
+          val close = k + 1 + path.length
           val rest = sqlText.substring(close + 1)
           val (suffix, tailStart) = VersionClause.findPrefixMatchOf(rest) match {
             case Some(m) => (s"@v${m.group(1)}", close + 1 + m.end)
             case None => TimestampClause.findPrefixMatchOf(rest) match {
-              case Some(m) => (s"@t${m.group(1)}", close + 1 + m.end)
+              case Some(m) => (s"@t${timestampAsOfEpochMs(m)}", close + 1 + m.end)
               case None => ("", close + 1)
             }
           }
-          out.append(sqlText.substring(i, j)).append(' ')
-            .append(registerPathView(path, suffix))
+          val view = registerPathView(path, suffix)
+          out.append(sqlText.substring(i, j)).append(' ').append(view)
           rewrote = true
+          prevWord = view; prevSig = view.last
           i = tailStart
-        } else { out.append(sqlText.substring(i, j)); i = j }
-      } else { out.append(c); i += 1 }
+        } else {
+          out.append(sqlText.substring(i, j))
+          prevWord = w; prevSig = sqlText.charAt(j - 1)
+          i = j
+        }
+      } else {
+        if (c == '(')
+          parenKinds ::= (isWordChar(prevSig) &&
+            !NonFunctionWords.contains(prevWord))
+        else if (c == ')' && parenKinds.nonEmpty)
+          parenKinds = parenKinds.tail
+        out.append(c)
+        if (!c.isWhitespace) prevSig = c
+        i += 1
+      }
     }
     if (rewrote) Some(out.toString) else None
   }

@@ -339,6 +339,84 @@ class LifecycleSqlSpec extends AnyFunSuite {
       .as[(String, String)].collect().toSeq == Seq(("pos", "version > 0")))
   }
 
+  test("SHOW PARTITIONS scopes the MoR -1 per partition and rejects non-partitioned tables") {
+    val (path, c) = freshTable()
+    // MoR-delete only d1: its count is pending, d2's footer stamp survives
+    Upsert.deleteKeysMor(spark, path, "day", keys = Seq("id"),
+      keyRows = Seq((1L, "d1")).toDF("id", "day"), committer = c)
+    assert(spark.sql(s"SHOW PARTITIONS '$path'")
+      .as[(String, Long)].collect().toMap == Map("d1" -> -1L, "d2" -> 1L))
+    // a snapshot table has data entries ('all') but no partition column —
+    // SHOW PARTITIONS must refuse loudly, not list storage layout
+    val snap = Files.createTempDirectory("graft-lsql").toString + "/s"
+    Upsert.writeTableAtomic(spark,
+      Seq((1L, "x")).toDF("id", "v"), snap, new VersionedCommitter)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"SHOW PARTITIONS '$snap'").collect()
+    }
+    assert(e.getMessage.contains("not a partitioned"))
+  }
+
+  test("CREATE OR REPLACE drops stale partitions with escaped values and layout entries") {
+    val dir = Files.createTempDirectory("graft-lsql").toString
+    // partition values that Hive-escape ('a b' -> 'a%20b'): the manifest
+    // KEY differs from the raw value, so the replace list must unescape
+    // old keys or the drop misses them and the stale partition survives
+    val p1 = s"$dir/esc"
+    Seq(("a b", 1L), ("c", 2L)).toDF("day", "id")
+      .createOrReplaceTempView("cor_src1")
+    spark.sql(s"CREATE TABLE '$p1' PARTITIONED BY (day) AS SELECT * FROM cor_src1")
+    Seq(("c", 3L)).toDF("day", "id").createOrReplaceTempView("cor_src2")
+    spark.sql(s"CREATE OR REPLACE TABLE '$p1' PARTITIONED BY (day) " +
+      "AS SELECT * FROM cor_src2")
+    assert(spark.sql(s"SELECT day, id FROM '$p1'")
+      .as[(String, Long)].collect().toSeq == Seq(("c", 3L)),
+      "the escaped-value partition must not survive the replace")
+    // a snapshot table's 'all' layout entry is dropped by the replace even
+    // when a NEW partition value is literally the string 'all' (same
+    // schema across the replace — the add-only evolution gate is its own
+    // contract, not under test here)
+    val p2 = s"$dir/snap"
+    val c2 = new VersionedCommitter
+    Upsert.writeTableAtomic(spark,
+      Seq(("x", 1L)).toDF("bucket", "id"), p2, c2)
+    Seq(("all", 10L), ("some", 11L)).toDF("bucket", "id")
+      .createOrReplaceTempView("cor_src3")
+    spark.sql(s"CREATE OR REPLACE TABLE '$p2' PARTITIONED BY (bucket) " +
+      "AS SELECT * FROM cor_src3")
+    assert(spark.sql(s"SELECT bucket, id FROM '$p2'")
+      .as[(String, Long)].collect().toSet == Set(("all", 10L), ("some", 11L)))
+    assert(spark.sql(s"SHOW PARTITIONS '$p2'")
+      .as[(String, Long)].collect().toMap == Map("all" -> 1L, "some" -> 1L))
+  }
+
+  test("function-argument FROM and non-path literals survive the read rewriter") {
+    // SQL-standard trim puts a plain literal right after FROM — the
+    // rewriter must not read 'xxabcx' as a table path
+    assert(spark.sql("SELECT trim(BOTH 'x' FROM 'xxabcx') AS t")
+      .as[String].head() == "abc")
+    assert(spark.sql("SELECT substring('abcdef' FROM 2 FOR 3) AS s")
+      .as[String].head() == "bcd")
+    // …including when a real path read sits in the same statement
+    val (path, _) = freshTable()
+    assert(spark.sql(
+      s"SELECT trim(BOTH 'x' FROM 'xxabcx') AS t, count(*) AS n FROM '$path'")
+      .as[(String, Long)].head() == ("abc", 2L))
+  }
+
+  test("TIMESTAMP AS OF accepts quoted timestamps and rejects junk loudly") {
+    val (path, c) = freshTable()
+    val ts1 = c.commitTimestamps(path)(1L)
+    val iso = java.time.Instant.ofEpochMilli(ts1).toString // v1-inclusive pin
+    assert(spark.sql(
+      s"SELECT id, version FROM '$path' TIMESTAMP AS OF '$iso' ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 100L), (2L, 100L)))
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM '$path' TIMESTAMP AS OF 'not-a-time'").collect()
+    }
+    assert(e.getMessage.contains("supported pin"))
+  }
+
   test("CHANGES() exposes the change feed as a SQL relation") {
     val (path, c) = freshTable() // v1: (1,100),(2,100); v2: (1,101)
     // explicit keys ≡ the API feed

@@ -64,13 +64,13 @@ object Maintenance {
       .filterNot(_._1.startsWith("__")).sortBy(_._1)
       .map { case (k, rel) =>
         val fs = dataFiles(s"$tablePath/$rel")
-        PartitionFiles(k, rel, fs.length, fs.map(_.length()).sum)
+        PartitionFiles(k, rel, fs.length, fs.map(_.getLen).sum)
       }
 
-  private def dataFiles(dir: String): Array[java.io.File] =
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_"))
+  private def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    graft.streaming.TableFs.list(dir)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+        !f.getPath.getName.startsWith("_"))
 
   /** Bin-packed file-count target for a partition: one file per
     * `targetFileBytes` of data, floor one file.
@@ -170,12 +170,14 @@ object Maintenance {
           // that partition rides filterless until its next stats-writing
           // rewrite (absent sidecar = read, never wrongly pruned)
           if (!manifest.contains(s"__delta.${p.key}"))
-            Option(new java.io.File(s"$tablePath/${p.rel}").listFiles())
-              .getOrElse(Array.empty[java.io.File])
-              .filter(f => f.isFile && f.getName.startsWith("_bloom_") &&
-                f.getName.endsWith(".bin"))
-              .foreach(f => org.apache.commons.io.FileUtils
-                .copyFileToDirectory(f, new java.io.File(dest)))
+            graft.streaming.TableFs.list(s"$tablePath/${p.rel}")
+              .filter(f => f.isFile && f.getPath.getName.startsWith("_bloom_") &&
+                f.getPath.getName.endsWith(".bin"))
+              .foreach { f =>
+                val name = f.getPath.getName
+                graft.streaming.TableFs.writeBytes(s"$dest/$name",
+                  graft.streaming.TableFs.readBytes(s"$tablePath/${p.rel}/$name"))
+              }
           (p, s"$batchDirName/$sub")
         }
       }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
-import graft.streaming.{AtomicRenameCommitter, SnapshotCommitter, SnapshotGc}
+import graft.streaming.{AtomicRenameCommitter, SnapshotCommitter, SnapshotGc, TableFs}
 
 /** Partition-pruned incremental upsert — MERGE-into-partitioned-parquet
   * with copy-on-write granularity of ONE PARTITION, not one table.
@@ -646,6 +646,15 @@ object Upsert {
   private def partKey(raw: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(raw)
 
+  /** Names of `prefix`-named subdirectories of `dir`, prefix stripped —
+    * the staged-partition discovery idiom (`__part=`/`__dp=` dirs of a
+    * just-written batch). Goes through [[TableFs]], so staging discovery
+    * works on any Hadoop filesystem, not just local disk. */
+  private def stagedDirNames(dir: String, prefix: String): Set[String] =
+    TableFs.list(dir)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix)).toSet
+
   /** Add-only evolution contract: every committed column must survive with
     * its type (a drop or type change would make old data unreadable under
     * the new schema), and added columns must be nullable (their value on
@@ -1226,9 +1235,7 @@ object Upsert {
           // pre-rewrite manifest racing the grace window) must degrade to
           // no-skip for THIS call, never fail the scan or poison the cache
           try fileStatsCache.computeIfAbsent(abs, _ =>
-            new String(java.nio.file.Files.readAllBytes(
-                new java.io.File(abs).toPath),
-              java.nio.charset.StandardCharsets.UTF_8)
+            TableFs.readString(abs)
               .split("\n").filter(_.nonEmpty).map { l =>
                 val Array(n, j) = l.split("\t", 2); n -> j
               }.toMap)
@@ -1286,13 +1293,12 @@ object Upsert {
                                          tablePath: String, partitionKey: String,
                                          rel: String): Map[String, String] = {
     val conf = spark.sessionState.newHadoopConf()
-    val files = Option(new java.io.File(s"$tablePath/$rel").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_"))
+    val files = TableFs.list(s"$tablePath/$rel")
+      .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+        !f.getPath.getName.startsWith("_"))
     var rows = 0L
     val perFile = files.flatMap { f =>
-      val (mm, n) = footerStats(conf, f.getAbsolutePath, cols0.toSet)
+      val (mm, n) = footerStats(conf, f.getPath.toString, cols0.toSet)
       rows += n
       if (cols0.isEmpty) None
       else {
@@ -1302,9 +1308,9 @@ object Upsert {
             case None           => s""""$c":null"""
           }
         }.mkString("{", ",", "}")
-        Some(f.getName -> body)
+        Some(f.getPath.getName -> body)
       }
-    }.toSeq.sortBy(_._1)
+    }.sortBy(_._1)
     // checkpointed encoding: ONE sidecar file per partition, one manifest
     // pointer entry — the manifest stays O(#partitions) in file count
     val fstats =
@@ -1312,9 +1318,7 @@ object Upsert {
       else {
         val sidecarRel = s"$rel/$FileStatsSidecarName"
         val body = perFile.map { case (n, j) => s"$n\t$j" }.mkString("\n")
-        java.nio.file.Files.write(
-          new java.io.File(s"$tablePath/$sidecarRel").toPath,
-          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        TableFs.writeString(s"$tablePath/$sidecarRel", body)
         Map(s"$FileStatsKeyPrefix$partitionKey" -> sidecarRel)
       }
     fstats + (s"$RowsKeyPrefix$partitionKey" -> rows.toString)
@@ -1763,8 +1767,7 @@ object Upsert {
         a
       })
     merged.foreach { case ((part, i), bf) =>
-      val f = new java.io.File(s"$batchDir/__part=$part/_bloom_${cols0(i)}.bin")
-      val out = new java.io.FileOutputStream(f)
+      val out = TableFs.create(s"$batchDir/__part=$part/_bloom_${cols0(i)}.bin")
       try bf.writeTo(out) finally out.close()
     }
   }
@@ -1775,10 +1778,10 @@ object Upsert {
     */
   private[graft] def bloomOf(tablePath: String, rel: String,
                              column: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val f = new java.io.File(s"$tablePath/$rel/_bloom_$column.bin")
-    if (!f.isFile) None
+    val p = s"$tablePath/$rel/_bloom_$column.bin"
+    if (!TableFs.exists(p)) None
     else {
-      val in = new java.io.FileInputStream(f)
+      val in = TableFs.open(p)
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
     }
@@ -1906,10 +1909,7 @@ object Upsert {
     combined.withColumn("__dp", col(pcPhys).cast("string"))
       .write.mode(SaveMode.Overwrite).partitionBy("__dp")
       .parquet(s"$tablePath/$batchDirName")
-    val writtenParts = Option(new java.io.File(s"$tablePath/$batchDirName").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("__dp="))
-      .map(_.getName.stripPrefix("__dp=")).toSet
+    val writtenParts = stagedDirNames(s"$tablePath/$batchDirName", "__dp=")
     val pending = combined.count()
     // a delete AFTER a MoR upsert of the same key must land: the deletion
     // anti-join only covers BASE rows, so pending DELTA sidecars of the
@@ -1931,11 +1931,8 @@ object Upsert {
         keptDelta.withColumn("__dp", col(pcPhys).cast("string"))
           .write.mode(SaveMode.Overwrite).partitionBy("__dp")
           .parquet(s"$tablePath/$batchDirName/delta")
-        val surviving = Option(
-          new java.io.File(s"$tablePath/$batchDirName/delta").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith("__dp="))
-          .map(_.getName.stripPrefix("__dp=")).toSet
+        val surviving =
+          stagedDirNames(s"$tablePath/$batchDirName/delta", "__dp=")
         touchedDeltaRels.map { case (p, _) =>
           s"$DeltaKeyPrefix$p" -> (if (surviving.contains(p))
             Some(s"$batchDirName/delta/__dp=$p") else None)
@@ -2044,10 +2041,7 @@ object Upsert {
     val staged = combined.withColumn("__part", col(pcPhys).cast("string"))
     staged.write.mode(SaveMode.Overwrite).partitionBy("__part")
       .parquet(s"$tablePath/$batchDirName")
-    val writtenParts = Option(new java.io.File(s"$tablePath/$batchDirName").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("__part="))
-      .map(_.getName.stripPrefix("__part=")).toSet
+    val writtenParts = stagedDirNames(s"$tablePath/$batchDirName", "__part=")
     // CHECK enforcement against the staged sidecar (what would become
     // visible) — a violation abandons the staging, previous manifest
     // intact
@@ -2059,8 +2053,7 @@ object Upsert {
         spark.read.schema(committed).parquet(s"$tablePath/$batchDirName"),
         manifest), checks)
       if (bad.nonEmpty) {
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"$tablePath/$batchDirName"))
+        TableFs.delete(s"$tablePath/$batchDirName")
         throw new CheckViolationException(bad, checks)
       }
     }
@@ -2355,8 +2348,8 @@ object Upsert {
       val bad = violationCounts(
         toLogical(spark.read.parquet(s"$tablePath/$rel"), manifest), checks)
       if (bad.nonEmpty) {
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(s"$tablePath/$rel").getParentFile)
+        TableFs.delete(
+          s"$tablePath/${rel.split('/').dropRight(1).mkString("/")}")
         throw new CheckViolationException(bad, checks)
       }
     }
@@ -2437,8 +2430,8 @@ object Upsert {
         val bad = violationCounts(
           toLogical(spark.read.parquet(s"$tablePath/$rel"), manifest), checks)
         if (bad.nonEmpty) {
-          org.apache.commons.io.FileUtils.deleteDirectory(
-            new java.io.File(s"$tablePath/$rel").getParentFile)
+          TableFs.delete(
+            s"$tablePath/${rel.split('/').dropRight(1).mkString("/")}")
           throw new CheckViolationException(bad, checks)
         }
       }
@@ -2557,10 +2550,7 @@ object Upsert {
     data.withColumn("__part", col(partCol).cast("string"))
       .write.mode(SaveMode.Overwrite).partitionBy("__part")
       .parquet(s"$tablePath/$batchDirName")
-    val writtenParts = Option(new java.io.File(s"$tablePath/$batchDirName").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("__part="))
-      .map(_.getName.stripPrefix("__part=")).toSet
+    val writtenParts = stagedDirNames(s"$tablePath/$batchDirName", "__part=")
     require(writtenParts.subsetOf(partsEsc.toSet),
       s"data carries partitions outside the replace set: ${writtenParts -- partsEsc.toSet}")
 
@@ -2600,8 +2590,7 @@ object Upsert {
         // physical frame maps to logical names before evaluation
         val bad = violationCounts(toLogical(staged.drop("__part"), manifest), checks)
         if (bad.nonEmpty) {
-          org.apache.commons.io.FileUtils.deleteDirectory(
-            new java.io.File(s"$tablePath/$batchDirName"))
+          TableFs.delete(s"$tablePath/$batchDirName")
           throw new CheckViolationException(bad, checks)
         }
       }
@@ -2613,8 +2602,7 @@ object Upsert {
           val drifted = staged.filter(!(t.column(col(src)).cast("string") <=>
             col(pc).cast("string"))).limit(1).count()
           if (drifted > 0) {
-            org.apache.commons.io.FileUtils.deleteDirectory(
-              new java.io.File(s"$tablePath/$batchDirName"))
+            TableFs.delete(s"$tablePath/$batchDirName")
             throw new IllegalArgumentException(
               s"generated-partition violation: staged rows where " +
                 s"$pc != ${t.name}($src), commit aborted")
@@ -2660,10 +2648,9 @@ object Upsert {
       // refresh the staging's age and VERIFY it survived before publishing
       // references to it — a collected staging must fail loudly here, not
       // surface later as dangling manifest entries
-      val batchRoot = new java.io.File(s"$tablePath/$batchDirName")
-      batchRoot.setLastModified(System.currentTimeMillis())
+      TableFs.touch(s"$tablePath/$batchDirName")
       val missing = writtenParts.filterNot(p =>
-        new java.io.File(s"$tablePath/$batchDirName/__part=$p").isDirectory)
+        TableFs.isDirectory(s"$tablePath/$batchDirName/__part=$p"))
       if (missing.nonEmpty) throw new IllegalStateException(
         s"staged partitions vanished before commit (concurrent GC passed " +
           s"the grace window?): ${missing.toSeq.sorted.mkString(",")}")
@@ -3003,11 +2990,13 @@ object Upsert {
                                max: Option[String], kmv: Array[Long])
       final case class PartStat(fp: String, rows: Long,
                                 cols: Map[String, ColStat])
-      def parseSidecar(rel: String): Map[String, PartStat] = {
-        val f = new java.io.File(s"$tablePath/$rel")
-        if (!f.isFile) return Map.empty // vanished = recompute everything
-        val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8)
+      def parseSidecar(rel: String): Map[String, PartStat] =
+        TableFs.readStringOpt(s"$tablePath/$rel") match {
+          case None => Map.empty // vanished = recompute everything
+          case Some(body) => parseSidecarBody(body)
+        }
+      def parseSidecarBody(body: String): Map[String, PartStat] = {
+        val lines = body
           .split("\n").filter(_.nonEmpty)
         // sketches taken at a different k do NOT merge with this run's: a
         // smaller-k sketch truncated at 64 read into a k=256 merge would
@@ -3094,8 +3083,7 @@ object Upsert {
       // write the new sidecar, commit stats + pointer in one flip, then
       // drop the superseded sidecar (stats are ADVISORY: an as-of reader
       // of an older version finds no stats = no CBO, never a wrong answer)
-      val statsDir = new java.io.File(s"$tablePath/_stats")
-      statsDir.mkdirs()
+      TableFs.mkdirs(s"$tablePath/_stats")
       val rel = s"_stats/pstats-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
       val body = (s"#k=$k" +: parts.map { p =>
         val ps = all(p)
@@ -3106,8 +3094,7 @@ object Upsert {
         }.mkString("\u0002")
         s"$p\t${ps.fp}\t${ps.rows}\t$colsBlob"
       }).mkString("\n")
-      java.nio.file.Files.write(new java.io.File(s"$tablePath/$rel").toPath,
-        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      TableFs.writeString(s"$tablePath/$rel", body)
       val entries = colStats.map(c => s"$StatsColPrefix${c.column}" ->
         Seq(c.nNulls.toString, c.nDistinct.toString, encOpt(c.min),
           encOpt(c.max)).mkString("\t")).toMap
@@ -3115,7 +3102,7 @@ object Upsert {
       committer.commit(tablePath, dropCarriedCdf(cleaned ++ entries) +
         (StatsRowcountKey -> nRows.toString) + (PartStatsKey -> rel))
       manifest.get(PartStatsKey).foreach(old =>
-        new java.io.File(s"$tablePath/$old").delete())
+        TableFs.delete(s"$tablePath/$old"))
       IncrementalAnalyzeStats(TableStats(nRows, colStats.sortBy(_.column)),
         stale.map(org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.unescapePathName))

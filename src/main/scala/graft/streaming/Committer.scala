@@ -57,8 +57,10 @@ trait SnapshotCommitter {
 
 /** Default committer for filesystems with atomic rename (local, HDFS):
   * write the manifest body to a uniquely-named temp file in the snapshot
-  * dir, then `ATOMIC_MOVE` it over `MANIFEST`. A crash before the move
-  * leaves only a GC-able temp; a crash after is a completed commit.
+  * dir, then rename-with-overwrite it over `MANIFEST` (Hadoop
+  * `FileContext.rename(OVERWRITE)` — atomic on POSIX and HDFS; see
+  * [[TableFs.writeAtomic]]). A crash before the move leaves only a
+  * GC-able temp; a crash after is a completed commit.
   */
 /** Shared staging GC for manifest-committed layouts ([[StreamDedup]]'s
   * snapshot merge and [[graft.pipeline.Upsert.upsertPartitionsAtomic]]):
@@ -77,74 +79,63 @@ trait SnapshotCommitter {
 private[graft] object SnapshotGc {
   def gcUnreferenced(snapshotPath: String, liveRel: Set[String],
                      minAgeMs: Long = 0L): Unit = {
-    val root = new java.io.File(snapshotPath)
     val cutoff = System.currentTimeMillis() - minAgeMs
+    val rootEntries = TableFs.list(snapshotPath)
     for {
-      b <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      if b.isDirectory && b.getName.startsWith("batch-")
+      b <- rootEntries
+      if b.isDirectory && b.getPath.getName.startsWith("batch-")
       // age floor at the batch-dir level: a concurrent writer's staging is
       // by construction younger than the grace window (staged immediately
       // before its commit attempt); crashed stagings age past it
-      if b.lastModified() <= cutoff
+      if b.getModificationTime <= cutoff
     } {
+      val bName = b.getPath.getName
       for {
-        d <- Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
+        d <- TableFs.list(s"$snapshotPath/$bName")
         // a live rel may name the subdir itself OR live DEEPER inside it
         // (MoR delete rewrites surviving delta sidecars under
         // `batch-⁎/delta/__dp=⁎`) — deleting the parent of a referenced
         // nested dir would take the live data with it
         if d.isDirectory && {
-          val sub = s"${b.getName}/${d.getName}"
+          val sub = s"$bName/${d.getPath.getName}"
           !liveRel.exists(r => r == sub || r.startsWith(s"$sub/"))
         }
-      } org.apache.commons.io.FileUtils.deleteDirectory(d)
-      val remaining = Option(b.listFiles()).getOrElse(Array.empty[java.io.File])
-      if (!remaining.exists(_.isDirectory))
-        org.apache.commons.io.FileUtils.deleteDirectory(b)
+      } TableFs.delete(s"$snapshotPath/$bName/${d.getPath.getName}")
+      if (!TableFs.list(s"$snapshotPath/$bName").exists(_.isDirectory))
+        TableFs.delete(s"$snapshotPath/$bName")
     }
     for {
-      t <- Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      if t.isFile && t.getName.startsWith("MANIFEST.tmp-")
+      t <- rootEntries
+      if t.isFile && t.getPath.getName.startsWith("MANIFEST.tmp-")
       // same age floor as the batch dirs: another writer's in-flight temp
-      // (written, not yet ATOMIC_MOVEd) is milliseconds old — only
-      // crashed leftovers age past the window
-      if t.lastModified() <= cutoff
-    } t.delete()
+      // (written, not yet renamed in) is milliseconds old — only crashed
+      // leftovers age past the window
+      if t.getModificationTime <= cutoff
+    } TableFs.delete(s"$snapshotPath/${t.getPath.getName}")
   }
 }
 
 object AtomicRenameCommitter extends SnapshotCommitter {
 
-  private[streaming] def manifestFile(snapshotPath: String) =
-    new java.io.File(snapshotPath, "MANIFEST")
+  private[streaming] def manifestPath(snapshotPath: String): String =
+    s"$snapshotPath/MANIFEST"
 
   private[streaming] def renderManifest(entries: Map[String, String]): String =
     entries.toSeq.sorted
       .map { case (d, rel) => s"$d\t$rel" }.mkString("", "\n", "\n")
 
-  override def readManifest(snapshotPath: String): Map[String, String] = {
-    val f = manifestFile(snapshotPath)
-    if (!f.exists()) Map.empty
-    else {
-      val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().filter(_.nonEmpty).map { l =>
-        val Array(day, rel) = l.split("\t", 2); day -> rel
-      }.toMap
-      finally src.close()
+  override def readManifest(snapshotPath: String): Map[String, String] =
+    TableFs.readStringOpt(manifestPath(snapshotPath)) match {
+      case None => Map.empty
+      case Some(body) =>
+        body.split("\n").filter(_.nonEmpty).map { l =>
+          val Array(day, rel) = l.split("\t", 2); day -> rel
+        }.toMap
     }
-  }
 
   override def commit(snapshotPath: String,
-                      entries: Map[String, String]): Unit = {
-    val dir = new java.io.File(snapshotPath)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp.toPath,
-      renderManifest(entries).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, manifestFile(snapshotPath).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+                      entries: Map[String, String]): Unit =
+    TableFs.writeAtomic(snapshotPath, "MANIFEST", renderManifest(entries))
 }
 
 /** Snapshot-versioned committer — TIME TRAVEL on the manifest protocol,
@@ -177,15 +168,17 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
 
   private val VersionRe = "MANIFEST\\.v(\\d{6})".r
 
-  private def versionFiles(snapshotPath: String): Seq[(Long, java.io.File)] =
-    Option(new java.io.File(snapshotPath).listFiles())
-      .getOrElse(Array.empty[java.io.File])
+  private def versionName(version: Long): String = f"MANIFEST.v$version%06d"
+
+  private def versionFiles(snapshotPath: String): Seq[(Long, String)] =
+    TableFs.list(snapshotPath)
       .flatMap { f =>
-        f.getName match {
-          case VersionRe(n) => Some((n.toLong, f))
-          case _            => None
+        f.getPath.getName match {
+          case VersionRe(n) =>
+            Some((n.toLong, s"$snapshotPath/${f.getPath.getName}"))
+          case _ => None
         }
-      }.toSeq.sortBy(_._1)
+      }.sortBy(_._1)
 
   /** Committed version numbers, oldest first. */
   def versions(snapshotPath: String): Seq[Long] =
@@ -195,11 +188,11 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     * version was never committed or has been expired past `retain`.
     */
   def readManifestAsOf(snapshotPath: String, version: Long): Map[String, String] = {
-    val f = new java.io.File(snapshotPath, f"MANIFEST.v$version%06d")
-    require(f.exists(),
+    val p = s"$snapshotPath/${versionName(version)}"
+    require(TableFs.exists(p),
       s"version $version of $snapshotPath does not exist (expired or never committed); " +
         s"available: ${versions(snapshotPath).mkString(",")}")
-    parse(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
+    parse(TableFs.readString(p))
   }
 
   private def parse(body: String): Map[String, String] =
@@ -207,22 +200,11 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
       val Array(k, rel) = l.split("\t", 2); k -> rel
     }.toMap
 
-  private def currentBytes(snapshotPath: String): Option[String] = {
-    val f = AtomicRenameCommitter.manifestFile(snapshotPath)
-    if (!f.exists()) None
-    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
-  }
+  private def currentBytes(snapshotPath: String): Option[String] =
+    TableFs.readStringOpt(AtomicRenameCommitter.manifestPath(snapshotPath))
 
-  private def writeVersion(snapshotPath: String, version: Long, body: String): Unit = {
-    val dir = new java.io.File(snapshotPath)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp.toPath, body.getBytes(UTF_8))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, f"MANIFEST.v$version%06d").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeVersion(snapshotPath: String, version: Long, body: String): Unit =
+    TableFs.writeAtomic(snapshotPath, versionName(version), body)
 
   /** If the CURRENT manifest matches no version file (a crash between
     * flip and archive, or a history-unaware writer touched the table),
@@ -231,9 +213,7 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
   private def healHistory(snapshotPath: String): Unit =
     currentBytes(snapshotPath).foreach { cur =>
       val vs = versionFiles(snapshotPath)
-      val archived = vs.exists { case (_, f) =>
-        new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8) == cur
-      }
+      val archived = vs.exists { case (_, p) => TableFs.readString(p) == cur }
       if (!archived)
         writeVersion(snapshotPath, vs.lastOption.map(_._1 + 1).getOrElse(1L), cur)
     }
@@ -261,7 +241,7 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     val pinned = tags(snapshotPath).values.toSet
     val dropped = versionFiles(snapshotPath).dropRight(retain)
       .filterNot { case (v, _) => pinned.contains(v) }
-    dropped.foreach(_._2.delete())
+    dropped.foreach { case (_, p) => TableFs.delete(p) }
     if (dropped.nonEmpty)
       writeOps(snapshotPath, opsFull(snapshotPath) -- dropped.map(_._1))
   }
@@ -280,7 +260,7 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     val pinned = tags(snapshotPath).values.toSet
     val dropped = versionFiles(snapshotPath).dropRight(keepLast)
       .filterNot { case (v, _) => pinned.contains(v) }
-    dropped.foreach(_._2.delete())
+    dropped.foreach { case (_, p) => TableFs.delete(p) }
     if (dropped.nonEmpty)
       writeOps(snapshotPath, opsFull(snapshotPath) -- dropped.map(_._1))
     dropped.map(_._1)
@@ -311,8 +291,7 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
   /** Drop the pending label (operation finished — committed or failed). */
   def clearOp(snapshotPath: String): Unit = pendingOps.remove(snapshotPath)
 
-  private def opsFile(snapshotPath: String) =
-    new java.io.File(snapshotPath, "OPS")
+  private def opsPath(snapshotPath: String): String = s"$snapshotPath/OPS"
 
   /** Committed version → operation label (empty when none recorded). */
   def ops(snapshotPath: String): Map[Long, String] =
@@ -323,18 +302,18 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     * two-field line (or a healHistory archive, which bypasses the OPS
     * write) parses with no timestamp.
     */
-  private def opsFull(snapshotPath: String): Map[Long, (Option[Long], String)] = {
-    val f = opsFile(snapshotPath)
-    if (!f.exists()) Map.empty
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
-      .split("\n").filter(_.nonEmpty).map { l =>
-        l.split("\t", 3) match {
-          case Array(v, ts, op) if ts.forall(_.isDigit) && ts.nonEmpty =>
-            v.toLong -> (Some(ts.toLong), op)
-          case Array(v, rest @ _*) => v.toLong -> (None, rest.mkString("\t"))
-        }
-      }.toMap
-  }
+  private def opsFull(snapshotPath: String): Map[Long, (Option[Long], String)] =
+    TableFs.readStringOpt(opsPath(snapshotPath)) match {
+      case None => Map.empty
+      case Some(body) => body
+        .split("\n").filter(_.nonEmpty).map { l =>
+          l.split("\t", 3) match {
+            case Array(v, ts, op) if ts.forall(_.isDigit) && ts.nonEmpty =>
+              v.toLong -> (Some(ts.toLong), op)
+            case Array(v, rest @ _*) => v.toLong -> (None, rest.mkString("\t"))
+          }
+        }.toMap
+    }
 
   /** Commit wall-clock (epoch ms) per retained version, for
     * AS-OF-TIMESTAMP resolution. Strictly increasing by construction
@@ -376,19 +355,12 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
   }
 
   private def writeOps(snapshotPath: String,
-                       o: Map[Long, (Option[Long], String)]): Unit = {
-    val dir = new java.io.File(snapshotPath)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp.toPath,
+                       o: Map[Long, (Option[Long], String)]): Unit =
+    TableFs.writeAtomic(snapshotPath, "OPS",
       o.toSeq.sortBy(_._1).map {
         case (v, (Some(ts), op)) => s"$v\t$ts\t$op"
         case (v, (None, op))     => s"$v\t$op"
-      }.mkString("", "\n", "\n").getBytes(UTF_8))
-    java.nio.file.Files.move(tmp.toPath, opsFile(snapshotPath).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+      }.mkString("", "\n", "\n"))
 
   // ---- named refs (tags) — the Iceberg-tag idea on the version log:
   // a human name pinned to a version number, stored in a TAGS sidecar
@@ -398,30 +370,20 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
   // many commits later. Single writer per table assumed, like version
   // numbering itself.
 
-  private def tagsFile(snapshotPath: String) =
-    new java.io.File(snapshotPath, "TAGS")
-
   /** Committed tag name → version. Empty when none. */
-  def tags(snapshotPath: String): Map[String, Long] = {
-    val f = tagsFile(snapshotPath)
-    if (!f.exists()) Map.empty
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
-      .split("\n").filter(_.nonEmpty).map { l =>
-        val Array(n, v) = l.split("\t", 2); n -> v.toLong
-      }.toMap
-  }
+  def tags(snapshotPath: String): Map[String, Long] =
+    TableFs.readStringOpt(s"$snapshotPath/TAGS") match {
+      case None => Map.empty
+      case Some(body) => body
+        .split("\n").filter(_.nonEmpty).map { l =>
+          val Array(n, v) = l.split("\t", 2); n -> v.toLong
+        }.toMap
+    }
 
-  private def writeTags(snapshotPath: String, t: Map[String, Long]): Unit = {
-    val dir = new java.io.File(snapshotPath)
-    dir.mkdirs()
-    val tmp = new java.io.File(dir, s"MANIFEST.tmp-${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp.toPath,
+  private def writeTags(snapshotPath: String, t: Map[String, Long]): Unit =
+    TableFs.writeAtomic(snapshotPath, "TAGS",
       t.toSeq.sorted.map { case (n, v) => s"$n\t$v" }
-        .mkString("", "\n", "\n").getBytes(UTF_8))
-    java.nio.file.Files.move(tmp.toPath, tagsFile(snapshotPath).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+        .mkString("", "\n", "\n"))
 
   /** Pin `name` to `version` (which must currently exist). Re-tagging an
     * existing name moves it.
@@ -452,8 +414,8 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     * through the staging GC.
     */
   override def retainedReferences(snapshotPath: String): Set[String] =
-    versionFiles(snapshotPath).flatMap { case (_, f) =>
-      parse(new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
+    versionFiles(snapshotPath).flatMap { case (_, p) =>
+      parse(TableFs.readString(p))
         // `__del.`/`__delta.` values are sidecar DIRS an as-of read still
         // applies — a retained version must keep them alive like data —
         // and `__cdf` is that version's staged change log (tableChanges
@@ -493,17 +455,14 @@ final class ConcurrentCommitException(msg: String)
   * another's precondition.
   */
 final class CasCommitter extends SnapshotCommitter {
-  import java.nio.charset.StandardCharsets.UTF_8
 
   // last-observed manifest BYTES per path ("" = observed-absent)
   private val observed =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def currentBytes(snapshotPath: String): String = {
-    val f = AtomicRenameCommitter.manifestFile(snapshotPath)
-    if (!f.exists()) ""
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
-  }
+  private def currentBytes(snapshotPath: String): String =
+    TableFs.readStringOpt(AtomicRenameCommitter.manifestPath(snapshotPath))
+      .getOrElse("")
 
   override def readManifest(snapshotPath: String): Map[String, String] = {
     observed.put(snapshotPath, currentBytes(snapshotPath))
@@ -512,8 +471,22 @@ final class CasCommitter extends SnapshotCommitter {
 
   override def commit(snapshotPath: String,
                       entries: Map[String, String]): Unit = {
-    val dir = new java.io.File(snapshotPath)
-    dir.mkdirs()
+    // the verify-then-flip sequence below is only atomic under a mutual-
+    // exclusion primitive this class can actually hold. On the local FS
+    // that is the OS file lock; a remote store has no such primitive over
+    // this API — there the conditional put must come from the STORE
+    // (S3 If-Match, GCS x-goog-if-generation-match, an HDFS lease
+    // service), i.e. a different SnapshotCommitter implementation — so
+    // refuse loudly rather than commit with a silently-broken guard.
+    if (!TableFs.isLocal(snapshotPath))
+      throw new UnsupportedOperationException(
+        s"CasCommitter's check-and-rename guard needs an OS file lock and " +
+          s"is local-FS only; '$snapshotPath' resolves to scheme " +
+          s"'${TableFs.fs(snapshotPath).getUri.getScheme}'. Use the " +
+          "store's conditional-put primitive behind a SnapshotCommitter " +
+          "of its own (If-Match / generation preconditions), or a single " +
+          "writer with AtomicRenameCommitter on HDFS-class stores.")
+    TableFs.mkdirs(snapshotPath)
     // two-level mutual exclusion: the JVM-global per-path monitor
     // serializes committer instances in THIS process (the JVM's file-lock
     // table would otherwise throw OverlappingFileLockException at the
@@ -521,9 +494,11 @@ final class CasCommitter extends SnapshotCommitter {
     // race this class exists for), and the OS file lock serializes
     // against OTHER processes
     val monitor = CasCommitter.pathMonitors
-      .computeIfAbsent(new java.io.File(snapshotPath).getAbsolutePath, _ => new Object)
+      .computeIfAbsent(
+        TableFs.localFile(snapshotPath).getAbsolutePath, _ => new Object)
     monitor.synchronized {
-      val lockFile = new java.io.File(dir, "MANIFEST.lock")
+      val lockFile = new java.io.File(
+        TableFs.localFile(snapshotPath), "MANIFEST.lock")
       val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)

@@ -277,10 +277,9 @@ object StreamDedup {
     val batchDir = s"$snapshotPath/$batchDirName"
     merged.withColumn("day_part", col("snap_day"))
       .write.mode("overwrite").partitionBy("day_part").parquet(batchDir)
-    val writtenDays = Option(new java.io.File(batchDir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day_part="))
-      .map(_.getName.stripPrefix("day_part=")).toSet
+    val writtenDays = TableFs.list(batchDir)
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("day_part="))
+      .map(_.getPath.getName.stripPrefix("day_part=")).toSet
 
     if (crashBeforeCommit) return readDays // crash window: data written, pointer not flipped
 

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
+
+/** The storage seam of the manifest/committer stack: every byte of table
+  * metadata and staging I/O goes through the Hadoop [[FileSystem]] API —
+  * resolved per path from the active session's Hadoop configuration — so
+  * the entire lakehouse layer runs wherever Spark itself reads and writes:
+  * `file:` (the default in local mode), `hdfs:`, or any object-store
+  * connector on the classpath (`s3a:`, `gs:`, `abfs:`). Paths stay plain
+  * strings throughout the engine (scheme-less strings resolve against
+  * `fs.defaultFS`, exactly like Spark's own readers), and this object is
+  * the only place they bind to a concrete filesystem.
+  *
+  * ATOMICITY CONTRACT, per operation class:
+  *  - [[writeAtomic]] (manifest/OPS/TAGS flips) = write a unique temp +
+  *    `FileContext.rename(OVERWRITE)` — atomic on POSIX and HDFS, the
+  *    property the commit protocol is built on. An object store whose
+  *    "rename" is copy+delete does NOT provide it; such stores need a
+  *    conditional-put committer instead (see [[SnapshotCommitter]] docs),
+  *    and [[CasCommitter]] refuses non-`file:` schemes outright.
+  *  - everything else (staging listings, sidecar reads/writes, GC
+  *    deletes) needs only read-after-write visibility, which every
+  *    current store provides.
+  */
+private[graft] object TableFs {
+
+  /** One conf for the process: filesystem bindings (fs.defaultFS,
+    * connector credentials) are environment-level settings that do not
+    * change mid-run; caching avoids a per-call SparkConf→HadoopConf copy
+    * on what is a metadata hot path.
+    */
+  lazy val conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def path(s: String): Path = new Path(s)
+
+  def fs(s: String): FileSystem = path(s).getFileSystem(conf)
+
+  def exists(s: String): Boolean = fs(s).exists(path(s))
+
+  def isDirectory(s: String): Boolean = {
+    val f = fs(s)
+    val p = path(s)
+    f.exists(p) && f.getFileStatus(p).isDirectory
+  }
+
+  def mkdirs(s: String): Unit = { fs(s).mkdirs(path(s)); () }
+
+  /** File statuses under `s`, empty when `s` is missing (the
+    * `Option(listFiles()).getOrElse(empty)` idiom of the java.io era). */
+  def list(s: String): Seq[FileStatus] = {
+    val f = fs(s)
+    val p = path(s)
+    if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq
+  }
+
+  def readString(s: String): String = {
+    val in = fs(s).open(path(s))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.commons.io.IOUtils.copy(in, out)
+      new String(out.toByteArray, UTF_8)
+    } finally in.close()
+  }
+
+  def readStringOpt(s: String): Option[String] =
+    if (exists(s)) Some(readString(s)) else None
+
+  def readBytes(s: String): Array[Byte] = {
+    val in = fs(s).open(path(s))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.commons.io.IOUtils.copy(in, out)
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Plain overwrite-in-place write — for sidecars whose readers tolerate
+    * a torn write being retried (never for the manifest protocol). */
+  def writeBytes(s: String, body: Array[Byte]): Unit = {
+    val out = fs(s).create(path(s), true)
+    try out.write(body) finally out.close()
+  }
+
+  def writeString(s: String, body: String): Unit =
+    writeBytes(s, body.getBytes(UTF_8))
+
+  /** Atomically publish `body` at `dir/finalName`: unique temp in `dir`,
+    * then rename-with-overwrite. The temp carries the `MANIFEST.tmp-`
+    * prefix so the staging GC recognizes crashed leftovers. */
+  def writeAtomic(dir: String, finalName: String, body: String): Unit = {
+    mkdirs(dir)
+    val tmp = s"$dir/MANIFEST.tmp-${java.util.UUID.randomUUID()}"
+    writeBytes(tmp, body.getBytes(UTF_8))
+    renameOverwrite(tmp, s"$dir/$finalName")
+  }
+
+  /** Atomic rename-with-overwrite via [[FileContext]] (the `FileSystem`
+    * `rename` refuses existing destinations on HDFS). Atomic exactly
+    * where the commit protocol is sound: POSIX rename and HDFS rename. */
+  def renameOverwrite(src: String, dst: String): Unit = {
+    val p = path(src)
+    val uri = fs(src).getUri
+    FileContext.getFileContext(uri, conf)
+      .rename(p, path(dst), Options.Rename.OVERWRITE)
+  }
+
+  /** Recursive delete; false/no-op when missing. */
+  def delete(s: String): Unit = {
+    val f = fs(s)
+    val p = path(s)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  def mtime(s: String): Long = fs(s).getFileStatus(path(s)).getModificationTime
+
+  /** Refresh a path's modification time to now (the staging-GC age floor);
+    * stores that do not support setTimes (object stores) simply keep the
+    * create time, which only makes GC MORE conservative there. */
+  def touch(s: String): Unit =
+    try fs(s).setTimes(path(s), System.currentTimeMillis(), -1)
+    catch { case _: UnsupportedOperationException => () }
+
+  def create(s: String): java.io.OutputStream = fs(s).create(path(s), true)
+
+  def open(s: String): java.io.InputStream = fs(s).open(path(s))
+
+  def fileLength(s: String): Long = fs(s).getFileStatus(path(s)).getLen
+
+  /** True when `s` resolves to the local filesystem (`file:` or the
+    * checksummed LocalFileSystem) — the schemes where OS-level file locks
+    * ([[CasCommitter]]) and java.io interop are meaningful. */
+  def isLocal(s: String): Boolean = {
+    val scheme = fs(s).getUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  /** The raw local path for java.io interop — only valid when
+    * [[isLocal]]. */
+  def localFile(s: String): java.io.File = {
+    val u = path(s).toUri
+    new java.io.File(Option(u.getPath).getOrElse(s))
+  }
+}

@@ -70,9 +70,19 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src").localCheckpoint(true)
+    iterate(eDeg, iterations, checkpointEvery)
+  }
 
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+  /** The shared fixed-point loop over an already degree-annotated edge
+    * frame `(src, dst, outdeg)` — the seam that lets [[pageRankBucketed]]
+    * swap the in-memory checkpointed E-side for a committed bucketed scan
+    * without touching one arithmetic expression (bit-identical results
+    * are the contract; the oracle replays both).
+    */
+  private def iterate(eDeg: DataFrame, iterations: Int,
+                      checkpointEvery: Int): DataFrame = {
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank on an empty edge list")
@@ -86,6 +96,39 @@ object Graph {
         ranks = ranks.localCheckpoint(true)
     }
     ranks
+  }
+
+  /** [[pageRank]] over a COMMITTED `bucketBy(src)` edge table — the
+    * cluster layout the plain path's doc promises: the degree-annotated
+    * edge list lands ONCE as a bucketed+sorted table, and every
+    * iteration's E⋈V join then reads it with NO exchange on the edge
+    * side (the scan's `HashPartitioning(src)` satisfies the join's
+    * distribution; only the V-sized rank frame moves per round — the
+    * same split `star_bucketed_disk` makes for the fact⋈dim join). The
+    * per-round shuffle footprint drops from E+V to V — at a 100-TB edge
+    * list that E-shuffle × 10 rounds is the whole cost of the operator.
+    * Results are bit-identical to [[pageRank]] on the same edges (same
+    * [[prRound]] fixed-point arithmetic; join strategy cannot change
+    * integer sums), so the twin shares its oracle. Build once / iterate
+    * many: `reuseExisting = true` skips the commit when the table is
+    * already in the catalog (the bench's memoized-fixture shape).
+    */
+  def pageRankBucketed(spark: SparkSession, edges: DataFrame, outDir: String,
+                       iterations: Int = 10, buckets: Int = 8,
+                       table: String = "graph_edges_bkt",
+                       reuseExisting: Boolean = false): DataFrame = {
+    if (!reuseExisting || !spark.catalog.tableExists(table)) {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val e = edges.select(col("src"), col("dst"))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // EXTERNAL table under the caller's dir (the runBucketedStar
+      // precedent): survives catalog loss without LOCATION_ALREADY_EXISTS
+      e.join(deg, "src")
+        .write.bucketBy(buckets, "src").sortBy("src")
+        .option("path", s"$outDir/$table")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(table)
+    }
+    iterate(spark.table(table), iterations, checkpointEvery = 2)
   }
 
   /** One power-iteration round (shared by [[pageRank]] and
@@ -411,7 +454,7 @@ object Graph {
   }
 
   /** Decode the even/odd node-id namespace back to (kind, entity_key). */
-  private def kindDecode: Seq[Column] = Seq(
+  private[graft] def kindDecode: Seq[Column] = Seq(
     when(col("node") % 2 === 0, lit("customer"))
       .otherwise(lit("supplier")).as("kind"),
     call_function("div", col("node"), lit(2L)).as("entity_key"),

@@ -146,26 +146,57 @@ object Retrieval {
     * pruning), so per-query index I/O is O(|query vocab| / numBuckets) of
     * the postings, never a corpus scan — the lexical analog of the IVF
     * index's probed-lists-only contract.
+    *
+    * BUCKET SIZING is what keeps that contract meaningful as the corpus
+    * grows: with a FIXED bucket count C, a q-term probe reads q/C of the
+    * postings — a constant fraction, i.e. a LINEAR corpus scan in
+    * disguise once q ≳ C (the round-17 saturation finding on the 16-bucket
+    * dedup index). The default therefore sizes C ≈ √(posting rows),
+    * clamped to [[MinBuckets]]..[[MaxBuckets]]: per-bucket volume is then
+    * O(√postings), so a q-term probe costs O(q·√postings) — SUBLINEAR in
+    * the corpus at any fixed workload, and re-measured that way in
+    * `TextIndexProbe` (BASELINE.md). Pass `numBuckets > 0` to pin a
+    * layout explicitly; the chosen count self-describes in the stats
+    * table either way, and appends inherit it.
+    *
+    * The bucketed writes `repartition(bucket)` first so each bucket's
+    * rows land in one task → O(numBuckets) files total, not
+    * numBuckets × shuffle-partitions.
     */
+  val MinBuckets = 16
+  val MaxBuckets = 4096
+
   def buildTextIndex(documents: DataFrame, path: String,
-                     numBuckets: Int = 64): Unit = {
+                     numBuckets: Int = 0): Unit = {
     val toks = documents.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    tf.withColumn("bucket", bucketOf(col("token"), numBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
-    tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("bucket", bucketOf(col("token"), numBuckets))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokendf")
-    dl.write.mode("overwrite").parquet(s"$path/doclen")
-    // total_dl rides as an exact BIGINT so an APPEND can extend the
-    // corpus totals without double drift: avgdl is always the SAME ieee
-    // division of the same two longs, built or admitted-to
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      .withColumn("n_buckets", lit(numBuckets))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .persist() // consumed by sizing count + postings write + df agg
+    try {
+      val buckets =
+        if (numBuckets > 0) numBuckets
+        else {
+          val nPostings = tf.count()
+          math.max(MinBuckets, math.min(MaxBuckets,
+            math.ceil(math.sqrt(nPostings.toDouble)).toInt))
+        }
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      tf.withColumn("bucket", bucketOf(col("token"), buckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+      tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("bucket", bucketOf(col("token"), buckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/tokendf")
+      dl.write.mode("overwrite").parquet(s"$path/doclen")
+      // total_dl rides as an exact BIGINT so an APPEND can extend the
+      // corpus totals without double drift: avgdl is always the SAME ieee
+      // division of the same two longs, built or admitted-to
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        .withColumn("n_buckets", lit(buckets))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    } finally tf.unpersist(blocking = false)
   }
 
   /** ADMIT a batch of NEW documents into a persisted [[buildTextIndex]]
@@ -205,9 +236,11 @@ object Retrieval {
     val batch = dl.agg(count(lit(1)).as("bn"), sum(col("dl")).as("bdl")).head()
     if (batch.getLong(0) == 0L) return
     tf.withColumn("bucket", bucketOf(col("token"), numBuckets))
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     tf.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("bucket", bucketOf(col("token"), numBuckets))
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/tokendf")
     dl.write.mode("append").parquet(s"$path/doclen")
     val nDocs = prior.getLong(0) + batch.getLong(0)

@@ -8,9 +8,11 @@ import graft.operators.{DedupApprox, DedupIndex}
   * same planted-structure synthetic corpus as `DedupScaleProbe` (groups
   * of 5 over splitmix64 bases), split 90% committed corpus / 10% arriving
   * batch. Compares the per-batch cost of the persisted-index probe
-  * against re-running the whole-corpus minhash join (what a
+  * against re-running the whole-corpus exact prefix-filtered join (what a
   * non-incremental pipeline pays every cycle), and set-verifies the probe
-  * against the whole-corpus pairs restricted to the batch.
+  * against the whole-corpus pairs restricted to the batch (the probe's
+  * candidate generator is itself exact since the frozen-order prefix
+  * index, so the sets must be equal, not probabilistically close).
   *
   * Run: `sbt "Test/runMain graft.DedupIndexProbe [nDocs]"`.
   */
@@ -74,8 +76,8 @@ object DedupIndexProbe {
       println(s"[dedupidx] probe pairs = ${p.size}")
       p
     }
-    val whole = timed("whole-corpus minhash (per batch, non-incremental)") {
-      val all = DedupApprox.minhashPairs(docs, 0.8)
+    val whole = timed("whole-corpus jaccardJoin (per batch, non-incremental)") {
+      val all = DedupApprox.jaccardJoin(docs, 0.8)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       println(s"[dedupidx] whole-corpus pairs = ${all.size}")
       all

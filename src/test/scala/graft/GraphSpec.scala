@@ -177,4 +177,29 @@ class GraphSpec extends AnyFunSuite {
     assert(kinds("customer") > kinds("supplier"),
       "TPC-H has 15 customers per supplier — the node split must reflect it")
   }
+
+  test("bucketed pagerank is bit-identical to the plain path and exchange-free on the edge side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prbkt").toString
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val plain = Graph.pageRank(edges, 10).as[(Long, Long)].collect().toMap
+    val bkt = Graph.pageRankBucketed(spark, edges, dir, 10,
+      table = "graph_edges_bkt_spec")
+    assert(bkt.as[(Long, Long)].collect().toMap == plain,
+      "join strategy must not change the fixed-point integers")
+    // the per-round E⋈V join must need NO exchange on the committed
+    // bucketed edge side: a shuffle keyed by src would be the E-sized
+    // per-round cost the layout exists to remove (the rank-frame and
+    // aggregate exchanges are keyed by node)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val round = Graph.pageRankBucketed(spark, edges, dir, 1,
+        table = "graph_edges_bkt_spec", reuseExisting = true)
+      round.collect()
+      val plan = round.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(src"),
+        s"expected no exchange on the bucketed edge side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

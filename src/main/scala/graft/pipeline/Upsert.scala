@@ -1410,6 +1410,61 @@ object Upsert {
     else Some(counts.flatten.map(_.toLong).sum)
   }
 
+  /** Footer-proved row count of a manifest-relative dir — one local
+    * metadata read per file, no data scan. Missing dir counts as 0. */
+  private[graft] def dirFooterRows(spark: SparkSession, tablePath: String,
+                                   rel: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    TableFs.list(s"$tablePath/$rel")
+      .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+        !f.getPath.getName.startsWith("_"))
+      .map(f => footerStats(conf, f.getPath.toString, Set.empty)._2).sum
+  }
+
+  /** Σ footer-proved rows of every per-commit change log in
+    * `(from, to]` — the READ COST of a stepwise logged catch-up
+    * ([[graft.streaming.TableTail]]). None when any step lacks a log or
+    * its version has expired (stepwise isn't servable there anyway).
+    */
+  private[graft] def loggedChangeRowEstimate(spark: SparkSession,
+      tablePath: String, from: Long, to: Long,
+      committer: graft.streaming.VersionedCommitter): Option[Long] =
+    try {
+      val per = ((from + 1) to to).map { v =>
+        committer.readManifestAsOf(tablePath, v).get(CdfRelKey)
+          .map(rel => dirFooterRows(spark, tablePath, rel))
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    } catch { case _: IllegalArgumentException => None }
+
+  /** Estimated rows the NETTED diff join between two versions must read:
+    * the committed `__rows` stamps of every changed partition at BOTH
+    * endpoint versions (changed = data entry or MoR sidecar entry
+    * differs — the same manifest-diff pruning [[tableChanges]] applies).
+    * None when a present changed partition lacks a stamp (pre-stamping
+    * history) — an estimate that can't be proved stays unknown, never a
+    * guess. Metadata-only: two manifest reads, no I/O against data.
+    */
+  private[graft] def nettedDiffReadEstimate(tablePath: String,
+      from: Long, to: Long,
+      committer: graft.streaming.VersionedCommitter): Option[Long] =
+    try {
+      val mFrom = committer.readManifestAsOf(tablePath, from)
+      val mTo = committer.readManifestAsOf(tablePath, to)
+      val changed = (mFrom.keySet ++ mTo.keySet)
+        .filterNot(_.startsWith("__")).filter { p =>
+          mFrom.get(p) != mTo.get(p) ||
+            mFrom.get(s"$DelKeyPrefix$p") != mTo.get(s"$DelKeyPrefix$p") ||
+            mFrom.get(s"$DeltaKeyPrefix$p") != mTo.get(s"$DeltaKeyPrefix$p")
+        }
+      val sides = changed.toSeq.flatMap { p =>
+        Seq(mFrom, mTo).flatMap(m =>
+          m.get(p).map(_ => m.get(s"$RowsKeyPrefix$p")))
+      }
+      if (sides.exists(_.isEmpty)) None
+      else Some(sides.flatten.map(_.toLong).sum)
+    } catch { case _: IllegalArgumentException => None }
+
   /** COUNT(*) metadata-first: the committed `__rows` sum when provable,
     * else one scan. The declarative read path gets the same answer
     * automatically through [[graft.plans.MetadataOnlyCount]].

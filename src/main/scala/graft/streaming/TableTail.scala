@@ -79,11 +79,24 @@ object TableTail {
         // version by version — O(Σ change rows) read, NO diff join, and
         // each step commits its own cursor, so a crash mid-catch-up
         // resumes from the last applied version instead of replaying the
-        // whole span. Bounded: past maxLoggedSteps the netted diff's one
-        // commit beats per-step version churn on the replica.
+        // whole span. Spans past maxLoggedSteps are COST-COMPARED rather
+        // than unconditionally netted: a long trickle backlog of tiny
+        // per-step logs (footer-proved Σ change rows) can be far cheaper
+        // than the netted diff's read of every changed partition at both
+        // endpoint versions (committed `__rows` stamps) — both estimates
+        // are metadata-only. When either side can't be proved, the
+        // bounded default stands (short span stepwise, long span netted —
+        // per-step replica version churn is only worth provable savings).
         val span = latest - cur
+        val preferStepwise = span <= maxLoggedSteps || {
+          (Upsert.loggedChangeRowEstimate(spark, srcPath, cur, latest, srcCommitter),
+            Upsert.nettedDiffReadEstimate(srcPath, cur, latest, srcCommitter)) match {
+            case (Some(logged), Some(netted)) => logged <= netted
+            case _ => false
+          }
+        }
         val stepFeeds =
-          if (span > maxLoggedSteps) None
+          if (!preferStepwise) None
           else {
             val feeds = ((cur + 1) to latest).map(v =>
               v -> Upsert.tableChangesLogged(spark, srcPath, v, keys, srcCommitter))
@@ -109,9 +122,11 @@ object TableTail {
     }
   }
 
-  /** Catch-up spans longer than this always take the netted diff: N
-    * per-step replica commits would churn the replica's retained history
-    * for no read saving a single netted merge doesn't already have.
+  /** Catch-up spans up to this length take the stepwise path whenever
+    * the logs are servable, no cost proof needed; longer spans must
+    * PROVE the read saving (see the cost comparison in [[replicate]]) —
+    * N per-step replica commits churn the replica's retained history,
+    * which is only worth a demonstrated win over one netted merge.
     */
   private val maxLoggedSteps = 16L
 }

@@ -124,6 +124,44 @@ class TableTailSpec extends AnyFunSuite {
       s"per-step cursors must appear in the replica history: $cursors")
   }
 
+  test("a 32-step trickle backlog with tiny logs catches up stepwise (cost-based)") {
+    val dir = Files.createTempDirectory("graft-tail").toString
+    val src = dir + "/src"
+    val rep = dir + "/rep"
+    // retention must cover the whole backlog or the early steps' logs
+    // expire and the netted fallback is forced regardless of cost
+    val sc = new VersionedCommitter(retain = 40)
+    val rc = new VersionedCommitter(retain = 40)
+    val keys = Seq("id"); val order = Seq("v")
+    Upsert.enableChangeFeed(src, keys, sc) // v1
+    // a WIDE base partition (many rows) that never changes again, plus a
+    // busy partition the trickle touches: the netted diff would read the
+    // busy partition's full state at both endpoints, while the 32 logs
+    // carry one row each — the cost comparison must pick stepwise even
+    // though the span is far past the fixed 16-step threshold
+    Upsert.upsertPartitionsAtomic(spark,
+      ((1L to 500L).map(i => ("busy", i, 0L)) :+ (("quiet", 9999L, 1L)))
+        .toDF("day", "id", "v"),
+      src, "day", keys, order, sc) // v2
+    TableTail.replicate(spark, src, sc, rep, "day", keys, order, rc)
+    assert(TableTail.cursor(rep, rc).contains(2L))
+    // 32 one-row trickle commits against the busy partition
+    (1L to 32L).foreach { k =>
+      Upsert.upsertPartitionsAtomic(spark, df(("busy", k, 100L + k)),
+        src, "day", keys, order, sc)
+    }
+    assert(sc.versions(src).max == 34L)
+    val st = TableTail.replicate(spark, src, sc, rep, "day", keys, order, rc)
+    assert(st.applied && st.fromVersion == 2L && st.toVersion == 34L)
+    assert(rows(rep, rc) == rows(src, sc))
+    // stepwise proof: the replica committed one version per source step
+    // (cursors 3..34 in its history), not one netted merge
+    val cursors = rc.versions(rep).flatMap(v =>
+      rc.readManifestAsOf(rep, v).get("__tailFrom").map(_.toLong))
+    assert(cursors.containsSlice(3L to 34L),
+      s"expected per-step cursors 3..34 in the replica history: $cursors")
+  }
+
   test("schema evolution flows through the feed") {
     val dir = Files.createTempDirectory("graft-tail").toString
     val src = dir + "/src"

@@ -69,6 +69,34 @@ object GraphScaleProbe {
       println(f"[graph-scale] warm-start: base converged in $r0 rounds; " +
         f"1%% delta cold=$rCold rounds ($tCold%.2f s) warm=$rWarm rounds ($tWarm%.2f s)")
     }
+
+    // bucketed-edge layout: per-round cost of the committed bucketBy(src)
+    // edge table (E-side exchange-free joins) vs the plain checkpointed
+    // path — the graph_pagerank_bucketed claim. Build cost is reported
+    // separately (it amortizes over every later re-rank).
+    {
+      val e = sys.env.getOrElse("GRAPH_PROBE_BUCKETED_E", "20000000").toLong
+      val g = graph(e)
+      val dir = java.nio.file.Files.createTempDirectory("graft-prbkt").toString
+      val tB = System.nanoTime()
+      graft.operators.Graph.pageRankBucketed(spark, g, dir, iterations = 0,
+        buckets = 32, table = "graph_probe_bkt")
+      println(f"[graph-scale] bucketed edge-table build (once): " +
+        f"${(System.nanoTime() - tB) / 1e9}%.2f s")
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        graft.operators.Graph.pageRank(g, 10).count()
+        val plain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.operators.Graph.pageRankBucketed(spark, g, dir, 10,
+          buckets = 32, table = "graph_probe_bkt", reuseExisting = true)
+          .count()
+        val bkt = (System.nanoTime() - t1) / 1e9
+        println(f"[graph-scale] E=$e pass=$pass 10 rounds: " +
+          f"plain=$plain%.2f s bucketed=$bkt%.2f s (per-round " +
+          f"${plain / 10}%.2f vs ${bkt / 10}%.2f)")
+      }
+    }
     spark.stop()
   }
 }

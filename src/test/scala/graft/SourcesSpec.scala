@@ -129,6 +129,72 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  /** S1's POSTGRES dialect executed, not just rendered: the same windowed
+    * extract runs with `Dialect.postgres` against the registered
+    * `jdbc:graftpg:` wire stand-in ([[PgWireStandIn]]) — Spark pushes the
+    * Postgres-rendered subquery (EXTRACT(EPOCH FROM …), to_timestamp(…))
+    * over a real JDBC connection; the stand-in records the received text
+    * and executes it on embedded Derby after translating exactly those
+    * two constructs. Closes the round-17 "fragment unit-rendered, never
+    * executed" caveat down to "live Postgres server untested".
+    */
+  test("jdbcWindowed executes the Postgres dialect through the wire stand-in") {
+    PgWireStandIn.register()
+    PgWireStandIn.statements.clear()
+    val url = "jdbc:graftpg:memory:pgvitals;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute("""CREATE TABLE vitals_events (
+        event_id CHAR(36) PRIMARY KEY,
+        patient_id VARCHAR(64) NOT NULL,
+        loinc_code VARCHAR(16) NOT NULL,
+        value_num DOUBLE,
+        effective_ts TIMESTAMP NOT NULL)""")
+      val zone = java.time.ZoneId.systemDefault()
+      val loEpoch = java.time.LocalDateTime.of(2026, 2, 10, 9, 0, 0)
+        .atZone(zone).toEpochSecond
+      val hiEpoch = loEpoch + 600L
+      val ins = conn.prepareStatement(
+        "INSERT INTO vitals_events VALUES (?, ?, ?, ?, ?)")
+      val rows = (0 until 40).map { i =>
+        val ts = loEpoch - 300L + i * 30L
+        (f"10000000-0000-0000-0000-${i}%012d", s"patient_${i % 7}",
+          "8867-4", 60.0 + i, ts)
+      }
+      rows.foreach { case (id, patient, code, v, ts) =>
+        ins.setString(1, id); ins.setString(2, patient); ins.setString(3, code)
+        ins.setDouble(4, v)
+        ins.setTimestamp(5, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(ts)))
+        ins.executeUpdate()
+      }
+      val df = graft.sources.Extract.jdbcWindowed(spark, url, "vitals_events",
+        "effective_ts", loEpoch, hiEpoch, "app", "app", numPartitions = 4,
+        dialect = graft.sources.Extract.Dialect.postgres)
+      assert(df.rdd.getNumPartitions == 4)
+      val got = df.collect().map(_.getAs[String]("EVENT_ID")).toSet
+      val expected = rows.filter(r => r._5 >= loEpoch && r._5 < hiEpoch)
+        .map(_._1).toSet
+      assert(expected.size == 20 && got == expected,
+        s"window must prune database-side: got ${got.size} of ${expected.size}")
+      // what crossed the wire WAS the Postgres dialect, and the window +
+      // partition-range predicates arrived database-side
+      import scala.jdk.CollectionConverters._
+      val sent = PgWireStandIn.statements.asScala.toSeq
+      assert(sent.exists(_.contains("EXTRACT(EPOCH FROM effective_ts)")),
+        s"the Postgres epoch projection must cross the wire: $sent")
+      assert(sent.exists(_.contains("WHERE effective_ts >= to_timestamp(")),
+        s"the Postgres window predicate must cross the wire: $sent")
+      assert(sent.exists(s => s.contains("\"EXTRACT_EPOCH_S\" >= ") ||
+          s.contains("extract_epoch_s >= ")),
+        s"partition range predicates must cross the wire: $sent")
+    } finally {
+      conn.close()
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:pgvitals;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("malformed JSON records quarantine instead of poisoning the batch") {
     val dir = Files.createTempDirectory("graft-badjson")
     java.nio.file.Files.writeString(dir.resolve("part-0.json"),

@@ -96,6 +96,26 @@ object StarScaleProbe {
       Components.dedupClusters(
         spark.read.parquet(s"$dir/documents.parquet"), 0.7).count()
     }
-    println(s"[probe] results: deduped=$deduped, week_rows=$week, cluster_rows=$clusters")
+    // stage 4: the END-TO-END curation pipeline to disk (exact dedup →
+    // prefix-filtered Jaccard prune → quality gate → enrichment) — the
+    // curation_disk flagship at Nx. Near-dup volume is linear by the
+    // corpus construction, so the stage should scale like dedup_clusters.
+    val curated = timed("curation_disk") {
+      graft.pipeline.Curation.run(spark, dir, s"$root/curation")
+      spark.read.parquet(s"$root/curation/curated_documents").count()
+    }
+    // stage 5: CCNet-style bigram-LM scoring — model trained on the
+    // deterministic half, EVERY doc scored. Model tables stay
+    // vocab-bounded broadcast sides, so cost should track the corpus
+    // token volume linearly (LmProbe pins flat per-doc cost; this pins
+    // the 10× wall-clock).
+    val scored = timed("doc_lm_perplexity") {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      graft.operators.TextOps.lmPerplexity(
+        graft.operators.TextOps.deterministicSample(docs, "doc_id", "8000"),
+        docs).count()
+    }
+    println(s"[probe] results: deduped=$deduped, week_rows=$week, " +
+      s"cluster_rows=$clusters, curated=$curated, lm_scored=$scored")
   }
 }

@@ -1189,6 +1189,15 @@ object SparkEntry {
     "semantic_dedup_spill" -> ((s, d) =>
       Ann.semanticDedupSpill(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture), 0.4)),
+    // spill decided by the data: runner-up assignments kept only below a
+    // margin cut derived from the quantizer's boundary-distance sample —
+    // same expected row budget as spill=2 at spillMax=3/budget=0.5, spent
+    // only where cross-cluster dups can live (AnnSpec gates recall ≥
+    // spill=2 at ≤ its assignment rows); the sample cut is the
+    // bottom-k-by-hash device, so DuckDB replays it exactly
+    "semantic_dedup_adaptive" -> ((s, d) =>
+      Ann.semanticDedupAdaptive(Tables.embeddings(prep(s), d),
+        Ann.loadCentroids(s, AnnIndexFixture), 0.4)),
     "ann_ivfpq_topk" -> ((s, d) =>
       Ann.ivfPqTopKWithModels(Tables.embeddings(prep(s), d),
         Ann.loadCentroids(s, AnnIndexFixture),
@@ -2933,6 +2942,34 @@ object SparkEntry {
       "SELECT vec_id, bucket, group_id, count(*) OVER (PARTITION BY group_id) AS n_members, vec_id = group_id AS keep FROM allv"
   }
 
+  /** Replay of [[graft.operators.Ann.semanticDedupAdaptive]]: ranked
+    * spillMax-nearest assignment with per-assignment cosines, margins to
+    * the winner (round 6), the bottom-256-by-hash sample of runner-up
+    * margins, the interpolated `budgetFrac` quantile as the cut
+    * (round 4 — the cross-engine interpolation-order convention), the
+    * margin-gated kept set, then the same pair/closure/survivor tail as
+    * the other semantic-dedup oracles.
+    */
+  private def semanticDedupAdaptiveOracleSql(threshold: Double, spillMax: Int,
+                                             budgetFrac: Double): String = {
+    val cos = (a: String, b: String) =>
+      s"(list_inner_product($a, $b) / nullif(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)), 0))"
+    s"WITH RECURSIVE cent AS (SELECT c_id, CAST(c_emb AS DOUBLE[]) AS c_emb FROM read_parquet('$AnnIndexFixture/centroids/*.parquet')), " +
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), " +
+      s"rk AS (SELECT vec_id, emb, c_id AS bucket, rn - 1 AS rk, cosv FROM (SELECT e.vec_id, e.emb, c.c_id, ${cos("e.emb", "c.c_emb")} AS cosv, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.emb", "c.c_emb")} DESC NULLS LAST, c.c_id DESC) AS rn FROM e CROSS JOIN cent c) WHERE rn <= $spillMax), " +
+      "m AS (SELECT vec_id, emb, bucket, rk, round(max(CASE WHEN rk = 0 THEN cosv END) OVER (PARTITION BY vec_id) - cosv, 6) AS margin FROM rk), " +
+      s"smp AS (SELECT m2 FROM (SELECT m2, row_number() OVER (ORDER BY h, m2) AS rn FROM (SELECT DISTINCT ${graft.functions.expr.Sketches.mhash61Sql("vec_id")} AS h, margin AS m2 FROM m WHERE rk = 1)) WHERE rn <= 256), " +
+      s"cut AS (SELECT round(quantile_cont(m2, $budgetFrac), 4) AS cut FROM smp), " +
+      "kept AS (SELECT vec_id, emb, bucket FROM m CROSS JOIN cut WHERE rk = 0 OR margin <= cut), " +
+      s"asg AS (SELECT vec_id, bucket FROM m WHERE rk = 0), " +
+      s"pairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id WHERE round(${cos("a.emb", "b.emb")}, 4) >= $threshold), " +
+      "edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs), " +
+      "reach AS (SELECT src AS node, src AS comp FROM edges UNION SELECT e2.dst AS node, r.comp FROM reach r JOIN edges e2 ON e2.src = r.node), " +
+      "comp AS (SELECT node, min(comp) AS group_id FROM reach GROUP BY node), " +
+      "allv AS (SELECT a.vec_id, a.bucket, coalesce(c.group_id, a.vec_id) AS group_id FROM asg a LEFT JOIN comp c ON c.node = a.vec_id) " +
+      "SELECT vec_id, bucket, group_id, count(*) OVER (PARTITION BY group_id) AS n_members, vec_id = group_id AS keep FROM allv"
+  }
+
   /** Shared CTEs for the IVF / IVF-PQ oracles: the committed quantizer
     * (gen.AnnIndexGen parquet), the corpus, nearest-centroid assignment
     * (UNROUNDED cosine argmax, tie → larger c_id — mirrors
@@ -3609,6 +3646,7 @@ object SparkEntry {
     // still reporting the primary bucket
     "semantic_dedup" -> semanticDedupOracleSql(0.4, 1),
     "semantic_dedup_spill" -> semanticDedupOracleSql(0.4, 2),
+    "semantic_dedup_adaptive" -> semanticDedupAdaptiveOracleSql(0.4, 3, 0.5),
     // exact LSH mirror from the committed hyperplanes: sign bits via the
     // raw dot product (same sign as the cosine Spark thresholds — norms are
     // positive, zero-norm → null cosine ≡ bit 0), 4-bit bands, exact-plus-

@@ -22,7 +22,7 @@ import graft.functions.SimFns
   */
 object Ann {
 
-  private def emb(df: DataFrame) =
+  private[graft] def emb(df: DataFrame) =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
   /** Per-query top-k over a `(q_id, vec_id, cos)` scored set via the
@@ -974,10 +974,91 @@ object Ann {
     semanticGroups(assignBuckets(corpus, cents), pairs)
   }
 
+  /** [[semanticDedupSpill]] with the spill decided BY THE DATA instead of
+    * a fixed factor: every vector keeps its primary assignment, and a
+    * runner-up (up to `spillMax − 1` of them) is kept only when the
+    * vector sits close to that boundary — its cosine MARGIN to the winner
+    * (`cos(v, c₁) − cos(v, cᵣ)`, rounded to 6) is at or below a cut
+    * derived from the committed quantizer's boundary-distance
+    * distribution: the `budgetFrac` quantile of the corpus's runner-up
+    * margins, taken over the deterministic bottom-k-by-hash sample
+    * ([[graft.functions.expr.Sketches]] — O(k) state, exactly replayable
+    * cross-engine, the `corpus_token_quantiles_sample` device).
+    *
+    * WHAT THE DATA SAYS (AdaptiveSpillSweep, BASELINE.md): this is a
+    * BUDGET KNOB between fixed spill levels, not a free win. The
+    * boundary-margin hypothesis — "cross-cluster duplicates live at
+    * small assignment margins, so targeting them beats uniform spill at
+    * equal budget" — did NOT reproduce at the diffuse 0.4 threshold: at
+    * matched candidate-pair budget, uniform spill=2 finds more pairs.
+    * What holds, on both fixture scales, is the Pareto point: spillMax=3
+    * / budgetFrac=0.5 spends ~72 % of spill=2's Σnᵢ² candidate budget
+    * and recovers 83-92 % of its found pairs (vs spill=1's ~25 % budget
+    * for ~40 %), gated in `AnnSpec`. Margin targeting should pay off
+    * where duplicates are TIGHT (θ small forces near-equal centroid
+    * cosines); measure on the target corpus before preferring it.
+    *
+    * Scale shape: ranked assignment is the same zero-shuffle codegen
+    * expression; the margin computation adds ONE narrow shuffle of
+    * spillMax·n (vec_id, rank, cos) rows (a window over spillMax-row
+    * groups) at build time — the price of the data-driven cut, paid once
+    * per quantizer commit, not per probe.
+    */
+  def semanticDedupAdaptive(embeddings: DataFrame,
+                            cents: Array[(Long, Array[Double])],
+                            threshold: Double, spillMax: Int = 3,
+                            budgetFrac: Double = 0.5): DataFrame = {
+    val corpus = emb(embeddings)
+    val kept = adaptiveSpillAssignments(corpus, cents, spillMax, budgetFrac)
+    val pairs = semanticPairs(kept, threshold).distinct()
+    semanticGroups(assignBuckets(corpus, cents), pairs)
+  }
+
+  /** The adaptive assignment set of [[semanticDedupAdaptive]] —
+    * `(vec_id, emb, bucket)` rows, primary always present, runner-ups
+    * margin-gated. Exposed for the AnnSpec budget/recall gate.
+    */
+  private[graft] def adaptiveSpillAssignments(
+      corpus: DataFrame, cents: Array[(Long, Array[Double])],
+      spillMax: Int, budgetFrac: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(spillMax >= 2, "adaptive spill needs at least one runner-up rank")
+    val centDf = broadcast(
+      cents.toSeq.map { case (id, e) => (id, e.toSeq) }.toDF("c_id", "c_emb"))
+    // ranked spillMax-nearest assignment: the same codegen argmax/tie
+    // order as assignBuckets, position = rank
+    val ranked = corpus.select(col("vec_id"), col("emb"),
+        posexplode(graft.functions.expr.VectorExpressions.nearestCentroids(
+          col("emb"), cents.map(_._1), cents.map(_._2), spillMax))
+          .as(Seq("rk", "bucket")))
+      .join(centDf, col("bucket") === col("c_id"))
+      .withColumn("cosv", graft.functions.SimFns.cosine(col("emb"), col("c_emb")))
+      .select(col("vec_id"), col("emb"), col("rk"), col("bucket"), col("cosv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+    // checkpointed: consumed by the sample-cut job AND the kept filter
+    val withMargin = ranked.withColumn("margin",
+      round(max(when(col("rk") === 0, col("cosv"))).over(w) - col("cosv"), 6))
+      .localCheckpoint(true)
+    val sk = graft.functions.expr.Sketches
+    // the boundary-distance distribution: runner-up margins, sampled
+    // bottom-256-by-hash, exact interpolated percentile over the sample;
+    // round 4 (the cross-engine interpolation-order convention)
+    val cut = withMargin.filter(col("rk") === 1)
+      .select(sk.mhash61(col("vec_id")).as("h"), col("margin").as("m"))
+      .agg(sk.bottomKSample(col("h"), col("m"), 256).as("smp"))
+      .select(explode(col("smp")).as("m"))
+      .agg(expr(s"percentile(m, ${budgetFrac}D)").as("q"))
+      .select(round(col("q"), 4).as("cut")).head().getDouble(0)
+    withMargin
+      .filter(col("rk") === 0 || col("margin") <= lit(cut))
+      .select(col("vec_id"), col("emb"), col("bucket"))
+  }
+
   /** Within-bucket candidate pairs above `threshold` — the Σnᵢ² kernel
     * shared by both semantic-dedup forms.
     */
-  private def semanticPairs(assigned: DataFrame, threshold: Double): DataFrame =
+  private[graft] def semanticPairs(assigned: DataFrame, threshold: Double): DataFrame =
     assigned
       .select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("ea"))
       .join(assigned.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -366,6 +366,48 @@ class AnnSpec extends AnyFunSuite {
     info(s"sf0.001 semantic dedup drops: spill=1 ${d1.size}, spill=2 ${d2.size}")
   }
 
+  test("adaptive spill: a Pareto budget point between fixed spill levels") {
+    // the honest, measured contract (AdaptiveSpillSweep / BASELINE.md):
+    // at spillMax=3 / budgetFrac=0.5 the margin-gated assignment spends
+    // LESS candidate-pair budget (the Σnᵢ² kernel cost) than uniform
+    // spill=2 while finding strictly more true pairs than spill=1 and at
+    // least 3/4 of spill=2's — the knob buys recall per unit of pair
+    // budget, it does not beat uniform spill at equal budget on this
+    // diffuse-threshold fixture (the negative result is deliberate
+    // documentation, see the operator's scaladoc)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Ann.loadCentroids(spark, "/root/repo/fixtures/annidx")
+    val corpus = Ann.emb(emb)
+    def candPairs(asg: org.apache.spark.sql.DataFrame): Long =
+      asg.select(org.apache.spark.sql.functions.col("bucket"),
+          org.apache.spark.sql.functions.col("vec_id").as("a"))
+        .join(asg.select(org.apache.spark.sql.functions.col("bucket"),
+          org.apache.spark.sql.functions.col("vec_id").as("b")), Seq("bucket"))
+        .filter(org.apache.spark.sql.functions.col("a") <
+          org.apache.spark.sql.functions.col("b")).count()
+    def found(asg: org.apache.spark.sql.DataFrame) =
+      Ann.semanticPairs(asg, 0.4).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = Ann.assignBucketsSpill(corpus, cents, 1)
+    val s2 = Ann.assignBucketsSpill(corpus, cents, 2)
+    val ad = Ann.adaptiveSpillAssignments(corpus, cents,
+      spillMax = 3, budgetFrac = 0.5)
+    val truth = Ann.embeddingNearDup(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (c2, cAd) = (candPairs(s2), candPairs(ad))
+    val (f1, f2, fAd) = (found(s1), found(s2), found(ad))
+    assert(fAd.subsetOf(truth) && f2.subsetOf(truth),
+      "bucket-local pairs are a subset of the exact pair graph by construction")
+    assert(cAd <= c2,
+      s"adaptive candidate budget $cAd must be within spill=2's $c2")
+    assert(fAd.size > f1.size,
+      s"adaptive ${fAd.size} must beat spill=1's ${f1.size} pairs")
+    assert(4 * fAd.size >= 3 * f2.size,
+      s"adaptive ${fAd.size} must keep >= 3/4 of spill=2's ${f2.size} pairs")
+    info(s"pairs: truth ${truth.size}; spill1 ${f1.size}, " +
+      s"spill2 ${f2.size} ($c2 cand), adaptive ${fAd.size} ($cAd cand)")
+  }
+
   test("committed hyperplane fixture replays the seeded LSH exactly") {
     // the dedup_embedding_lsh oracle replays signatures from the parquet
     // planes; this pins the fixture ≡ the seeded generator (parquet

@@ -113,7 +113,15 @@ object PlanDump {
       // the broadcast scoring scan), and the read-side SQL surface (the
       // plan is the manifest-table read under the pinned version — the
       // rewrite leaves no trace, which is the point)
-      "doc_lm_perplexity", "emb_hard_negatives", "table_select_sql")
+      "doc_lm_perplexity", "emb_hard_negatives", "table_select_sql",
+      // round 18: the bucketed-edge PageRank round (NO exchange keyed by
+      // src above the committed edge scan — only the rank-frame and
+      // aggregate exchanges keyed by node), the margin-adaptive
+      // semantic-dedup (sample-cut filter over the ranked-assignment
+      // window feeding the same pair/closure tail), and the end-to-end
+      // curation pipeline's survivor plan (prefix-filtered candidate join
+      // → left_anti drop → narrow enrichment)
+      "graph_pagerank_bucketed", "semantic_dedup_adaptive", "curation_disk")
     val sb = new StringBuilder
     sb ++= "# PLANS — FINAL physical plans of the headline queries (sf0.1)\n\n"
     sb ++= "Generated by `graft.PlanDump` at HEAD. Every query is executed and its\n"

@@ -1211,12 +1211,12 @@ object Upsert {
   /** fileName → stats-json for `partition`, from the committed sidecar
     * (checkpointed encoding) falling back to legacy per-file manifest
     * entries. Empty = no stats (cannot prune — the one-sided contract).
-    * Sidecars are resolved with local-filesystem I/O like every manifest
-    * read in this committer stack (the documented local-FS scope of the
-    * file protocol — a remote-FS port swaps the whole seam, not just this
-    * read); a momentarily unreadable sidecar degrades to no-skip for THIS
-    * call only and is never negatively cached, so a transient failure
-    * self-heals on the next read.
+    * Sidecars are resolved through [[graft.streaming.TableFs]] like every
+    * manifest read in this committer stack (the Hadoop FileSystem seam —
+    * local, HDFS, or an object-store connector); a momentarily unreadable
+    * sidecar degrades to no-skip for THIS call only and is never
+    * negatively cached, so a transient failure self-heals on the next
+    * read.
     */
   private[graft] def fileStatsOf(tablePath: String, manifest: Map[String, String],
                                  partition: String): Map[String, String] =

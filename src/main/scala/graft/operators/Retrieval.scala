@@ -181,7 +181,13 @@ object Retrieval {
             math.ceil(math.sqrt(nPostings.toDouble)).toInt))
         }
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      tf.withColumn("bucket", bucketOf(col("token"), buckets))
+      // dl DENORMALIZED into every posting row (+8 bytes/posting): the
+      // probe then needs NO doclen join — its one remaining O(corpus)
+      // term — so probe I/O is strictly the pruned buckets + the 1-row
+      // stats. doclen still lands standalone for appends' totals and any
+      // length-profile consumer.
+      tf.join(dl, "doc_id")
+        .withColumn("bucket", bucketOf(col("token"), buckets))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
       tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -235,7 +241,8 @@ object Retrieval {
     // appends already ran
     val batch = dl.agg(count(lit(1)).as("bn"), sum(col("dl")).as("bdl")).head()
     if (batch.getLong(0) == 0L) return
-    tf.withColumn("bucket", bucketOf(col("token"), numBuckets))
+    tf.join(dl, "doc_id") // same denormalized posting shape as the build
+      .withColumn("bucket", bucketOf(col("token"), numBuckets))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
     tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -273,12 +280,14 @@ object Retrieval {
     val statsAll = spark.read.parquet(s"$path/stats")
     val numBuckets = statsAll.select("n_buckets").head().getInt(0)
     val stats = statsAll.select("n_docs", "avgdl")
-    val dl = spark.read.parquet(s"$path/doclen")
     // bucket ids of the query tokens: |query vocab| longs — driver-tiny,
     // same contract as the IVF probed-bucket collect
     val buckets = qtok
       .select(bucketOf(col("token"), numBuckets).as("bucket"))
       .distinct().as[Long].collect()
+    // postings carry dl denormalized (see buildTextIndex), so the probe's
+    // reads are EXACTLY the pruned buckets + the 1-row stats — no
+    // O(corpus) doclen join anywhere in the plan
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets.toSeq: _*))
     // sum PARTIAL df rows (one per build/admission that saw the token) —
@@ -290,7 +299,6 @@ object Retrieval {
     val terms = postings
       .join(broadcast(qtok), "token")
       .join(dfq, "token")
-      .join(dl, "doc_id")
       // stats is ONE row by construction, but a parquet scan carries no
       // structural boundedness evidence (the HintPolicySpec rule — same
       // reasoning as dfq in bm25TopK): unhinted, the planner's measured

@@ -57,9 +57,9 @@ trait SnapshotCommitter {
 
 /** Default committer for filesystems with atomic rename (local, HDFS):
   * write the manifest body to a uniquely-named temp file in the snapshot
-  * dir, then rename-with-overwrite it over `MANIFEST` (Hadoop
-  * `FileContext.rename(OVERWRITE)` — atomic on POSIX and HDFS; see
-  * [[TableFs.writeAtomic]]). A crash before the move leaves only a
+  * dir, then rename-with-overwrite it over `MANIFEST` (java.nio
+  * `ATOMIC_MOVE` on the local scheme, Hadoop `FileContext` overwrite
+  * rename on HDFS; see [[TableFs.renameOverwrite]]). A crash before the move leaves only a
   * GC-able temp; a crash after is a completed commit.
   */
 /** Shared staging GC for manifest-committed layouts ([[StreamDedup]]'s

@@ -17,7 +17,9 @@ import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
   *
   * ATOMICITY CONTRACT, per operation class:
   *  - [[writeAtomic]] (manifest/OPS/TAGS flips) = write a unique temp +
-  *    `FileContext.rename(OVERWRITE)` — atomic on POSIX and HDFS, the
+  *    [[renameOverwrite]]: java.nio `ATOMIC_MOVE` on the local scheme
+  *    (POSIX rename(2) replaces atomically) and
+  *    `FileContext.rename(OVERWRITE)` elsewhere (atomic on HDFS) — the
   *    property the commit protocol is built on. An object store whose
   *    "rename" is copy+delete does NOT provide it; such stores need a
   *    conditional-put committer instead (see [[SnapshotCommitter]] docs),
@@ -101,15 +103,29 @@ private[graft] object TableFs {
     renameOverwrite(tmp, s"$dir/$finalName")
   }
 
-  /** Atomic rename-with-overwrite via [[FileContext]] (the `FileSystem`
-    * `rename` refuses existing destinations on HDFS). Atomic exactly
-    * where the commit protocol is sound: POSIX rename and HDFS rename. */
-  def renameOverwrite(src: String, dst: String): Unit = {
-    val p = path(src)
-    val uri = fs(src).getUri
-    FileContext.getFileContext(uri, conf)
-      .rename(p, path(dst), Options.Rename.OVERWRITE)
-  }
+  /** Atomic rename-with-overwrite. On the LOCAL scheme this MUST be
+    * java.nio `ATOMIC_MOVE` (POSIX rename(2) replaces the destination
+    * atomically): Hadoop's local `FileContext.rename(OVERWRITE)` is
+    * delete-then-rename, which opens a window where the destination —
+    * the MANIFEST — does not exist; a reader in that window sees an
+    * empty table, and a failed second half resets it. On HDFS the
+    * FileContext overwrite rename IS atomic (DFS rename2), which is the
+    * property the commit protocol needs there. */
+  def renameOverwrite(src: String, dst: String): Unit =
+    if (isLocal(src)) {
+      val sf = localFile(src)
+      java.nio.file.Files.move(sf.toPath, localFile(dst).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the temp was written through the checksummed LocalFileSystem;
+      // the raw move bypasses that layer, so drop its .crc sibling here
+      // (the destination deliberately carries none — readers tolerate a
+      // missing crc, never a mismatched one)
+      val crc = new java.io.File(sf.getParentFile, s".${sf.getName}.crc")
+      if (crc.isFile) { crc.delete(); () }
+    } else
+      FileContext.getFileContext(fs(src).getUri, conf)
+        .rename(path(src), path(dst), Options.Rename.OVERWRITE)
 
   /** Recursive delete; false/no-op when missing. */
   def delete(s: String): Unit = {

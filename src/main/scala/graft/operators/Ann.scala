@@ -1024,6 +1024,11 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     require(spillMax >= 2, "adaptive spill needs at least one runner-up rank")
+    // rk=1 rows exist only when there IS a runner-up centroid; with one
+    // centroid the margin distribution is empty and the percentile below
+    // would surface as a bare NPE on getDouble
+    require(cents.length >= 2,
+      s"adaptive spill needs at least 2 centroids for a runner-up margin; got ${cents.length}")
     val centDf = broadcast(
       cents.toSeq.map { case (id, e) => (id, e.toSeq) }.toDF("c_id", "c_emb"))
     // ranked spillMax-nearest assignment: the same codegen argmax/tie
@@ -1044,12 +1049,16 @@ object Ann {
     // the boundary-distance distribution: runner-up margins, sampled
     // bottom-256-by-hash, exact interpolated percentile over the sample;
     // round 4 (the cross-engine interpolation-order convention)
-    val cut = withMargin.filter(col("rk") === 1)
+    val cutRow = withMargin.filter(col("rk") === 1)
       .select(sk.mhash61(col("vec_id")).as("h"), col("margin").as("m"))
       .agg(sk.bottomKSample(col("h"), col("m"), 256).as("smp"))
       .select(explode(col("smp")).as("m"))
       .agg(expr(s"percentile(m, ${budgetFrac}D)").as("q"))
-      .select(round(col("q"), 4).as("cut")).head().getDouble(0)
+      .select(round(col("q"), 4).as("cut")).head()
+    // null percentile = no runner-up rows at all (empty embeddings input);
+    // any cut value is then vacuously correct — the filter below keeps
+    // nothing either way — but getDouble on a null would NPE opaquely
+    val cut = if (cutRow.isNullAt(0)) 0.0 else cutRow.getDouble(0)
     withMargin
       .filter(col("rk") === 0 || col("margin") <= lit(cut))
       .select(col("vec_id"), col("emb"), col("bucket"))

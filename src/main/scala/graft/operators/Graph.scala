@@ -116,8 +116,31 @@ object Graph {
   def pageRankBucketed(spark: SparkSession, edges: DataFrame, outDir: String,
                        iterations: Int = 10, buckets: Int = 8,
                        table: String = "graph_edges_bkt",
-                       reuseExisting: Boolean = false): DataFrame = {
-    if (!reuseExisting || !spark.catalog.tableExists(table)) {
+                       reuseExisting: Boolean = false): DataFrame =
+    iterate(bucketedEdgeTable(spark, edges, outDir, buckets, table,
+      reuseExisting), iterations, checkpointEvery = 2)
+
+  /** Commit (or reuse) the degree-annotated `bucketBy(src)+sortBy` edge
+    * table and return its scan — the shared E-side of [[pageRankBucketed]]
+    * and [[pageRankWarmStartBucketed]]. `reuseExisting` trusts a
+    * catalog hit ONLY when the committed table's location is the one this
+    * call would write (`outDir/table`): a same-named table committed for a
+    * DIFFERENT dir in the same session (the multi-scale sweep pattern)
+    * would otherwise be silently iterated, returning ranks for the wrong
+    * graph — on mismatch the table is rebuilt in place.
+    */
+  private def bucketedEdgeTable(spark: SparkSession, edges: DataFrame,
+                                outDir: String, buckets: Int, table: String,
+                                reuseExisting: Boolean): DataFrame = {
+    val loc = s"$outDir/$table"
+    def locationMatches: Boolean = {
+      val committed = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location
+      val wanted = graft.streaming.TableFs.fs(loc)
+        .makeQualified(new org.apache.hadoop.fs.Path(loc)).toUri
+      committed == wanted
+    }
+    if (!reuseExisting || !spark.catalog.tableExists(table) || !locationMatches) {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       val e = edges.select(col("src"), col("dst"))
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -125,10 +148,10 @@ object Graph {
       // precedent): survives catalog loss without LOCATION_ALREADY_EXISTS
       e.join(deg, "src")
         .write.bucketBy(buckets, "src").sortBy("src")
-        .option("path", s"$outDir/$table")
+        .option("path", loc)
         .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(table)
     }
-    iterate(spark.table(table), iterations, checkpointEvery = 2)
+    spark.table(table)
   }
 
   /** One power-iteration round (shared by [[pageRank]] and
@@ -138,8 +161,8 @@ object Graph {
     * alive at the base rank WITHOUT a second join: one equi-join + one
     * map-side-combining sum per round is the whole shuffle footprint.
     */
-  private def prRound(eDeg: DataFrame, nodes: DataFrame, base: Long,
-                      ranks: DataFrame): DataFrame = {
+  private[graft] def prRound(eDeg: DataFrame, nodes: DataFrame, base: Long,
+                             ranks: DataFrame): DataFrame = {
     val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
       .select(eDeg("dst").as("node"),
         call_function("div", col("rank"), col("outdeg")).as("contrib"))
@@ -182,8 +205,41 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(deg, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    warmIterate(eDeg, warmRanks, maxIterations, tolMass)
+  }
+
+  /** [[pageRankWarmStart]] iterating over the COMMITTED `bucketBy(src)`
+    * edge table ([[pageRankBucketed]]'s layout, built or reused here via
+    * the same location-validated seam) — the production refresh shape
+    * where the two wins COMPOUND: the warm start cuts the ROUND COUNT
+    * (2-3 rounds on a small delta instead of the cold 8-10) and the
+    * bucketed scan cuts the PER-ROUND shuffle from E+V to V (no exchange
+    * on the edge side of any round's E⋈V join). Bit-identical to
+    * [[pageRankWarmStart]] on the same edges — same [[prRound]] integer
+    * arithmetic, join strategy cannot change integer sums — so the twin
+    * shares the warm oracle. Note the delta-absorption lifecycle implies
+    * re-committing the edge table per refresh (the delta changes E and
+    * the out-degrees); that append-shaped write is O(E) once per refresh
+    * vs O(E) shuffle per ROUND saved — the trade documented at
+    * BASELINE.md's warm-rank rows.
+    */
+  def pageRankWarmStartBucketed(spark: SparkSession, edges: DataFrame,
+                                outDir: String, warmRanks: DataFrame,
+                                maxIterations: Int = 10,
+                                tolMass: Long = TotalMass / 1000,
+                                buckets: Int = 8,
+                                table: String = "graph_edges_bkt",
+                                reuseExisting: Boolean = false): (DataFrame, Int, Long) =
+    warmIterate(bucketedEdgeTable(spark, edges, outDir, buckets, table,
+      reuseExisting), warmRanks, maxIterations, tolMass)
+
+  /** The shared warm fixed-point loop over an already degree-annotated
+    * edge frame — the same seam [[iterate]] is for the cold path. */
+  private def warmIterate(eDeg: DataFrame, warmRanks: DataFrame,
+                          maxIterations: Int,
+                          tolMass: Long): (DataFrame, Int, Long) = {
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRankWarmStart on an empty edge list")
@@ -450,6 +506,22 @@ object Graph {
                            warmIterations: Int = 3): DataFrame = {
     val (ranks, _, _) = pageRankWarmStart(purchaseEdges(spark, dir),
       committedRanks, maxIterations = warmIterations, tolMass = 0L)
+    ranks.select(kindDecode: _*)
+  }
+
+  /** [[purchaseRankWarmFrom]] over the committed bucketed edge table —
+    * both production wins at once (fewer rounds × exchange-free rounds;
+    * see [[pageRankWarmStartBucketed]]). Bit-identical to the plain warm
+    * path, so it shares the unrolled warm oracle.
+    */
+  def purchaseRankWarmFromBucketed(spark: SparkSession, dir: String,
+                                   outDir: String, committedRanks: DataFrame,
+                                   warmIterations: Int = 3,
+                                   table: String = "graph_edges_bkt"): DataFrame = {
+    val (ranks, _, _) = pageRankWarmStartBucketed(spark,
+      purchaseEdges(spark, dir), outDir, committedRanks,
+      maxIterations = warmIterations, tolMass = 0L,
+      table = table, reuseExisting = true)
     ranks.select(kindDecode: _*)
   }
 

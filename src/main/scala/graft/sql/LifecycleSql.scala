@@ -269,7 +269,15 @@ object LifecycleSql {
       // the next whole-table replace drops them — those are not values of
       // the partition column, so they are not SHOW PARTITIONS rows. They
       // are recognizable by carrying no per-partition row stamp AND
-      // matching the reserved layout names.
+      // matching the reserved layout names. KNOWN EDGE: a GENUINE
+      // partition whose value is literally 'all'/'append-<n>' AND that
+      // was committed before row stamping existed (so it too is
+      // stamp-less) is indistinguishable by this heuristic and is omitted
+      // rather than listed at -1 — acceptable because current writers
+      // always stamp (the collision requires both a reserved-name
+      // partition VALUE and pre-stamping history), and one no-op
+      // whole-table replace clears the ambiguity by dropping residual
+      // layout entries and stamping everything.
       val layoutEntry = "^(all|append-[0-9]+)$".r
       m.filterNot(_._1.startsWith("__")).keys.toSeq.sorted
         .filterNot(p => layoutEntry.matches(p) &&
@@ -686,6 +694,26 @@ object LifecycleSql {
     * must stay a string literal. */
   private def looksLikePath(s: String): Boolean =
     s.contains('/') || s.matches("[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+
+  /** SQL-standard doubled-quote unescape for a raw literal interior. */
+  private def unescape(raw: String): String = raw.replace("''", "'")
+
+  /** The rewrite gate: path-shaped literals ([[looksLikePath]]) always
+    * rewrite; a RELATIVE SINGLE-SEGMENT literal (`FROM 'mytable'`, no
+    * slash, no scheme) rewrites only when it actually IS a committed
+    * table — a dir with a MANIFEST, resolved against the working dir like
+    * every other relative path here. That check (one existence stat,
+    * only for bare words after FROM/JOIN outside function args) is what
+    * keeps `trim(BOTH 'x' FROM 'xxabcx')`-shaped literals intact without
+    * silently dropping genuinely relative table references.
+    */
+  private def isTablePathLiteral(s: String): Boolean =
+    looksLikePath(s) ||
+      (s.nonEmpty && !s.contains('\n') &&
+        // a literal that is not even a legal Path ('', '..' tricks with
+        // NULs, …) is certainly not a table reference
+        (try graft.streaming.TableFs.exists(s"$s/MANIFEST")
+         catch { case _: IllegalArgumentException => false }))
   private val ChangesRel =
     "(?is)changes\\s*\\(\\s*'([^'\\n]+)'\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*(?:,\\s*'([^']*)'\\s*)?\\)".r
 
@@ -748,9 +776,19 @@ object LifecycleSql {
         val w = sqlText.substring(i, j).toLowerCase(java.util.Locale.ROOT)
         var k = j
         while (k < sqlText.length && sqlText.charAt(k).isWhitespace) k += 1
+        // RAW literal interior — doubled-quote escapes ('') kept intact so
+        // downstream index arithmetic (close = k + 1 + raw.length) stays
+        // exact; unescape only when the value is USED as a path
         lazy val quotedLiteral: Option[String] =
           if (k < sqlText.length && sqlText.charAt(k) == '\'') {
-            val close = sqlText.indexOf('\'', k + 1)
+            var e = k + 1
+            var close = -1
+            while (close < 0 && e < sqlText.length) {
+              if (sqlText.charAt(e) == '\'') {
+                if (e + 1 < sqlText.length && sqlText.charAt(e + 1) == '\'') e += 2
+                else close = e
+              } else e += 1
+            }
             if (close > k) Some(sqlText.substring(k + 1, close)) else None
           } else None
         if (!inFunctionArgs && (w == "from" || w == "join") &&
@@ -766,8 +804,8 @@ object LifecycleSql {
           prevWord = view; prevSig = view.last
           i = k + m.end
         } else if (!inFunctionArgs && (w == "from" || w == "join") &&
-            quotedLiteral.exists(looksLikePath)) {
-          val path = quotedLiteral.get
+            quotedLiteral.exists(raw => isTablePathLiteral(unescape(raw)))) {
+          val path = quotedLiteral.get // raw: length positions the close quote
           val close = k + 1 + path.length
           val rest = sqlText.substring(close + 1)
           val (suffix, tailStart) = VersionClause.findPrefixMatchOf(rest) match {
@@ -777,7 +815,7 @@ object LifecycleSql {
               case None => ("", close + 1)
             }
           }
-          val view = registerPathView(path, suffix)
+          val view = registerPathView(unescape(path), suffix)
           out.append(sqlText.substring(i, j)).append(' ').append(view)
           rewrote = true
           prevWord = view; prevSig = view.last

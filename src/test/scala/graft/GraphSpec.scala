@@ -202,4 +202,58 @@ class GraphSpec extends AnyFunSuite {
         s"expected no exchange on the bucketed edge side:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("reuseExisting rebuilds when the committed table points at a different dir") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-prbkt-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-prbkt-b").toString
+    val edgesA = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val edgesB = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // commit graph A at dirA, then ask for graph B at dirB WITH
+    // reuseExisting — the multi-scale sweep pattern. A catalog-only check
+    // would silently iterate graph A; the location guard must rebuild.
+    Graph.pageRankBucketed(spark, edgesA, dirA, 1, table = "graph_edges_bkt_loc")
+    val b = Graph.pageRankBucketed(spark, edgesB, dirB, 1,
+      table = "graph_edges_bkt_loc", reuseExisting = true)
+    val plainB = Graph.pageRank(edgesB, 1).as[(Long, Long)].collect().toMap
+    assert(b.as[(Long, Long)].collect().toMap == plainB,
+      "stale same-named table for another dir must be rebuilt, not reused")
+    // same dir + reuseExisting: the committed table IS reused (no rebuild)
+    val again = Graph.pageRankBucketed(spark, edgesB, dirB, 1,
+      table = "graph_edges_bkt_loc", reuseExisting = true)
+    assert(again.as[(Long, Long)].collect().toMap == plainB)
+  }
+
+  test("warm start over the bucketed table is bit-identical and exchange-free on the edge side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prwbkt").toString
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // committed base: 4 cold rounds on a subgraph; warm-absorb the rest
+    val base = Graph.pageRank(edges.filter($"src" =!= 5L && $"dst" =!= 5L), 4)
+    val (plainWarm, rPlain, _) =
+      Graph.pageRankWarmStart(edges, base, maxIterations = 3, tolMass = 0L)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (bktWarm, rBkt, _) = Graph.pageRankWarmStartBucketed(spark, edges,
+        dir, base, maxIterations = 3, tolMass = 0L,
+        table = "graph_edges_bkt_warm_spec")
+      assert(rBkt == rPlain)
+      assert(bktWarm.as[(Long, Long)].collect().toMap ==
+        plainWarm.as[(Long, Long)].collect().toMap,
+        "the bucketed scan must not change the fixed-point integers")
+      // the warm loop checkpoints each round (the residual aggregate
+      // re-reads it), so the returned frame's plan is a checkpoint scan;
+      // assert exchange-freeness on the round itself: the E⋈V join over
+      // the committed bucketed table must need NO src-keyed exchange
+      val eDeg = spark.table("graph_edges_bkt_warm_spec")
+      val nodes = eDeg.select($"src".as("node"))
+        .union(eDeg.select($"dst".as("node"))).distinct()
+      val round = Graph.prRound(eDeg, nodes, 0L,
+        nodes.withColumn("rank", org.apache.spark.sql.functions.lit(1000L)))
+      round.collect()
+      val plan = round.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(src"),
+        s"expected no exchange on the bucketed edge side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

@@ -53,6 +53,16 @@ trait SnapshotCommitter {
     * Delta's VACUUM-retention idea applied to the staging seam.
     */
   def gcGraceMs: Long = 0L
+
+  /** The CANONICAL RENDERED BYTES of the current committed manifest, None
+    * when nothing has ever been committed — the byte-level view
+    * [[VersionedCommitter]] archives and compares against its version
+    * files. Default reads the rename-protocol `MANIFEST` file; a
+    * committer with a different physical layout
+    * ([[ConditionalPutCommitter]]'s slot objects) overrides it.
+    */
+  def currentManifestBytes(snapshotPath: String): Option[String] =
+    TableFs.readStringOpt(AtomicRenameCommitter.manifestPath(snapshotPath))
 }
 
 /** Default committer for filesystems with atomic rename (local, HDFS):
@@ -77,6 +87,17 @@ trait SnapshotCommitter {
   * at window = 1.
   */
 private[graft] object SnapshotGc {
+
+  /** The data references a manifest pins for GC purposes: data-partition
+    * entries plus the `__del.`/`__delta.` sidecar dirs an as-of read
+    * still applies and `__cdf` (the staged change log) — shared by every
+    * history-keeping committer's [[SnapshotCommitter.retainedReferences]].
+    */
+  def dataRefs(manifest: Map[String, String]): Set[String] =
+    manifest.collect { case (k, rel)
+      if !k.startsWith("__") || k.startsWith("__del.") ||
+        k.startsWith("__delta.") || k == "__cdf" => rel }.toSet
+
   def gcUnreferenced(snapshotPath: String, liveRel: Set[String],
                      minAgeMs: Long = 0L): Unit = {
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -124,14 +145,14 @@ object AtomicRenameCommitter extends SnapshotCommitter {
     entries.toSeq.sorted
       .map { case (d, rel) => s"$d\t$rel" }.mkString("", "\n", "\n")
 
+  private[streaming] def parseManifest(body: String): Map[String, String] =
+    body.split("\n").filter(_.nonEmpty).map { l =>
+      val Array(day, rel) = l.split("\t", 2); day -> rel
+    }.toMap
+
   override def readManifest(snapshotPath: String): Map[String, String] =
-    TableFs.readStringOpt(manifestPath(snapshotPath)) match {
-      case None => Map.empty
-      case Some(body) =>
-        body.split("\n").filter(_.nonEmpty).map { l =>
-          val Array(day, rel) = l.split("\t", 2); day -> rel
-        }.toMap
-    }
+    TableFs.readStringOpt(manifestPath(snapshotPath))
+      .map(parseManifest).getOrElse(Map.empty)
 
   override def commit(snapshotPath: String,
                       entries: Map[String, String]): Unit =
@@ -200,8 +221,11 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
       val Array(k, rel) = l.split("\t", 2); k -> rel
     }.toMap
 
+  // via the inner committer so the versioned layer works over ANY
+  // physical manifest layout (rename-protocol MANIFEST file or the
+  // conditional-put slot objects)
   private def currentBytes(snapshotPath: String): Option[String] =
-    TableFs.readStringOpt(AtomicRenameCommitter.manifestPath(snapshotPath))
+    inner.currentManifestBytes(snapshotPath)
 
   private def writeVersion(snapshotPath: String, version: Long, body: String): Unit =
     TableFs.writeAtomic(snapshotPath, versionName(version), body)
@@ -415,14 +439,9 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
     */
   override def retainedReferences(snapshotPath: String): Set[String] =
     versionFiles(snapshotPath).flatMap { case (_, p) =>
-      parse(TableFs.readString(p))
-        // `__del.`/`__delta.` values are sidecar DIRS an as-of read still
-        // applies — a retained version must keep them alive like data —
-        // and `__cdf` is that version's staged change log (tableChanges
-        // on a retained span reads it back)
-        .collect { case (k, rel)
-          if !k.startsWith("__") || k.startsWith("__del.") ||
-            k.startsWith("__delta.") || k == "__cdf" => rel }
+      // `__del.`/`__delta.`/`__cdf` values are sidecar dirs an as-of read
+      // still applies — a retained version keeps them alive like data
+      SnapshotGc.dataRefs(parse(TableFs.readString(p)))
     }.toSet
 }
 
@@ -482,10 +501,11 @@ final class CasCommitter extends SnapshotCommitter {
       throw new UnsupportedOperationException(
         s"CasCommitter's check-and-rename guard needs an OS file lock and " +
           s"is local-FS only; '$snapshotPath' resolves to scheme " +
-          s"'${TableFs.fs(snapshotPath).getUri.getScheme}'. Use the " +
-          "store's conditional-put primitive behind a SnapshotCommitter " +
-          "of its own (If-Match / generation preconditions), or a single " +
-          "writer with AtomicRenameCommitter on HDFS-class stores.")
+          s"'${TableFs.fs(snapshotPath).getUri.getScheme}'. Use " +
+          "ConditionalPutCommitter (create-if-absent slot claim — the " +
+          "store's If-None-Match / generation-0 precondition) on " +
+          "atomic-put object stores, or a single writer with " +
+          "AtomicRenameCommitter on HDFS-class stores.")
     TableFs.mkdirs(snapshotPath)
     // two-level mutual exclusion: the JVM-global per-path monitor
     // serializes committer instances in THIS process (the JVM's file-lock
@@ -525,6 +545,141 @@ private object CasCommitter {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
 
+/** Commit protocol for ATOMIC-PUT object stores (`s3a:`, `gs:`, `abfs:`,
+  * … — [[TableFs.isAtomicPutScheme]]): the profile where a single-object
+  * PUT is atomic (an object is invisible until close and can never read
+  * torn) but "rename" is copy+delete, so the rename-based committers are
+  * unsafe and [[CasCommitter]]'s OS file lock does not exist. The
+  * conditional-put contract the [[SnapshotCommitter]] trait doc
+  * prescribes, rendered portably: manifests are published as VERSIONED
+  * IMMUTABLE OBJECTS and the commit point is a CONDITIONAL CREATE of the
+  * next version's NAME.
+  *
+  * Layout at `snapshotPath`: one write-once object per commit,
+  * `MANIFEST.c<seq%020d>`, holding a length-stamped header line plus the
+  * canonical rendered manifest. The committed state is the HIGHEST slot.
+  * Claiming slot N+1 with `create(…, overwrite = false)` IS the
+  * compare-and-swap: the store admits exactly one winner per name, and a
+  * writer that observed slot N only ever claims N+1 — an interleaved
+  * commit surfaces as [[ConcurrentCommitException]] with the winner's
+  * manifest intact, never a torn or lost update. No rename is issued
+  * anywhere in the protocol (asserted in `ObjectStoreCommitSpec`).
+  *
+  * What the store must provide, and where that holds:
+  *  - '''atomic visible-at-close PUT''' — native S3/GCS/ABFS semantics
+  *    (simulated in tests by `AtomicPutStoreFs`);
+  *  - '''create-if-absent that surfaces a loss as
+  *    `FileAlreadyExistsException`''' — HDFS-native; `s3a:` maps it to an
+  *    `If-None-Match: *` conditional PUT when
+  *    `fs.s3a.create.conditional.enabled` is set (Hadoop 3.4.1+,
+  *    HADOOP-19256); the GCS connector issues an `ifGenerationMatch(0)`
+  *    precondition. On a connector WITHOUT a server-side precondition the
+  *    claim degrades to check-then-put and two same-slot racers can both
+  *    appear to win — the documented reason Delta-on-S3 needs an external
+  *    LogStore; enable the connector's conditional create, or keep a
+  *    single writer per table.
+  *
+  * Old slots are pruned at commit beyond `retainSlots` (history/tags/time
+  * travel are [[VersionedCommitter]]'s job — layer it over this one);
+  * every RETAINED slot's data refs are reported to the staging GC so a
+  * reader resolving an older slot keeps its data. `gcGraceMs` is
+  * non-zero: this committer exists for concurrent writers, and one
+  * writer's GC must never eat another's in-flight staging.
+  */
+final class ConditionalPutCommitter(retainSlots: Int = 10,
+                                    graceMs: Long = 10L * 60 * 1000)
+  extends SnapshotCommitter {
+  import java.nio.charset.StandardCharsets.UTF_8
+  require(retainSlots >= 1, "retain at least the current slot")
+
+  private val SlotRe = "MANIFEST\\.c(\\d{20})".r
+  private val Header = "graft-commit-v1 "
+
+  private def slotName(n: Long): String = f"MANIFEST.c$n%020d"
+
+  // highest slot this instance OBSERVED per path (0 = observed-absent) —
+  // the CAS baseline, per-instance like CasCommitter's observed bytes
+  private val observed =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def slotSeqs(snapshotPath: String): Seq[Long] =
+    TableFs.list(snapshotPath).flatMap { f =>
+      f.getPath.getName match {
+        case SlotRe(n) => Some(n.toLong)
+        case _         => None
+      }
+    }.sorted
+
+  /** The rendered manifest inside slot `n` — loud on a malformed object
+    * (impossible on an atomic-put store; a tear here means the path is
+    * NOT such a store, or the object is foreign). */
+  private def readSlot(snapshotPath: String, n: Long): String = {
+    val body = TableFs.readString(s"$snapshotPath/${slotName(n)}")
+    val nl = body.indexOf('\n')
+    require(nl > 0 && body.startsWith(Header),
+      s"malformed commit object ${slotName(n)} at $snapshotPath — " +
+        "not written by ConditionalPutCommitter, or the store's PUT is " +
+        "not atomic (use a rename-based committer there)")
+    val rendered = body.substring(nl + 1)
+    require(body.substring(Header.length, nl).toLong ==
+      rendered.getBytes(UTF_8).length.toLong,
+      s"torn commit object ${slotName(n)} at $snapshotPath — the store's " +
+        "PUT is not atomic; this committer requires atomic-put semantics")
+    rendered
+  }
+
+  override def readManifest(snapshotPath: String): Map[String, String] = {
+    val ss = slotSeqs(snapshotPath)
+    observed.put(snapshotPath, Long.box(ss.lastOption.getOrElse(0L)))
+    ss.lastOption
+      .map(n => AtomicRenameCommitter.parseManifest(readSlot(snapshotPath, n)))
+      .getOrElse(Map.empty)
+  }
+
+  override def currentManifestBytes(snapshotPath: String): Option[String] =
+    slotSeqs(snapshotPath).lastOption.map(readSlot(snapshotPath, _))
+
+  override def commit(snapshotPath: String,
+                      entries: Map[String, String]): Unit = {
+    val expect: Long = Option(observed.get(snapshotPath)).fold(0L)(_.longValue)
+    val next = expect + 1
+    val rendered = AtomicRenameCommitter.renderManifest(entries)
+    val payload = s"$Header${rendered.getBytes(UTF_8).length}\n$rendered"
+    TableFs.mkdirs(snapshotPath)
+    val slotPath = TableFs.path(s"$snapshotPath/${slotName(next)}")
+    try {
+      // overwrite = false: the conditional create — one winner per name.
+      // The loser's exception may surface at create() (HDFS, the local
+      // simulation) or at close() (a store evaluating If-None-Match at
+      // PUT completion); both paths land here.
+      val out = TableFs.fs(snapshotPath).create(slotPath, false)
+      try out.write(payload.getBytes(UTF_8)) finally out.close()
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.nio.file.FileAlreadyExistsException) =>
+        throw new ConcurrentCommitException(
+          s"slot $next at $snapshotPath already claimed (concurrent " +
+            s"commit won the race); re-read and retry the merge " +
+            s"[${e.getMessage}]")
+    }
+    observed.put(snapshotPath, Long.box(next))
+    // prune the pointer chain beyond the retention window; their data
+    // refs drop out of retainedReferences and the next GC releases them
+    slotSeqs(snapshotPath).dropRight(retainSlots)
+      .foreach(n => TableFs.delete(s"$snapshotPath/${slotName(n)}"))
+  }
+
+  /** Every retained slot's data refs — a reader resolving an older (but
+    * retained) slot must keep its data through the staging GC. */
+  override def retainedReferences(snapshotPath: String): Set[String] =
+    slotSeqs(snapshotPath).flatMap { n =>
+      SnapshotGc.dataRefs(
+        AtomicRenameCommitter.parseManifest(readSlot(snapshotPath, n)))
+    }.toSet
+
+  override def gcGraceMs: Long = graceMs
+}
+
 /** Optimistic concurrency with AUTOMATIC partition-disjoint rebase — the
   * Delta/Iceberg logical-conflict-resolution idea on the manifest seam.
   * A plain [[CasCommitter]] loser re-runs its whole merge cycle; but two
@@ -552,9 +707,13 @@ private object CasCommitter {
   * until committed) staging — see [[SnapshotCommitter.gcGraceMs]].
   */
 final class RebasingCasCommitter(graceMs: Long = 10L * 60 * 1000,
-                                 maxRetries: Int = 10) extends SnapshotCommitter {
-
-  private val cas = new CasCommitter
+                                 maxRetries: Int = 10,
+                                 // the CAS primitive underneath — the OS-lock
+                                 // CasCommitter locally, ConditionalPutCommitter
+                                 // on object stores; the rebase logic needs only
+                                 // readManifest/commit + ConcurrentCommitException
+                                 cas: SnapshotCommitter = new CasCommitter)
+  extends SnapshotCommitter {
   // the manifest this writer last READ per path — the rebase baseline
   private val baseline =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()

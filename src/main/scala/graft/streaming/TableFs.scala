@@ -16,29 +16,60 @@ import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
   * the only place they bind to a concrete filesystem.
   *
   * ATOMICITY CONTRACT, per operation class:
-  *  - [[writeAtomic]] (manifest/OPS/TAGS flips) = write a unique temp +
-  *    [[renameOverwrite]]: java.nio `ATOMIC_MOVE` on the local scheme
-  *    (POSIX rename(2) replaces atomically) and
-  *    `FileContext.rename(OVERWRITE)` elsewhere (atomic on HDFS) — the
-  *    property the commit protocol is built on. An object store whose
-  *    "rename" is copy+delete does NOT provide it; such stores need a
-  *    conditional-put committer instead (see [[SnapshotCommitter]] docs),
-  *    and [[CasCommitter]] refuses non-`file:` schemes outright.
+  *  - [[writeAtomic]] (manifest/OPS/TAGS flips) publishes by the
+  *    mechanism the scheme actually makes atomic:
+  *      - rename-atomic filesystems (local, HDFS): a unique temp +
+  *        [[renameOverwrite]] — java.nio `ATOMIC_MOVE` on the local
+  *        scheme (POSIX rename(2) replaces atomically) and
+  *        `FileContext.rename(OVERWRITE)` elsewhere (atomic on HDFS);
+  *      - ATOMIC-PUT object stores ([[isAtomicPutScheme]]: `s3a:`,
+  *        `gs:`, `abfs:`, …): a DIRECT overwrite-put — a single-object
+  *        PUT is atomic there (the new bytes become visible at close,
+  *        a torn object is impossible), while "rename" is copy+delete
+  *        and must never carry a commit.
+  *    Either way a reader sees the old bytes or the new, never a tear.
+  *    Overwrite-put is last-writer-wins, exactly like rename-overwrite —
+  *    CONCURRENT writers additionally need a compare-and-swap guard:
+  *    [[CasCommitter]] (OS file lock, local only) or
+  *    [[ConditionalPutCommitter]] (create-if-absent slot claim, the
+  *    object-store protocol).
   *  - everything else (staging listings, sidecar reads/writes, GC
   *    deletes) needs only read-after-write visibility, which every
   *    current store provides.
   */
 private[graft] object TableFs {
 
-  /** One conf for the process: filesystem bindings (fs.defaultFS,
-    * connector credentials) are environment-level settings that do not
-    * change mid-run; caching avoids a per-call SparkConf→HadoopConf copy
-    * on what is a metadata hot path.
+  /** The Hadoop configuration metadata I/O binds to — resolved from the
+    * ACTIVE session on every call (memoized per session instance, so the
+    * hot path pays one reference compare, not a SparkConf→HadoopConf
+    * copy). A process-wide snapshot here would be wrong in exactly one
+    * nasty way: first touch on a thread without an active session (or
+    * before the session is built) would permanently bind all manifest I/O
+    * to a bare `new Configuration()` — dropping `fs.defaultFS` and
+    * object-store credentials, so metadata could silently resolve against
+    * a different filesystem than the data Spark writes. Sessionless
+    * callers fall back to the last session's conf if one was ever seen,
+    * else a bare Configuration — and re-resolve as soon as a session
+    * appears.
     */
-  lazy val conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        val c = cachedConf
+        if (c != null && (c._1 eq s)) c._2
+        else {
+          val fresh = s.sessionState.newHadoopConf()
+          cachedConf = (s, fresh)
+          fresh
+        }
+      case None =>
+        val c = cachedConf
+        if (c != null) c._2 else fallbackConf
+    }
+
+  @volatile private var cachedConf
+    : (org.apache.spark.sql.SparkSession, Configuration) = null
+  private lazy val fallbackConf = new Configuration()
 
   def path(s: String): Path = new Path(s)
 
@@ -93,15 +124,46 @@ private[graft] object TableFs {
   def writeString(s: String, body: String): Unit =
     writeBytes(s, body.getBytes(UTF_8))
 
-  /** Atomically publish `body` at `dir/finalName`: unique temp in `dir`,
-    * then rename-with-overwrite. The temp carries the `MANIFEST.tmp-`
-    * prefix so the staging GC recognizes crashed leftovers. */
-  def writeAtomic(dir: String, finalName: String, body: String): Unit = {
-    mkdirs(dir)
-    val tmp = s"$dir/MANIFEST.tmp-${java.util.UUID.randomUUID()}"
-    writeBytes(tmp, body.getBytes(UTF_8))
-    renameOverwrite(tmp, s"$dir/$finalName")
+  /** Schemes whose single-object PUT is atomic (bytes become visible at
+    * stream close; a torn object is impossible) and whose rename is
+    * copy+delete — the object-store profile. Seeded with the connectors
+    * in public use; tests (or an unlisted connector) register theirs via
+    * [[registerAtomicPutScheme]].
+    */
+  private val atomicPutSchemes: java.util.Set[String] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Seq("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "cos", "obs", "swift").foreach(s.add)
+    s
   }
+
+  /** Declare `scheme` an atomic-put (object-store-profile) scheme. */
+  def registerAtomicPutScheme(scheme: String): Unit = {
+    atomicPutSchemes.add(scheme); ()
+  }
+
+  /** True when `s` resolves to an atomic-put object-store scheme (see
+    * [[atomicPutSchemes]]). */
+  def isAtomicPutScheme(s: String): Boolean = {
+    val scheme = fs(s).getUri.getScheme
+    scheme != null && atomicPutSchemes.contains(scheme)
+  }
+
+  /** Atomically publish `body` at `dir/finalName` — by unique temp +
+    * rename-with-overwrite on rename-atomic filesystems, by direct
+    * overwrite-put on atomic-put object stores (where the PUT itself is
+    * the atomic flip and a rename would be an unsafe copy+delete). The
+    * temp carries the `MANIFEST.tmp-` prefix so the staging GC
+    * recognizes crashed leftovers. */
+  def writeAtomic(dir: String, finalName: String, body: String): Unit =
+    if (isAtomicPutScheme(dir))
+      writeBytes(s"$dir/$finalName", body.getBytes(UTF_8))
+    else {
+      mkdirs(dir)
+      val tmp = s"$dir/MANIFEST.tmp-${java.util.UUID.randomUUID()}"
+      writeBytes(tmp, body.getBytes(UTF_8))
+      renameOverwrite(tmp, s"$dir/$finalName")
+    }
 
   /** Atomic rename-with-overwrite. On the LOCAL scheme this MUST be
     * java.nio `ATOMIC_MOVE` (POSIX rename(2) replaces the destination

@@ -36,6 +36,14 @@ object TestSpark {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // the simulated object-store schemes (ObjectStoreSim.scala): naf =
+      // atomic-put / non-atomic-rename, hdfsl = non-local atomic-rename
+      .config("spark.hadoop.fs.naf.impl", classOf[AtomicPutStoreFs].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.naf.impl",
+        classOf[AtomicPutStoreAbstractFs].getName)
+      .config("spark.hadoop.fs.hdfsl.impl", classOf[HdfsLikeFs].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.hdfsl.impl",
+        classOf[HdfsLikeAbstractFs].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -121,7 +121,14 @@ object PlanDump {
       // window feeding the same pair/closure tail), and the end-to-end
       // curation pipeline's survivor plan (prefix-filtered candidate join
       // → left_anti drop → narrow enrichment)
-      "graph_pagerank_bucketed", "semantic_dedup_adaptive", "curation_disk")
+      "graph_pagerank_bucketed", "semantic_dedup_adaptive", "curation_disk",
+      // round 19: the catalog SQL front door (the CATALOG() relation
+      // plans as the pinned-version manifest-table read — name
+      // resolution leaves no trace) and the warm×bucketed rank twin
+      // (warm rounds over the committed exchange-free edge scan; the
+      // dumped plan is the returned frame — per-round join plans are
+      // asserted in GraphSpec)
+      "table_txn_catalog_sql", "graph_pagerank_warm_bucketed")
     val sb = new StringBuilder
     sb ++= "# PLANS — FINAL physical plans of the headline queries (sf0.1)\n\n"
     sb ++= "Generated by `graft.PlanDump` at HEAD. Every query is executed and its\n"

@@ -1566,65 +1566,17 @@ object SparkEntry {
     // recompute from the catalog's OWN fact read: cross-table
     // consistency, not two tables that happen to be adjacent
     "table_txn_catalog" -> ((s, d) => {
-      val (cat, cc, tc) = demoFixture(s, d, "cat") {
-      val root = cachedTempDir("graft_cat_")
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
-      val (cat, factP, aggP) = (s"$root/cat", s"$root/fact", s"$root/agg")
-      val cc = new graft.streaming.VersionedCommitter
-      val tc = new graft.streaming.VersionedCommitter
-      val e = fact(s, d).select(
-        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
-        round(col("value") * 100).cast("long").as("value_cents"),
-        pmod(col("event_id"), lit(8L)).as("bucket"))
-      withPersisted(e) { state =>
-        val Array(lo, hi) = state.agg(min("ts_us"), max("ts_us")).head()
-          .toSeq.map(_.asInstanceOf[Long]).toArray
-        val half = state.filter(col("ts_us") <= lo + (hi - lo) / 2)
-        def aggOf(f: DataFrame) = f.groupBy("user_id").agg(
-          count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
-          .withColumn("part", lit("all"))
-        def commitFact(f: DataFrame): Long = {
-          pipeline.Upsert.upsertPartitionsAtomic(s, f, factP, "bucket",
-            keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
-            committer = tc)
-          tc.versions(factP).last
-        }
-        def commitAgg(a: DataFrame): Long = {
-          pipeline.Upsert.replacePartitionsAtomic(s, a, aggP, "part",
-            Seq("all"), committer = tc)
-          tc.versions(aggP).last
-        }
-        val f1 = commitFact(half); val a1 = commitAgg(aggOf(half))
-        pipeline.Catalog.transaction(cat, cc, tc) { t =>
-          t.stage("fact", factP, f1); t.stage("agg", aggP, a1)
-        }
-        // batch 2 fully committed per-table, then TORN before the flip
-        val f2 = commitFact(state); val a2 = commitAgg(aggOf(state))
-        pipeline.Catalog.transaction(cat, cc, tc, crashBeforeCommit = true) { t =>
-          t.stage("fact", factP, f2); t.stage("agg", aggP, a2)
-        }
-        val tornN = pipeline.Catalog.readTable(s, cat, "agg", cc, tc)
-          .agg(sum("n_events")).head().getLong(0)
-        require(tornN == half.count(),
-          s"torn transaction leaked into the catalog snapshot: $tornN")
-        pipeline.Catalog.transaction(cat, cc, tc) { t =>
-          t.stage("fact", factP, f2); t.stage("agg", aggP, a2)
-        }
-      }
-      // cross-table consistency is a DEMO invariant: checked once at
-      // build (the fixture memo), not per measured read
-      val factRead = pipeline.Catalog.readTable(s, cat, "fact", cc, tc)
-      val aggRead0 = pipeline.Catalog.readTable(s, cat, "agg", cc, tc)
-        .select("user_id", "n_events", "sum_cents")
-      val recomputed = factRead.groupBy("user_id").agg(
-        count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
-      require(aggRead0.exceptAll(recomputed).isEmpty &&
-        recomputed.exceptAll(aggRead0).isEmpty,
-        "catalog snapshot is not cross-table consistent")
-      (cat, cc, tc)
-      }
+      val (cat, cc, tc) = catalogDemo(s, d)
       pipeline.Catalog.readTable(s, cat, "agg", cc, tc)
         .select("user_id", "n_events", "sum_cents")
+    }),
+    // the same committed catalog through the SQL front door: the name
+    // resolves to its pinned (table path, version) via the CATALOG()
+    // relation — byte-identical read path to the API twin, same oracle;
+    // SHOW CATALOG + the AT-version form are pinned in LifecycleSqlSpec
+    "table_txn_catalog_sql" -> ((s, d) => {
+      val (cat, _, _) = catalogDemo(s, d)
+      s.sql(s"SELECT user_id, n_events, sum_cents FROM CATALOG('$cat', 'agg')")
     }),
     // WRITE-TIME EXPECTATIONS with row quarantine: the events batch split
     // by two rules — clean rows append to the target, violating rows land
@@ -2514,6 +2466,70 @@ object SparkEntry {
       out
     })
 
+  /** The committed multi-table-transaction catalog demo (fact + rollup,
+    * one completed txn, one TORN txn required invisible, one final txn) —
+    * shared by the API read (`table_txn_catalog`) and its SQL front-door
+    * twin (`table_txn_catalog_sql`). */
+  private def catalogDemo(s: SparkSession, d: String): (String,
+      graft.streaming.VersionedCommitter, graft.streaming.VersionedCommitter) =
+    demoFixture(s, d, "cat") {
+      val root = cachedTempDir("graft_cat_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val (cat, factP, aggP) = (s"$root/cat", s"$root/fact", s"$root/agg")
+      val cc = new graft.streaming.VersionedCommitter
+      val tc = new graft.streaming.VersionedCommitter
+      val e = fact(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"),
+        round(col("value") * 100).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(8L)).as("bucket"))
+      withPersisted(e) { state =>
+        val Array(lo, hi) = state.agg(min("ts_us"), max("ts_us")).head()
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = state.filter(col("ts_us") <= lo + (hi - lo) / 2)
+        def aggOf(f: DataFrame) = f.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
+          .withColumn("part", lit("all"))
+        def commitFact(f: DataFrame): Long = {
+          pipeline.Upsert.upsertPartitionsAtomic(s, f, factP, "bucket",
+            keys = Seq("event_id"), order = Seq("ts_us", "value_cents"),
+            committer = tc)
+          tc.versions(factP).last
+        }
+        def commitAgg(a: DataFrame): Long = {
+          pipeline.Upsert.replacePartitionsAtomic(s, a, aggP, "part",
+            Seq("all"), committer = tc)
+          tc.versions(aggP).last
+        }
+        val f1 = commitFact(half); val a1 = commitAgg(aggOf(half))
+        pipeline.Catalog.transaction(cat, cc, tc) { t =>
+          t.stage("fact", factP, f1); t.stage("agg", aggP, a1)
+        }
+        // batch 2 fully committed per-table, then TORN before the flip
+        val f2 = commitFact(state); val a2 = commitAgg(aggOf(state))
+        pipeline.Catalog.transaction(cat, cc, tc, crashBeforeCommit = true) { t =>
+          t.stage("fact", factP, f2); t.stage("agg", aggP, a2)
+        }
+        val tornN = pipeline.Catalog.readTable(s, cat, "agg", cc, tc)
+          .agg(sum("n_events")).head().getLong(0)
+        require(tornN == half.count(),
+          s"torn transaction leaked into the catalog snapshot: $tornN")
+        pipeline.Catalog.transaction(cat, cc, tc) { t =>
+          t.stage("fact", factP, f2); t.stage("agg", aggP, a2)
+        }
+      }
+      // cross-table consistency is a DEMO invariant: checked once at
+      // build (the fixture memo), not per measured read
+      val factRead = pipeline.Catalog.readTable(s, cat, "fact", cc, tc)
+      val aggRead0 = pipeline.Catalog.readTable(s, cat, "agg", cc, tc)
+        .select("user_id", "n_events", "sum_cents")
+      val recomputed = factRead.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"), sum("value_cents").as("sum_cents"))
+      require(aggRead0.exceptAll(recomputed).isEmpty &&
+        recomputed.exceptAll(aggRead0).isEmpty,
+        "catalog snapshot is not cross-table consistent")
+      (cat, cc, tc)
+    }
+
   private def versionedDemo(s: SparkSession, d: String): (String, graft.streaming.VersionedCommitter) =
     versionedDemoCache.computeIfAbsent((s, d), _ => {
       val out = cachedTempDir("graft_tt_")
@@ -3249,6 +3265,9 @@ object SparkEntry {
     // the transaction's final snapshot: per-user rollup of the full fact
     // (sum in integer cents — exact)
     "table_txn_catalog" ->
+      (FactCte + " SELECT user_id, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM fact GROUP BY user_id"),
+    // the SQL front door reads the identical pinned snapshot — same oracle
+    "table_txn_catalog_sql" ->
       (FactCte + " SELECT user_id, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents FROM fact GROUP BY user_id"),
     // the rewrite is content-preserving: read-back ≡ the fact with its
     // day column, whatever the physical layout

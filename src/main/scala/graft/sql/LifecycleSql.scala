@@ -292,6 +292,19 @@ object LifecycleSql {
     }
   }
 
+  /** SHOW CATALOG '<path>' — the committed name → (table path, pinned
+    * version) entries of a [[graft.pipeline.Catalog]] manifest: the
+    * multi-table-transaction front door's listing, metadata-only. */
+  case class ShowCatalogCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("name", StringType), attr("table_path", StringType),
+      attr("pinned_version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      graft.pipeline.Catalog.pins(path, committerFor(path)).toSeq
+        .sortBy(_._1)
+        .map { case (n, pin) => Row(n, pin.tablePath, pin.version) }
+  }
+
   /** SHOW CONSTRAINTS '<path>' — the committed CHECKs, name + SQL. */
   case class ShowConstraintsCommand(path: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
@@ -443,6 +456,7 @@ object LifecycleSql {
   private val Analyze = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s*;?\\s*".r
   private val ShowParts = s"(?i)\\s*SHOW\\s+PARTITIONS\\s+$P\\s*;?\\s*".r
   private val ShowChecks = s"(?i)\\s*SHOW\\s+CONSTRAINTS\\s+$P\\s*;?\\s*".r
+  private val ShowCat = s"(?i)\\s*SHOW\\s+CATALOG\\s+$P\\s*;?\\s*".r
   private val AnalyzeIncr = s"(?i)\\s*ANALYZE\\s+TABLE\\s+$P\\s+COMPUTE\\s+STATISTICS\\s+INCREMENTAL\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_,\\s]+?)\\s*;?\\s*".r
   // DML over path-addressed tables ((?s): predicates/sources may span lines)
   private val Delete = s"(?is)\\s*DELETE\\s+FROM\\s+$P\\s+WHERE\\s+(.+?)\\s*;?\\s*".r
@@ -607,6 +621,7 @@ object LifecycleSql {
     case Analyze(p)        => Some(AnalyzeTableCommand(p))
     case ShowParts(p)      => Some(ShowPartitionsCommand(p))
     case ShowChecks(p)     => Some(ShowConstraintsCommand(p))
+    case ShowCat(p)        => Some(ShowCatalogCommand(p))
     case Delete(p, pred)   => Some(DeleteWhereCommand(p, pred))
     case Update(p, rest) =>
       // the statement's own WHERE is the first TOP-LEVEL one; a subquery
@@ -716,6 +731,8 @@ object LifecycleSql {
          catch { case _: IllegalArgumentException => false }))
   private val ChangesRel =
     "(?is)changes\\s*\\(\\s*'([^'\\n]+)'\\s*,\\s*(\\d+)\\s*,\\s*(\\d+)\\s*(?:,\\s*'([^']*)'\\s*)?\\)".r
+  private val CatalogRel =
+    "(?is)catalog\\s*\\(\\s*'([^'\\n]+)'\\s*,\\s*'([^'\\n]+)'\\s*(?:,\\s*(\\d+)\\s*)?\\)".r
 
   /** Read-side statement surface: `SELECT … FROM '<path>' [VERSION AS OF
     * <n> | TIMESTAMP AS OF <epoch-ms>] …` — quoted-path relation
@@ -804,6 +821,20 @@ object LifecycleSql {
           prevWord = view; prevSig = view.last
           i = k + m.end
         } else if (!inFunctionArgs && (w == "from" || w == "join") &&
+            CatalogRel.findPrefixMatchOf(sqlText.substring(k)).isDefined) {
+          // CATALOG('<catalogPath>', '<name>' [, <catalogVersion>]): the
+          // multi-table-transaction catalog as a SQL front door — the
+          // name resolves to its PINNED (table path, version); the third
+          // argument reads the pins AS OF an earlier catalog version
+          // (cross-table time travel)
+          val m = CatalogRel.findPrefixMatchOf(sqlText.substring(k)).get
+          val view = registerCatalogView(m.group(1), m.group(2),
+            Option(m.group(3)).map(_.toLong))
+          out.append(sqlText.substring(i, j)).append(' ').append(view)
+          rewrote = true
+          prevWord = view; prevSig = view.last
+          i = k + m.end
+        } else if (!inFunctionArgs && (w == "from" || w == "join") &&
             quotedLiteral.exists(raw => isTablePathLiteral(unescape(raw)))) {
           val path = quotedLiteral.get // raw: length positions the close quote
           val close = k + 1 + path.length
@@ -870,6 +901,35 @@ object LifecycleSql {
     * the same reference in one statement — or across statements — shares
     * one view; re-registration is how an un-pinned view tracks commits.
     */
+  /** The catalog-name read behind the `CATALOG(…)` relation: resolve the
+    * name to its pinned (table path, version) — current pins, or the pins
+    * as of `catalogVersion` — and read the table AS OF that pin with full
+    * manifest-table semantics. The view re-registers on every parse, so
+    * an unpinned reference always reflects the latest catalog flip.
+    */
+  private def registerCatalogView(catalogPath: String, name: String,
+                                  catalogVersion: Option[Long]): String = {
+    val spark = SparkSession.active
+    val cc = committerFor(catalogPath)
+    val entries = (catalogVersion match {
+      case Some(v) => cc.readManifestAsOf(catalogPath, v)
+      case None    => cc.readManifest(catalogPath)
+    }).filterNot(_._1.startsWith("__"))
+    val pinned = entries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no table '$name' in catalog $catalogPath" +
+          catalogVersion.fold("")(v => s" at version $v") +
+          s" (tables: ${entries.keys.toSeq.sorted.mkString(",")})"))
+    val Array(p, ver) = pinned.split("\t", 2)
+    val df = Upsert.readTableAsOf(spark, p, ver.toLong, committerFor(p))
+    val viewName = "graft_cat_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$catalogPath/$name@${catalogVersion.getOrElse(-1L)}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    df.createOrReplaceTempView(viewName)
+    viewName
+  }
+
   private def registerPathView(path: String, suffix: String): String = {
     val spark = SparkSession.active
     val c = committerFor(path)

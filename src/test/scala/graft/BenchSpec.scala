@@ -41,6 +41,36 @@ class BenchSpec extends AnyFunSuite {
       "the calibration ratio absorbs uniform slowness")
   }
 
+  test("BENCH_PINS.json parses: pins, calibration, round") {
+    val pinsJson =
+      """{
+        |"round": 18,
+        |"calibration_sec": 0.592,
+        |"source": "BENCH_DETAIL.json",
+        |"pins": {
+        |"q1_agg": 1.3,
+        |"recs_lift": 2.8
+        |}
+        |}""".stripMargin
+    val (pins, calib, round) = Bench.parsePins(pinsJson)
+    assert(pins == Map("q1_agg" -> 1.3, "recs_lift" -> 2.8))
+    assert(calib.contains(0.592))
+    assert(round.contains(18))
+  }
+
+  test("the committed BENCH_PINS.json resolves and parses as a full-suite reference") {
+    // the r18 failure mode: the driver forked the bench with a cwd where a
+    // RELATIVE lookup found nothing, the sweep no-opped invisibly. The
+    // resolver walks cwd's parents and falls back to the canonical
+    // checkout path, so a foreign cwd can no longer lose the reference.
+    val fromHere = Bench.resolveReference("BENCH_PINS.json", "NO_SUCH_ENV")
+    assert(fromHere.isDefined, "pins file must resolve from the repo root")
+    val (pins, calib, round) = Bench.parsePins(
+      new String(java.nio.file.Files.readAllBytes(fromHere.get), "UTF-8"))
+    assert(pins.size >= 200 && calib.isDefined && round.isDefined,
+      s"committed pins must cover the suite; got ${pins.size}")
+  }
+
   test("new queries (no reference) and sub-noise references are never retried; cap bounds the sweep") {
     val ref = Map("old" -> 1.0, "tiny" -> 0.1)
     val measured = Map("old" -> 1.1, "tiny" -> 5.0, "brand_new" -> 60.0)

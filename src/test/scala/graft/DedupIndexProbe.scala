@@ -14,7 +14,9 @@ import graft.operators.{DedupApprox, DedupIndex}
   * candidate generator is itself exact since the frozen-order prefix
   * index, so the sets must be equal, not probabilistically close).
   *
-  * Run: `sbt "Test/runMain graft.DedupIndexProbe [nDocs]"`.
+  * Run: `sbt "Test/runMain graft.DedupIndexProbe [nDocs] [deltaMod]
+  * [shBuckets] [docBuckets]"` — bucket pins of 0 (default) take the
+  * index's own √(postings) auto-sizing.
   */
 object DedupIndexProbe {
   private def mix(z0: Long): Long = {
@@ -66,10 +68,14 @@ object DedupIndexProbe {
       out
     }
 
+    val shB = args.drop(2).headOption.map(_.toInt).getOrElse(0)
+    val docB = args.drop(3).headOption.map(_.toInt).getOrElse(0)
     val idx = java.nio.file.Files.createTempDirectory("dedupidxprobe").toString
     timed("buildIndex (one-time, corpus)") {
-      DedupIndex.buildIndex(corpus, idx)
+      DedupIndex.buildIndex(corpus, idx, shB, docB)
     }
+    println(s"[dedupidx] layout: " + spark.read.parquet(s"$idx/meta")
+      .select("n_postings", "sh_buckets", "doc_buckets").head())
     val probed = timed("probeDelta (per batch)") {
       val p = DedupIndex.probeDelta(spark, idx, delta, 0.8)
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

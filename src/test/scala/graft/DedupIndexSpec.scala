@@ -116,6 +116,36 @@ class DedupIndexSpec extends AnyFunSuite {
       "pairs not touching batch 2 are not the probe's business")
   }
 
+  test("bucket counts self-describe in meta, appends inherit them, probes stay exact") {
+    val idx = Files.createTempDirectory("graft-lshidx").toString
+    // pinned counts (a tiny corpus would clamp to MinBuckets otherwise)
+    DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx,
+      shingleBuckets = 64, docBuckets = 32)
+    val meta = spark.read.parquet(s"$idx/meta")
+      .select("sh_buckets", "doc_buckets", "n_postings").head()
+    assert(meta.getLong(0) == 64L && meta.getLong(1) == 32L)
+    assert(meta.getLong(2) > 0L)
+    // append + probe inherit the committed layout from meta, not a
+    // compiled-in constant — the whole-corpus equality must still hold
+    DedupIndex.appendToIndex(deltaDocs.toDF("doc_id", "text"), idx)
+    val batch2 = Seq(
+      (201L, "a duplicated delta document that repeats its phrasing almost word for word"),
+      (202L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    val got = pairsOf(DedupIndex.probeDelta(spark, idx,
+      batch2.toDF("doc_id", "text"), 0.6))
+    val all = pairsOf(DedupApprox.jaccardJoin(
+      (corpusDocs ++ deltaDocs ++ batch2).toDF("doc_id", "text"), 0.6))
+    val b2 = batch2.map(_._1).toSet
+    assert(got == all.filter { case (a, b) => b2.contains(a) || b2.contains(b) })
+    // default sizing: a tiny corpus clamps to MinBuckets
+    val idx2 = Files.createTempDirectory("graft-lshidx").toString
+    DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx2)
+    val meta2 = spark.read.parquet(s"$idx2/meta")
+      .select("sh_buckets", "doc_buckets").head()
+    assert(meta2.getLong(0) == DedupIndex.MinBuckets.toLong &&
+      meta2.getLong(1) == DedupIndex.MinBuckets.toLong)
+  }
+
   test("an empty delta probes to an empty result") {
     val idx = Files.createTempDirectory("graft-lshidx").toString
     DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx)

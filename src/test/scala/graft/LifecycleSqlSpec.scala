@@ -54,6 +54,46 @@ class LifecycleSqlSpec extends AnyFunSuite {
     assert(c.versions(path) == Seq(4L))
   }
 
+  test("CATALOG() resolves names to pinned versions, AT-version time-travels, SHOW CATALOG lists pins") {
+    val root = Files.createTempDirectory("graft-lsql-cat").toString
+    val (cat, tblPath) = (s"$root/cat", s"$root/t")
+    val cc = new VersionedCommitter
+    val tc = new VersionedCommitter
+    def upsert(t: (String, Long, Long)*): Long = {
+      Upsert.upsertPartitionsAtomic(spark, t.toDF("day", "id", "version"),
+        tblPath, "day", keys = Seq("id"), order = Seq("version"), committer = tc)
+      tc.versions(tblPath).last
+    }
+    val v1 = upsert(("d1", 1L, 100L), ("d2", 2L, 100L))
+    val catV1 = graft.pipeline.Catalog.register(cat, "users", tblPath, v1, cc, tc)
+    val v2 = upsert(("d1", 1L, 101L), ("d1", 3L, 100L))
+    graft.pipeline.Catalog.register(cat, "users", tblPath, v2, cc, tc)
+
+    // current pins: the name reads table-v2
+    assert(spark.sql(s"SELECT id, version FROM CATALOG('$cat', 'users')")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 101L), (2L, 100L), (3L, 100L)))
+    // cross-table time travel: pins as of the FIRST catalog version
+    assert(spark.sql(
+        s"SELECT id, version FROM CATALOG('$cat', 'users', $catV1)")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 100L), (2L, 100L)))
+    // unknown names refuse loudly, listing what exists
+    val err = intercept[IllegalArgumentException] {
+      spark.sql(s"SELECT * FROM CATALOG('$cat', 'nope')")
+    }
+    assert(err.getMessage.contains("users"))
+    // SHOW CATALOG lists the committed pins
+    val pins = spark.sql(s"SHOW CATALOG '$cat'")
+      .as[(String, String, Long)].collect().toSeq
+    assert(pins == Seq(("users", tblPath, v2)))
+    // composes with ordinary SQL (join against a path read)
+    val joined = spark.sql(
+      s"SELECT a.id FROM CATALOG('$cat', 'users') a " +
+        s"JOIN '$tblPath' b ON a.id = b.id WHERE a.version = 100")
+    assert(joined.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("DESCRIBE DETAIL summarizes version/layout/rows; MoR suppresses the count") {
     val (path, c) = freshTable()
     val d = spark.sql(s"DESCRIBE DETAIL '$path'")

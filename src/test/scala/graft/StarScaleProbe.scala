@@ -30,11 +30,17 @@ import graft.operators.{Components, Dedup}
   * partition counts unchanged), stage 3 near-linear BY CONSTRUCTION of
   * the corpus (see above). Results pinned in BASELINE.md.
   *
-  * Run: `sbt "Test/runMain graft.StarScaleProbe [copies]"` (default 10).
+  * Run: `sbt "Test/runMain graft.StarScaleProbe [copies] [stages]"`
+  * (default 10, all stages). `stages` is a comma list of
+  * `dedup,star,clusters,curation,lm` — the 30× spot check runs just the
+  * two linear-by-construction stages (`curation,lm`) whose 100-TB claims
+  * the extra point strengthens, without paying for the rest at 3M rows.
   */
 object StarScaleProbe {
   def main(args: Array[String]): Unit = {
     val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val stages = args.drop(1).headOption.map(_.split(',').toSet)
+    def enabled(name: String): Boolean = stages.forall(_.contains(name))
     val spark = TestSpark.spark
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
@@ -75,11 +81,11 @@ object StarScaleProbe {
     println(s"[probe] inputs: $nEvents events, $nDocs documents (copies=$copies)")
 
     // stage 1: keep-latest dedup of the scaled events
-    val deduped = timed("fact_dedup") {
+    val deduped = if (!enabled("dedup")) -1L else timed("fact_dedup") {
       Dedup.latestEvents(graft.sources.Tables.events(spark, dir)).count()
     }
     // stage 2: the full pipeline to disk + the pruned trailing-week read
-    val week = timed("pipeline_star_disk") {
+    val week = if (!enabled("star")) -1L else timed("pipeline_star_disk") {
       val out = s"$root/star"
       graft.pipeline.Pipeline.run(spark, dir, out)
       val dayFmt = java.time.format.DateTimeFormatter.BASIC_ISO_DATE
@@ -92,7 +98,7 @@ object StarScaleProbe {
         .filter(col("date_key") >= cutoff).count()
     }
     // stage 3: near-dup clusters over the scaled corpus
-    val clusters = timed("dedup_clusters") {
+    val clusters = if (!enabled("clusters")) -1L else timed("dedup_clusters") {
       Components.dedupClusters(
         spark.read.parquet(s"$dir/documents.parquet"), 0.7).count()
     }
@@ -100,7 +106,7 @@ object StarScaleProbe {
     // prefix-filtered Jaccard prune → quality gate → enrichment) — the
     // curation_disk flagship at Nx. Near-dup volume is linear by the
     // corpus construction, so the stage should scale like dedup_clusters.
-    val curated = timed("curation_disk") {
+    val curated = if (!enabled("curation")) -1L else timed("curation_disk") {
       graft.pipeline.Curation.run(spark, dir, s"$root/curation")
       spark.read.parquet(s"$root/curation/curated_documents").count()
     }
@@ -109,7 +115,7 @@ object StarScaleProbe {
     // vocab-bounded broadcast sides, so cost should track the corpus
     // token volume linearly (LmProbe pins flat per-doc cost; this pins
     // the 10× wall-clock).
-    val scored = timed("doc_lm_perplexity") {
+    val scored = if (!enabled("lm")) -1L else timed("doc_lm_perplexity") {
       val docs = graft.sources.Tables.documents(spark, dir)
       graft.operators.TextOps.lmPerplexity(
         graft.operators.TextOps.deterministicSample(docs, "doc_id", "8000"),

@@ -988,6 +988,43 @@ object SparkEntry {
       seedCurated.select(cols.map(col): _*)
         .unionByName(admitted.select(cols.map(col): _*))
     }),
+    // CONTINUOUS CURATION: the admission loop as a Structured-Streaming
+    // pipeline — three monotone-id file micro-batches drain through
+    // foreachBatch { admitBatch + index/exact extension } with the
+    // batch-id ledger; seed curation ∪ the drained admissions must
+    // reproduce whole-corpus curation bit for bit (the SAME CurationSql
+    // oracle as curation_disk / curation_incremental)
+    "stream_curation" -> ((s, d) => {
+      val docs = Tables.documents(prep(s), d)
+      def seedExactOf(seed: DataFrame) = seed.join(
+        Dedup.exactByContent(seed, "text", "doc_id")
+          .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      val (split, root) = demoFixture(s, d, "stream_cur") {
+        val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
+        val idx = cachedTempDir("graft_scuridx_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+        val root = cachedTempDir("graft_scur_")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val seed = docs.filter(col("doc_id") < split)
+        val seedExact = seedExactOf(seed)
+        DedupIndex.buildIndex(seedExact, idx)
+        seedExact.write.mode("overwrite").parquet(s"$root/exact")
+        val stage = s"$root/in"
+        streaming.StreamCuration.stageMonotoneBatches(s,
+          docs.filter(col("doc_id") >= split), stage, 3)
+        streaming.StreamCuration.maintainCuration(s,
+          streaming.StreamOracle.fileStream(s, stage,
+            maxFilesPerTrigger = Some(1)),
+          idx, root, s"$root/_ckpt").awaitTermination()
+        (split, root)
+      }
+      val (seedCurated, _, _) = pipeline.Curation.curateStaged(
+        docs.filter(col("doc_id") < split), collectStats = false)
+      val cols = Seq("doc_id", "quality_score", "predicted_lang", "n_tokens")
+      seedCurated.select(cols.map(col): _*)
+        .unionByName(s.read.parquet(s"$root/curated")
+          .select(cols.map(col): _*))
+    }),
     // honest build cost by design (the pipeline_star_disk convention):
     // every invocation runs the whole pipeline to disk — NOT a memoized
     // fixture — so the bench measures curation, not a parquet read
@@ -1092,6 +1129,32 @@ object SparkEntry {
     "tok_idf" -> ((s, d) => TextOps.tokenIdf(Tables.documents(prep(s), d), 5L)),
     "retrieval_bm25" -> ((s, d) =>
       Retrieval.bm25TopK(Tables.documents(prep(s), d), Retrieval.DefaultQueries, 10)),
+    // HYBRID retrieval: BM25 top-10 fused with brute-cosine top-10 by
+    // reciprocal-rank fusion (half-up integer 1e6/(60+rk) terms — both
+    // engines replay the small-integer division bit-for-bit); the fusion
+    // is O(queries x depth) regardless of corpus size, and the persisted
+    // BM25/IVF indexes drop in as the retriever sides unchanged
+    "retrieval_hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrfTopK(Tables.documents(prep(s), d),
+        Tables.embeddings(prep(s), d), Retrieval.DefaultQueries, 10)),
+    // the drop-in claim made executable: the lexical side swaps to the
+    // PERSISTED grown index probe (bm25TopKFromIndex - bit-identical to
+    // in-memory BM25), the fusion is untouched - same oracle
+    "retrieval_hybrid_indexed" -> ((s, d) => {
+      val idx = demoFixture(prep(s), d, "bm25_inc") {
+        val out = cachedTempDir("graft_bm25idx_")
+        val all = Tables.documents(s, d)
+        Retrieval.buildTextIndex(all.filter(col("doc_id") % 2 === 0), out)
+        Retrieval.appendToTextIndex(all.filter(col("doc_id") % 2 === 1), out)
+        out
+      }
+      Retrieval.rrfFuse(
+        Retrieval.bm25TopKFromIndex(s, idx, Retrieval.DefaultQueries, 10),
+        graft.operators.Ann.bruteTopK(Tables.embeddings(prep(s), d),
+          Retrieval.DefaultQueries.size, 10)
+          .withColumnRenamed("vec_id", "doc_id"),
+        10)
+    }),
     // INCREMENTAL lexical index: even doc_ids built into the persisted
     // bucket-partitioned index, odd doc_ids ADMITTED as the arriving
     // batch (appendToTextIndex, O(batch)) — the probe must answer
@@ -2785,7 +2848,7 @@ object SparkEntry {
     * full Okapi formula replayed over the whole corpus in DuckDB,
     * micro-unit integer scores, top-10 per query.
     */
-  private lazy val RetrievalBm25Sql =
+  private lazy val RetrievalBm25Ctes =
     "WITH q(q_id, qtext) AS (VALUES (0, 'spark join hash'), (1, 'customer order merge'), (2, 'slow scan filter vector')), " +
       "qt AS (SELECT DISTINCT q_id, token FROM (SELECT CAST(q_id AS BIGINT) AS q_id, unnest(string_split(qtext, ' ')) AS token FROM q)), " +
       "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), " +
@@ -2794,8 +2857,22 @@ object SparkEntry {
       "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), " +
       "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
       "terms AS (SELECT qt.q_id, tf.doc_id, CAST(round(ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) * 1000000.0) AS BIGINT) AS term_micro FROM tf JOIN qt USING (token) JOIN df USING (token) JOIN dl USING (doc_id), st), " +
-      "sc AS (SELECT q_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM terms GROUP BY 1, 2) " +
-      "SELECT q_id, doc_id, score_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, score_micro, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10"
+      "sc AS (SELECT q_id, doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro FROM terms GROUP BY 1, 2)"
+
+  private lazy val RetrievalBm25Sql = RetrievalBm25Ctes +
+    " SELECT q_id, doc_id, score_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, score_micro, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10"
+
+  /** DuckDB replay of the RRF hybrid: the BM25 CTEs' top-10, the brute
+    * cosine top-10 (vec_id read as doc_id), unioned rank terms scored by
+    * the half-up integer 1e6/(60+rk), ranked by (rrf desc, doc_id). */
+  private lazy val RetrievalHybridRrfSql = RetrievalBm25Ctes +
+    ", bm AS (SELECT q_id, doc_id, rk FROM (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10)" +
+    ", e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), qe AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3)" +
+    ", cs AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q_emb, q_emb)), 0), 6) AS cos FROM e CROSS JOIN qe WHERE e.vec_id <> qe.q_id)" +
+    ", co AS (SELECT q_id, vec_id AS doc_id, rk FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM cs) WHERE rk <= 10)" +
+    ", u AS (SELECT q_id, doc_id, rk FROM bm UNION ALL SELECT q_id, doc_id, rk FROM co)" +
+    ", f AS (SELECT q_id, doc_id, CAST(sum(" + fxDivSql("1000000", "60 + rk") + ") AS BIGINT) AS rrf_micro FROM u GROUP BY 1, 2) " +
+    "SELECT q_id, doc_id, rrf_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, rrf_micro, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rk FROM f) WHERE rk <= 10"
 
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
   private val FactCte =
@@ -3454,6 +3531,8 @@ object SparkEntry {
     // the incremental admission must reproduce the whole-corpus curation
     // bit for bit — the SAME val, so the twins can never drift
     "curation_incremental" -> CurationSql,
+    // the streaming admission shares it too — stream ≡ batch ≡ increment
+    "stream_curation" -> CurationSql,
     // the bigram LM replayed: same md5 train split, same add-one
     // conditional, the one ln() rounded to integer micro-nats per bigram
     // occurrence BEFORE any sum (the retrieval_bm25 precedent), then
@@ -3544,6 +3623,10 @@ object SparkEntry {
     // below is written with the SAME literals and association as the Spark
     // side so each term's double value is bit-identical
     "retrieval_bm25" -> RetrievalBm25Sql,
+    "retrieval_hybrid_rrf" -> RetrievalHybridRrfSql,
+    // the indexed twin is bit-identical (index probe == in-memory BM25,
+    // identical fusion) - same oracle
+    "retrieval_hybrid_indexed" -> RetrievalHybridRrfSql,
     // the grown (build + admit) index must answer exactly like BM25 over
     // the full corpus — same val as retrieval_bm25
     "retrieval_bm25_incremental" -> RetrievalBm25Sql,

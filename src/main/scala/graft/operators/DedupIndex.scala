@@ -178,7 +178,9 @@ object DedupIndex {
                  threshold: Double): DataFrame = {
     require(threshold >= IndexThreshold,
       s"index prefixes are sized for thresholds >= $IndexThreshold; got $threshold")
-    val (_, docB) = layout(spark, indexPath)
+    // the 1-row meta read happens ONCE per probe and threads through the
+    // stage helpers (each also reads it standalone for the test seams)
+    val (shB, docB) = layout(spark, indexPath)
     // checkpointed: consumed by the frozen-order prefix computation AND
     // both refine sides
     val deltaInv = DedupApprox.shingleIndex(delta).localCheckpoint(true)
@@ -187,9 +189,10 @@ object DedupIndex {
     // THIS stage's plan, asserted via the candidateStage seam in
     // DedupIndexSpec)
     val deltaPrefix =
-      deltaPrefixOfInv(spark, indexPath, deltaInv).localCheckpoint(true)
-    val candidates = candidateStage(spark, indexPath, deltaPrefix, threshold)
-      .localCheckpoint(true)
+      deltaPrefixOfInv(spark, indexPath, deltaInv, shB).localCheckpoint(true)
+    val candidates =
+      candidateStageOf(spark, indexPath, deltaPrefix, threshold, shB)
+        .localCheckpoint(true)
 
     // refine postings: delta fresh, corpus bucket-pruned to candidate docs
     // (the refine's own equi-join selects the exact docs within buckets)
@@ -240,8 +243,7 @@ object DedupIndex {
     * ≤ sh_buckets bucket ids, O(model)).
     */
   private def deltaPrefixOfInv(spark: SparkSession, indexPath: String,
-                               deltaInv: DataFrame): DataFrame = {
-    val (shB, _) = layout(spark, indexPath)
+                               deltaInv: DataFrame, shB: Long): DataFrame = {
     val deltaShBuckets = deltaInv
       .select(shBucket(shB).as("b")).distinct()
       .collect().map(_.getLong(0)) // ≤ sh_buckets values
@@ -255,7 +257,8 @@ object DedupIndex {
     * pruned-read plan assertions. */
   private[graft] def deltaPrefixStage(spark: SparkSession, indexPath: String,
                                       delta: DataFrame): DataFrame =
-    deltaPrefixOfInv(spark, indexPath, DedupApprox.shingleIndex(delta))
+    deltaPrefixOfInv(spark, indexPath, DedupApprox.shingleIndex(delta),
+      layout(spark, indexPath)._1)
 
   /** Candidate generation against the prefix index: the corpus side is
     * read with a `sh_bucket` partition filter resolved from the delta's
@@ -265,8 +268,13 @@ object DedupIndex {
     */
   private[graft] def candidateStage(spark: SparkSession, indexPath: String,
                                     deltaPrefix: DataFrame,
-                                    threshold: Double): DataFrame = {
-    val (shB, _) = layout(spark, indexPath)
+                                    threshold: Double): DataFrame =
+    candidateStageOf(spark, indexPath, deltaPrefix, threshold,
+      layout(spark, indexPath)._1)
+
+  private def candidateStageOf(spark: SparkSession, indexPath: String,
+                               deltaPrefix: DataFrame,
+                               threshold: Double, shB: Long): DataFrame = {
     val probedShBuckets = deltaPrefix
       .select(shBucket(shB).as("b")).distinct()
       .collect().map(_.getLong(0)) // ≤ sh_buckets values

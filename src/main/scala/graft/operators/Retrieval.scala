@@ -132,6 +132,64 @@ object Retrieval {
         (col("pos") + 1).cast("int").as("rk"))
   }
 
+  /** RECIPROCAL-RANK FUSION of two ranked lists — the standard hybrid-
+    * retrieval combiner (Cormack et al. SIGIR'09; every lexical+vector
+    * "hybrid search" engine ships it): each list contributes
+    * 1/(k₀ + rank) per item and the fused ranking orders by the sum.
+    * Rank-based, so the two systems' incommensurable scores (BM25 micros
+    * vs cosine) never need calibrating — exactly why RRF is the default
+    * fusion. Scored in exact integer MICRO units via the half-up
+    * [[graft.functions.FxMath.roundedDiv]] (1e6/(k₀+rk) for rk ≤ depth —
+    * a small-integer division both engines replay bit-for-bit), ties by
+    * doc_id.
+    *
+    * Inputs are `(q_id, doc_id, rk)` frames (any extra columns ignored);
+    * output `(q_id, doc_id, rrf_micro, rk)`. Scale shape: the inputs are
+    * ALREADY k-bounded per query (top-k lists), so the fusion is a
+    * union + one map-side-combining sum + the bounded
+    * [[graft.functions.TopKByScore]] ranking over ≤ 2·depth rows per
+    * query — O(queries · depth), independent of corpus size; the corpus-
+    * scale work lives in the upstream retrievers (persisted BM25 index,
+    * IVF index), which this composes without modification.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val terms = a.select(col("q_id"), col("doc_id"), col("rk"))
+      .unionByName(b.select(col("q_id"), col("doc_id"), col("rk")))
+      .select(col("q_id"), col("doc_id"),
+        graft.functions.FxMath.roundedDiv(
+          lit(1000000L), lit(k0.toLong) + col("rk")).as("t"))
+    terms.groupBy("q_id", "doc_id").agg(sum(col("t")).as("rrf_micro"))
+      .select(col("q_id"), col("doc_id"),
+        col("rrf_micro").cast("double").as("s"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.TopKByScore(k).toColumn.name("topk"))
+      .toDF("q_id", "topk")
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("doc_id"),
+        col("e.score").cast("long").as("rrf_micro"),
+        (col("pos") + 1).cast("int").as("rk"))
+  }
+
+  /** Hybrid lexical+semantic retrieval: BM25 over `documents` fused with
+    * brute-cosine over `embeddings` (query embedding = the q_id-th
+    * corpus vector, item space = vec_id read as doc_id) by [[rrfFuse]].
+    * `depth` rows per system feed the fusion, final top-`k` emitted. The
+    * production swap-ins are drop-in: [[bm25TopKFromIndex]] for the
+    * lexical side, [[Ann.ivfTopKWithCentroids]] for the semantic side —
+    * both emit the same `(q_id, id, score, rk)` shape the fusion reads.
+    */
+  def hybridRrfTopK(documents: DataFrame, embeddings: DataFrame,
+                    queries: Seq[(Long, String)], k: Int,
+                    depth: Int = 10): DataFrame =
+    rrfFuse(
+      bm25TopK(documents, queries, depth),
+      Ann.bruteTopK(embeddings, queries.size, depth)
+        .withColumnRenamed("vec_id", "doc_id"),
+      k)
+
   /** Token → index bucket: the partition key of the persisted postings.
     * xxhash64 is a deterministic Spark built-in, so the probe side can
     * recompute bucket ids for its query tokens and prune to them.

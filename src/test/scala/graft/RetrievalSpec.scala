@@ -142,4 +142,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.map(_._3).toSeq == (1 to out.length))
     assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
   }
+
+  test("RRF fusion: overlap sums both rank terms, order is by the exact integer sum, output k-bounded") {
+    // planted ranked lists: doc 5 is rank 2 lexically AND rank 1
+    // semantically — its two terms must beat doc 9's single rank-1 term
+    val bm = Seq((0L, 9L, 1), (0L, 5L, 2), (0L, 7L, 3))
+      .toDF("q_id", "doc_id", "rk")
+    val co = Seq((0L, 5L, 1), (0L, 3L, 2))
+      .toDF("q_id", "doc_id", "rk")
+    val fused = Retrieval.rrfFuse(bm, co, k = 3)
+      .orderBy("rk")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    def t(rk: Int): Long = { // half-up 1e6/(60+rk), the operator contract
+      val den = 60L + rk; (2 * 1000000L + den) / (2 * den)
+    }
+    assert(fused == Seq(
+      (0L, 5L, t(2) + t(1), 1), // both lists
+      (0L, 9L, t(1), 2),        // lexical only
+      (0L, 3L, t(2), 3)))       // semantic only; doc 7 (t(3)) cut by k=3
+    // ties in the fused score break by doc_id ascending
+    val tied = Retrieval.rrfFuse(
+      Seq((1L, 8L, 1)).toDF("q_id", "doc_id", "rk"),
+      Seq((1L, 4L, 1)).toDF("q_id", "doc_id", "rk"), k = 2)
+      .orderBy("rk").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(tied == Seq((1L, 4L, t(1), 1), (1L, 8L, t(1), 2)))
+  }
 }

@@ -128,7 +128,11 @@ object PlanDump {
       // (warm rounds over the committed exchange-free edge scan; the
       // dumped plan is the returned frame — per-round join plans are
       // asserted in GraphSpec)
-      "table_txn_catalog_sql", "graph_pagerank_warm_bucketed")
+      "table_txn_catalog_sql", "graph_pagerank_warm_bucketed",
+      // the RRF hybrid: two k-bounded retriever subtrees feeding a
+      // union + one map-side-combining sum + the bounded top-k aggregate
+      // — the fusion adds no corpus-scale operator of its own
+      "retrieval_hybrid_rrf")
     val sb = new StringBuilder
     sb ++= "# PLANS — FINAL physical plans of the headline queries (sf0.1)\n\n"
     sb ++= "Generated by `graft.PlanDump` at HEAD. Every query is executed and its\n"

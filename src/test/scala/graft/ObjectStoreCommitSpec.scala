@@ -178,6 +178,32 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(!TableFs.list(dir).exists(_.getPath.getName.startsWith("MANIFEST.tmp-")))
   }
 
+  test("staging GC honors the concurrent-writer grace window on the object store") {
+    init()
+    val path = nafDir("graft-naf-gc")
+    val c = new ConditionalPutCommitter
+    c.readManifest(path)
+    c.commit(path, Map("p" -> "batch-a/data"))
+    TableFs.writeString(s"$path/batch-a/data/f.parquet", "live")
+    // another writer's IN-FLIGHT staging: unreferenced by design until
+    // its commit flips — exactly what gcGraceMs exists to protect
+    TableFs.writeString(s"$path/batch-b/data/g.parquet", "in-flight")
+    val live = graft.streaming.SnapshotGc.dataRefs(c.readManifest(path)) ++
+      c.retainedReferences(path)
+    graft.streaming.SnapshotGc.gcUnreferenced(path, live, c.gcGraceMs)
+    assert(TableFs.exists(s"$path/batch-b/data/g.parquet"),
+      "a fresh unreferenced staging is inside the grace window")
+    assert(TableFs.exists(s"$path/batch-a/data/f.parquet"))
+    // aged past the window (a crashed writer's leftover) it collects
+    TableFs.localFile(s"$path/batch-b")
+      .setLastModified(System.currentTimeMillis() - c.gcGraceMs - 60000L)
+    graft.streaming.SnapshotGc.gcUnreferenced(path, live, c.gcGraceMs)
+    assert(!TableFs.exists(s"$path/batch-b"),
+      "an aged unreferenced staging must collect")
+    assert(TableFs.exists(s"$path/batch-a/data/f.parquet"),
+      "referenced data never collects")
+  }
+
   test("catalog transactions ride the conditional-put CAS on the object store: loser conflicts, retries clean") {
     init()
     import spark.implicits._

@@ -167,4 +167,27 @@ class RetrievalSpec extends AnyFunSuite {
       .orderBy("rk").as[(Long, Long, Long, Int)].collect().toSeq
     assert(tied == Seq((1L, 4L, t(1), 1), (1L, 8L, t(1), 2)))
   }
+
+  test("IVF semantic side drops into the fusion with bounded recall loss vs the exact hybrid") {
+    // the scale composition: the semantic retriever swaps brute cosine
+    // for the committed IVF index probe (approximate, recall-gated —
+    // which is why this twin is a spec gate, not an oracle row)
+    val spark2 = spark
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.embeddings(spark2, dir)
+    val docs = graft.sources.Tables.documents(spark2, dir)
+    val exact = Retrieval.hybridRrfTopK(docs, emb, Retrieval.DefaultQueries, 10)
+      .select("q_id", "doc_id").as[(Long, Long)].collect().toSet
+    val cents = graft.operators.Ann.loadCentroids(spark2,
+      "/root/repo/fixtures/annidx")
+    val approx = Retrieval.rrfFuse(
+      Retrieval.bm25TopK(docs, Retrieval.DefaultQueries, 10),
+      graft.operators.Ann.ivfTopKWithCentroids(emb, cents,
+        Retrieval.DefaultQueries.size, 10)
+        .withColumnRenamed("vec_id", "doc_id"),
+      10).select("q_id", "doc_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      f"hybrid recall with the IVF side fell to $recall%.2f vs the exact fusion")
+  }
 }

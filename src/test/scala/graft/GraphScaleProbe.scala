@@ -32,9 +32,14 @@ object GraphScaleProbe {
         .localCheckpoint(true)
     }
 
+    // section filter (comma list of cold,warm,bucketed,warmbkt) so a
+    // targeted re-measure does not pay for the whole sweep
+    val sections = sys.env.get("GRAPH_PROBE_SECTIONS").map(_.split(',').toSet)
+    def enabled(name: String): Boolean = sections.forall(_.contains(name))
+
     val sizes = sys.env.getOrElse("GRAPH_PROBE_SIZES", "2000000,20000000")
       .split(",").toSeq.map(_.trim.toLong)
-    for (e <- sizes) {
+    for (e <- sizes if enabled("cold")) {
       val g = graph(e)
       val ne = g.count()
       for (iters <- Seq(5, 10); pass <- 1 to 2) {
@@ -50,7 +55,7 @@ object GraphScaleProbe {
     // edge delta, and compare the rounds (= full E⋈V passes) a cold rerun
     // needs against the warm restart from the committed ranks, at the same
     // residual tolerance
-    {
+    if (enabled("warm")) {
       val e = 2000000L
       val g = graph(e)
       val noWarm = spark.range(0).selectExpr("id AS node", "id AS rank")
@@ -74,7 +79,7 @@ object GraphScaleProbe {
     // edge table (E-side exchange-free joins) vs the plain checkpointed
     // path — the graph_pagerank_bucketed claim. Build cost is reported
     // separately (it amortizes over every later re-rank).
-    {
+    if (enabled("bucketed")) {
       val e = sys.env.getOrElse("GRAPH_PROBE_BUCKETED_E", "20000000").toLong
       val g = graph(e)
       val dir = java.nio.file.Files.createTempDirectory("graft-prbkt").toString
@@ -96,6 +101,54 @@ object GraphScaleProbe {
           f"plain=$plain%.2f s bucketed=$bkt%.2f s (per-round " +
           f"${plain / 10}%.2f vs ${bkt / 10}%.2f)")
       }
+    }
+    // warm × bucketed COMPOUNDING (r19, the graph_pagerank_warm_bucketed
+    // claim): absorb a ~1% edge delta three ways at the scale where the
+    // bucketed layout wins — cold plain (the naive rerun), warm plain
+    // (fewer rounds), warm bucketed (fewer rounds × exchange-free
+    // rounds). The bucketed absorption re-commits the edge table (the
+    // delta changes E and the out-degrees) — that once-per-refresh write
+    // is reported inside its first timing; the second pass reuses the
+    // committed table (the steady-state number).
+    if (enabled("warmbkt")) {
+      val e = sys.env.getOrElse("GRAPH_PROBE_BUCKETED_E", "20000000").toLong
+      val g = graph(e)
+      val noWarm = spark.range(0).selectExpr("id AS node", "id AS rank")
+      val tBase = System.nanoTime()
+      val (ranks0, r0, _) = graft.operators.Graph.pageRankWarmStart(g, noWarm, 40)
+      val ranksC = ranks0.localCheckpoint(true)
+      println(f"[graph-scale] warmbkt: base E=$e converged in $r0 rounds " +
+        f"(${(System.nanoTime() - tBase) / 1e9}%.2f s)")
+      val delta = spark.range(e / 100).select(
+        pmod(xxhash64(col("id") + 7), lit(e / 10)).as("src"),
+        pmod(xxhash64(col("id") + 13), lit(100L)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val g2 = g.union(delta).distinct().localCheckpoint(true)
+      // the base graph's blocks are dead once g2 is checkpointed — at
+      // probe scale three live edge frames plus per-round rank
+      // checkpoints exhaust the forked heap before the async cleaner
+      // catches up
+      g.unpersist(blocking = false)
+      val t0 = System.nanoTime()
+      val (_, rCold, _) = graft.operators.Graph.pageRankWarmStart(g2, noWarm, 40)
+      val tCold = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val (_, rWarm, _) = graft.operators.Graph.pageRankWarmStart(g2, ranksC, 40)
+      val tWarm = (System.nanoTime() - t1) / 1e9
+      val dir = java.nio.file.Files.createTempDirectory("graft-prwbkt").toString
+      val t2 = System.nanoTime()
+      val (_, rWb1, _) = graft.operators.Graph.pageRankWarmStartBucketed(
+        spark, g2, dir, ranksC, 40, table = "graph_probe_bkt_warm")
+      val tWb1 = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val (_, rWb2, _) = graft.operators.Graph.pageRankWarmStartBucketed(
+        spark, g2, dir, ranksC, 40, table = "graph_probe_bkt_warm",
+        reuseExisting = true)
+      val tWb2 = (System.nanoTime() - t3) / 1e9
+      println(f"[graph-scale] warmbkt E=$e 1%% delta: cold-plain=$rCold rounds " +
+        f"($tCold%.2f s), warm-plain=$rWarm rounds ($tWarm%.2f s), " +
+        f"warm-bucketed incl. table commit=$rWb1 rounds ($tWb1%.2f s), " +
+        f"warm-bucketed committed table=$rWb2 rounds ($tWb2%.2f s)")
     }
     spark.stop()
   }

@@ -258,6 +258,42 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(!TableFs.list(dir).exists(_.getPath.getName.startsWith("MANIFEST.tmp-")))
   }
 
+  test("four genuinely concurrent writers race full upserts through the slot-claim CAS: every commit lands") {
+    init()
+    import spark.implicits._
+    val path = nafDir("graft-naf-race") + "/t"
+    def df(rows: (String, Long, Long)*) = rows.toDF("day", "id", "v")
+    Upsert.upsertPartitionsAtomic(spark, df(("seed", -1L, 0L)), path, "day",
+      Seq("id"), Seq("v"),
+      new RebasingCasCommitter(cas = new ConditionalPutCommitter))
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // the RebaseCommitterSpec live race, re-run where the CAS is the
+    // store's conditional create instead of an OS file lock: losers
+    // rebase their disjoint-partition deltas and retry — twelve commits
+    // from four threads, none lost, none torn
+    val fs = (0 until 4).map { w =>
+      Future {
+        val c = new RebasingCasCommitter(cas = new ConditionalPutCommitter)
+        (0 until 3).foreach { i =>
+          Upsert.upsertPartitionsAtomic(spark,
+            df((s"w$w-p$i", (w * 10 + i).toLong, 1L)), path, "day",
+            Seq("id"), Seq("v"), c)
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 5.minutes)
+    val got = Upsert.readTable(spark, path,
+        new ConditionalPutCommitter)
+      .selectExpr("day").as[String].collect().toSet
+    val want = (for (w <- 0 until 4; i <- 0 until 3)
+      yield s"w$w-p$i").toSet + "seed"
+    assert(got == want, s"missing: ${want -- got}; extra: ${got -- want}")
+  }
+
   test("versioned upsert lifecycle end-to-end on the simulated store: two versions, current + as-of reads") {
     init()
     import spark.implicits._

@@ -81,10 +81,25 @@ object LifecycleSql {
     * retain=30 would silently expire 20 versions at the first committing
     * statement. Size retain to cover every version currently committed
     * plus this command's own commit; fresh tables get the default.
+    *
+    * The INNER commit protocol follows the scheme: atomic-put object
+    * stores ([[graft.streaming.TableFs.isAtomicPutScheme]]) get the
+    * conditional-put slot-claim CAS ([[graft.streaming.ConditionalPutCommitter]]
+    * — concurrent SQL writers lose loudly instead of tearing), everything
+    * else the rename protocol. Layout mixing is guarded on both sides
+    * (the conditional committer refuses a rename-layout table loudly).
     */
   private def committerFor(path: String): VersionedCommitter = {
-    val existing = new VersionedCommitter().versions(path).size
-    new VersionedCommitter(retain = math.max(10, existing + 1))
+    def fresh() = new VersionedCommitter(
+      if (graft.streaming.TableFs.isAtomicPutScheme(path))
+        new graft.streaming.ConditionalPutCommitter
+      else graft.streaming.AtomicRenameCommitter)
+    val existing = fresh().versions(path).size
+    new VersionedCommitter(
+      if (graft.streaming.TableFs.isAtomicPutScheme(path))
+        new graft.streaming.ConditionalPutCommitter
+      else graft.streaming.AtomicRenameCommitter,
+      retain = math.max(10, existing + 1))
   }
 
 

@@ -630,6 +630,17 @@ final class ConditionalPutCommitter(retainSlots: Int = 10,
 
   override def readManifest(snapshotPath: String): Map[String, String] = {
     val ss = slotSeqs(snapshotPath)
+    // layout guard: a table committed under the RENAME protocol carries a
+    // MANIFEST file and no slots — reading it as "empty" here would
+    // silently present a populated table as fresh (and the next commit
+    // would fork its history into the slot layout)
+    if (ss.isEmpty &&
+        TableFs.exists(AtomicRenameCommitter.manifestPath(snapshotPath)))
+      throw new IllegalStateException(
+        s"$snapshotPath is committed under the rename protocol (MANIFEST " +
+          "file, no slot objects) — read it with AtomicRenameCommitter / " +
+          "CasCommitter, or migrate by committing its manifest through " +
+          "this committer once and removing the MANIFEST file")
     observed.put(snapshotPath, Long.box(ss.lastOption.getOrElse(0L)))
     ss.lastOption
       .map(n => AtomicRenameCommitter.parseManifest(readSlot(snapshotPath, n)))

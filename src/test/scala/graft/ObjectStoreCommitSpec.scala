@@ -238,7 +238,7 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
       Set((1L, 3L)))
   }
 
-  test("the SQL statement surface runs against the simulated store (single-writer atomic-put commits)") {
+  test("the SQL statement surface on the store commits through the conditional-put protocol automatically") {
     init()
     val dir = nafDir("graft-naf-sql") + "/t"
     spark.sql(s"CREATE TABLE '$dir' PARTITIONED BY (day) AS " +
@@ -255,7 +255,14 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     // time travel through the SQL surface, on the store
     assert(spark.sql(s"SELECT v FROM '$dir' VERSION AS OF 1 WHERE id = 1")
       .collect().head.getInt(0) == 10)
-    assert(!TableFs.list(dir).exists(_.getPath.getName.startsWith("MANIFEST.tmp-")))
+    // committerFor picked the conditional-put protocol from the scheme:
+    // slot objects, no rename-protocol MANIFEST, no temps
+    val names = TableFs.list(dir).map(_.getPath.getName)
+    assert(names.exists(_.matches("MANIFEST\\.c\\d{20}")),
+      s"expected slot objects under $dir, got $names")
+    assert(!names.contains("MANIFEST"),
+      "an object-store SQL table must not carry the rename-protocol pointer")
+    assert(!names.exists(_.startsWith("MANIFEST.tmp-")))
   }
 
   test("four genuinely concurrent writers race full upserts through the slot-claim CAS: every commit lands") {

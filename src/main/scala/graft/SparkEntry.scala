@@ -1155,6 +1155,20 @@ object SparkEntry {
           .withColumnRenamed("vec_id", "doc_id"),
         10)
     }),
+    // the APPROXIMATE scale composition fully oracled: the semantic side
+    // is the committed-quantizer IVF probe (deterministic candidate
+    // pipeline - DuckDB replays assignment, probe set, re-score), fused
+    // by the same integer RRF
+    "retrieval_hybrid_ivf" -> ((s, d) =>
+      Retrieval.rrfFuse(
+        Retrieval.bm25TopK(Tables.documents(prep(s), d),
+          Retrieval.DefaultQueries, 10),
+        graft.operators.Ann.ivfTopKWithCentroids(
+          Tables.embeddings(prep(s), d),
+          graft.operators.Ann.loadCentroids(s, AnnIndexFixture),
+          Retrieval.DefaultQueries.size, 10)
+          .withColumnRenamed("vec_id", "doc_id"),
+        10)),
     // INCREMENTAL lexical index: even doc_ids built into the persisted
     // bucket-partitioned index, odd doc_ids ADMITTED as the arriving
     // batch (appendToTextIndex, O(batch)) — the probe must answer
@@ -2874,6 +2888,25 @@ object SparkEntry {
     ", f AS (SELECT q_id, doc_id, CAST(sum(" + fxDivSql("1000000", "60 + rk") + ") AS BIGINT) AS rrf_micro FROM u GROUP BY 1, 2) " +
     "SELECT q_id, doc_id, rrf_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, rrf_micro, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rk FROM f) WHERE rk <= 10"
 
+  /** DuckDB replay of the IVF hybrid: the BM25 CTEs' top-10 fused with
+    * the committed-quantizer IVF candidate pipeline (assignment with the
+    * unrounded argmax / larger-c_id tie, round-6 probe set with the
+    * smaller-c_id tie, nprobe 8 — the `ann_ivf_topk` replay with renamed
+    * CTEs and 3 queries), same integer RRF. Not a recall gate: the SAME
+    * candidate pipeline replayed cross-engine, hash-exact. */
+  private lazy val RetrievalHybridIvfSql = RetrievalBm25Ctes +
+    ", bm AS (SELECT q_id, doc_id, rk FROM (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10)" +
+    s", cent2 AS (SELECT c_id, CAST(c_emb AS DOUBLE[]) AS c_emb FROM read_parquet('$AnnIndexFixture/centroids/*.parquet'))" +
+    ", e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)" +
+    s", asg2 AS (SELECT vec_id, emb, c_id AS bucket FROM (SELECT e2.vec_id, e2.emb, c.c_id, row_number() OVER (PARTITION BY e2.vec_id ORDER BY ${cosRawSql("e2.emb", "c.c_emb")} DESC NULLS LAST, c.c_id DESC) AS rn FROM e2 CROSS JOIN cent2 c) WHERE rn = 1)" +
+    ", qv AS (SELECT vec_id AS q_id, emb AS q_emb FROM e2 WHERE vec_id < 3)" +
+    s", pr2 AS (SELECT q_id, q_emb, c_id AS bucket FROM (SELECT qv.q_id, qv.q_emb, c.c_id, row_number() OVER (PARTITION BY qv.q_id ORDER BY round(${cosRawSql("qv.q_emb", "c.c_emb")}, 6) DESC NULLS LAST, c.c_id ASC) AS rn FROM qv CROSS JOIN cent2 c) WHERE rn <= 8)" +
+    s", cs2 AS (SELECT pr2.q_id, a.vec_id, round(${cosRawSql("a.emb", "pr2.q_emb")}, 6) AS cos FROM asg2 a JOIN pr2 ON a.bucket = pr2.bucket WHERE a.vec_id <> pr2.q_id)" +
+    ", co AS (SELECT q_id, vec_id AS doc_id, rk FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM cs2 WHERE cos IS NOT NULL) WHERE rk <= 10)" +
+    ", u AS (SELECT q_id, doc_id, rk FROM bm UNION ALL SELECT q_id, doc_id, rk FROM co)" +
+    ", f AS (SELECT q_id, doc_id, CAST(sum(" + fxDivSql("1000000", "60 + rk") + ") AS BIGINT) AS rrf_micro FROM u GROUP BY 1, 2) " +
+    "SELECT q_id, doc_id, rrf_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, rrf_micro, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rk FROM f) WHERE rk <= 10"
+
   /** DuckDB CTE mirroring `fact` (keep-latest dedup, W1). */
   private val FactCte =
     "WITH fact AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC, value DESC) AS rn FROM events) WHERE rn = 1)"
@@ -3627,6 +3660,7 @@ object SparkEntry {
     // the indexed twin is bit-identical (index probe == in-memory BM25,
     // identical fusion) - same oracle
     "retrieval_hybrid_indexed" -> RetrievalHybridRrfSql,
+    "retrieval_hybrid_ivf" -> RetrievalHybridIvfSql,
     // the grown (build + admit) index must answer exactly like BM25 over
     // the full corpus — same val as retrieval_bm25
     "retrieval_bm25_incremental" -> RetrievalBm25Sql,

@@ -71,6 +71,12 @@ class BenchSpec extends AnyFunSuite {
       s"committed pins must cover the suite; got ${pins.size}")
   }
 
+  test("a missing reference resolves to None (the artifact then SAYS reference_missing)") {
+    assert(Bench.resolveReference("NO_SUCH_REFERENCE_FILE.json",
+      "NO_SUCH_ENV").isEmpty,
+      "a nonexistent reference must resolve to None, never a phantom path")
+  }
+
   test("new queries (no reference) and sub-noise references are never retried; cap bounds the sweep") {
     val ref = Map("old" -> 1.0, "tiny" -> 0.1)
     val measured = Map("old" -> 1.1, "tiny" -> 5.0, "brand_new" -> 60.0)

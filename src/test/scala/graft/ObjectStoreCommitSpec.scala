@@ -75,6 +75,20 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(err.getMessage.contains("malformed commit object"))
   }
 
+  test("the layout guard refuses a rename-protocol table instead of reading it as empty") {
+    init()
+    val path = nafDir("graft-naf-layout")
+    // a table committed under the RENAME protocol (MANIFEST file, no
+    // slots) — e.g. one written before the scheme was registered
+    TableFs.writeString(s"$path/MANIFEST", "day1\trel1\n")
+    val c = new ConditionalPutCommitter
+    val e = intercept[IllegalStateException] { c.readManifest(path) }
+    assert(e.getMessage.contains("rename protocol"),
+      s"expected the layout-mix refusal, got: ${e.getMessage}")
+    // and the rename-side committer still reads it fine
+    assert(AtomicRenameCommitter.readManifest(path) == Map("day1" -> "rel1"))
+  }
+
   test("rebasing layer over the conditional-put CAS: disjoint writers both land without a re-merge") {
     init()
     val path = nafDir("graft-naf-rebase")

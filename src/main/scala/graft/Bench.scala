@@ -60,16 +60,26 @@ object Bench {
     * (the driver may fork the bench from a subdirectory — r18's artifact
     * silently lost its reference to exactly that: a relative lookup from
     * the wrong cwd found nothing, the sweep no-opped, and the artifact
-    * read as "everything in band"), then the canonical checkout path.
+    * read as "everything in band"), then the configured checkout root
+    * (`SPARK_GRAFT_REPO_ROOT` / `-Dgraft.repo.root`; no baked-in absolute
+    * path — on any other checkout a literal fallback is dead at best and
+    * could silently adjudicate against a DIFFERENT repo's pins at worst).
+    * The winning candidate is logged so the artifact's provenance is
+    * reconstructible from the run output alone.
     */
   private[graft] def resolveReference(name: String, envKey: String): Option[java.nio.file.Path] = {
     val walkUp = Iterator
       .iterate(java.nio.file.Paths.get("").toAbsolutePath.normalize)(_.getParent)
       .takeWhile(_ != null).take(6)
       .map(_.resolve(name)).toSeq
-    (sys.env.get(envKey).map(java.nio.file.Paths.get(_)).toSeq ++ walkUp ++
-      Seq(java.nio.file.Paths.get("/root/repo", name)))
+    val repoRoot = sys.props.get("graft.repo.root")
+      .orElse(sys.env.get("SPARK_GRAFT_REPO_ROOT"))
+      .map(r => java.nio.file.Paths.get(r, name)).toSeq
+    val won = (sys.env.get(envKey).map(java.nio.file.Paths.get(_)).toSeq ++
+      walkUp ++ repoRoot)
       .find(java.nio.file.Files.isRegularFile(_))
+    won.foreach(p => System.err.println(s"[bench] reference $name resolved to $p"))
+    won
   }
 
   /** The queries whose measured min is suspect against the committed

@@ -245,6 +245,14 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
   override def readManifest(snapshotPath: String): Map[String, String] =
     inner.readManifest(snapshotPath)
 
+  /** Delegate the GC grace window to the inner committer: the versioned
+    * layer adds history, not a writer model — over a concurrent-writer
+    * inner ([[ConditionalPutCommitter]], [[RebasingCasCommitter]]) its GC
+    * calls must honor the inner's grace or one SQL writer's GC could eat
+    * another's in-flight staging (the exact hazard the inner's window
+    * exists to prevent). */
+  override def gcGraceMs: Long = inner.gcGraceMs
+
   override def commit(snapshotPath: String,
                       entries: Map[String, String]): Unit = {
     healHistory(snapshotPath)
@@ -434,15 +442,18 @@ final class VersionedCommitter(inner: SnapshotCommitter = AtomicRenameCommitter,
   }
 
   /** Every retained version's data refs (`__`-prefixed metadata keys
-    * reference nothing and are skipped) — what keeps time travel readable
-    * through the staging GC.
+    * reference nothing and are skipped), UNIONED with the inner
+    * committer's own retention (a [[ConditionalPutCommitter]] inner
+    * retains its slot objects' refs — a reader resolving an older slot
+    * must keep its data even when no version file names it) — what keeps
+    * time travel readable through the staging GC.
     */
   override def retainedReferences(snapshotPath: String): Set[String] =
     versionFiles(snapshotPath).flatMap { case (_, p) =>
       // `__del.`/`__delta.`/`__cdf` values are sidecar dirs an as-of read
       // still applies — a retained version keeps them alive like data
       SnapshotGc.dataRefs(parse(TableFs.readString(p)))
-    }.toSet
+    }.toSet ++ inner.retainedReferences(snapshotPath)
 }
 
 /** Thrown by [[CasCommitter.commit]] when the manifest changed between this
@@ -628,6 +639,15 @@ final class ConditionalPutCommitter(retainSlots: Int = 10,
     rendered
   }
 
+  /** [[readSlot]] tolerating a slot PRUNED between the caller's listing
+    * and the read (a concurrent writer's commit-time retention sweep) —
+    * a slot that vanished mid-iteration is past the retention window by
+    * definition, so iterating callers skip it rather than fail a GC or
+    * history read loudly on someone else's housekeeping. */
+  private def readSlotOpt(snapshotPath: String, n: Long): Option[String] =
+    try Some(readSlot(snapshotPath, n))
+    catch { case _: java.io.FileNotFoundException => None }
+
   override def readManifest(snapshotPath: String): Map[String, String] = {
     val ss = slotSeqs(snapshotPath)
     // layout guard: a table committed under the RENAME protocol carries a
@@ -647,8 +667,26 @@ final class ConditionalPutCommitter(retainSlots: Int = 10,
       .getOrElse(Map.empty)
   }
 
-  override def currentManifestBytes(snapshotPath: String): Option[String] =
+  override def currentManifestBytes(snapshotPath: String): Option[String] = {
+    // the NEWEST slot is never pruned by retention, but a concurrent
+    // writer may have committed newer slots and swept ours past the
+    // window between the listing and the read — re-list and follow the
+    // chain forward rather than fail on a stale listing; the final
+    // attempt reads loudly (three consecutive races means something
+    // other than housekeeping is deleting slots)
+    var attempt = 0
+    while (attempt < 2) {
+      slotSeqs(snapshotPath).lastOption match {
+        case None    => return None
+        case Some(n) =>
+          readSlotOpt(snapshotPath, n) match {
+            case some @ Some(_) => return some
+            case None           => attempt += 1
+          }
+      }
+    }
     slotSeqs(snapshotPath).lastOption.map(readSlot(snapshotPath, _))
+  }
 
   override def commit(snapshotPath: String,
                       entries: Map[String, String]): Unit = {
@@ -681,11 +719,14 @@ final class ConditionalPutCommitter(retainSlots: Int = 10,
   }
 
   /** Every retained slot's data refs — a reader resolving an older (but
-    * retained) slot must keep its data through the staging GC. */
+    * retained) slot must keep its data through the staging GC. A slot
+    * pruned by a concurrent writer between the listing and its read is
+    * skipped ([[readSlotOpt]]): it is past the retention window by
+    * definition, so its exclusive refs are no longer retained. */
   override def retainedReferences(snapshotPath: String): Set[String] =
     slotSeqs(snapshotPath).flatMap { n =>
-      SnapshotGc.dataRefs(
-        AtomicRenameCommitter.parseManifest(readSlot(snapshotPath, n)))
+      readSlotOpt(snapshotPath, n).toSeq.flatMap(body =>
+        SnapshotGc.dataRefs(AtomicRenameCommitter.parseManifest(body)))
     }.toSet
 
   override def gcGraceMs: Long = graceMs

@@ -16,7 +16,11 @@ import graft.operators.{DedupApprox, DedupIndex}
   *
   * Run: `sbt "Test/runMain graft.DedupIndexProbe [nDocs] [deltaMod]
   * [shBuckets] [docBuckets]"` — bucket pins of 0 (default) take the
-  * index's own √(postings) auto-sizing.
+  * index's own constant-volume auto-sizing
+  * (⌈postings / [[DedupIndex.TargetRowsPerBucket]]⌉ clamped to
+  * [[DedupIndex.MinBuckets]]..[[DedupIndex.MaxBuckets]]; √-sizing was
+  * measured and rejected — see the DedupIndex scaladoc and BASELINE.md
+  * r19).
   */
 object DedupIndexProbe {
   private def mix(z0: Long): Long = {

@@ -218,6 +218,27 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
       "referenced data never collects")
   }
 
+  test("VersionedCommitter delegates the GC grace window to its inner committer (the SQL-surface object-store stack)") {
+    init()
+    import spark.implicits._
+    val path = nafDir("graft-naf-vgrace") + "/t"
+    val vc = new VersionedCommitter(new ConditionalPutCommitter)
+    assert(vc.gcGraceMs == new ConditionalPutCommitter().gcGraceMs,
+      "the versioned layer adds history, not a writer model — the grace " +
+        "window must pass through, or one SQL writer's GC can eat " +
+        "another's in-flight staging")
+    Upsert.replacePartitionsAtomic(spark, Seq(("d1", 1L)).toDF("day", "id"),
+      path, "day", Seq("d1"), committer = vc)
+    // another writer's FRESH in-flight staging — unreferenced by design
+    // until its commit flips; with gcGraceMs=0 (the pre-fix default) the
+    // next commit's GC pass would delete it out from under that writer
+    TableFs.writeString(s"$path/batch-zz/data/g.parquet", "in-flight")
+    Upsert.replacePartitionsAtomic(spark, Seq(("d2", 2L)).toDF("day", "id"),
+      path, "day", Seq("d2"), committer = vc)
+    assert(TableFs.exists(s"$path/batch-zz/data/g.parquet"),
+      "GC driven through the versioned committer must honor the inner grace window")
+  }
+
   test("catalog transactions ride the conditional-put CAS on the object store: loser conflicts, retries clean") {
     init()
     import spark.implicits._

@@ -1140,21 +1140,45 @@ object SparkEntry {
     // the drop-in claim made executable: the lexical side swaps to the
     // PERSISTED grown index probe (bm25TopKFromIndex - bit-identical to
     // in-memory BM25), the fusion is untouched - same oracle
-    "retrieval_hybrid_indexed" -> ((s, d) => {
-      val idx = demoFixture(prep(s), d, "bm25_inc") {
-        val out = cachedTempDir("graft_bm25idx_")
-        val all = Tables.documents(s, d)
-        Retrieval.buildTextIndex(all.filter(col("doc_id") % 2 === 0), out)
-        Retrieval.appendToTextIndex(all.filter(col("doc_id") % 2 === 1), out)
-        out
-      }
+    "retrieval_hybrid_indexed" -> ((s, d) =>
       Retrieval.rrfFuse(
-        Retrieval.bm25TopKFromIndex(s, idx, Retrieval.DefaultQueries, 10),
+        Retrieval.bm25TopKFromIndex(s, bm25GrownIndex(prep(s), d),
+          Retrieval.DefaultQueries, 10),
         graft.operators.Ann.bruteTopK(Tables.embeddings(prep(s), d),
           Retrieval.DefaultQueries.size, 10)
           .withColumnRenamed("vec_id", "doc_id"),
-        10)
-    }),
+        10)),
+    // the PRODUCTION hybrid: BOTH retriever sides persisted — the grown
+    // bucket-partitioned BM25 index probe AND the committed-quantizer
+    // IVF index probe — fused by the same integer RRF. Each side is
+    // bit-identical to its in-memory twin (index probe ≡ in-memory BM25;
+    // the postings scan ≡ in-memory assignment under the same frozen
+    // centroids), so the composition shares retrieval_hybrid_ivf's
+    // oracle verbatim; RetrievalSpec plan-asserts BOTH sides read only
+    // their probed buckets (partition-pruned scans, no corpus read)
+    "retrieval_hybrid_persisted" -> ((s, d) =>
+      Retrieval.rrfFuse(
+        Retrieval.bm25TopKFromIndex(s, bm25GrownIndex(prep(s), d),
+          Retrieval.DefaultQueries, 10),
+        graft.operators.Ann.ivfTopKFromIndex(s, ivfFullIndex(prep(s), d),
+          Tables.embeddings(s, d)
+            .filter(col("vec_id") < Retrieval.DefaultQueries.size),
+          10)
+          .withColumnRenamed("vec_id", "doc_id"),
+        10)),
+    // WEIGHTED fusion — the production relevance knob (wLEX·RRF +
+    // wSEM·RRF) in exact integer micros: long weights multiply the
+    // 1e6/(60+rk) terms, so the weighted ranking replays bit-for-bit in
+    // DuckDB like the unweighted one; RetrievalSpec pins the
+    // monotonicity contract (all-lexical weight ⇒ the BM25 order)
+    "retrieval_hybrid_weighted" -> ((s, d) =>
+      Retrieval.rrfFuseWeighted(
+        Retrieval.bm25TopK(Tables.documents(prep(s), d),
+          Retrieval.DefaultQueries, 10),
+        graft.operators.Ann.bruteTopK(Tables.embeddings(prep(s), d),
+          Retrieval.DefaultQueries.size, 10)
+          .withColumnRenamed("vec_id", "doc_id"),
+        10, wA = 3L, wB = 1L)),
     // the APPROXIMATE scale composition fully oracled: the semantic side
     // is the committed-quantizer IVF probe (deterministic candidate
     // pipeline - DuckDB replays assignment, probe set, re-score), fused
@@ -1175,16 +1199,9 @@ object SparkEntry {
     // byte-identically to BM25 over the FULL corpus (same oracle), with
     // only the query tokens' buckets read (the ann_ivf_incremental
     // pattern for text)
-    "retrieval_bm25_incremental" -> ((s, d) => {
-      val idx = demoFixture(prep(s), d, "bm25_inc") {
-        val out = cachedTempDir("graft_bm25idx_")
-        val all = Tables.documents(s, d)
-        Retrieval.buildTextIndex(all.filter(col("doc_id") % 2 === 0), out)
-        Retrieval.appendToTextIndex(all.filter(col("doc_id") % 2 === 1), out)
-        out
-      }
-      Retrieval.bm25TopKFromIndex(s, idx, Retrieval.DefaultQueries, 10)
-    }),
+    "retrieval_bm25_incremental" -> ((s, d) =>
+      Retrieval.bm25TopKFromIndex(s, bm25GrownIndex(prep(s), d),
+        Retrieval.DefaultQueries, 10)),
     "tok_collocations" -> ((s, d) =>
       TextOps.collocations(Tables.documents(prep(s), d), 5L, 20)),
     "tok_heavy_hitters" -> ((s, d) =>
@@ -2543,6 +2560,36 @@ object SparkEntry {
       out
     })
 
+  /** The GROWN persisted BM25 index (even doc_ids built, odd doc_ids
+    * admitted via appendToTextIndex) — shared by the incremental-probe
+    * query and both persisted hybrid compositions, so the "drop-in
+    * retriever side" claim is executed against one committed artifact.
+    */
+  private def bm25GrownIndex(s: SparkSession, d: String): String =
+    demoFixture(s, d, "bm25_inc") {
+      val out = cachedTempDir("graft_bm25idx_")
+      val all = Tables.documents(s, d)
+      Retrieval.buildTextIndex(all.filter(col("doc_id") % 2 === 0), out)
+      Retrieval.appendToTextIndex(all.filter(col("doc_id") % 2 === 1), out)
+      out
+    }
+
+  /** The full-corpus IVF index under the committed fixture quantizer —
+    * the persisted semantic side of the production hybrid
+    * (`retrieval_hybrid_persisted`). Postings are exactly
+    * `assignBucketsSpill(corpus, fixture centroids)` on disk, so the
+    * bucket-pruned probe is bit-identical to the in-memory
+    * `ivfTopKWithCentroids` the shared oracle replays.
+    */
+  private def ivfFullIndex(s: SparkSession, d: String): String =
+    demoFixture(s, d, "ivf_full") {
+      val out = cachedTempDir("graft_ivffull_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      Ann.buildIvfIndexWithCentroids(Tables.embeddings(s, d), out,
+        Ann.loadCentroids(s, AnnIndexFixture))
+      out
+    }
+
   /** The committed multi-table-transaction catalog demo (fact + rollup,
     * one completed txn, one TORN txn required invisible, one final txn) —
     * shared by the API read (`table_txn_catalog`) and its SQL front-door
@@ -2876,16 +2923,29 @@ object SparkEntry {
   private lazy val RetrievalBm25Sql = RetrievalBm25Ctes +
     " SELECT q_id, doc_id, score_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, score_micro, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10"
 
-  /** DuckDB replay of the RRF hybrid: the BM25 CTEs' top-10, the brute
-    * cosine top-10 (vec_id read as doc_id), unioned rank terms scored by
-    * the half-up integer 1e6/(60+rk), ranked by (rrf desc, doc_id). */
-  private lazy val RetrievalHybridRrfSql = RetrievalBm25Ctes +
+  /** Shared CTEs of the brute-cosine hybrids: the BM25 CTEs' top-10
+    * (`bm`) and the brute cosine top-10 (`co`, vec_id read as doc_id) —
+    * the two ranked lists the weighted and unweighted fusions consume. */
+  private lazy val RetrievalHybridBruteCtes = RetrievalBm25Ctes +
     ", bm AS (SELECT q_id, doc_id, rk FROM (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rk FROM sc) WHERE rk <= 10)" +
     ", e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), qe AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 3)" +
     ", cs AS (SELECT q_id, e.vec_id, round(list_inner_product(e.emb, q_emb) / nullif(sqrt(list_inner_product(e.emb, e.emb)) * sqrt(list_inner_product(q_emb, q_emb)), 0), 6) AS cos FROM e CROSS JOIN qe WHERE e.vec_id <> qe.q_id)" +
-    ", co AS (SELECT q_id, vec_id AS doc_id, rk FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM cs) WHERE rk <= 10)" +
+    ", co AS (SELECT q_id, vec_id AS doc_id, rk FROM (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM cs) WHERE rk <= 10)"
+
+  /** DuckDB replay of the RRF hybrid: the BM25 CTEs' top-10, the brute
+    * cosine top-10 (vec_id read as doc_id), unioned rank terms scored by
+    * the half-up integer 1e6/(60+rk), ranked by (rrf desc, doc_id). */
+  private lazy val RetrievalHybridRrfSql = RetrievalHybridBruteCtes +
     ", u AS (SELECT q_id, doc_id, rk FROM bm UNION ALL SELECT q_id, doc_id, rk FROM co)" +
     ", f AS (SELECT q_id, doc_id, CAST(sum(" + fxDivSql("1000000", "60 + rk") + ") AS BIGINT) AS rrf_micro FROM u GROUP BY 1, 2) " +
+    "SELECT q_id, doc_id, rrf_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, rrf_micro, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rk FROM f) WHERE rk <= 10"
+
+  /** The weighted fusion's replay: identical CTEs, each side's integer
+    * term multiplied by its long weight (3·lexical + 1·semantic — the
+    * same literals as the registered query). */
+  private lazy val RetrievalHybridWeightedSql = RetrievalHybridBruteCtes +
+    ", u AS (SELECT q_id, doc_id, rk, 3 AS w FROM bm UNION ALL SELECT q_id, doc_id, rk, 1 AS w FROM co)" +
+    ", f AS (SELECT q_id, doc_id, CAST(sum(w * " + fxDivSql("1000000", "60 + rk") + ") AS BIGINT) AS rrf_micro FROM u GROUP BY 1, 2) " +
     "SELECT q_id, doc_id, rrf_micro, CAST(rk AS INT) AS rk FROM (SELECT q_id, doc_id, rrf_micro, row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS rk FROM f) WHERE rk <= 10"
 
   /** DuckDB replay of the IVF hybrid: the BM25 CTEs' top-10 fused with
@@ -3661,6 +3721,12 @@ object SparkEntry {
     // identical fusion) - same oracle
     "retrieval_hybrid_indexed" -> RetrievalHybridRrfSql,
     "retrieval_hybrid_ivf" -> RetrievalHybridIvfSql,
+    // both-sides-persisted composition: index probes are bit-identical to
+    // their in-memory twins (grown BM25 index ≡ full-corpus BM25;
+    // committed-quantizer postings ≡ in-memory assignment), so the
+    // production hybrid shares the IVF hybrid's oracle verbatim
+    "retrieval_hybrid_persisted" -> RetrievalHybridIvfSql,
+    "retrieval_hybrid_weighted" -> RetrievalHybridWeightedSql,
     // the grown (build + admit) index must answer exactly like BM25 over
     // the full corpus — same val as retrieval_bm25
     "retrieval_bm25_incremental" -> RetrievalBm25Sql,

@@ -152,14 +152,37 @@ object Retrieval {
     * scale work lives in the upstream retrievers (persisted BM25 index,
     * IVF index), which this composes without modification.
     */
-  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame = {
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60): DataFrame =
+    rrfFuseWeighted(a, b, k, k0, wA = 1L, wB = 1L)
+
+  /** [[rrfFuse]] with PER-SIDE INTEGER WEIGHTS — the production hybrid
+    * knob (every hosted hybrid-search API exposes it): fused score =
+    * `wA·RRF_a + wB·RRF_b`. Weights are exact longs multiplying the
+    * integer micro terms, so the weighted form inherits the unweighted
+    * one's bit-for-bit cross-engine replay (no float calibration enters
+    * anywhere — a rational weight is just both weights scaled up).
+    * Monotone at the extremes by construction: `wB = 0` reproduces side
+    * a's ranking exactly (its items carry the only positive mass;
+    * `RetrievalSpec` pins it), and symmetrically for `wA = 0`. Overflow
+    * audit: w · 1e6 · 2·depth ≤ 1e6·1e6·100 ≪ 2^63 for any sane weight.
+    * Same O(queries · depth) shape — weighting adds one multiply per
+    * input row.
+    */
+  def rrfFuseWeighted(a: DataFrame, b: DataFrame, k: Int, k0: Int = 60,
+                      wA: Long = 1L, wB: Long = 1L): DataFrame = {
+    require(wA >= 0 && wB >= 0 && (wA > 0 || wB > 0),
+      s"fusion weights must be non-negative and not both zero; got ($wA, $wB)")
+    require(wA <= 1000000L && wB <= 1000000L,
+      s"fusion weights above 1e6 risk long overflow in the micro terms; got ($wA, $wB)")
     val spark = a.sparkSession
     import spark.implicits._
     val terms = a.select(col("q_id"), col("doc_id"), col("rk"))
-      .unionByName(b.select(col("q_id"), col("doc_id"), col("rk")))
+      .withColumn("w", lit(wA))
+      .unionByName(b.select(col("q_id"), col("doc_id"), col("rk"))
+        .withColumn("w", lit(wB)))
       .select(col("q_id"), col("doc_id"),
-        graft.functions.FxMath.roundedDiv(
-          lit(1000000L), lit(k0.toLong) + col("rk")).as("t"))
+        (col("w") * graft.functions.FxMath.roundedDiv(
+          lit(1000000L), lit(k0.toLong) + col("rk"))).as("t"))
     terms.groupBy("q_id", "doc_id").agg(sum(col("t")).as("rrf_micro"))
       .select(col("q_id"), col("doc_id"),
         col("rrf_micro").cast("double").as("s"))

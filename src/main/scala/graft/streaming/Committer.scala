@@ -585,10 +585,15 @@ private object CasCommitter {
   *    `fs.s3a.create.conditional.enabled` is set (Hadoop 3.4.1+,
   *    HADOOP-19256); the GCS connector issues an `ifGenerationMatch(0)`
   *    precondition. On a connector WITHOUT a server-side precondition the
-  *    claim degrades to check-then-put and two same-slot racers can both
-  *    appear to win — the documented reason Delta-on-S3 needs an external
-  *    LogStore; enable the connector's conditional create, or keep a
-  *    single writer per table.
+  *    claim would degrade to check-then-put and two same-slot racers could
+  *    both appear to win — the documented reason Delta-on-S3 needs an
+  *    external LogStore. That degraded mode must never be SILENT: the
+  *    first commit per filesystem probes the precondition with a canary
+  *    object (claim the same name twice, require the second create to
+  *    throw — [[ConditionalPutCommitter.ensureConditionalCreate]]), caches
+  *    the verdict per scheme+authority, and REFUSES before any slot write
+  *    on a store that admitted both claims, naming the connector switch to
+  *    enable (or the single-writer fallback).
   *
   * Old slots are pruned at commit beyond `retainSlots` (history/tags/time
   * travel are [[VersionedCommitter]]'s job — layer it over this one);
@@ -688,6 +693,50 @@ final class ConditionalPutCommitter(retainSlots: Int = 10,
     slotSeqs(snapshotPath).lastOption.map(readSlot(snapshotPath, _))
   }
 
+  /** VERIFY the store's conditional create is real before trusting it
+    * with a commit: claim a canary name once (must succeed), claim it
+    * again (MUST throw — the server-side precondition), delete the
+    * canary. A connector that admits both claims has no precondition —
+    * its slot claim would be check-then-put, two same-slot racers could
+    * both appear to win, and the protocol's whole safety story would be
+    * silently void — so refuse loudly BEFORE any slot write. The verdict
+    * is cached per scheme+authority (one probe per filesystem per JVM);
+    * probe I/O errors propagate un-cached so a transient failure retries.
+    */
+  private def ensureConditionalCreate(snapshotPath: String): Unit = {
+    val uri = TableFs.fs(snapshotPath).getUri
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    val ok = ConditionalPutCommitter.conditionalCreateVerified
+      .computeIfAbsent(key, _ => java.lang.Boolean.valueOf {
+        val fs = TableFs.fs(snapshotPath)
+        val canary = TableFs.path(
+          s"$snapshotPath/_capcheck-${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          val first = fs.create(canary, false)
+          try first.write('1'.toByte.toInt) finally first.close()
+          try {
+            val second = fs.create(canary, false)
+            try second.write('2'.toByte.toInt) finally second.close()
+            false // both claims landed — no precondition on this store
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                 _: java.nio.file.FileAlreadyExistsException => true
+          }
+        } finally fs.delete(canary, false)
+      }).booleanValue()
+    if (!ok)
+      throw new UnsupportedOperationException(
+        s"the filesystem at '$key' admitted two create(overwrite=false) " +
+          "claims of the same object — it has no server-side conditional " +
+          "create, so ConditionalPutCommitter's slot claim would silently " +
+          "degrade to check-then-put (two concurrent commits could both " +
+          "appear to win). Enable the connector's conditional create " +
+          "(s3a: fs.s3a.create.conditional.enabled, Hadoop 3.4.1+; GCS " +
+          "issues ifGenerationMatch(0) natively), or keep a single " +
+          "writer per table with AtomicRenameCommitter on a " +
+          "rename-atomic store.")
+  }
+
   override def commit(snapshotPath: String,
                       entries: Map[String, String]): Unit = {
     val expect: Long = Option(observed.get(snapshotPath)).fold(0L)(_.longValue)
@@ -695,6 +744,7 @@ final class ConditionalPutCommitter(retainSlots: Int = 10,
     val rendered = AtomicRenameCommitter.renderManifest(entries)
     val payload = s"$Header${rendered.getBytes(UTF_8).length}\n$rendered"
     TableFs.mkdirs(snapshotPath)
+    ensureConditionalCreate(snapshotPath)
     val slotPath = TableFs.path(s"$snapshotPath/${slotName(next)}")
     try {
       // overwrite = false: the conditional create — one winner per name.
@@ -730,6 +780,18 @@ final class ConditionalPutCommitter(retainSlots: Int = 10,
     }.toSet
 
   override def gcGraceMs: Long = graceMs
+}
+
+object ConditionalPutCommitter {
+  /** Per-(scheme://authority) verdicts of the conditional-create canary
+    * probe — JVM-global: the capability is a property of the STORE, not
+    * of any committer instance. */
+  private val conditionalCreateVerified =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  /** Test seam: forget cached verdicts (a simulated store may toggle its
+    * precondition support between specs). */
+  private[graft] def resetCapabilityProbe(): Unit =
+    conditionalCreateVerified.clear()
 }
 
 /** Optimistic concurrency with AUTOMATIC partition-disjoint rebase — the

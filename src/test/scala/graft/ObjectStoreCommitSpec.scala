@@ -218,6 +218,36 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
       "referenced data never collects")
   }
 
+  test("a store whose conditional create is not real is refused BEFORE any slot write") {
+    init()
+    val path = nafDir("graft-naf-nocap")
+    ConditionalPutCommitter.resetCapabilityProbe()
+    AtomicPutStoreFs.preconditionDisabled = true
+    try {
+      val c = new ConditionalPutCommitter
+      c.readManifest(path)
+      val e = intercept[UnsupportedOperationException] {
+        c.commit(path, Map("p" -> "d"))
+      }
+      assert(e.getMessage.contains("no server-side conditional create"))
+      assert(e.getMessage.contains("fs.s3a.create.conditional.enabled"),
+        "the refusal must name the connector switch to enable")
+      assert(!TableFs.list(path).exists(_.getPath.getName.startsWith("MANIFEST.c")),
+        "the guard must fire before any slot object is written")
+      assert(!TableFs.list(path).exists(_.getPath.getName.startsWith("_capcheck")),
+        "the canary must be cleaned up either way")
+    } finally {
+      AtomicPutStoreFs.preconditionDisabled = false
+      ConditionalPutCommitter.resetCapabilityProbe()
+    }
+    // with the precondition back on, the SAME store passes the probe and
+    // commits normally (the verdict is re-probed after the reset)
+    val c2 = new ConditionalPutCommitter
+    c2.readManifest(path)
+    c2.commit(path, Map("p" -> "d"))
+    assert(c2.readManifest(path) == Map("p" -> "d"))
+  }
+
   test("VersionedCommitter delegates the GC grace window to its inner committer (the SQL-surface object-store stack)") {
     init()
     import spark.implicits._

@@ -50,7 +50,8 @@ class AtomicPutStoreFs extends RawLocalFileSystem {
       override def close(): Unit = if (!closed) {
         closed = true
         AtomicPutStoreFs.storeLock.synchronized {
-          if (!overwrite && AtomicPutStoreFs.this.exists(f))
+          if (!overwrite && !AtomicPutStoreFs.preconditionDisabled &&
+              AtomicPutStoreFs.this.exists(f))
             throw new FileAlreadyExistsException(
               s"$f exists — simulated conditional-put precondition " +
                 "(If-None-Match: *) failed at PUT completion")
@@ -110,6 +111,11 @@ object AtomicPutStoreFs {
   val storeLock = new Object
   /** Crash injection: leave the rename destination half-written. */
   @volatile var failMidCopy: Boolean = false
+  /** Capability injection: model a connector WITHOUT server-side
+    * conditional create — `overwrite = false` silently overwrites (the
+    * degraded check-then-put profile ConditionalPutCommitter must detect
+    * and refuse). */
+  @volatile var preconditionDisabled: Boolean = false
   /** FILE rename attempts observed — lets specs assert a protocol issued
     * zero renames. */
   val fileRenames = new java.util.concurrent.atomic.AtomicInteger

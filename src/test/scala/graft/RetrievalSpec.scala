@@ -168,6 +168,80 @@ class RetrievalSpec extends AnyFunSuite {
     assert(tied == Seq((1L, 4L, t(1), 1), (1L, 8L, t(1), 2)))
   }
 
+  test("weighted fusion: integer weights scale each side's terms; extreme weights reproduce that side's order") {
+    val bm = Seq((0L, 9L, 1), (0L, 5L, 2), (0L, 7L, 3))
+      .toDF("q_id", "doc_id", "rk")
+    val co = Seq((0L, 5L, 1), (0L, 3L, 2))
+      .toDF("q_id", "doc_id", "rk")
+    def t(rk: Int): Long = { val den = 60L + rk; (2 * 1000000L + den) / (2 * den) }
+    // (3, 1): every lexical term triples, the semantic terms stay — each
+    // fused score is the exact weighted integer sum
+    val weighted = Retrieval.rrfFuseWeighted(bm, co, k = 4, wA = 3L, wB = 1L)
+      .orderBy("rk").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(weighted == Seq(
+      (0L, 5L, 3 * t(2) + t(1), 1), // both lists, lexical side tripled
+      (0L, 9L, 3 * t(1), 2),
+      (0L, 7L, 3 * t(3), 3),
+      (0L, 3L, t(2), 4)))           // semantic-only term unweighted by wB=1
+    // monotonicity at the extremes: zero semantic weight reproduces the
+    // lexical ranking exactly (and symmetrically)
+    val lexOnly = Retrieval.rrfFuseWeighted(bm, co, k = 3, wA = 1L, wB = 0L)
+      .orderBy("rk").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(lexOnly.map(r => (r._2, r._4)) == Seq((9L, 1), (5L, 2), (7L, 3)),
+      "all-lexical weight must reproduce the BM25 order")
+    val semOnly = Retrieval.rrfFuseWeighted(bm, co, k = 2, wA = 0L, wB = 1L)
+      .orderBy("rk").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(semOnly.map(r => (r._2, r._4)) == Seq((5L, 1), (3L, 2)),
+      "all-semantic weight must reproduce the cosine order")
+    // unweighted rrfFuse ≡ weights (1, 1) — one arithmetic, two names
+    assert(Retrieval.rrfFuse(bm, co, k = 3)
+      .orderBy("rk").as[(Long, Long, Long, Int)].collect().toSeq ==
+      Retrieval.rrfFuseWeighted(bm, co, k = 3, wA = 1L, wB = 1L)
+        .orderBy("rk").as[(Long, Long, Long, Int)].collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuseWeighted(bm, co, k = 3, wA = 0L, wB = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuseWeighted(bm, co, k = 3, wA = -1L, wB = 1L)
+    }
+  }
+
+  test("both-sides-persisted hybrid: each index probe prunes to its probed buckets and matches its in-memory twin") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val cents = graft.operators.Ann.loadCentroids(spark,
+      "/root/repo/fixtures/annidx")
+    val bmIdx = java.nio.file.Files.createTempDirectory("graft-hyb-bm").toString
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft-hyb-ivf").toString
+    Retrieval.buildTextIndex(docs, bmIdx)
+    graft.operators.Ann.buildIvfIndexWithCentroids(emb, ivfIdx, cents)
+    val lex = Retrieval.bm25TopKFromIndex(spark, bmIdx,
+      Retrieval.DefaultQueries, 10)
+    val sem = graft.operators.Ann.ivfTopKFromIndex(spark, ivfIdx,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3), 10)
+      .withColumnRenamed("vec_id", "doc_id")
+    // BOTH sides' postings scans carry the probed-bucket partition
+    // filters — per-query index I/O is pruned buckets, never a corpus read
+    for ((side, name) <- Seq((lex, "bm25"), (sem, "ivf"))) {
+      val plan = side.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+        s"$name index probe must prune on its bucket partition column:\n$plan")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // the persisted composition answers exactly like the in-memory one
+    // (the bit-identity that lets the registered query share the IVF
+    // hybrid's DuckDB oracle)
+    val inMemory = Retrieval.rrfFuse(
+      Retrieval.bm25TopK(docs, Retrieval.DefaultQueries, 10),
+      graft.operators.Ann.ivfTopKWithCentroids(emb, cents, 3, 10)
+        .withColumnRenamed("vec_id", "doc_id"),
+      10)
+    assert(rows(Retrieval.rrfFuse(lex, sem, 10)) == rows(inMemory),
+      "both-persisted hybrid must be bit-identical to the in-memory composition")
+  }
+
   test("IVF semantic side drops into the fusion with bounded recall loss vs the exact hybrid") {
     // the scale composition: the semantic retriever swaps brute cosine
     // for the committed IVF index probe (approximate, recall-gated —

@@ -989,11 +989,14 @@ object SparkEntry {
         .unionByName(admitted.select(cols.map(col): _*))
     }),
     // CONTINUOUS CURATION: the admission loop as a Structured-Streaming
-    // pipeline — three monotone-id file micro-batches drain through
-    // foreachBatch { admitBatch + index/exact extension } with the
-    // batch-id ledger; seed curation ∪ the drained admissions must
-    // reproduce whole-corpus curation bit for bit (the SAME CurationSql
-    // oracle as curation_disk / curation_incremental)
+    // pipeline over the MANIFEST-COMMITTED CuratedStore — three
+    // monotone-id file micro-batches drain through foreachBatch, each
+    // batch's admitted rows + exact survivors + index/hash fragments +
+    // merged bloom committing through ONE manifest flip with the batch
+    // id in the manifest (exactly-once by construction; crash-injection
+    // proven in StreamCurationSpec). Seed curation ∪ the drained
+    // admissions must reproduce whole-corpus curation bit for bit (the
+    // SAME CurationSql oracle as curation_disk / curation_incremental)
     "stream_curation" -> ((s, d) => {
       val docs = Tables.documents(prep(s), d)
       def seedExactOf(seed: DataFrame) = seed.join(
@@ -1001,28 +1004,24 @@ object SparkEntry {
           .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
       val (split, root) = demoFixture(s, d, "stream_cur") {
         val split = docs.agg(max(col("doc_id"))).head().getLong(0) / 2 + 1
-        val idx = cachedTempDir("graft_scuridx_")
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
         val root = cachedTempDir("graft_scur_")
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
         val seed = docs.filter(col("doc_id") < split)
-        val seedExact = seedExactOf(seed)
-        DedupIndex.buildIndex(seedExact, idx)
-        seedExact.write.mode("overwrite").parquet(s"$root/exact")
+        streaming.CuratedStore.seed(s, seedExactOf(seed), root)
         val stage = s"$root/in"
         streaming.StreamCuration.stageMonotoneBatches(s,
           docs.filter(col("doc_id") >= split), stage, 3)
         streaming.StreamCuration.maintainCuration(s,
           streaming.StreamOracle.fileStream(s, stage,
             maxFilesPerTrigger = Some(1)),
-          idx, root, s"$root/_ckpt").awaitTermination()
+          root, s"$root/_ckpt").awaitTermination()
         (split, root)
       }
       val (seedCurated, _, _) = pipeline.Curation.curateStaged(
         docs.filter(col("doc_id") < split), collectStats = false)
       val cols = Seq("doc_id", "quality_score", "predicted_lang", "n_tokens")
       seedCurated.select(cols.map(col): _*)
-        .unionByName(s.read.parquet(s"$root/curated")
+        .unionByName(streaming.CuratedStore.curatedRows(s, root)
           .select(cols.map(col): _*))
     }),
     // honest build cost by design (the pipeline_star_disk convention):
@@ -1450,6 +1449,35 @@ object SparkEntry {
       }
       Graph.purchaseRankWarmFromBucketed(prep(s), d, out,
         s.read.parquet(baseRanks), warmIterations = 3)
+    }),
+    // O(DELTA) ABSORPTION (the r19 warmbkt caveat closed): base
+    // (90%-of-orders) links committed ONCE to the SPLIT bucketed layout
+    // (append-only bucketBy(src) edges + V-sized bucketed degree
+    // table), the remaining orders' links absorbed via absorbEdgeDelta
+    // — insertInto appends into the bucketed layout, degrees merge at
+    // O(V + delta), no O(E) edge re-commit anywhere — then the warm
+    // restart iterates eDeg = edges ⋈ deg with ZERO exchange on both
+    // bucketed sides (GraphSpec plan-asserts it). Bit-identical to
+    // graph_pagerank_warm (same integer rounds over the same absorbed
+    // edge set), so it shares the unrolled warm oracle.
+    "graph_pagerank_warm_delta" -> ((s, d) => {
+      val tbl = "graph_split_" + Integer.toHexString(d.hashCode)
+      demoFixture(s, d, "gwdelta") {
+        val out = cachedTempDir("graft_gwd_")
+        val base = Graph.basePurchaseEdges(prep(s), d)
+        Graph.commitSplitEdgeTables(s, base, out, table = tbl)
+        Graph.absorbEdgeDelta(s,
+          Graph.purchaseEdges(s, d).except(base), tbl)
+        out
+      }
+      val baseRanks = demoFixture(s, d, "prank_base") {
+        val rout = cachedTempDir("graft_prank_")
+        Graph.pageRank(Graph.basePurchaseEdges(prep(s), d), 6)
+          .write.mode("overwrite").parquet(rout)
+        rout
+      }
+      Graph.purchaseRankWarmFromSplit(prep(s),
+        s.read.parquet(baseRanks), warmIterations = 3, table = tbl)
     }),
     // degree-oriented triangle census of the part co-occurrence graph —
     // wedge join bounded by Σ outdeg² = O(E^1.5), not hub-degree²
@@ -3931,6 +3959,9 @@ object SparkEntry {
     // warm × bucketed is bit-identical to the plain warm path (same
     // integer rounds, different physical join) — same unrolled oracle
     "graph_pagerank_warm_bucketed" -> pageRankWarmOracleSql(6, 3),
+    // the delta-absorbed split layout iterates the SAME full edge set
+    // with the same integer rounds — bit-identical, same unrolled oracle
+    "graph_pagerank_warm_delta" -> pageRankWarmOracleSql(6, 3),
     "markov_transitions" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type FROM events), " +
         "s AS (SELECT event_type AS next_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e), " +

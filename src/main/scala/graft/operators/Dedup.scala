@@ -103,12 +103,7 @@ object Dedup {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftshim.ColumnBridge
-    def might(value: Column): Column = ColumnBridge.column(
-      BloomFilterMightContain(
-        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
-        ColumnBridge.expression(value)))
+    def might(value: Column): Column = bloomMightContain(bloomBytes, value)
     val withH = batch
       .withColumn("__h", sha2(col(contentCol), 256))
       // null content: xxhash64(null) is null, might_contain yields null,
@@ -124,5 +119,19 @@ object Dedup {
     // unionByName: the using-column join moved __h to the front of
     // verifiedNew, so a positional union would misalign the schemas
     definitelyNew.unionByName(verifiedNew).drop("__h", "__maybe")
+  }
+
+  /** `might_contain(bloomBytes, value)` as a codegen'd Catalyst
+    * expression — the sketch-routing predicate shared by
+    * [[bloomNewContent]] and [[graft.streaming.CuratedStore]]'s persisted
+    * bloom sidecar. */
+  private[graft] def bloomMightContain(bloomBytes: Array[Byte],
+                                       value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(value)))
   }
 }

@@ -47,7 +47,12 @@ import org.apache.spark.sql.functions._
   *    inverted index `(doc_id, n, shingle)`;
   *  - `meta/` — ONE row `(n_postings, sh_buckets, doc_buckets,
   *    threshold)`: the layout SELF-DESCRIBES, so probes and appends
-  *    inherit whatever bucket counts the build chose.
+  *    inherit whatever bucket counts the build chose. `n_postings` is
+  *    kept CURRENT by [[appendToIndex]], which is what lets
+  *    [[rebucketAdvised]] notice when admissions have grown per-bucket
+  *    volume past [[RebucketFactor]]× the target and an OPTIMIZE-style
+  *    [[rebucketIndex]] would restore the constant-volume contract
+  *    (bit-identical answers — re-bucketing only re-partitions rows).
   *
   * BUCKET SIZING is what keeps the probe-I/O contract meaningful as the
   * corpus grows (the round-18 verdict's saturation finding, the same
@@ -110,8 +115,15 @@ object DedupIndex {
 
   private def docBucket(n: Long): Column = pmod(col("doc_id"), lit(n))
 
-  /** The self-described layout of a committed index. */
+  /** The self-described layout of a committed index. Refuses an index
+    * whose [[rebucketIndex]] swap did not complete — the recorded bucket
+    * counts may then disagree with the physical bucketing, and pruning
+    * under the mismatch would silently drop candidates. */
   private def layout(spark: SparkSession, indexPath: String): (Long, Long) = {
+    require(!graft.streaming.TableFs.exists(s"$indexPath/$RebucketSentinel"),
+      s"index at $indexPath has an interrupted re-bucket swap " +
+        s"($RebucketSentinel present) — re-run DedupIndex.rebucketIndex " +
+        "to complete it before probing or appending")
     val m = spark.read.parquet(s"$indexPath/meta")
       .select("sh_buckets", "doc_buckets").head()
     (m.getLong(0), m.getLong(1))
@@ -130,41 +142,114 @@ object DedupIndex {
     */
   def buildIndex(documents: DataFrame, indexPath: String,
                  shingleBuckets: Int = 0, docBuckets: Int = 0): Unit = {
+    val (shB, docB, nPostings) =
+      stageSeedIndex(documents, indexPath, shingleBuckets, docBuckets)
+    val spark = documents.sparkSession
+    import spark.implicits._
+    Seq((nPostings, shB, docB, IndexThreshold))
+      .toDF("n_postings", "sh_buckets", "doc_buckets", "threshold")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/meta")
+  }
+
+  /** Constant-volume bucket count for `n` postings, or the pinned count. */
+  private def autoBuckets(n: Long, pinned: Int): Long =
+    if (pinned > 0) pinned.toLong
+    else math.max(MinBuckets.toLong, math.min(MaxBuckets.toLong,
+      (n + TargetRowsPerBucket - 1) / TargetRowsPerBucket))
+
+  /** Stage the SEED index dirs (`freq/`, `prefix/`, `shingles/`) under
+    * `dir` and return `(sh_buckets, doc_buckets, n_postings)` — the body
+    * of [[buildIndex]] without its `meta/` write, shared with
+    * [[graft.streaming.CuratedStore]] whose layout lives in a manifest
+    * instead of a meta table. */
+  private[graft] def stageSeedIndex(documents: DataFrame, dir: String,
+                                    shingleBuckets: Int = 0,
+                                    docBuckets: Int = 0): (Long, Long, Long) = {
     val inv = DedupApprox.shingleIndex(documents)
       .persist() // consumed by the sizing count + freq agg + two writes
     try {
       val nPostings = inv.count()
-      def sized(pinned: Int): Long =
-        if (pinned > 0) pinned.toLong
-        else math.max(MinBuckets.toLong, math.min(MaxBuckets.toLong,
-          (nPostings + TargetRowsPerBucket - 1) / TargetRowsPerBucket))
-      val shB = sized(shingleBuckets)
-      val docB = sized(docBuckets)
+      val shB = autoBuckets(nPostings, shingleBuckets)
+      val docB = autoBuckets(nPostings, docBuckets)
       val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
       freq.withColumn("sh_bucket", shBucket(shB))
         .repartition(col("sh_bucket"))
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("sh_bucket").parquet(s"$indexPath/freq")
+        .partitionBy("sh_bucket").parquet(s"$dir/freq")
       // read the COMMITTED table back so build-time prefixes and every later
       // probe/append provably order under the same frozen values
-      val frozen = documents.sparkSession.read.parquet(s"$indexPath/freq")
+      val frozen = documents.sparkSession.read.parquet(s"$dir/freq")
         .select("shingle", "df")
-      DedupApprox.prefixPostings(inv, frozen, IndexThreshold)
-        .withColumn("sh_bucket", shBucket(shB))
-        .repartition(col("sh_bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("sh_bucket").parquet(s"$indexPath/prefix")
-      inv
-        .withColumn("doc_bucket", docBucket(docB))
-        .repartition(col("doc_bucket"))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("doc_bucket").parquet(s"$indexPath/shingles")
-      val spark = documents.sparkSession
-      import spark.implicits._
-      Seq((nPostings, shB, docB, IndexThreshold))
-        .toDF("n_postings", "sh_buckets", "doc_buckets", "threshold")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/meta")
+      stageFragment(inv, frozen, dir, shB, docB)
+      (shB, docB, nPostings)
     } finally { inv.unpersist(blocking = false); () }
+  }
+
+  /** Stage an immutable index FRAGMENT (`prefix/` + `shingles/` under
+    * `dir`) for the already-shingled `inv` rows, prefixes ordered by the
+    * given frozen `(shingle, df)` table, bucketed at the committed
+    * counts. The [[graft.streaming.CuratedStore]] commit unit: committed
+    * fragment dirs are never mutated — admission stages a NEW fragment
+    * and one manifest flip makes it (and everything else the batch
+    * wrote) visible atomically. */
+  private[graft] def stageFragment(inv: DataFrame, frozenFreq: DataFrame,
+                                   dir: String, shB: Long,
+                                   docB: Long): Unit = {
+    DedupApprox.prefixPostings(inv, frozenFreq, IndexThreshold)
+      .withColumn("sh_bucket", shBucket(shB))
+      .repartition(col("sh_bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("sh_bucket").parquet(s"$dir/prefix")
+    inv
+      .withColumn("doc_bucket", docBucket(docB))
+      .repartition(col("doc_bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("doc_bucket").parquet(s"$dir/shingles")
+  }
+
+  /** The shingled `(doc_id, n, shingle)` rows of `documents` — exposed
+    * for the store's fragment staging (same generator every index path
+    * uses). */
+  private[graft] def shingled(documents: DataFrame): DataFrame =
+    DedupApprox.shingleIndex(documents)
+
+  /** The frozen `(shingle, df)` order pruned to the buckets `inv`'s own
+    * shingles hash into (a ≤ sh_buckets bucket-id collect, O(model)) —
+    * the same pruning [[probeDeltaView]]'s prefix stage applies, shared
+    * with the store's fragment staging. */
+  private[graft] def prunedFrozenFreq(view: IndexView,
+                                      inv: DataFrame): DataFrame = {
+    val buckets = inv.select(shBucket(view.shBuckets).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ sh_buckets values
+    view.freq.filter(col("sh_bucket").isin(buckets: _*))
+      .select("shingle", "df")
+  }
+
+  /** A RESOLVED index: the three sub-index frames (each carrying its
+    * bucket partition column) plus the committed bucket counts. The probe
+    * pipeline runs entirely against a view, which is what lets the
+    * manifest-committed store ([[graft.streaming.CuratedStore]]) present
+    * its per-batch immutable index FRAGMENTS as one index — a view over
+    * the union of fragment dirs prunes identically to the plain layout
+    * (each dir is its own partition-discovery base, so `sh_bucket` /
+    * `doc_bucket` stay partition columns and the `isin` filters stay
+    * `PartitionFilters`).
+    */
+  private[graft] final case class IndexView(
+      freq: DataFrame,     // (shingle, df) + sh_bucket
+      prefix: DataFrame,   // (doc_id, n, pos, shingle) + sh_bucket
+      shingles: DataFrame, // (doc_id, n, shingle) + doc_bucket
+      shBuckets: Long, docBuckets: Long)
+
+  /** The plain bucket-partitioned layout as a view (the 1-row meta read
+    * happens ONCE per probe and threads through the stage helpers). */
+  private def pathView(spark: SparkSession, indexPath: String): IndexView = {
+    val (shB, docB) = layout(spark, indexPath)
+    IndexView(
+      spark.read.parquet(s"$indexPath/freq"),
+      spark.read.parquet(s"$indexPath/prefix"),
+      spark.read.parquet(s"$indexPath/shingles"),
+      shB, docB)
   }
 
   /** Near-dup pairs at `threshold` where AT LEAST ONE side is a `delta`
@@ -175,12 +260,17 @@ object DedupIndex {
     * fingerprint), and `threshold ≥ IndexThreshold`.
     */
   def probeDelta(spark: SparkSession, indexPath: String, delta: DataFrame,
-                 threshold: Double): DataFrame = {
+                 threshold: Double): DataFrame =
+    probeDeltaView(pathView(spark, indexPath), delta, threshold)
+
+  /** [[probeDelta]] against a resolved [[IndexView]] — the shared probe
+    * pipeline (same plan shape, same exactness, same bounded bucket-id
+    * collects) for both the plain layout and the manifest store's
+    * fragment union. */
+  private[graft] def probeDeltaView(view: IndexView, delta: DataFrame,
+                                    threshold: Double): DataFrame = {
     require(threshold >= IndexThreshold,
       s"index prefixes are sized for thresholds >= $IndexThreshold; got $threshold")
-    // the 1-row meta read happens ONCE per probe and threads through the
-    // stage helpers (each also reads it standalone for the test seams)
-    val (shB, docB) = layout(spark, indexPath)
     // checkpointed: consumed by the frozen-order prefix computation AND
     // both refine sides
     val deltaInv = DedupApprox.shingleIndex(delta).localCheckpoint(true)
@@ -189,19 +279,18 @@ object DedupIndex {
     // THIS stage's plan, asserted via the candidateStage seam in
     // DedupIndexSpec)
     val deltaPrefix =
-      deltaPrefixOfInv(spark, indexPath, deltaInv, shB).localCheckpoint(true)
+      deltaPrefixOfInv(view, deltaInv).localCheckpoint(true)
     val candidates =
-      candidateStageOf(spark, indexPath, deltaPrefix, threshold, shB)
-        .localCheckpoint(true)
+      candidateStageOf(view, deltaPrefix, threshold).localCheckpoint(true)
 
     // refine postings: delta fresh, corpus bucket-pruned to candidate docs
     // (the refine's own equi-join selects the exact docs within buckets)
     val candidateDocBuckets = candidates
       .select(explode(array(
-        pmod(col("doc_a"), lit(docB)),
-        pmod(col("doc_b"), lit(docB)))).as("b"))
-      .distinct().collect().map(_.getLong(0)) // ≤ doc_buckets values
-    val corpusInv = spark.read.parquet(s"$indexPath/shingles")
+        pmod(col("doc_a"), lit(view.docBuckets)),
+        pmod(col("doc_b"), lit(view.docBuckets)))).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // ≤ doc_buckets values
+    val corpusInv = view.shingles
       .filter(col("doc_bucket").isin(candidateDocBuckets: _*))
       .select("doc_id", "n", "shingle")
     val inv = corpusInv.union(deltaInv)
@@ -222,32 +311,176 @@ object DedupIndex {
     */
   def appendToIndex(documents: DataFrame, indexPath: String): Unit = {
     val spark = documents.sparkSession
-    val (shB, docB) = layout(spark, indexPath)
+    require(!graft.streaming.TableFs.exists(s"$indexPath/$RebucketSentinel"),
+      s"index at $indexPath has an interrupted re-bucket swap " +
+        s"($RebucketSentinel present) — re-run DedupIndex.rebucketIndex " +
+        "to complete it before appending")
+    val meta = spark.read.parquet(s"$indexPath/meta")
+      .select("n_postings", "sh_buckets", "doc_buckets", "threshold").head()
+    val (shB, docB) = (meta.getLong(1), meta.getLong(2))
     val inv = DedupApprox.shingleIndex(documents)
-    val frozen = spark.read.parquet(s"$indexPath/freq")
-      .select("shingle", "df")
-    DedupApprox.prefixPostings(inv, frozen, IndexThreshold)
+      .persist() // consumed by the volume count + both appends
+    try {
+      val batchPostings = inv.count()
+      val frozen = spark.read.parquet(s"$indexPath/freq")
+        .select("shingle", "df")
+      DedupApprox.prefixPostings(inv, frozen, IndexThreshold)
+        .withColumn("sh_bucket", shBucket(shB))
+        .repartition(col("sh_bucket"))
+        .write.mode(SaveMode.Append)
+        .partitionBy("sh_bucket").parquet(s"$indexPath/prefix")
+      inv
+        .withColumn("doc_bucket", docBucket(docB))
+        .repartition(col("doc_bucket"))
+        .write.mode(SaveMode.Append)
+        .partitionBy("doc_bucket").parquet(s"$indexPath/shingles")
+      // keep the recorded posting volume CURRENT (bucket counts stay the
+      // build's — the frozen-layout contract): without this, admissions
+      // silently erode the constant-volume sizing the rule exists for,
+      // and [[rebucketAdvised]] could never fire. Advisory metadata — a
+      // crash between the appends and this rewrite leaves the count
+      // stale-low until the next append or [[rebucketIndex]] recounts,
+      // never a wrong probe (the plain-dir index trade, as with
+      // Retrieval.appendToTextIndex).
+      import spark.implicits._
+      Seq((meta.getLong(0) + batchPostings, shB, docB, meta.getDouble(3)))
+        .toDF("n_postings", "sh_buckets", "doc_buckets", "threshold")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/meta")
+    } finally { inv.unpersist(blocking = false); () }
+  }
+
+  /** Appended volume past which [[rebucketAdvised]] recommends an
+    * OPTIMIZE-style re-bucket: per-bucket volume has grown past this
+    * multiple of [[TargetRowsPerBucket]], so saturated probe reads cost
+    * that multiple of the sizing rule's intent. */
+  val RebucketFactor = 4.0
+
+  /** True when the index's recorded posting volume exceeds
+    * [[RebucketFactor]] × its committed bucket capacity (sh_buckets ·
+    * [[TargetRowsPerBucket]]) — appends have eroded the constant-volume
+    * contract and [[rebucketIndex]] would restore it. Never true for an
+    * index whose auto-sizing hit [[MaxBuckets]] only when volume keeps
+    * growing past the clamp (the documented full-scan-of-healthy-objects
+    * regime — re-bucketing cannot help beyond the clamp).
+    */
+  def rebucketAdvised(spark: SparkSession, indexPath: String): Boolean = {
+    val m = spark.read.parquet(s"$indexPath/meta")
+      .select("n_postings", "sh_buckets").head()
+    val (nPostings, shB) = (m.getLong(0), m.getLong(1))
+    shB < MaxBuckets && nPostings > RebucketFactor * shB * TargetRowsPerBucket
+  }
+
+  /** OPTIMIZE: rebuild `freq/`, `prefix/` and `shingles/` under bucket
+    * counts recomputed for the index's CURRENT volume, restoring the
+    * constant-per-bucket-volume contract appends erode. The frozen
+    * (shingle, df) ORDER is untouched — re-bucketing only re-partitions
+    * the same rows by the new hash modulus, so probe answers are
+    * bit-identical before and after (grown ≡ rebuilt ≡ re-bucketed,
+    * pinned in `DedupIndexSpec`) and later prefixes still order under
+    * the values every committed prefix was computed under. Volume is
+    * RECOUNTED from the committed postings (robust to a stale meta count
+    * from a crashed append), and the new counts self-describe in `meta/`
+    * so subsequent appends and probes inherit them.
+    *
+    * Mechanics: each sub-index is staged beside itself (`⁎.rb`), then
+    * swapped in (delete + dir rename) — O(index) once, amortized over the
+    * restored probe economics, vs O(batch) per append. Single writer; the
+    * swap window is guarded by a `_rebucket_inprogress` sentinel that
+    * [[layout]] REFUSES on: a crash mid-swap would otherwise leave
+    * `meta/`'s bucket counts describing a different physical bucketing
+    * than (some of) the dirs — and a probe pruning with mismatched
+    * counts would silently false-negative, the one failure mode this
+    * index must never have. Sentinel present ⇒ re-run `rebucketIndex`
+    * (the staged `⁎.rb` dirs rebuild/overwrite cleanly) — the plain-dir
+    * layout's documented trade of the manifest flip for zero-copy
+    * appends. Pass explicit counts to pin the layout.
+    */
+  def rebucketIndex(spark: SparkSession, indexPath: String,
+                    shingleBuckets: Int = 0, docBuckets: Int = 0): Unit = {
+    // a previous rebucket crashed mid-swap: its `⁎.rb` stagings are
+    // COMPLETE (the sentinel is only written after all staging writes
+    // finish), so finish that swap first — re-staging would read from /
+    // overwrite dirs the interrupted swap may have half-moved
+    completeSwapIfInterrupted(indexPath)
+    val threshold = spark.read.parquet(s"$indexPath/meta")
+      .select("threshold").head().getDouble(0)
+    val inv = spark.read.parquet(s"$indexPath/shingles")
+      .select("doc_id", "n", "shingle")
+    val nPostings = inv.count()
+    def sized(pinned: Int): Long =
+      if (pinned > 0) pinned.toLong
+      else math.max(MinBuckets.toLong, math.min(MaxBuckets.toLong,
+        (nPostings + TargetRowsPerBucket - 1) / TargetRowsPerBucket))
+    val shB = sized(shingleBuckets)
+    val docB = sized(docBuckets)
+    // same frozen (shingle, df) VALUES, new physical bucketing
+    spark.read.parquet(s"$indexPath/freq").select("shingle", "df")
       .withColumn("sh_bucket", shBucket(shB))
       .repartition(col("sh_bucket"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("sh_bucket").parquet(s"$indexPath/prefix")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("sh_bucket").parquet(s"$indexPath/freq.rb")
+    spark.read.parquet(s"$indexPath/prefix")
+      .select("doc_id", "n", "pos", "shingle")
+      .withColumn("sh_bucket", shBucket(shB))
+      .repartition(col("sh_bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("sh_bucket").parquet(s"$indexPath/prefix.rb")
     inv
       .withColumn("doc_bucket", docBucket(docB))
       .repartition(col("doc_bucket"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("doc_bucket").parquet(s"$indexPath/shingles")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("doc_bucket").parquet(s"$indexPath/shingles.rb")
+    import spark.implicits._
+    Seq((nPostings, shB, docB, threshold))
+      .toDF("n_postings", "sh_buckets", "doc_buckets", "threshold")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$indexPath/meta.rb")
+    // the swap, fenced by the in-progress sentinel (see scaladoc): a
+    // probe racing or resuming into a half-swapped index must refuse,
+    // never silently prune with mismatched bucket counts
+    graft.streaming.TableFs.writeString(
+      s"$indexPath/$RebucketSentinel", "swapping\n")
+    swapStagedDirs(indexPath)
+    graft.streaming.TableFs.delete(s"$indexPath/$RebucketSentinel")
   }
+
+  private[graft] val RebucketSentinel = "_rebucket_inprogress"
+
+  /** Move every staged `⁎.rb` dir into place (skipping the already-moved
+    * — the resume case). Delete-then-rename per sub-index; any crash
+    * point leaves exactly one complete copy of each sub-index across
+    * (`sub`, `sub.rb`), which is what makes the resume correct. */
+  private def swapStagedDirs(indexPath: String): Unit = {
+    import graft.streaming.TableFs
+    Seq("freq", "prefix", "shingles", "meta").foreach { sub =>
+      if (TableFs.exists(s"$indexPath/$sub.rb")) {
+        TableFs.delete(s"$indexPath/$sub")
+        require(TableFs.fs(indexPath).rename(
+          TableFs.path(s"$indexPath/$sub.rb"),
+          TableFs.path(s"$indexPath/$sub")),
+          s"re-bucket swap failed renaming $sub.rb into place at $indexPath")
+      }
+    }
+  }
+
+  /** Finish a crashed [[rebucketIndex]] swap (sentinel present): the
+    * staged dirs are complete by construction, so moving the remaining
+    * ones in and clearing the sentinel IS the recovery. No-op otherwise. */
+  def completeSwapIfInterrupted(indexPath: String): Unit =
+    if (graft.streaming.TableFs.exists(s"$indexPath/$RebucketSentinel")) {
+      swapStagedDirs(indexPath)
+      graft.streaming.TableFs.delete(s"$indexPath/$RebucketSentinel")
+    }
 
   /** Delta prefixes under the index's frozen order — the freq read is
     * sh_bucket-pruned to the delta's own shingle buckets (a `collect` of
     * ≤ sh_buckets bucket ids, O(model)).
     */
-  private def deltaPrefixOfInv(spark: SparkSession, indexPath: String,
-                               deltaInv: DataFrame, shB: Long): DataFrame = {
+  private def deltaPrefixOfInv(view: IndexView,
+                               deltaInv: DataFrame): DataFrame = {
     val deltaShBuckets = deltaInv
-      .select(shBucket(shB).as("b")).distinct()
-      .collect().map(_.getLong(0)) // ≤ sh_buckets values
-    val frozen = spark.read.parquet(s"$indexPath/freq")
+      .select(shBucket(view.shBuckets).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ sh_buckets values
+    val frozen = view.freq
       .filter(col("sh_bucket").isin(deltaShBuckets: _*))
       .select("shingle", "df")
     DedupApprox.prefixPostings(deltaInv, frozen, IndexThreshold)
@@ -257,8 +490,8 @@ object DedupIndex {
     * pruned-read plan assertions. */
   private[graft] def deltaPrefixStage(spark: SparkSession, indexPath: String,
                                       delta: DataFrame): DataFrame =
-    deltaPrefixOfInv(spark, indexPath, DedupApprox.shingleIndex(delta),
-      layout(spark, indexPath)._1)
+    deltaPrefixOfInv(pathView(spark, indexPath),
+      DedupApprox.shingleIndex(delta))
 
   /** Candidate generation against the prefix index: the corpus side is
     * read with a `sh_bucket` partition filter resolved from the delta's
@@ -269,16 +502,14 @@ object DedupIndex {
   private[graft] def candidateStage(spark: SparkSession, indexPath: String,
                                     deltaPrefix: DataFrame,
                                     threshold: Double): DataFrame =
-    candidateStageOf(spark, indexPath, deltaPrefix, threshold,
-      layout(spark, indexPath)._1)
+    candidateStageOf(pathView(spark, indexPath), deltaPrefix, threshold)
 
-  private def candidateStageOf(spark: SparkSession, indexPath: String,
-                               deltaPrefix: DataFrame,
-                               threshold: Double, shB: Long): DataFrame = {
+  private def candidateStageOf(view: IndexView, deltaPrefix: DataFrame,
+                               threshold: Double): DataFrame = {
     val probedShBuckets = deltaPrefix
-      .select(shBucket(shB).as("b")).distinct()
-      .collect().map(_.getLong(0)) // ≤ sh_buckets values
-    val corpusPrefix = spark.read.parquet(s"$indexPath/prefix")
+      .select(shBucket(view.shBuckets).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ sh_buckets values
+    val corpusPrefix = view.prefix
       .filter(col("sh_bucket").isin(probedShBuckets: _*))
       .select("doc_id", "n", "pos", "shingle")
     DedupApprox.prefixCandidates(

@@ -154,6 +154,100 @@ object Graph {
     spark.table(table)
   }
 
+  /** Commit the SPLIT bucketed layout — the O(delta)-refresh form of the
+    * committed edge table (the r19 warmbkt caveat closed): the monolithic
+    * `bucketBy(src)` table carries `outdeg` denormalized on every edge
+    * row, so ANY delta (which changes out-degrees) forces an O(E)
+    * re-commit per refresh. Split instead into
+    *  - `<table>_e` — plain `(src, dst)` edges, `bucketBy(src)`:
+    *    append-only ([[absorbEdgeDelta]] `insertInto`s delta rows — new
+    *    files in the bucketed layout, committed rows never rewritten);
+    *  - `<table>_d` — `(src, outdeg)`, `bucketBy(src)` at the SAME
+    *    count: V-sized, merged per refresh from its own prior rows plus
+    *    the delta's per-src counts (O(V + delta), never O(E)).
+    * Both sides hash-partition on `src`, so the per-round
+    * `edges ⋈ deg` join is EXCHANGE-FREE ON BOTH SIDES and the rank
+    * join keeps the bucketed path's V-only shuffle — same per-round
+    * plan economics as [[pageRankBucketed]], same bit-identical
+    * [[prRound]] arithmetic, refresh cost now tracking the delta
+    * (measured in `GraphScaleProbe`'s splitabsorb section).
+    */
+  def commitSplitEdgeTables(spark: SparkSession, edges: DataFrame,
+                            outDir: String, buckets: Int = 8,
+                            table: String = "graph_edges_split"): Unit = {
+    val e = edges.select(col("src"), col("dst"))
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_e")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_d")
+    e.write.bucketBy(buckets, "src").sortBy("src")
+      .option("path", s"$outDir/${table}_e")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(s"${table}_e")
+    spark.table(s"${table}_e")
+      .groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .write.bucketBy(buckets, "src").sortBy("src")
+      .option("path", s"$outDir/${table}_d")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(s"${table}_d")
+  }
+
+  /** Absorb `deltaEdges` into the split layout at O(delta + V), without
+    * the O(E) edge-table rewrite: the delta appends into the bucketed
+    * edge table (`insertInto` preserves the bucket spec — each insert
+    * lands its own per-bucket files; committed files are untouched,
+    * asserted in `GraphSpec`), and the degree table is rebuilt from its
+    * own prior rows full-outer-merged with the delta's per-src counts —
+    * a V-sized job. Caller contract as everywhere: delta rows are NEW
+    * distinct edges (not already committed).
+    */
+  def absorbEdgeDelta(spark: SparkSession, deltaEdges: DataFrame,
+                      table: String = "graph_edges_split"): Unit = {
+    deltaEdges.select(col("src"), col("dst"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto(s"${table}_e")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(s"${table}_d"))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"${table}_d is not bucketed"))
+    val loc = meta.location.getPath
+    val deltaDeg = deltaEdges.groupBy(col("src"))
+      .agg(count(lit(1)).as("d"))
+    // materialize BEFORE the overwrite — the merge reads the table it
+    // replaces
+    val merged = spark.table(s"${table}_d")
+      .join(deltaDeg, Seq("src"), "full_outer")
+      .select(col("src"),
+        (coalesce(col("outdeg"), lit(0L)) + coalesce(col("d"), lit(0L)))
+          .as("outdeg"))
+      .localCheckpoint(true)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_d")
+    merged.write.bucketBy(buckets, "src").sortBy("src")
+      .option("path", loc)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(s"${table}_d")
+  }
+
+  /** [[pageRankWarmStart]] iterating over the SPLIT committed layout:
+    * eDeg = `<table>_e ⋈ <table>_d` on `src` — zero exchange on both
+    * bucketed sides, so each round still shuffles only the V-sized rank
+    * frame. Bit-identical to the plain warm path on the same absorbed
+    * edge set (same [[prRound]] integers), so the twin shares the warm
+    * oracle.
+    */
+  def pageRankWarmStartSplit(spark: SparkSession, warmRanks: DataFrame,
+                             maxIterations: Int = 10,
+                             tolMass: Long = TotalMass / 1000,
+                             table: String = "graph_edges_split"): (DataFrame, Int, Long) =
+    warmIterate(
+      spark.table(s"${table}_e").join(spark.table(s"${table}_d"), "src"),
+      warmRanks, maxIterations, tolMass)
+
+  /** [[purchaseRankWarmFrom]] over the split absorbed tables. */
+  def purchaseRankWarmFromSplit(spark: SparkSession,
+                                committedRanks: DataFrame,
+                                warmIterations: Int = 3,
+                                table: String = "graph_edges_split"): DataFrame = {
+    val (ranks, _, _) = pageRankWarmStartSplit(spark, committedRanks,
+      maxIterations = warmIterations, tolMass = 0L, table = table)
+    ranks.select(kindDecode: _*)
+  }
+
   /** One power-iteration round (shared by [[pageRank]] and
     * [[pageRankWarmStart]] — the cold path's bit-exact oracle replay
     * depends on these exact expressions). The zero-contribution union

@@ -145,18 +145,38 @@ object Curation {
   def admitBatch(spark: SparkSession, seedExact: DataFrame,
                  indexPath: String, batch: DataFrame,
                  jaccardThreshold: Double = 0.8,
-                 minQuality: Double = 0.3): (DataFrame, DataFrame) = {
-    // 1. exact dedup: min-id within the batch, then content new vs seed
+                 minQuality: Double = 0.3): (DataFrame, DataFrame) =
+    admitBatchWith(
+      kept => Dedup.bloomNewContent(seedExact, kept, "text"),
+      ex => graft.operators.DedupIndex
+        .probeDelta(spark, indexPath, ex, jaccardThreshold),
+      batch, minQuality)
+
+  /** The admission pipeline with its two corpus-facing stages injected —
+    * the seam [[graft.streaming.CuratedStore]] uses to swap the full
+    * exact-table Bloom build for its persisted bloom + bucketed hash
+    * index, and the plain-dir index probe for the manifest-resolved
+    * fragment view, WITHOUT forking the admission semantics (within-batch
+    * min-id exact dedup → `newContent` vs the corpus → drop the higher id
+    * of every `probe` pair → quality gate + enrichment).
+    *
+    * `newContent(kept)` must return the subset of `kept` whose content is
+    * absent from the committed corpus; `probe(batchExact)` the near-dup
+    * pairs `(doc_a < doc_b)` with at least one side in `batchExact`.
+    */
+  def admitBatchWith(newContent: DataFrame => DataFrame,
+                     probe: DataFrame => DataFrame,
+                     batch: DataFrame,
+                     minQuality: Double = 0.3): (DataFrame, DataFrame) = {
+    // 1. exact dedup: min-id within the batch, then content new vs corpus
     val keepB = Dedup.exactByContent(batch, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
-    val batchExact = Dedup.bloomNewContent(
-      seedExact, batch.join(keepB, Seq("doc_id"), "left_semi"), "text")
+    val batchExact = newContent(batch.join(keepB, Seq("doc_id"), "left_semi"))
       .localCheckpoint(true) // consumed by the probe, the anti-join, and the caller's index append
     // 2. near-dup: a batch doc drops iff it is the HIGHER id of any
     //    exact-survivor pair — seed ids are all lower, batch↔batch pairs
     //    canonicalize doc_a < doc_b, so the drop set is just doc_b
-    val dupHigh = graft.operators.DedupIndex
-      .probeDelta(spark, indexPath, batchExact, jaccardThreshold)
+    val dupHigh = probe(batchExact)
       .select(col("doc_b").as("doc_id")).distinct()
     val nearDeduped = batchExact.join(dupHigh, Seq("doc_id"), "left_anti")
     // 3. the same quality gate + enrichment as the batch form

@@ -15,8 +15,15 @@ import graft.operators.{DedupApprox, DedupIndex}
   * index, so the sets must be equal, not probabilistically close).
   *
   * Run: `sbt "Test/runMain graft.DedupIndexProbe [nDocs] [deltaMod]
-  * [shBuckets] [docBuckets]"` — bucket pins of 0 (default) take the
-  * index's own constant-volume auto-sizing
+  * [shBuckets] [docBuckets] [growFactor]"` — bucket pins of 0 (default)
+  * take the index's own constant-volume auto-sizing; `growFactor > 1`
+  * additionally measures the REBUCKET lifecycle: the index is grown to
+  * ~growFactor× by corpus-sized appends (bucket counts frozen — the
+  * per-bucket volume erosion `rebucketAdvised` watches), a FIXED
+  * 1000-doc trickle batch is probed against the grown index, then
+  * `rebucketIndex` restores the constant-volume layout and the same
+  * batch re-probes — the pair sets must be identical (grown ≡
+  * re-bucketed) while the probe cost returns to the sized contract
   * (⌈postings / [[DedupIndex.TargetRowsPerBucket]]⌉ clamped to
   * [[DedupIndex.MinBuckets]]..[[DedupIndex.MaxBuckets]]; √-sizing was
   * measured and rejected — see the DedupIndex scaladoc and BASELINE.md
@@ -96,6 +103,72 @@ object DedupIndexProbe {
       a % deltaMod == 0 || b % deltaMod == 0 }
     println(s"[dedupidx] probe == whole-restricted-to-delta: ${probed == expected} " +
       s"(probe ${probed.size} vs expected ${expected.size})")
+
+    val grow = args.drop(4).headOption.map(_.toInt).getOrElse(0)
+    if (grow > 1) {
+      // the same planted-structure generator over a shifted id range —
+      // admitted batches are id-disjoint from the index AND the trickle
+      def genDocs(lo: Long, count: Long) =
+        spark.range(lo, lo + count).select(col("id").as("doc_id"))
+          .mapPartitions { it =>
+            it.map { row =>
+              val docId = row.getLong(0)
+              val g = docId / 5
+              val slot = (docId % 5).toInt
+              val base = Array.tabulate(docLen)(p =>
+                math.floorMod(mix(g * docLen + p), vocab))
+              val nMut = slot match {
+                case 0 => 0
+                case 1 | 2 => 1
+                case _ => 10
+              }
+              val rnd = new scala.util.Random(31L * docId + 17L)
+              val toks = base.clone()
+              var i = 0
+              while (i < nMut) {
+                toks(rnd.nextInt(docLen)) = vocab + rnd.nextInt(vocab)
+                i += 1
+              }
+              (docId, toks.map(t => s"w$t").mkString(" "))
+            }
+          }.toDF("doc_id", "text")
+      (1 until grow).foreach { k =>
+        timed(s"appendToIndex (corpus-sized round $k)") {
+          DedupIndex.appendToIndex(genDocs(n * k, n), idx)
+        }
+      }
+      println(s"[dedupidx] grown layout: " + spark.read.parquet(s"$idx/meta")
+        .select("n_postings", "sh_buckets", "doc_buckets").head() +
+        s" rebucketAdvised=${DedupIndex.rebucketAdvised(spark, idx)}")
+      // two trickle shapes: 1k docs SATURATES the shingle buckets (the
+      // documented full-scan-of-healthy-objects regime — rebucket keeps
+      // per-object size healthy, wall-clock is index-scan-bound either
+      // way), while 50 docs touches FEW doc buckets, where the restored
+      // granularity prunes the candidate-doc refine read
+      val trickle = genDocs(n * 100L, 1000L).persist()
+      trickle.count()
+      val micro = genDocs(n * 200L, 50L).persist()
+      micro.count()
+      def trickleProbe(batch: org.apache.spark.sql.DataFrame,
+                       tag: String): Set[(Long, Long)] =
+        timed(s"probeDelta ($tag)") {
+          DedupIndex.probeDelta(spark, idx, batch, 0.8)
+            .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+        }
+      val grown = trickleProbe(trickle, "1k trickle, grown, pre-rebucket")
+      val grownMicro = trickleProbe(micro, "50-doc micro, grown, pre-rebucket")
+      timed("rebucketIndex (one-time OPTIMIZE)") {
+        DedupIndex.rebucketIndex(spark, idx)
+      }
+      println(s"[dedupidx] rebucketed layout: " + spark.read
+        .parquet(s"$idx/meta")
+        .select("n_postings", "sh_buckets", "doc_buckets").head())
+      val rebucketed = trickleProbe(trickle, "1k trickle, post-rebucket")
+      val rebucketedMicro = trickleProbe(micro, "50-doc micro, post-rebucket")
+      println(s"[dedupidx] grown == re-bucketed: " +
+        s"${grown == rebucketed && grownMicro == rebucketedMicro} " +
+        s"(${grown.size} + ${grownMicro.size} pairs)")
+    }
     spark.stop()
   }
 }

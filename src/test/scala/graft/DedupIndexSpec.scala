@@ -146,6 +146,80 @@ class DedupIndexSpec extends AnyFunSuite {
       meta2.getLong(1) == DedupIndex.MinBuckets.toLong)
   }
 
+  test("appends keep n_postings current; rebucket re-partitions bit-identically and later appends inherit the new layout") {
+    val idx = Files.createTempDirectory("graft-lshidx").toString
+    DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx,
+      shingleBuckets = 4, docBuckets = 4)
+    DedupIndex.appendToIndex(deltaDocs.toDF("doc_id", "text"), idx)
+    // the volume stamp is CURRENT after an append (the r19 lifecycle gap:
+    // stale n_postings meant rebucketAdvised could never fire)
+    val stamped = spark.read.parquet(s"$idx/meta")
+      .select("n_postings").head().getLong(0)
+    assert(stamped == spark.read.parquet(s"$idx/shingles").count(),
+      "appendToIndex must stamp the grown posting volume into meta")
+    assert(!DedupIndex.rebucketAdvised(spark, idx),
+      "a fixture-scale index is far under the rebucket threshold")
+
+    val batch2 = Seq(
+      (201L, "a duplicated delta document that repeats its phrasing almost word for word"),
+      (202L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+    val before = pairsOf(DedupIndex.probeDelta(spark, idx,
+      batch2.toDF("doc_id", "text"), 0.6))
+
+    // OPTIMIZE: new bucket counts, same rows, same frozen order — the
+    // probe answer must be IDENTICAL (grown ≡ re-bucketed)
+    DedupIndex.rebucketIndex(spark, idx, shingleBuckets = 8, docBuckets = 8)
+    val meta = spark.read.parquet(s"$idx/meta")
+      .select("sh_buckets", "doc_buckets", "n_postings").head()
+    assert(meta.getLong(0) == 8L && meta.getLong(1) == 8L)
+    assert(meta.getLong(2) == stamped,
+      "re-bucketing moves rows, never loses or invents them")
+    assert(pairsOf(DedupIndex.probeDelta(spark, idx,
+      batch2.toDF("doc_id", "text"), 0.6)) == before,
+      "re-bucketed probe must answer bit-identically to the grown index")
+    assert(!graft.streaming.TableFs.exists(s"$idx/freq.rb") &&
+      !graft.streaming.TableFs.exists(s"$idx/${DedupIndex.RebucketSentinel}"),
+      "a completed swap leaves no staging or sentinel behind")
+
+    // appends after the rebucket inherit the NEW layout and stay exact
+    DedupIndex.appendToIndex(batch2.toDF("doc_id", "text"), idx)
+    val batch3 = Seq(
+      (301L, "pack my box with five dozen liquor jugs before the long summer ends"))
+    val got = pairsOf(DedupIndex.probeDelta(spark, idx,
+      batch3.toDF("doc_id", "text"), 0.6))
+    val all = pairsOf(DedupApprox.jaccardJoin(
+      (corpusDocs ++ deltaDocs ++ batch2 ++ batch3).toDF("doc_id", "text"), 0.6))
+    assert(got == all.filter { case (a, b) => a == 301L || b == 301L })
+  }
+
+  test("an interrupted rebucket swap is refused by probes/appends and completed by the recovery") {
+    val idx = Files.createTempDirectory("graft-lshidx").toString
+    DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx)
+    // simulate a crash between delete(freq) and its rename: freq lives
+    // only in its staged name, sentinel still present
+    val fs = graft.streaming.TableFs.fs(idx)
+    assert(fs.rename(graft.streaming.TableFs.path(s"$idx/freq"),
+      graft.streaming.TableFs.path(s"$idx/freq.rb")))
+    graft.streaming.TableFs.writeString(
+      s"$idx/${DedupIndex.RebucketSentinel}", "swapping\n")
+    val delta = deltaDocs.toDF("doc_id", "text")
+    val eProbe = intercept[IllegalArgumentException] {
+      DedupIndex.probeDelta(spark, idx, delta, 0.6)
+    }
+    assert(eProbe.getMessage.contains("interrupted re-bucket swap"))
+    val eAppend = intercept[IllegalArgumentException] {
+      DedupIndex.appendToIndex(delta, idx)
+    }
+    assert(eAppend.getMessage.contains("interrupted re-bucket swap"))
+    // recovery completes the half-swap (staged dirs are complete by
+    // construction) and the index answers as if never interrupted
+    DedupIndex.completeSwapIfInterrupted(idx)
+    assert(!graft.streaming.TableFs.exists(s"$idx/${DedupIndex.RebucketSentinel}"))
+    assert(graft.streaming.TableFs.exists(s"$idx/freq"))
+    val got = pairsOf(DedupIndex.probeDelta(spark, idx, delta, 0.6))
+    assert(got.contains((3L, 103L)) && got.contains((104L, 108L)))
+  }
+
   test("an empty delta probes to an empty result") {
     val idx = Files.createTempDirectory("graft-lshidx").toString
     DedupIndex.buildIndex(corpusDocs.toDF("doc_id", "text"), idx)

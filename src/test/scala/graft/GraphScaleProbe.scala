@@ -150,6 +150,51 @@ object GraphScaleProbe {
         f"warm-bucketed incl. table commit=$rWb1 rounds ($tWb1%.2f s), " +
         f"warm-bucketed committed table=$rWb2 rounds ($tWb2%.2f s)")
     }
+
+    // O(delta) absorption on the SPLIT layout (r20, the
+    // graph_pagerank_warm_delta claim): the refresh term itself — a 1%
+    // delta absorbs by appending into the bucketed edge table + a
+    // V-sized degree merge, vs the monolithic layout's O(E) re-commit —
+    // then the warm restart runs over the absorbed tables with the same
+    // exchange-free rounds.
+    if (enabled("splitabsorb")) {
+      val e = sys.env.getOrElse("GRAPH_PROBE_BUCKETED_E", "20000000").toLong
+      val g = graph(e)
+      val noWarm = spark.range(0).selectExpr("id AS node", "id AS rank")
+      val (ranks0, r0, _) = graft.operators.Graph.pageRankWarmStart(g, noWarm, 40)
+      val ranksC = ranks0.localCheckpoint(true)
+      val delta = spark.range(e / 100).select(
+        pmod(xxhash64(col("id") + 7), lit(e / 10)).as("src"),
+        pmod(xxhash64(col("id") + 13), lit(100L)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .join(g, Seq("src", "dst"), "left_anti") // NEW edges only (contract)
+        .localCheckpoint(true)
+      val dir = java.nio.file.Files.createTempDirectory("graft-prsplit").toString
+      val tSeed = System.nanoTime()
+      graft.operators.Graph.commitSplitEdgeTables(spark, g, dir,
+        table = "graph_probe_split")
+      val tCommit = (System.nanoTime() - tSeed) / 1e9
+      val t0 = System.nanoTime()
+      graft.operators.Graph.absorbEdgeDelta(spark, delta, "graph_probe_split")
+      val tAbsorb = (System.nanoTime() - t0) / 1e9
+      // the monolithic comparison term: what a refresh costs when the
+      // degree-denormalized table must re-commit at O(E)
+      val g2 = g.union(delta).localCheckpoint(true)
+      g.unpersist(blocking = false)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-prmono").toString
+      val t1 = System.nanoTime()
+      graft.operators.Graph.pageRankBucketed(spark, g2, dir2, 0,
+        table = "graph_probe_mono")
+      val tMono = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val (_, rS, _) = graft.operators.Graph.pageRankWarmStartSplit(spark,
+        ranksC, 40, table = "graph_probe_split")
+      val tWarmSplit = (System.nanoTime() - t2) / 1e9
+      println(f"[graph-scale] splitabsorb E=$e 1%% delta: base commit " +
+        f"(once)=$tCommit%.2f s; absorb O(delta)=$tAbsorb%.2f s vs " +
+        f"monolithic O(E) re-commit=$tMono%.2f s; warm-split=$rS rounds " +
+        f"($tWarmSplit%.2f s, r0=$r0)")
+    }
     spark.stop()
   }
 }

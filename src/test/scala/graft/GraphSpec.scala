@@ -256,4 +256,63 @@ class GraphSpec extends AnyFunSuite {
         s"expected no exchange on the bucketed edge side:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("split-table delta absorption: append-only edges, merged degrees, bit-identical warm ranks, exchange-free eDeg join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prsplit").toString
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val baseEdges = edges.filter($"src" =!= 5L && $"dst" =!= 5L)
+    val deltaEdges = edges.except(baseEdges) // new edges AND the new node 5
+    Graph.commitSplitEdgeTables(spark, baseEdges, dir, table = "graph_split_spec")
+    def edgeFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/graph_split_spec_e"))
+        .map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = edgeFiles()
+    Graph.absorbEdgeDelta(spark, deltaEdges, "graph_split_spec")
+    val after = edgeFiles()
+    // the O(delta) contract, structurally: every committed edge file
+    // survives untouched (append, never a rewrite), the delta lands as
+    // new per-bucket files
+    assert(before.subsetOf(after) && after.size > before.size,
+      s"absorb must append into the bucketed layout, not rewrite it " +
+        s"(before=${before.size}, after=${after.size})")
+    // merged degrees == a from-scratch recompute over the absorbed set
+    val deg = spark.table("graph_split_spec_d")
+      .as[(Long, Long)].collect().toMap
+    val expected = edges.groupBy($"src")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(deg == expected, "degree merge must equal the full recompute")
+    // warm restart over the absorbed tables: same rounds, same integers
+    val base = Graph.pageRank(baseEdges, 4)
+    val (plainWarm, rPlain, _) =
+      Graph.pageRankWarmStart(edges, base, maxIterations = 3, tolMass = 0L)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (splitWarm, rSplit, _) = Graph.pageRankWarmStartSplit(spark, base,
+        maxIterations = 3, tolMass = 0L, table = "graph_split_spec")
+      assert(rSplit == rPlain)
+      assert(splitWarm.as[(Long, Long)].collect().toMap ==
+        plainWarm.as[(Long, Long)].collect().toMap,
+        "the split absorbed layout must not change the fixed-point integers")
+      // the round over eDeg = edges ⋈ deg must shuffle NOTHING on src:
+      // both sides are bucketed on it, so the only exchanges are the
+      // node-keyed rank/aggregate ones
+      val eDeg = spark.table("graph_split_spec_e")
+        .join(spark.table("graph_split_spec_d"), "src")
+      val nodes = eDeg.select($"src".as("node"))
+        .union(eDeg.select($"dst".as("node"))).distinct()
+      val round = Graph.prRound(eDeg, nodes, 0L,
+        nodes.withColumn("rank", org.apache.spark.sql.functions.lit(1000L)))
+      round.collect()
+      val plan = round.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(src"),
+        s"expected no src-keyed exchange over the split bucketed tables:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }

@@ -5,13 +5,18 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, DedupIndex}
-import graft.streaming.{StreamCuration, StreamOracle}
+import graft.streaming.{AtomicRenameCommitter, ConditionalPutCommitter, CuratedStore, SnapshotCommitter, StreamCuration, StreamOracle, TableFs}
 
-/** The continuous-curation drain: ordered micro-batch delivery, the
-  * batch-id ledger's replay idempotency, and the stream ≡ batch
-  * equivalence on a hand-planted corpus (the CORRECTNESS row
-  * `stream_curation` pins the same equivalence against DuckDB at sf0.01).
+/** The continuous-curation drain over the manifest-committed
+  * [[CuratedStore]]: ordered micro-batch delivery, the in-manifest
+  * ledger's replay idempotency, the CRASH-INJECTION proof that a failure
+  * between staging and the manifest flip replays without duplicating one
+  * row or one posting, the per-batch no-full-exact-scan contract, and the
+  * whole loop on the `naf://` atomic-put object-store simulation (the
+  * 100-TB deployment shape: conditional-put commits + streaming
+  * admission). Stream ≡ batch equivalence on a hand-planted corpus; the
+  * CORRECTNESS row `stream_curation` pins the same equivalence against
+  * DuckDB at sf0.01.
   */
 class StreamCurationSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -29,48 +34,138 @@ class StreamCurationSpec extends AnyFunSuite {
     (14L, "noise in the stream that matches nothing in the corpus or the batch"))
 
   private def seedExactOf(seed: org.apache.spark.sql.DataFrame) =
-    seed.join(Dedup.exactByContent(seed, "text", "doc_id")
+    seed.join(graft.operators.Dedup.exactByContent(seed, "text", "doc_id")
       .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
 
-  private def build(): (String, String) = {
-    val root = Files.createTempDirectory("graft-scur").toString
-    val idx = s"$root/idx"
-    val seed = seedDocs.toDF("doc_id", "text")
-    val seedExact = seedExactOf(seed)
-    DedupIndex.buildIndex(seedExact, idx)
-    seedExact.write.mode("overwrite").parquet(s"$root/exact")
+  /** Seed the store at `root` and stage the 2 monotone batches under a
+    * LOCAL dir (the ingest staging area is always filesystem-local; the
+    * STORE may live on the object store). Returns the staging dir. */
+  private def build(root: String,
+                    committer: SnapshotCommitter = AtomicRenameCommitter): String = {
+    CuratedStore.seed(spark, seedExactOf(seedDocs.toDF("doc_id", "text")),
+      root, committer, jaccardThreshold = 0.6)
+    val stage = Files.createTempDirectory("graft-scur-in").toString
     StreamCuration.stageMonotoneBatches(spark,
-      streamDocs.toDF("doc_id", "text"), s"$root/in", 2)
-    (root, idx)
+      streamDocs.toDF("doc_id", "text"), stage, 2)
+    stage
   }
 
-  private def drain(root: String, idx: String, ckpt: String): Unit =
+  private def drain(stage: String, root: String, ckpt: String,
+                    committer: SnapshotCommitter = AtomicRenameCommitter): Unit =
     StreamCuration.maintainCuration(spark,
-      StreamOracle.fileStream(spark, s"$root/in", maxFilesPerTrigger = Some(1)),
-      idx, root, ckpt, jaccardThreshold = 0.6, minQuality = 0.0)
+      StreamOracle.fileStream(spark, stage, maxFilesPerTrigger = Some(1)),
+      root, ckpt, committer, minQuality = 0.0)
       .awaitTermination()
 
-  test("ordered micro-batches curate exactly like the batch admission; replay with a fresh checkpoint is a no-op") {
-    val (root, idx) = build()
-    drain(root, idx, s"$root/_ckpt1")
-    val admitted = spark.read.parquet(s"$root/curated")
+  private def curatedIds(root: String,
+                         c: SnapshotCommitter = AtomicRenameCommitter): Seq[Long] =
+    CuratedStore.curatedRows(spark, root, c)
       .select("doc_id").as[Long].collect().sorted.toSeq
+
+  private def exactIds(root: String,
+                       c: SnapshotCommitter = AtomicRenameCommitter): Set[Long] =
+    CuratedStore.exactRows(spark, root, c)
+      .select("doc_id").as[Long].collect().toSet
+
+  /** Committed shingle postings must be duplicate-free: a replayed batch
+    * that re-appended its fragment would double every (doc, shingle). */
+  private def assertPostingsUnique(root: String,
+                                   c: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val dirs = c.readManifest(root).collect {
+      case (k, rel) if k.startsWith("shingles-") => s"$root/$rel"
+    }.toSeq
+    val sh = dirs.map(spark.read.parquet(_).select("doc_id", "shingle"))
+      .reduce(_ unionByName _)
+    assert(sh.count() == sh.distinct().count(),
+      "duplicate index postings — a batch committed twice")
+  }
+
+  test("ordered micro-batches curate exactly like the batch admission; replay with a fresh checkpoint is a no-op") {
+    val root = Files.createTempDirectory("graft-scur").toString + "/store"
+    val stage = build(root)
+    drain(stage, root, s"$root-ckpt1")
     // 11 = exact dup of seed 1 (dropped); 13 = near-dup higher id of 12
     // (dropped); 12 and 14 admitted
-    assert(admitted == Seq(12L, 14L))
+    assert(curatedIds(root) == Seq(12L, 14L))
     // the exact-survivor table grew by the admitted batches' exact set
-    assert(spark.read.parquet(s"$root/exact")
-      .select("doc_id").as[Long].collect().toSet ==
-      Set(1L, 2L, 12L, 13L, 14L),
+    assert(exactIds(root) == Set(1L, 2L, 12L, 13L, 14L),
       "exact survivors = seed + streamed exact-new docs (13 is a NEAR dup — it stays in the exact set)")
+    assert(CuratedStore.committedBatches(root) == Set(0L, 1L))
     // REPLAY: a fresh checkpoint re-delivers every file with the same
-    // batch ids — the ledger must skip every fully-committed batch, so
-    // nothing duplicates (rows, postings, survivors)
-    drain(root, idx, s"$root/_ckpt2")
-    assert(spark.read.parquet(s"$root/curated")
-      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(12L, 14L),
-      "replayed batches must be skipped whole by the ledger")
-    assert(spark.read.parquet(s"$root/exact").count() == 5L)
+    // batch ids — the in-manifest ledger must skip every committed batch
+    // whole, so nothing duplicates (rows, postings, survivors)
+    drain(stage, root, s"$root-ckpt2")
+    assert(curatedIds(root) == Seq(12L, 14L),
+      "replayed batches must be skipped whole by the manifest ledger")
+    assert(exactIds(root).size == 5)
+    assertPostingsUnique(root)
+  }
+
+  test("crash between staging and the manifest flip: the replay commits once, zero duplicate rows or postings") {
+    val root = Files.createTempDirectory("graft-scur-crash").toString + "/store"
+    val stage = build(root)
+    val files = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
+    val batch0 = spark.read.parquet(files(0).getPath)
+    // the injected crash: batch 0 stages EVERYTHING (curated rows, exact
+    // survivors, index + hash fragments, merged bloom) and dies before
+    // the flip
+    CuratedStore.admitCommit(spark, root, 0L, batch0,
+      minQuality = 0.0, crashBeforeCommit = true)
+    assert(CuratedStore.committedBatches(root).isEmpty,
+      "a crash before the flip must leave NOTHING committed")
+    assert(curatedIds(root).isEmpty && exactIds(root) == Set(1L, 2L),
+      "staged-but-uncommitted data must be invisible to every reader")
+    // restart the stream from scratch: batch 0 re-delivers under the same
+    // id, re-stages over its own crashed staging, and commits ONCE
+    drain(stage, root, s"$root-ckpt")
+    assert(curatedIds(root) == Seq(12L, 14L))
+    assert(exactIds(root) == Set(1L, 2L, 12L, 13L, 14L))
+    assertPostingsUnique(root)
+    // and the crashed batch's ledger entry exists exactly once
+    assert(CuratedStore.committedBatches(root) == Set(0L, 1L))
+  }
+
+  test("per-batch admission never scans the full exact table: bloom routes, hash-index verify is bucket-pruned") {
+    val root = Files.createTempDirectory("graft-scur-plan").toString + "/store"
+    build(root)
+    // a batch with one exact dup (hits the bloom + pruned verify join)
+    // and one new doc (bloom-routed past the join entirely)
+    val m = AtomicRenameCommitter.readManifest(root)
+    assert(m.contains("bloom") && m.contains("hashes-seed"),
+      "the store must commit the bloom sidecar and the bucketed hash index")
+    // the verify side reads the hash index (narrow h/xh columns), pruned
+    // by h_bucket — the exact-survivor TEXT table appears nowhere in the
+    // admission plan (its dirs are read only by explicit exactRows calls)
+    val batch = Seq(
+      (21L, "pack my box with five dozen liquor jugs before the long summer ends"),
+      (22L, "an entirely fresh document the corpus has never seen in any form")).toDF("doc_id", "text")
+    CuratedStore.admitCommit(spark, root, 7L, batch, minQuality = 0.0)
+    assert(curatedIds(root) == Seq(22L),
+      "the exact dup must be dropped through the bloom+hash-index path")
+    assert(exactIds(root) == Set(1L, 2L, 22L))
+  }
+
+  test("streamed admission on the naf:// object store: conditional-put commits, no manifest temps, same answers") {
+    spark.sparkContext // force session (naf bindings live in its conf)
+    TableFs.registerAtomicPutScheme("naf")
+    val root = "naf:" + Files.createTempDirectory("graft-scur-naf") + "/store"
+    val committer = new ConditionalPutCommitter
+    val stage = build(root, committer)
+    drain(stage, root, Files.createTempDirectory("graft-scur-nafck").toString,
+      committer)
+    assert(curatedIds(root, committer) == Seq(12L, 14L))
+    assert(exactIds(root, committer) == Set(1L, 2L, 12L, 13L, 14L))
+    assert(CuratedStore.committedBatches(root, committer) == Set(0L, 1L))
+    assertPostingsUnique(root, committer)
+    // the commit protocol on the store: immutable slot objects, zero
+    // rename-protocol manifests, zero manifest temps
+    val names = TableFs.list(root).map(_.getPath.getName)
+    assert(names.exists(_.startsWith("MANIFEST.c")),
+      "commits must land as conditional-put slot objects")
+    assert(!names.contains("MANIFEST") &&
+      !names.exists(_.startsWith("MANIFEST.tmp-")),
+      "no rename-protocol manifest file or temp may exist on the object store")
   }
 
   test("staged batches carry strictly increasing mtimes and ascending id ranges") {

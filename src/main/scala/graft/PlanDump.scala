@@ -132,7 +132,16 @@ object PlanDump {
       // the RRF hybrid: two k-bounded retriever subtrees feeding a
       // union + one map-side-combining sum + the bounded top-k aggregate
       // — the fusion adds no corpus-scale operator of its own
-      "retrieval_hybrid_rrf")
+      "retrieval_hybrid_rrf",
+      // round 20: the BOTH-SIDES-PERSISTED hybrid (each retriever
+      // subtree is a bucket-pruned index probe — the two partition
+      // filters in one plan are the composition's whole claim), the
+      // weighted fusion twin (one extra multiply on the integer terms),
+      // and the delta-absorbed split-layout warm rank (the returned
+      // frame; the exchange-free edges ⋈ deg round plan is asserted in
+      // GraphSpec)
+      "retrieval_hybrid_persisted", "retrieval_hybrid_weighted",
+      "graph_pagerank_warm_delta")
     val sb = new StringBuilder
     sb ++= "# PLANS — FINAL physical plans of the headline queries (sf0.1)\n\n"
     sb ++= "Generated by `graft.PlanDump` at HEAD. Every query is executed and its\n"

@@ -225,17 +225,25 @@ object Graph {
 
   /** [[pageRankWarmStart]] iterating over the SPLIT committed layout:
     * eDeg = `<table>_e ⋈ <table>_d` on `src` — zero exchange on both
-    * bucketed sides, so each round still shuffles only the V-sized rank
-    * frame. Bit-identical to the plain warm path on the same absorbed
-    * edge set (same [[prRound]] integers), so the twin shares the warm
-    * oracle.
+    * bucketed sides (plan-asserted) — materialized ONCE per refresh
+    * (`localCheckpoint`, the plain path's device) so every round
+    * iterates the in-memory frame instead of re-running the E-row merge
+    * join per round (measured 1.9× per-round overhead at 20M edges when
+    * left lazy — `GraphScaleProbe` splitabsorb). The refresh-time
+    * normalization cost is the trade for the O(delta) absorption: the
+    * monolithic layout refreshes at O(E) DISK re-commit but scans its
+    * denormalized table per round; the split layout refreshes at
+    * O(delta) disk + one exchange-free in-memory join. Bit-identical to
+    * the plain warm path on the same absorbed edge set (same
+    * [[prRound]] integers), so the twin shares the warm oracle.
     */
   def pageRankWarmStartSplit(spark: SparkSession, warmRanks: DataFrame,
                              maxIterations: Int = 10,
                              tolMass: Long = TotalMass / 1000,
                              table: String = "graph_edges_split"): (DataFrame, Int, Long) =
     warmIterate(
-      spark.table(s"${table}_e").join(spark.table(s"${table}_d"), "src"),
+      spark.table(s"${table}_e").join(spark.table(s"${table}_d"), "src")
+        .localCheckpoint(true),
       warmRanks, maxIterations, tolMass)
 
   /** [[purchaseRankWarmFrom]] over the split absorbed tables. */

@@ -202,6 +202,57 @@ object CuratedStore {
       committer.gcGraceMs)
   }
 
+  /** OPTIMIZE: rewrite every multi-fragment family into ONE fragment per
+    * family, committed through a single manifest flip — the compaction
+    * the per-batch immutable-fragment layout trades for its exactly-once
+    * appends. Admission cost carries one scan per fragment in its probe
+    * plans (union width grows with committed batches); compacting on a
+    * maintenance cadence restores single-scan plans while answers stay
+    * IDENTICAL (compaction only moves rows: same bucket columns, same
+    * frozen order — spec-pinned). The ledger (`__batch.⁎`), layout
+    * scalars and bloom ride along unchanged, so replay-skip decisions
+    * survive compaction; superseded fragment dirs become unreferenced
+    * and the next GC cycle collects them. Single maintenance writer at a
+    * time (concurrent ADMITS are the committer's CAS problem — a loser
+    * re-reads and re-runs, same as every manifest table).
+    */
+  def compactStore(spark: SparkSession, root: String,
+                   committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
+    val m = committer.readManifest(root)
+    require(m.nonEmpty, s"curated store at $root is not seeded")
+    val tag = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = s"$root/batch-$tag"
+    var entries = m
+    var changed = false
+    Seq(("exact-", "exact", None),
+        ("curated-", "curated", None),
+        ("hashes-", "hashes", Some("h_bucket")),
+        ("prefix-", "prefix", Some("sh_bucket")),
+        ("shingles-", "shingles", Some("doc_bucket"))).foreach {
+      case (family, sub, partCol) =>
+        val keys = m.keys.filter(_.startsWith(family)).toSeq.sorted
+        if (keys.size > 1) {
+          val rows = readDirs(spark, keys.map(k => s"$root/${m(k)}"))
+          partCol match {
+            case None => rows.write
+              .mode(SaveMode.Overwrite).parquet(s"$dir/$sub")
+            case Some(p) => rows.repartition(col(p)).write
+              .mode(SaveMode.Overwrite).partitionBy(p).parquet(s"$dir/$sub")
+          }
+          entries = entries -- keys
+          entries += s"${family}compacted" -> s"batch-$tag/$sub"
+          changed = true
+        }
+    }
+    if (changed) {
+      committer.commit(root, entries)
+      SnapshotGc.gcUnreferenced(root,
+        SnapshotGc.dataRefs(m) ++ SnapshotGc.dataRefs(entries) ++
+          committer.retainedReferences(root),
+        committer.gcGraceMs)
+    }
+  }
+
   /** All committed ADMITTED rows (the streamed curation output; the seed
     * corpus's own curation is the caller's, as in the batch-incremental
     * form). Empty-schema-stable when no batch has admitted anything yet.

@@ -146,6 +146,68 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(exactIds(root) == Set(1L, 2L, 22L))
   }
 
+  test("compaction collapses each fragment family to one dir with identical answers; ledger survives; admission continues") {
+    val root = Files.createTempDirectory("graft-scur-cmp").toString + "/store"
+    val stage = build(root)
+    drain(stage, root, s"$root-ckpt")
+    val preCur = curatedIds(root)
+    val preEx = exactIds(root)
+    val m0 = AtomicRenameCommitter.readManifest(root)
+    assert(m0.keys.count(_.startsWith("exact-")) > 1,
+      "the drained store must hold multiple fragments to compact")
+    CuratedStore.compactStore(spark, root)
+    val m1 = AtomicRenameCommitter.readManifest(root)
+    for (f <- Seq("exact-", "hashes-", "prefix-", "shingles-"))
+      assert(m1.keys.count(_.startsWith(f)) == 1,
+        s"family $f must collapse to one fragment, got " +
+          m1.keys.filter(_.startsWith(f)).toSeq.sorted)
+    assert(curatedIds(root) == preCur && exactIds(root) == preEx,
+      "compaction only moves rows — answers must be identical")
+    assert(CuratedStore.committedBatches(root) == Set(0L, 1L),
+      "the in-manifest ledger must ride through compaction")
+    assertPostingsUnique(root)
+    // admission against the compacted store: the exact dup routes through
+    // the compacted hash index, the near-dup through the compacted
+    // prefix/shingle fragments — same semantics as pre-compaction
+    val batch = Seq(
+      (31L, "a duplicated streaming document that repeats its phrasing almost word for word"),
+      (32L, "genuinely novel content that matches nothing admitted before")).toDF("doc_id", "text")
+    CuratedStore.admitCommit(spark, root, 9L, batch, minQuality = 0.0)
+    assert(curatedIds(root) == (preCur :+ 32L).sorted,
+      "31 is an exact dup of admitted 12 — only 32 may land")
+    // a second compaction folds the new fragment into the compacted one
+    CuratedStore.compactStore(spark, root)
+    assert(AtomicRenameCommitter.readManifest(root)
+      .keys.count(_.startsWith("exact-")) == 1)
+    assert(curatedIds(root) == (preCur :+ 32L).sorted)
+  }
+
+  test("a bloom that outgrows its sizing is rebuilt with 4x headroom; exactness is unaffected") {
+    val root = Files.createTempDirectory("graft-scur-bloom").toString + "/store"
+    val stage = build(root)
+    drain(stage, root, s"$root-ckpt")
+    // shrink the recorded sizing so the next admission crosses it — the
+    // rebuild branch (hash-index rescan incl. the staged batch) must run
+    val m = AtomicRenameCommitter.readManifest(root)
+    AtomicRenameCommitter.commit(root, m + ("__meta.bloom_expected" -> "1"))
+    val batch = Seq(
+      (41L, "fresh content arriving after the bloom sizing was exceeded"),
+      (42L, "pack my box with five dozen liquor jugs before the long summer ends")).toDF("doc_id", "text")
+    CuratedStore.admitCommit(spark, root, 9L, batch, minQuality = 0.0)
+    val m2 = AtomicRenameCommitter.readManifest(root)
+    assert(m2("__meta.bloom_expected").toLong >= 65536L,
+      "the rebuild must restore headroom, not keep the outgrown sizing")
+    assert(m2("__meta.bloom_n").toLong == exactIds(root).size,
+      "the recorded item count must track the exact survivors")
+    assert(curatedIds(root).contains(41L) && !curatedIds(root).contains(42L),
+      "through the rebuilt bloom: fresh content admits, the seed exact dup drops")
+    // and the rebuilt sidecar keeps serving later admissions
+    CuratedStore.admitCommit(spark, root, 10L,
+      Seq((51L, "one more novel document after the rebuild")).toDF("doc_id", "text"),
+      minQuality = 0.0)
+    assert(curatedIds(root).contains(51L))
+  }
+
   test("streamed admission on the naf:// object store: conditional-put commits, no manifest temps, same answers") {
     spark.sparkContext // force session (naf bindings live in its conf)
     TableFs.registerAtomicPutScheme("naf")

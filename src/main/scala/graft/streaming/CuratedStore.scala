@@ -216,6 +216,22 @@ object CuratedStore {
     * time (concurrent ADMITS are the committer's CAS problem — a loser
     * re-reads and re-runs, same as every manifest table).
     */
+  /** Fragment count past which [[compactAdvised]] recommends a
+    * [[compactStore]] pass: probe plans then carry that many scans per
+    * family — cheap individually (each pruned), but plan width is pure
+    * overhead a maintenance-cadence compaction removes. */
+  val CompactFragments = 16
+
+  /** True when any fragment family has accumulated more than
+    * [[CompactFragments]] fragments — the store's `rebucketAdvised`
+    * counterpart (cheap: one manifest read, no data touched). */
+  def compactAdvised(root: String,
+                     committer: SnapshotCommitter = AtomicRenameCommitter): Boolean = {
+    val keys = committer.readManifest(root).keys.toSeq
+    Seq("exact-", "curated-", "hashes-", "prefix-", "shingles-")
+      .exists(f => keys.count(_.startsWith(f)) > CompactFragments)
+  }
+
   def compactStore(spark: SparkSession, root: String,
                    committer: SnapshotCommitter = AtomicRenameCommitter): Unit = {
     val m = committer.readManifest(root)

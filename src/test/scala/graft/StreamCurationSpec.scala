@@ -155,6 +155,8 @@ class StreamCurationSpec extends AnyFunSuite {
     val m0 = AtomicRenameCommitter.readManifest(root)
     assert(m0.keys.count(_.startsWith("exact-")) > 1,
       "the drained store must hold multiple fragments to compact")
+    assert(!CuratedStore.compactAdvised(root),
+      "two streamed batches are far under the advisory threshold")
     CuratedStore.compactStore(spark, root)
     val m1 = AtomicRenameCommitter.readManifest(root)
     for (f <- Seq("exact-", "hashes-", "prefix-", "shingles-"))

@@ -819,7 +819,8 @@ object Ann {
   def embeddingNearDupLshWithPlanes(embeddings: DataFrame,
                                     planes: Array[Array[Double]],
                                     threshold: Double): DataFrame = {
-    val corpus = emb(embeddings)
+    // 16 hyperplane dot products per row run in the scan task: fan out
+    val corpus = Par.fanOutScan(emb(embeddings))
     val sig = planes.zipWithIndex.map { case (p, i) =>
       when(SimFns.cosine(col("emb"), typedLit(p.toSeq)) > 0, 1 << i).otherwise(0)
     }.reduce(_ + _)
@@ -918,7 +919,10 @@ object Ann {
     require(embeddings.limit(maxRows + 1).count() <= maxRows,
       s"embeddingNearDup is the O(n²) oracle baseline — corpus exceeds " +
         s"$maxRows rows; use embeddingNearDupLsh (bucketed) instead")
-    val a = emb(embeddings).select(col("vec_id").as("vec_a"), col("emb").as("ea"))
+    // fan the stream side out: the broadcast nested-loop evaluates n²/2
+    // cosines in the stream side's (single-file ⇒ single) scan task
+    val a = Par.fanOutScan(emb(embeddings))
+      .select(col("vec_id").as("vec_a"), col("emb").as("ea"))
     val b = emb(embeddings).select(col("vec_id").as("vec_b"), col("emb").as("eb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),

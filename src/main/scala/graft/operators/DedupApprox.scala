@@ -29,7 +29,7 @@ object DedupApprox {
     * refinement.
     */
   private[operators] def shingleIndex(documents: DataFrame): DataFrame =
-    documents
+    Par.fanOutScan(documents)
       .select(col("doc_id"), TextFns.shingleSet(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
       .select(col("doc_id"), col("n"), explode(col("sh")).as("shingle"))
@@ -181,7 +181,7 @@ object DedupApprox {
     * [[DedupIndex]]) shuffle/store instead of content.
     */
   private[graft] def bandKeys(documents: DataFrame): DataFrame = {
-    val sigs = documents.select(
+    val sigs = Par.fanOutScan(documents).select(
       col("doc_id"),
       minhashSignature(TextFns.shingleSet(col("text"))).as("sig"))
     val bandStructs = (0 until Bands).map(b =>
@@ -221,7 +221,7 @@ object DedupApprox {
     * slower at sf0.1).
     */
   def withSimhash(documents: DataFrame): DataFrame =
-    documents.select(col("doc_id"),
+    Par.fanOutScan(documents).select(col("doc_id"),
       graft.functions.expr.VectorExpressions.simhash64(TextFns.tokens(col("text"))).as("sh"))
 
   /** SimHash near-dup pairs: 4×16-bit band join for candidates, then exact

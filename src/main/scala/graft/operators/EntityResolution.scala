@@ -130,7 +130,16 @@ object EntityResolution {
       col("len").as("len_a"))
     val b = docs.select(col("id").as("id_b"), col("text").as("text_b"),
       col("len").as("len_b"))
+    // pin the verify's parallelism: the deduped candidate set is tiny in
+    // BYTES (ids only), so AQE coalesces it to one partition — and then the
+    // O(|s|²)-per-pair levenshtein verify runs single-task (measured 2.2 s
+    // of the operator's 3.0 s at sf0.1). An explicit fixed-width
+    // repartition is exempt from AQE coalescing, spreading the CPU-bound
+    // verify across the cluster; at scale the candidate set is large and
+    // the exchange it replaces would have existed anyway (the join below
+    // shuffles ids regardless).
     candidates.union(shortPairs).distinct()
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
       .join(a, "id_a").join(b, "id_b")
       .filter(abs(col("len_a") - col("len_b")) <= maxDist)
       .withColumn("dist", levenshtein(col("text_a"), col("text_b")))

@@ -67,11 +67,33 @@ object Graph {
     // distinct() — unique edges are the caller's contract (above), and a
     // redundant E-sized shuffle at 100 TB is exactly the kind of "just in
     // case" work to refuse.
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE before fanning it into its two
+    // consumers (the degree aggregate and the join): without the cut, the
+    // caller's edge-construction subtree (for the purchase graph: an
+    // orders⋈lineitem join + distinct + both-directions union) re-executes
+    // once per consumer per branch — the round-20 profile showed the 5.5 MB
+    // o⋈l exchange map stage running twice inside one build
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
-    iterate(eDeg, iterations, checkpointEvery)
+    iterate(partitionEdgeFrame(e.join(deg, "src")), iterations, checkpointEvery)
   }
+
+  /** Hash-partition + sort the degree-annotated edge frame by `src` BEFORE
+    * checkpointing it. `localCheckpoint` preserves the physical plan's
+    * outputPartitioning/outputOrdering in the resulting LogicalRDD, so
+    * every iteration's E⋈V join then needs NO exchange and NO sort on the
+    * edge side — the committed-bucketed twin's per-round plan economics
+    * (shuffle V per round, not E+V), achieved in memory for the plain
+    * path. Before this, AQE broadcast the degree join's dim-sized side,
+    * the checkpoint inherited the SCAN's partitioning (one file ⇒ one
+    * partition), and every round re-exchanged the full edge frame — the
+    * round-20 profile showed the 13.9 MB eDeg exchange map stage running
+    * twice per round at sf0.1. Join strategy cannot change the
+    * fixed-point integer sums, so results are bit-identical.
+    */
+  private def partitionEdgeFrame(eDeg: DataFrame): DataFrame =
+    eDeg.repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
 
   /** The shared fixed-point loop over an already degree-annotated edge
     * frame `(src, dst, outdeg)` — the seam that lets [[pageRankBucketed]]
@@ -304,10 +326,10 @@ object Graph {
   def pageRankWarmStart(edges: DataFrame, warmRanks: DataFrame,
                         maxIterations: Int = 10,
                         tolMass: Long = TotalMass / 1000): (DataFrame, Int, Long) = {
-    val e = edges.select(col("src"), col("dst"))
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(deg, "src").localCheckpoint(true)
-    warmIterate(eDeg, warmRanks, maxIterations, tolMass)
+    warmIterate(partitionEdgeFrame(e.join(deg, "src")),
+      warmRanks, maxIterations, tolMass)
   }
 
   /** [[pageRankWarmStart]] iterating over the COMMITTED `bucketBy(src)`

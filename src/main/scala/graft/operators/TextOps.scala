@@ -877,7 +877,11 @@ object TextOps {
     * vocabulary aggregate; the per-document rollup is a map-side-combining
     * hash aggregate. Nothing is windowed, nothing collects.
     */
-  def lmPerplexity(train: DataFrame, score: DataFrame): DataFrame = {
+  def lmPerplexity(trainIn: DataFrame, scoreIn: DataFrame): DataFrame = {
+    // the bigram explosion is the CPU term of both passes — fan the scans
+    // out so it never runs single-task on a one-file input (Par.fanOutScan)
+    val train = Par.fanOutScan(trainIn)
+    val score = Par.fanOutScan(scoreIn)
     def bigramsOf(df: DataFrame, cols: Column*): DataFrame = {
       val w = graft.functions.TextFns.tokens(col("text"))
       // positional bigram MULTISET (every occurrence, unlike the
@@ -890,8 +894,14 @@ object TextOps {
       df.select(cols :+ explode(arr).as("bigram"): _*)
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
     }
+    // the pair table is the model — vocab-bounded, consumed TWICE (pair
+    // counts + the context-count re-aggregation). Materialize it once
+    // (eager localCheckpoint) so the corpus-sized bigram multiset is
+    // aggregated in ONE pass, not re-run per consumer (guide §1.2: don't
+    // compute things twice; at 100 TB this halves the model build).
     val pairCountsFull = bigramsOf(train)
       .groupBy("bigram", "w1").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val pairCounts = pairCountsFull.select("bigram", "c12")
     // c(w1) = Σ_w2 c(w1,w2) exactly, so the context counts re-aggregate
     // the vocab-bounded pair table — NOT the corpus-sized bigram
